@@ -1,0 +1,93 @@
+"""Top-k operators (SURVEY.md §2.6 T1-T3, A6).
+
+``top_k`` relies on Spark planning ``orderBy(...).limit(k)`` as
+``TakeOrderedAndProject`` — each partition keeps only its local top-k and the
+driver merges k·num_partitions rows, so a global sort never materializes.
+That is the correct 100 TB shape for small k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_tag
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k: ``orderBy(order).limit(k)`` (plans TakeOrderedAndProject).
+
+    Callers must pass a *total* order (include a unique tiebreaker) if the
+    result needs to be deterministic.
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def additive_counts(df: DataFrame) -> DataFrame:
+    """A6 prefix (Consumer.scala:71-84): explode_outer the additives array,
+    keep named products with a non-empty additive, count per product.
+
+    The reference uses ``first(additive)`` for ``most_common_additive`` —
+    order-dependent and not a mode. We pin determinism with ``min(additive)``
+    (documented deviation; FIXTURES.md §2 endorses the pin) and additionally
+    expose ``F.mode`` upstream for a true mode.
+    """
+    from .parse import main_product_name
+
+    flat = (
+        main_product_name(df)
+        .select("main_name", F.explode_outer("additives_tags").alias("additive_raw"))
+        .filter(
+            F.col("main_name").isNotNull()
+            & F.col("additive_raw").isNotNull()
+            & (F.col("additive_raw") != "")
+        )
+        .select(
+            F.col("main_name").alias("product_name"),
+            clean_tag(F.col("additive_raw")).alias("additive"),
+        )
+    )
+    return flat.groupBy("product_name").agg(
+        F.count("*").alias("additive_count"),
+        F.min("additive").alias("most_common_additive"),
+    )
+
+
+def top_additive_products(df: DataFrame, k: int = 10) -> DataFrame:
+    """A6+T1 (Consumer.scala:147-158): top-k products by additive count.
+
+    Deterministic total order: count desc, then product_name asc.
+    """
+    return top_k(
+        additive_counts(df),
+        [F.desc("additive_count"), F.asc("product_name")],
+        k,
+    )
+
+
+def top_n_with_other(
+    df: DataFrame,
+    key_col: str,
+    count_col: str,
+    n: int,
+    other_label: str = "Autres",
+) -> DataFrame:
+    """T2 (streamlit/app.py:152-160): top-N keys by count plus a residual
+    bucket summing everything else — the dashboard's donut-chart prep, done
+    engine-side.
+
+    Single-pass shape: rank once with a window over the (already tiny)
+    aggregated frame, then aggregate rank>n into the residual row via a
+    conditional key — one shuffle, no self-join, no union re-scan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(count_col), F.asc(key_col))
+    ranked = df.withColumn("_rank", F.row_number().over(w))
+    bucketed = ranked.select(
+        F.when(F.col("_rank") <= n, F.col(key_col))
+        .otherwise(F.lit(other_label))
+        .alias(key_col),
+        F.col(count_col),
+    )
+    return bucketed.groupBy(key_col).agg(F.sum(count_col).alias(count_col))

@@ -1,0 +1,46 @@
+"""Registry plumbing for named queries.
+
+Each query is a builder ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) a DuckDB oracle string over the driver's pre-registered
+views (region nation customer supplier part orders lineitem events documents
+embeddings). Column aliases MUST match between builder output and oracle —
+the correctness gate hashes values under name-sorted columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: Builder
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[Builder], Builder]:
+    """Decorator: add a plan builder to the registry."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), tuple(tags))
+        return fn
+
+    return deco

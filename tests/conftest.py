@@ -1,0 +1,93 @@
+"""Shared fixtures: one local SparkSession per test run + the DuckDB oracle
+compare harness mirroring the driver's correctness gate (row count + schema +
+order-insensitive value comparison under name-sorted columns)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_streaming_project_spark.session import get_spark
+from spark_streaming_project_spark.schemas import TESTDATA_TABLES
+
+TESTDATA_ROOT = "/root/testdata"
+SF_SMOKE = os.path.join(TESTDATA_ROOT, "sf0.001")
+SF_CORRECT = os.path.join(TESTDATA_ROOT, "sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(SF_CORRECT, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
+
+
+def _canon(v):
+    """Canonicalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def assert_matches_oracle(spark_df, duck_con, sql: str, query_name: str = "?"):
+    """Driver-gate mirror: sort columns by name, compare row multisets exactly."""
+    spark_rows = spark_df.collect()
+    spark_cols = spark_df.columns
+
+    res = duck_con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{query_name}: column names differ: spark={sorted(spark_cols)} "
+        f"duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{query_name}: row count differs: spark={len(spark_rows)} "
+        f"duck={len(duck_rows)}"
+    )
+
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s_set = sorted(
+        tuple(_canon(r[i]) for i in s_order) for r in spark_rows
+    )
+    d_set = sorted(
+        tuple(_canon(r[i]) for i in d_order) for r in duck_rows
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert s_set == d_set, (
+        f"{query_name}: value mismatch; first diffs: {mismatches[:5]}"
+    )

@@ -1,0 +1,48 @@
+"""The local mirror of the driver's t2 gate: every registered query with an
+oracle must hash-match DuckDB at sf0.01; oracle-less queries must at least
+run and return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_project_spark.plans import REGISTRY
+
+from .conftest import SF_CORRECT
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    from .conftest import assert_matches_oracle
+
+    q = REGISTRY[name]
+    df = q.builder(spark, SF_CORRECT)
+    assert_matches_oracle(df, duck, q.oracle, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    q = REGISTRY[name]
+    df = q.builder(spark, SF_CORRECT)
+    n = df.count()
+    assert n >= 0
+    assert df.columns, f"{name}: no output columns"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert qs, "queries() empty"
+    assert set(os_) <= set(qs)
