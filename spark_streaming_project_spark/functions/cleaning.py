@@ -41,9 +41,14 @@ def clean_tag(col: Column | str) -> Column:
 
 
 def first_tag(col: Column | str) -> Column:
-    """First element of a tag array; NULL for NULL/empty arrays."""
+    """First element of a tag array; NULL for NULL/empty arrays.
+
+    The reference (Spark 3.5) uses ``getItem(0)``, which is NULL-safe there;
+    under Spark 4's ANSI mode that raises INVALID_ARRAY_INDEX, so we use
+    ``F.get`` to keep the reference's NULL-propagating semantics.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return c.getItem(0)
+    return F.get(c, 0)
 
 
 def normalize_grade(col: Column | str) -> Column:

@@ -44,7 +44,7 @@ def main_product_name(df: DataFrame) -> DataFrame:
     ``F.filter`` on the array — same result, no row multiplication, and no
     shuffle at scale)."""
     entry = F.filter(F.col("product_name"), lambda e: e["lang"] == F.lit("main"))
-    return df.withColumn("main_name", entry.getItem(0)["text"])
+    return df.withColumn("main_name", F.get(entry, 0)["text"])
 
 
 def nutriment_value(df: DataFrame, name: str, out_col: str) -> DataFrame:
@@ -52,4 +52,4 @@ def nutriment_value(df: DataFrame, name: str, out_col: str) -> DataFrame:
     struct array (reference does explode+filter, Consumer.scala:225-229; array
     ``F.filter`` keeps it row-local)."""
     entry = F.filter(F.col("nutriments"), lambda n: n["name"] == F.lit(name))
-    return df.withColumn(out_col, entry.getItem(0)["value"].cast("double"))
+    return df.withColumn(out_col, F.get(entry, 0)["value"].cast("double"))
