@@ -1,4 +1,130 @@
-"""Event-time queries over the events table (SURVEY.md §2.9 X4 extensions) —
-populated incrementally."""
+"""Event-time queries over the events table — the event-time surface the
+reference leaves implicit (SURVEY.md §2.9 X4: no watermarks, no windows, no
+event-time at all in the reference; these define the engine's batch
+semantics, and streaming/tests run the same logical plans as streams).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _dec(col, scale: int = 6):
+    return (F.col(col) if isinstance(col, str) else col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (batch twin of the streaming windowed count).
+# date_trunc is used (rather than F.window) so the grouping column is a plain
+# timestamp comparable across engines; streaming tests exercise F.window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS event_count,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-time"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON props extraction (the engine's semi-structured path beyond from_json).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_props_buckets",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS event_count
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("events", "json"),
+)
+def events_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("event_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: lag-gap + running flag-sum (SNIPPETS/guide pattern).
+# Streaming twin uses session_window; this is the deterministic batch oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessioned AS (
+        SELECT user_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS session_count,
+           count(*) AS event_count
+    FROM sessioned
+    GROUP BY user_id
+    """,
+    tags=("events", "sessionization"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)).alias(
+            "new_session"
+        ),
+    )
+    sessioned = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return sessioned.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("session_count"),
+        F.count("*").alias("event_count"),
+    )

@@ -1,5 +1,322 @@
-"""Generic relational coverage (joins, multi-agg, rollup, windows) the
-reference leaves implicit (SURVEY.md §2.5 'gaps', §2.8) — populated
-incrementally."""
+"""Generic relational coverage over the TPC-H-ish star schema.
+
+The reference exercises no joins, set ops, or multi-function aggregates
+(SURVEY.md §2.5 'gaps', §2.8); a complete engine must. Each query here is a
+Spark built-in composition with a DuckDB oracle twin.
+
+FP determinism policy: any SUM over double columns is accumulated as
+DECIMAL (exact, order-independent) and the *final* scalar is cast back to
+double — Spark's and DuckDB's different partial-aggregation orders then
+cannot produce different bits. Averages are computed as exact-sum / count.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .registry import register
+
+
+def _dec(col, scale: int = 6):
+    """Row-level double -> exact decimal for order-independent summation."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: pricing summary — two-key groupBy, 8 aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "aggregate"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-way join + filter + grouped revenue + deterministic top-k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+    tags=("relational", "join", "topk"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 5-way star join with region filter, revenue per nation.
+# Dimension sides (region/nation/supplier) are broadcast — no shuffle for
+# them even at 100 TB fact scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    tags=("relational", "join"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (EXISTS / NOT EXISTS) — set-membership the Spark way.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, count(*) AS customer_count
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    tags=("relational", "join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("customer_count"))
+    )
+
+
+@register(
+    "parts_with_orders",
+    oracle="""
+    SELECT p.p_type AS part_type, count(*) AS part_count
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY 1
+    """,
+    tags=("relational", "join", "semi"),
+)
+def parts_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy(F.col("p_type").alias("part_type"))
+        .agg(F.count("*").alias("part_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_nation_stats",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(DISTINCT c_nationkey) AS nation_count,
+           count(*) AS customer_count,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY 1
+    """,
+    tags=("relational", "distinct"),
+)
+def segment_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.countDistinct("c_nationkey").alias("nation_count"),
+        F.count("*").alias("customer_count"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping-sets surface).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returns_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS line_count,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "rollup"),
+)
+def returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("line_count"),
+        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (engine feature; oracle = conditional aggregation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returnflag_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_open,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("relational", "pivot"),
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows: lag / rank / running sum per customer order history.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_history",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           row_number() OVER w AS order_seq,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    tags=("relational", "window"),
+)
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+    )

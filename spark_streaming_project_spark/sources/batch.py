@@ -8,18 +8,49 @@ than pre-materializing projections.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects ([PARQUET_TYPE_ILLEGAL]); footer inspection via pyarrow."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain parquet scan — no cache, no repartition;
-    partitioning decisions belong to the consuming operator."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    partitioning decisions belong to the consuming operator.
+
+    Nanosecond-timestamp columns (e.g. ``events.ts``) are read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated to microsecond
+    timestamps (floor division — identical to how micro-precision engines
+    ingest ns parquet).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path) if os.path.exists(path) else ()
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(

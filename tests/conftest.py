@@ -80,10 +80,10 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, query_name: str = "?"):
     s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
     s_set = sorted(
-        tuple(_canon(r[i]) for i in s_order) for r in spark_rows
+        (tuple(_canon(r[i]) for i in s_order) for r in spark_rows), key=repr
     )
     d_set = sorted(
-        tuple(_canon(r[i]) for i in d_order) for r in duck_rows
+        (tuple(_canon(r[i]) for i in d_order) for r in duck_rows), key=repr
     )
     mismatches = [
         (a, b) for a, b in zip(s_set, d_set) if a != b
