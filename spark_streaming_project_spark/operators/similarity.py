@@ -1,0 +1,121 @@
+"""Embedding similarity search (BASELINE.json north-star).
+
+Two tiers:
+  - ``brute_force_topk``: exact cosine top-k against a query vector. The
+    scan is embarrassingly parallel (per-row arithmetic, no shuffle); the
+    top-k is a TakeOrderedAndProject. This is the correctness baseline and
+    is already the right plan for one-off queries at scale.
+  - ``lsh_bucket_topk``: random-hyperplane LSH. Each vector gets a sign-bit
+    bucket; the query searches only its bucket (and optionally Hamming-1
+    neighbors). Planes are generated deterministically from md5, so bucket
+    assignment is reproducible across engines and runs — at 100 TB the
+    bucket column becomes a partition/bucketing key and a query touches
+    1/2^bits of the data.
+
+Cosine results are rounded to 6 decimals *before* ranking so that
+(score, id) total orders are stable across engines' FP summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+
+ROUND_DECIMALS = 6
+
+
+def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id: int) -> DataFrame:
+    """One-row frame holding the query vector (broadcast into the scan)."""
+    return df.filter(F.col(id_col) == query_id).select(
+        as_double(vec_col).alias("_query_vec")
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of ``query_id`` (excluded from results)."""
+    q = _query_vector(df, id_col, vec_col, query_id)
+    scored = (
+        df.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(as_double(vec_col), F.col("_query_vec")), ROUND_DECIMALS
+            ).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_bucket(
+    vec_col: Column, dim: int, bits: int = 4, salt: str = "plane"
+) -> Column:
+    """Sign-bit LSH bucket id from ``bits`` deterministic hyperplanes.
+
+    Plane coefficients are md5-derived pseudo-randoms in [-1, 1]:
+    coef(b, i) = (md5("salt:b:i")[:6] as int mod 2001 - 1000) / 1000.
+    """
+    bucket = F.lit(0)
+    for b in range(bits):
+        coefs = [
+            _pseudo_coef(f"{salt}:{b}:{i}") for i in range(dim)
+        ]
+        d = None
+        for i, c in enumerate(coefs):
+            term = F.get(vec_col, i).cast("double") * F.lit(c)
+            d = term if d is None else d + term
+        bucket = bucket + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def _pseudo_coef(key: str) -> float:
+    """Deterministic coefficient in [-1, 1] from md5 — computed driver-side
+    once per plane/dim (constants in the plan, zero per-row hashing)."""
+    import hashlib
+
+    h = int(hashlib.md5(key.encode()).hexdigest()[:6], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    bits: int = 4,
+) -> DataFrame:
+    """ANN top-k: search only the query's hyperplane bucket.
+
+    Recall < 1 by construction; the bench pairs it with brute_force_topk to
+    report recall. At scale, ``bucket`` is the partition key.
+    """
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        as_double(vec_col).alias("_query_vec"),
+        F.col("bucket").alias("_query_bucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("_query_bucket"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(as_double(vec_col), F.col("_query_vec")), ROUND_DECIMALS
+            ).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

@@ -1,0 +1,62 @@
+"""Text-analysis operators: per-document stats, quality scoring, language ID,
+fingerprinting (BASELINE.json north-star). All array-level built-ins — one
+narrow pass over the corpus, no shuffle until the caller aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bpe_token_count,
+    predict_lang,
+    rolling_fingerprint,
+    token_count,
+    tokens,
+)
+
+
+def doc_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document lexical statistics + a [0,1] quality score.
+
+    quality = 0.4 * type_token_ratio
+            + 0.3 * min(token_count/100, 1)
+            + 0.3 * (1 - min(avg_token_len/10, 1))
+    (A heuristic in the spirit of C4/Gopher length-and-diversity rules.)
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    ttr = n_distinct.cast("double") / n_tokens
+    len_score = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    avg_len = total_len.cast("double") / n_tokens
+    brevity = 1.0 - F.least(avg_len / 10.0, F.lit(1.0))
+    return df.filter(F.size(toks) > 0).select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(0.4 * ttr + 0.3 * len_score + 0.3 * brevity, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-profile language prediction per document."""
+    return df.select(
+        F.col(id_col),
+        predict_lang(text_col).alias("predicted_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint + BPE-ish token count."""
+    return df.select(
+        F.col(id_col),
+        rolling_fingerprint(text_col).alias("fingerprint"),
+        token_count(text_col).alias("ws_tokens"),
+        bpe_token_count(text_col).alias("bpe_tokens"),
+    )

@@ -1,4 +1,404 @@
-"""LLM-data-pipeline queries (dedup, similarity search, text analysis) over
-documents/embeddings (BASELINE.json north star) — populated incrementally."""
+"""LLM-data-pipeline queries over documents/embeddings (BASELINE.json
+north-star): dedup, similarity search, text analysis, multimodal plumbing.
+
+Every hash in these pipelines is md5-based so the DuckDB oracle replays the
+*entire* pipeline (shingling -> minhash -> banding -> candidate join ->
+verification) bit-for-bit — the correctness gate covers the algorithm, not
+just a summary of it.
+"""
 
 from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    BAND_SIZE,
+    NUM_PERM,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash,
+)
+from ..operators.multimodal import decode_assets, documents_as_assets
+from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..operators.textstats import doc_stats, fingerprints, language_id
+from ..sources.batch import load_table
+from .registry import register
+
+# Shared DuckDB CTE: whitespace tokens / distinct word-3-gram shingles.
+_TOKS_CTE = r"""
+toks AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS words
+    FROM documents WHERE text IS NOT NULL
+)"""
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + r""",
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3
+                THEN list_distinct([array_to_string(words[i:i+2], ' ')
+                                    for i in range(1, len(words) - 1)])
+                ELSE [] END AS shingles
+    FROM toks
+)"""
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup: digest groupBy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
+# ---------------------------------------------------------------------------
+
+_SIG_COLS = ",\n           ".join(
+    f"list_min([md5('{p}:' || s) for s in shingles]) AS sig_{p}"
+    for p in range(NUM_PERM)
+)
+_BAND_EXPRS = ", ".join(
+    "md5('b{b}:' || {cat})".format(
+        b=b,
+        cat=" || ".join(f"sig_{i}" for i in range(b, b + BAND_SIZE)),
+    )
+    for b in range(0, NUM_PERM, BAND_SIZE)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
+"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=_MINHASH_ORACLE,
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+
+
+@register(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    dupes AS (
+        SELECT DISTINCT id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM dupes)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: drop the higher doc_id of each verified
+    near-dup pair (greedy keep-first policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (32-bit, md5-derived -> oracle replayable).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {i}) & 1 = 1)) > len(hs) "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    hashed AS (
+        SELECT doc_id,
+               [CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                for t in list_distinct(words)] AS hs
+        FROM toks WHERE len(words) > 0
+    )
+    SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash
+    FROM hashed
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return simhash(docs, "text", "doc_id", bits=_SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force top-k (baseline) and hyperplane-LSH
+# ANN (scale path) — both oracle-replayed.
+# ---------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 0
+_DIM = 64
+_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[a[i] * b[i] for i in range(1, {dim} + 1)]), (acc, x) -> acc + x)"
+)
+
+
+def _duck_dot(a: str, b: str, dim: int = _DIM) -> str:
+    return _DOT.format(dim=dim).replace("a[i]", f"{a}[i]").replace("b[i]", f"{b}[i]")
+
+
+_BRUTE_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id,
+           round({_duck_dot('v', 'qv')}
+                 / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})),
+                 6) AS cosine_sim
+    FROM vecs, q
+    WHERE vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=_BRUTE_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10)
+
+
+def _pseudo_coef(key: str) -> float:
+    h = int(hashlib.md5(key.encode()).hexdigest()[:6], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+_ANN_BITS = 4
+
+
+def _duck_bucket(vec: str) -> str:
+    """DuckDB twin of similarity.hyperplane_bucket: same md5-derived plane
+    coefficients inlined as literals, same left-to-right accumulation."""
+    bits = []
+    for b in range(_ANN_BITS):
+        terms = " + ".join(
+            f"{vec}[{i + 1}] * ({_pseudo_coef(f'plane:{b}:{i}')})"
+            for i in range(_DIM)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_ANN_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {_duck_bucket('v')} AS bucket FROM vecs
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM bucketed WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id,
+           round({_duck_dot('v', 'qv')}
+                 / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})),
+                 6) AS cosine_sim
+    FROM bucketed, q
+    WHERE bucket = qb AND vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_ann_lsh_topk",
+    oracle=_ANN_ORACLE,
+    tags=("llm", "similarity", "lsh"),
+)
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC_ID, dim=_DIM, k=10, bits=_ANN_BITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: per-doc stats/quality, language ID, fingerprints.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_stats",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           len(words) AS n_tokens,
+           len(list_distinct(words)) AS n_distinct_tokens,
+           round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+               AS type_token_ratio,
+           round(CAST(list_sum(list_transform(words, t -> strlen(t))) AS DOUBLE)
+                 / len(words), 6) AS avg_token_len,
+           round(0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+                 + 0.3 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(
+                       (CAST(list_sum(list_transform(words, t -> strlen(t))) AS DOUBLE)
+                        / len(words)) / 10.0, 1.0)), 6) AS quality
+    FROM toks
+    WHERE len(words) > 0
+    """,
+    tags=("llm", "text"),
+)
+def doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return doc_stats(docs, "text", "doc_id")
+
+
+_LANG_SCORES = {
+    "en": "('the','a','and','of','to')",
+    "fr": "('le','la','et','de','un')",
+    "de": "('der','die','und','das','ein')",
+    "es": "('el','la','y','de','que')",
+}
+_SCORE_EXPRS = ",\n           ".join(
+    f"len(list_filter(words, t -> lower(t) IN {w})) AS s_{lang}"
+    for lang, w in _LANG_SCORES.items()
+)
+
+
+@register(
+    "language_id",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    scores AS (
+        SELECT doc_id,
+           {_SCORE_EXPRS}
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                WHEN s_fr = greatest(s_fr, s_de, s_es) THEN 'fr'
+                WHEN s_de = greatest(s_de, s_es) THEN 'de'
+                ELSE 'es' END AS predicted_lang
+    FROM scores
+    """,
+    tags=("llm", "text"),
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return language_id(docs, "text", "doc_id")
+
+
+@register(
+    "token_fingerprints",
+    oracle=rf"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(words,
+                       t -> CAST(strlen(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+           len(words) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS bpe_tokens
+    FROM toks JOIN documents USING (doc_id)
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return fingerprints(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payloads through Arrow-batched mapInPandas.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_byte_stats",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS payload_bytes,
+           CAST(list_sum([ascii(substr(text, i, 1))
+                          for i in range(1, least(strlen(text), 64) + 1)]) AS BIGINT)
+               AS feature_checksum
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    tags=("llm", "multimodal"),
+)
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-as-binary-assets through the Arrow decode path; the oracle
+    recomputes byte length + first-64-byte checksum from the text (ASCII
+    corpus, so bytes == characters)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    decoded = decode_assets(documents_as_assets(docs))
+    return decoded.select("asset_id", "payload_bytes", "feature_checksum")
