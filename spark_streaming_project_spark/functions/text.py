@@ -38,13 +38,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the text (the unit for MinHash /
     Jaccard dedup). Array-level: no explode, no shuffle."""
     toks = tokens(col)
-    # guard: sequence(0, negative) would generate a DESCENDING sequence
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    # n-grams as a zip_with fold over n shifted views of the token array —
+    # two array passes instead of a per-index slice (higher-order lambdas are
+    # interpreted, not codegen'd, so pass count dominates cost at scale)
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, width)
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, width)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(grams)
 
 

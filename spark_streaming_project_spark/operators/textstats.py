@@ -45,10 +45,37 @@ def doc_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Stopword-profile language prediction per document."""
-    return df.select(
+    """Stopword-profile language prediction per document.
+
+    Tokenizes once into a column, then scores each profile over it (the
+    naive form re-splits the text once per language profile — 4x the array
+    passes; HOF lambdas are interpreted, so passes dominate).
+    """
+    from ..functions.text import LANG_PROFILES
+
+    toksed = df.select(
+        F.col(id_col), F.col(text_col).alias("_text")
+    ).withColumn("_toks", F.expr(r"filter(split(_text, '\\s+'), t -> t <> '')"))
+    score_cols = [
+        F.expr(
+            "size(filter(_toks, t -> lower(t) IN ({})))".format(
+                ", ".join(f"'{w}'" for w in words)
+            )
+        ).alias(f"s_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    scores = toksed.select(F.col(id_col), *score_cols)
+    return scores.select(
         F.col(id_col),
-        predict_lang(text_col).alias("predicted_lang"),
+        F.expr(
+            """
+            CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                 WHEN s_fr = greatest(s_fr, s_de, s_es) THEN 'fr'
+                 WHEN s_de = greatest(s_de, s_es) THEN 'de'
+                 ELSE 'es' END
+            """
+        ).alias("predicted_lang"),
     )
 
 

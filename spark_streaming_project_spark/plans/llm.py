@@ -73,7 +73,9 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIG_COLS = ",\n           ".join(
-    f"list_min([md5('{p}:' || s) for s in shingles]) AS sig_{p}"
+    "list_min([substr(md5('{g}:' || s), {start}, 8) for s in shingles]) AS sig_{p}".format(
+        g=p // 4, start=(p % 4) * 8 + 1, p=p
+    )
     for p in range(NUM_PERM)
 )
 _BAND_EXPRS = ", ".join(

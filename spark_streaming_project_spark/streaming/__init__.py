@@ -1,0 +1,17 @@
+from .runner import StreamRunner, stream_parquet_dir, stream_json_dir
+from .sinks import (
+    foreach_batch_jdbc_append,
+    foreach_batch_jdbc_overwrite,
+    foreach_batch_per_batch_topk,
+)
+from .sources import kafka_stream
+
+__all__ = [
+    "StreamRunner",
+    "stream_parquet_dir",
+    "stream_json_dir",
+    "kafka_stream",
+    "foreach_batch_jdbc_append",
+    "foreach_batch_jdbc_overwrite",
+    "foreach_batch_per_batch_topk",
+]

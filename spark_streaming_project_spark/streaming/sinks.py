@@ -1,0 +1,67 @@
+"""Streaming sinks (SURVEY.md §2.1 S4-S6, §2.9 X5).
+
+The reference serializes all JDBC writes through a JVM-global lock and
+``mode("overwrite")`` drops + recreates each table per micro-batch
+(Consumer.scala:10,282-320) — readers can observe empty tables. The engine
+redesign: one sink per query (no shared lock needed — Spark streaming
+queries are independent) and overwrite via staging-swap so refresh is
+atomic when the backend supports transactional DDL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def foreach_batch_jdbc_overwrite(
+    url: str, table: str, properties: dict[str, str]
+) -> Callable[[DataFrame, int], None]:
+    """Full-refresh sink for complete-mode aggregates (reference S4,
+    Consumer.scala:282-300 — minus the global lock, which per-query sinks
+    make unnecessary)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").jdbc(url, table, properties=properties)
+
+    return write
+
+
+def foreach_batch_jdbc_append(
+    url: str, table: str, properties: dict[str, str]
+) -> Callable[[DataFrame, int], None]:
+    """Accumulating sink for per-batch results (reference S5,
+    Consumer.scala:302-320)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").jdbc(url, table, properties=properties)
+
+    return write
+
+
+def foreach_batch_per_batch_topk(
+    aggregate: Callable[[DataFrame], DataFrame],
+    out_dir: str,
+    k_order_desc: str,
+    k: int = 10,
+) -> Callable[[DataFrame, int], None]:
+    """X5 semantics (Consumer.scala:147-165): re-aggregate *within* each
+    micro-batch, keep the batch-local top-k, stamp ``batch_id``, append.
+
+    The output parquet dir accumulates one top-k per batch — exactly the
+    reference's ``top_additive_products`` table shape (batch_id column,
+    init.sql:39-44).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        topk = (
+            aggregate(batch_df)
+            .orderBy(F.desc(k_order_desc))
+            .limit(k)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        topk.write.mode("append").parquet(out_dir)
+
+    return write

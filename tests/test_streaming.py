@@ -1,0 +1,196 @@
+"""Streaming semantics tests (SURVEY.md §5.2): the reference's operators run
+as file-source streams with ``availableNow`` drains; complete-mode results
+must converge to the batch answers, append-mode per-batch top-k must
+accumulate one result set per micro-batch (X5), and watermarked windows must
+emit exactly the windows closed by the final watermark (X4 extension)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_streaming_project_spark.operators.aggregates import (
+    brand_counts,
+    nutriscore_counts,
+)
+from spark_streaming_project_spark.operators.parse import parse_envelopes
+from spark_streaming_project_spark.operators.topk import additive_counts
+from spark_streaming_project_spark.sources.batch import load_table
+from spark_streaming_project_spark.sources.fixtures import (
+    make_envelopes,
+    make_products,
+    products_df,
+)
+from spark_streaming_project_spark.streaming import (
+    StreamRunner,
+    foreach_batch_per_batch_topk,
+    stream_parquet_dir,
+)
+
+VALUE_SCHEMA = T.StructType([T.StructField("value", T.StringType())])
+
+
+def _write_envelope_files(spark, tmp_path, n_files: int = 3, per_file: int = 200):
+    """Write n parquet files of kafka-shaped envelopes; file i's products have
+    distinct name suffixes so per-batch results are attributable."""
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    all_products = []
+    for i in range(n_files):
+        products = make_products(per_file, seed=100 + i)
+        # make names unique per file for batch attribution
+        for p in products:
+            for entry in p["product_name"]:
+                entry["text"] = f"f{i}:{entry['text']}"
+        all_products.extend(products)
+        env = make_envelopes(products, page_size=50)
+        spark.createDataFrame([(e,) for e in env], VALUE_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    return src, all_products
+
+
+def test_complete_mode_converges_to_batch(spark, tmp_path):
+    """X2: complete-mode streaming aggregation == batch aggregation."""
+    src, all_products = _write_envelope_files(spark, tmp_path)
+    stream = parse_envelopes(stream_parquet_dir(spark, src, VALUE_SCHEMA))
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt"))
+    runner.add("nutri_stream", nutriscore_counts(stream), output_mode="complete")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        r["nutriscore"]: r["product_count"]
+        for r in spark.table("nutri_stream").collect()
+    }
+    batch_df = spark.createDataFrame(
+        all_products, parse_envelopes(stream_parquet_dir(spark, src, VALUE_SCHEMA)).schema
+    )
+    want = {
+        r["nutriscore"]: r["product_count"]
+        for r in nutriscore_counts(batch_df).collect()
+    }
+    assert got == want
+
+
+def test_multi_query_concurrent(spark, tmp_path):
+    """X7: several streaming queries over one source, per-query checkpoints,
+    no shared lock — all converge."""
+    src, all_products = _write_envelope_files(spark, tmp_path)
+    batch_df = spark.createDataFrame(
+        all_products, parse_envelopes(stream_parquet_dir(spark, src, VALUE_SCHEMA)).schema
+    )
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt"))
+    stream1 = parse_envelopes(stream_parquet_dir(spark, src, VALUE_SCHEMA))
+    stream2 = parse_envelopes(stream_parquet_dir(spark, src, VALUE_SCHEMA))
+    runner.add("mq_nutri", nutriscore_counts(stream1), output_mode="complete")
+    runner.add("mq_brand", brand_counts(stream2), output_mode="complete")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got_n = {r[0]: r[1] for r in spark.table("mq_nutri").collect()}
+    got_b = {r[0]: r[1] for r in spark.table("mq_brand").collect()}
+    assert got_n == {r[0]: r[1] for r in nutriscore_counts(batch_df).collect()}
+    assert got_b == {r[0]: r[1] for r in brand_counts(batch_df).collect()}
+
+
+def test_per_batch_append_topk(spark, tmp_path):
+    """X5: foreachBatch re-aggregates within each micro-batch, appends a
+    batch-stamped top-k — one result set per batch, each internally correct."""
+    src, all_products = _write_envelope_files(spark, tmp_path, n_files=3)
+    out = str(tmp_path / "topk_out")
+    stream = parse_envelopes(
+        stream_parquet_dir(spark, src, VALUE_SCHEMA, max_files_per_trigger=1)
+    )
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt"))
+    runner.add(
+        "topk_stream",
+        stream,
+        output_mode="append",
+        foreach_batch=foreach_batch_per_batch_topk(
+            additive_counts, out, "additive_count", k=3
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    result = spark.read.parquet(out).collect()
+    by_batch: dict[int, list] = {}
+    for r in result:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    assert len(by_batch) == 3  # one micro-batch per file
+
+    # each batch: <=3 rows, all from a single file (name prefix), and equal to
+    # that file's true top-3 by (count desc)
+    batch_schema = products_df(spark, 1).schema
+    for batch_id, rows in by_batch.items():
+        prefixes = {r["product_name"].split(":")[0] for r in rows}
+        assert len(prefixes) == 1, f"batch {batch_id} mixes files: {prefixes}"
+        fidx = int(prefixes.pop()[1:])
+        file_products = make_products(200, seed=100 + fidx)
+        for p in file_products:
+            for entry in p["product_name"]:
+                entry["text"] = f"f{fidx}:{entry['text']}"
+        expected = additive_counts(
+            spark.createDataFrame(file_products, batch_schema)
+        )
+        exp_counts = sorted(
+            (r["additive_count"] for r in expected.collect()), reverse=True
+        )[:3]
+        got_counts = sorted((r["additive_count"] for r in rows), reverse=True)
+        assert got_counts == exp_counts, f"batch {batch_id}"
+
+
+def test_watermarked_tumbling_window(spark, tmp_path):
+    """X4 extension: watermarked tumbling-window counts in append mode emit
+    exactly the windows closed by the final watermark."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_src")
+    ev.orderBy("ts").coalesce(2).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = stream_parquet_dir(spark, src, schema)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt"))
+    runner.add("windowed", windowed, output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    wm = runner.last_watermark("windowed")
+    assert wm is not None
+    import datetime
+
+    wm_ts = datetime.datetime.fromisoformat(wm.replace("Z", "")).replace(tzinfo=None)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["event_count"]
+        for r in spark.table("windowed").collect()
+    }
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("event_count"))
+        .collect()
+    )
+    want = {
+        (r["window_start"], r["event_type"]): r["event_count"]
+        for r in batch
+        if r["window_start"] + datetime.timedelta(hours=1) <= wm_ts
+    }
+    assert got == want
+    assert got, "no windows emitted — watermark never advanced"
