@@ -320,3 +320,152 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.8: none in the reference; engine built-ins).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clickers_not_buyers",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("relational", "setops"),
+)
+def clickers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract = set EXCEPT (exceptAll would keep multiplicity: a user with
+    # more clicks than purchases would survive)
+    return clicks.subtract(buys)
+
+
+@register(
+    "viewers_and_buyers",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("relational", "setops"),
+)
+def viewers_and_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.intersect(buys)
+
+
+# ---------------------------------------------------------------------------
+# Date-part extraction + calendar aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_by_year_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           count(*) AS order_count,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "datetime"),
+)
+def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube (full grouping-sets lattice; rollup covered separately).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS order_count
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "cube"),
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (stack) — wide -> long reshaping.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_measures_long",
+    oracle="""
+    SELECT l_returnflag, measure,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'price' AS measure, l_extendedprice AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount' AS measure, l_discount AS value FROM lineitem
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "unpivot"),
+)
+def lineitem_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (measure, value)",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.sum(_dec("value")).cast("double").alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (approx_percentile exists too, but is engine-specific;
+# the oracle-checked form is the exact interpolated percentile).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.95) AS p95
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("relational", "percentile"),
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+    )
