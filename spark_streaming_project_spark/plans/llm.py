@@ -200,14 +200,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERY_VEC_ID = 0
 _DIM = 64
-_DOT = (
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-    "[a[i] * b[i] for i in range(1, {dim} + 1)]), (acc, x) -> acc + x)"
-)
-
-
 def _duck_dot(a: str, b: str, dim: int = _DIM) -> str:
-    return _DOT.format(dim=dim).replace("a[i]", f"{a}[i]").replace("b[i]", f"{b}[i]")
+    """Left-to-right fold dot product (same accumulation order as the Spark
+    ``F.aggregate`` fold, so the doubles match bit-for-bit)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[{a}[i] * {b}[i] for i in range(1, {dim} + 1)]), (acc, x) -> acc + x)"
+    )
 
 
 _BRUTE_ORACLE = f"""
@@ -404,3 +403,165 @@ def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     decoded = decode_assets(documents_as_assets(docs))
     return decoded.select("asset_id", "payload_bytes", "feature_checksum")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs: hyperplane-bucket candidate join
+# (same LSH family as ANN), exact cosine verification. The bucket join keeps
+# candidates ~O(n^2 / 2^bits) instead of all-pairs.
+# ---------------------------------------------------------------------------
+
+_NDUP_BITS = 6
+_NDUP_THRESHOLD = 0.2
+
+
+def _duck_bucket_bits(vec: str, bits: int) -> str:
+    out = []
+    for b in range(bits):
+        terms = " + ".join(
+            f"{vec}[{i + 1}] * ({_pseudo_coef(f'plane:{b}:{i}')})" for i in range(_DIM)
+        )
+        out.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(out)
+
+
+_EMB_NDUP_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {{bucket}} AS bucket FROM vecs
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round({{dot_ab}} / (sqrt({{dot_aa}}) * sqrt({{dot_bb}})), 6) AS cosine_sim
+    FROM pairs
+    WHERE round({{dot_ab}} / (sqrt({{dot_aa}}) * sqrt({{dot_bb}})), 6) >= {_NDUP_THRESHOLD}
+""".format(
+    bucket=_duck_bucket_bits("v", _NDUP_BITS),
+    dot_ab=_duck_dot("va", "vb"),
+    dot_aa=_duck_dot("va", "va"),
+    dot_bb=_duck_dot("vb", "vb"),
+)
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle=_EMB_NDUP_ORACLE,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
+    found via hyperplane-bucket candidate generation."""
+    from ..functions.vectors import as_double, cosine
+    from ..operators.similarity import hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        hyperplane_bucket(F.col("embedding"), _DIM, _NDUP_BITS).alias("bucket"),
+    )
+    left = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    right = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= _NDUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data curation: quality filter + lang filter + near-dup
+# removal in one declarative pipeline (the shape a 100 TB pretraining-data
+# job actually runs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curated_corpus",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    dupes AS (
+        SELECT DISTINCT id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3
+    ),
+    stats AS (
+        SELECT doc_id,
+               len(words) AS n_tokens,
+               round(0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+                 + 0.3 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(
+                       (CAST(list_sum(list_transform(words, t -> strlen(t))) AS DOUBLE)
+                        / len(words)) / 10.0, 1.0)), 6) AS quality
+        FROM toks WHERE len(words) > 0
+    )
+    SELECT d.doc_id, s.n_tokens, s.quality
+    FROM documents d
+    JOIN stats s USING (doc_id)
+    WHERE s.quality >= 0.5 AND s.n_tokens >= 20
+      AND d.doc_id NOT IN (SELECT id_b FROM dupes)
+    """,
+    tags=("llm", "curation"),
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep docs with quality >= 0.5 and >= 20 tokens that are not near-dups
+    (minhash-LSH verified, keep-lowest-id policy)."""
+    from ..operators.textstats import doc_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    stats = doc_stats(docs, "text", "doc_id").select("doc_id", "n_tokens", "quality")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        stats.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+        .join(drop, "doc_id", "left_anti")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (engine surface; algorithms are engine-specific so
+# the driver records a rows-only check — intentionally no oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_stats",
+    tags=("llm", "approx", "rows-only"),
+)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + approximate percentiles per language (sketch-based —
+    the 100 TB path where exact distinct/percentile would shuffle raw data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.approx_count_distinct("source").alias("approx_sources"),
+        F.percentile_approx("n_chars", [0.5, 0.95], 10_000).alias("chars_p50_p95"),
+        F.count("*").alias("doc_count"),
+    )

@@ -1,0 +1,114 @@
+"""End-to-end application pipeline tests: per-query (reference parity) vs
+multiplex (shared-scan) modes must produce identical complete-mode tables,
+and the stateful streaming dedup must emit exactly one row per distinct
+content across micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from spark_streaming_project_spark.operators.parse import parse_envelopes
+from spark_streaming_project_spark.pipeline import (
+    BRANCHES,
+    read_snapshot,
+    run_multiplex,
+    run_per_query,
+)
+from spark_streaming_project_spark.sources.fixtures import (
+    make_envelopes,
+    make_products,
+    products_df,
+)
+from spark_streaming_project_spark.streaming import stream_parquet_dir
+
+VALUE_SCHEMA = T.StructType([T.StructField("value", T.StringType())])
+
+
+@pytest.fixture()
+def envelope_src(spark, tmp_path):
+    products = make_products(600, seed=11)
+    env = make_envelopes(products, page_size=100)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(e,) for e in env], VALUE_SCHEMA).repartition(
+        3
+    ).write.parquet(src)
+    return src, products
+
+
+def test_pipeline_modes_agree(spark, tmp_path, envelope_src):
+    src, products = envelope_src
+    batch_df = spark.createDataFrame(products, products_df(spark, 1).schema)
+
+    # per-query mode -> memory sinks
+    stream1 = parse_envelopes(
+        stream_parquet_dir(spark, src, VALUE_SCHEMA, max_files_per_trigger=1)
+    )
+    r1 = run_per_query(
+        spark, stream1, str(tmp_path / "pq_out"), str(tmp_path / "pq_ckpt")
+    )
+    r1.await_all(timeout_sec=240)
+
+    # multiplex mode -> parquet snapshots
+    stream2 = parse_envelopes(
+        stream_parquet_dir(spark, src, VALUE_SCHEMA, max_files_per_trigger=1)
+    )
+    r2 = run_multiplex(
+        spark, stream2, str(tmp_path / "mx_out"), str(tmp_path / "mx_ckpt")
+    )
+    r2.await_all(timeout_sec=240)
+
+    for name, branch in BRANCHES.items():
+        want = sorted(map(tuple, branch(batch_df).collect()))
+        got_pq = sorted(map(tuple, spark.table(name).collect()))
+        got_mx = sorted(
+            map(tuple, read_snapshot(spark, str(tmp_path / "mx_out"), name).collect())
+        )
+        assert got_pq == want, f"per-query {name} diverged from batch"
+        assert got_mx == want, f"multiplex {name} diverged from batch"
+
+    # both modes accumulated per-batch top-k appends
+    pq_topk = spark.read.parquet(str(tmp_path / "pq_out" / "top_additive_products"))
+    mx_topk = spark.read.parquet(str(tmp_path / "mx_out" / "top_additive_products"))
+    assert pq_topk.select("batch_id").distinct().count() > 1
+    assert mx_topk.select("batch_id").distinct().count() > 1
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from spark_streaming_project_spark.streaming.runner import StreamRunner
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    # 3 files with overlapping texts; duplicates across micro-batches
+    rows = [
+        (1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta"),
+        (4, "epsilon"), (5, "gamma delta"), (6, "zeta"),
+    ]
+    src = str(tmp_path / "dedup_src")
+    schema = "doc_id long, text string"
+    for i in range(3):
+        spark.createDataFrame(rows[i * 2 : i * 2 + 2], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = stream_parquet_dir(
+        spark,
+        src,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        ),
+        max_files_per_trigger=1,
+    )
+    deduped = streaming_exact_dedup(stream, "text", "doc_id")
+    runner = StreamRunner(spark, str(tmp_path / "ckpt"))
+    runner.add("dedup_stream", deduped, output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    out = spark.table("dedup_stream").collect()
+    assert len(out) == 4  # alpha beta, gamma delta, epsilon, zeta
+    # first occurrence wins within the stream order of arrival of its batch
+    got = {r["content_hash"]: r["doc_id"] for r in out}
+    assert len(got) == 4
+    assert set(got.values()) <= {1, 2, 3, 4, 5, 6}
