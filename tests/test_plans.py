@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale properties we rely on at 100 TB
+must be visible in the plan — filters pushed to the parquet scan, pruned
+read schemas, broadcast joins for dimension tables, TakeOrderedAndProject
+for top-k. If a refactor silently turns a broadcast join into a sort-merge
+join or un-pushes a filter, these fail before the bench does."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from spark_streaming_project_spark.plans import REGISTRY
+
+from .conftest import SF_CORRECT
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_CORRECT)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning(spark):
+    p = plan_of(spark, "category_counts")
+    # the scan must read ONLY p_name
+    assert "ReadSchema: struct<p_name:string>" in p
+
+
+def test_dimension_joins_broadcast(spark):
+    p = plan_of(spark, "shipping_priority")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    p = plan_of(spark, "local_supplier_volume")
+    # supplier, nation, region all broadcast
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    import re
+
+    p = plan_of(spark, "nutriscore_counts")
+    # partial + final HashAggregate around a single exchange (each node
+    # appears twice in formatted output: tree line + detail header)
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1

@@ -194,3 +194,106 @@ def test_watermarked_tumbling_window(spark, tmp_path):
     }
     assert got == want
     assert got, "no windows emitted — watermark never advanced"
+
+
+def test_session_window_streaming_matches_batch_gap_logic(spark, tmp_path):
+    """X4 extension: session_window(ts, 30 min) in append mode emits exactly
+    the sessions closed by the final watermark, and each emitted session
+    matches the batch lag-gap sessionization (same gap)."""
+    import datetime
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "sess_src")
+    ev.orderBy("ts").coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_sess"))
+    runner.add("sessions_stream", sessions, output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    wm_str = runner.last_watermark("sessions_stream")
+    wm = datetime.datetime.fromisoformat(wm_str.replace("Z", "")).replace(tzinfo=None)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.table("sessions_stream").collect()
+    }
+
+    # batch twin: lag-gap sessionization, session_end = last ts + gap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_s"),
+    )
+    sessioned = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    batch_sessions = (
+        sessioned.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch_sessions
+        if r["session_end"] <= wm
+    }
+    assert got == want
+    assert got, "no sessions emitted"
+
+
+def test_update_mode_final_state_matches_batch(spark, tmp_path):
+    """X2 extension: update-mode aggregation — the latest update per key
+    across all batches equals the batch aggregate (captured via foreachBatch
+    since the memory sink would interleave per-batch deltas)."""
+    src, all_products = _write_envelope_files(spark, tmp_path, n_files=3)
+    stream = parse_envelopes(
+        stream_parquet_dir(spark, src, VALUE_SCHEMA, max_files_per_trigger=1)
+    )
+    state: dict[str, int] = {}
+
+    def capture(batch_df, batch_id):
+        for row in batch_df.collect():  # tiny keyed deltas only
+            state[row["nutriscore"]] = row["product_count"]
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_upd"))
+    runner.add(
+        "upd_stream",
+        nutriscore_counts(stream),
+        output_mode="update",
+        foreach_batch=capture,
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    batch_df = spark.createDataFrame(
+        all_products, parse_envelopes(stream_parquet_dir(spark, src, VALUE_SCHEMA)).schema
+    )
+    want = {
+        r["nutriscore"]: r["product_count"]
+        for r in nutriscore_counts(batch_df).collect()
+    }
+    assert state == want
