@@ -146,6 +146,55 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs: every (id_a < id_b) pair whose
+    distinct word-n-gram Jaccard >= threshold. No LSH misses — candidate
+    generation is the inverted-index self-join (pairs sharing >= 1 gram),
+    which finds every pair with non-zero intersection.
+
+    Plan: explode grams -> equi-self-join on the gram string -> count
+    matches per pair (= |intersection|) -> join per-doc gram counts ->
+    |union| = na + nb - inter. All shuffles are keyed equi-joins/groupBys;
+    no array is ever shipped to the pair stage.
+
+    Scale contract: cost is sum over grams of df(g)^2 — quadratic in hot
+    grams. This tier is the exact verifier for corpora (or candidate
+    subsets) where gram frequencies are bounded; at open-web 100 TB scale
+    run ``minhash_lsh_pairs`` first and this join only on its candidates.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        ga.join(gb, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    res = inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("_na")),
+        "id_a",
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("_nb")),
+        "id_b",
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    )
+    return res.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprints: sign-sum of per-token hash bits.
 

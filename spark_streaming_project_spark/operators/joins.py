@@ -10,7 +10,7 @@ replicas, scatter the big side's hot keys uniformly across the replicas.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
@@ -43,3 +43,126 @@ def skew_salted_join(
     )
     joined = big_salted.join(small_salted, [on, SALT_COL], how)
     return joined.drop(SALT_COL)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str | None = None,
+    allow_exact: bool = True,
+) -> DataFrame:
+    """As-of join: attach to each left row the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``allow_exact=False``) for the same
+    key. Left rows with no prior right row keep NULLs (left-outer semantics).
+
+    Spark-first plan — the union+window formulation, NOT a range join:
+    both sides are unioned (right payload packed into one struct so all its
+    fields come from the SAME matched row), then a single window pass per key
+    ordered by (ts, side, tiebreak) carries the last non-null right struct
+    forward onto each left row. Cost = ONE shuffle on the key + a sort within
+    partitions — no per-key explode, no O(left x right) candidate blowup, and
+    skew behaves exactly like any keyed window. This is the plan that
+    survives 100 TB; a broadcast-range variant only wins when the right side
+    fits in memory.
+
+    Ties on ``right_ts`` are broken by ``right_tiebreak`` ascending (the
+    LARGEST tiebreak value wins, matching SQL's
+    ``ORDER BY ts DESC, tiebreak DESC LIMIT 1``).
+
+    The reference has no joins (SURVEY.md §2.8); this is a scale-path
+    extension for event-stream enrichment.
+    """
+    left_payload = [c for c in left.columns if c not in (on, left_ts)]
+    right_payload = [c for c in right.columns if c != on]
+    overlap = set(left_payload) & set(right_payload)
+    if overlap:
+        raise ValueError(f"rename right columns colliding with left: {overlap}")
+
+    # side ordering: with exact matches allowed, a right row at ts==left_ts
+    # must sort BEFORE the left row (0 < 1); without, after (2 > 1).
+    right_side = 0 if allow_exact else 2
+    packed = F.struct(*[F.col(c) for c in right_payload]).alias("_r")
+
+    lu = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload)
+            + ">"
+        )
+        .alias("_r"),
+    )
+    tie = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak
+        else F.lit(0).cast("long")
+    )
+    ru = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_side).alias("_side"),
+        tie.alias("_tie"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        packed,
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc_nulls_last("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lu.unionByName(ru).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col(on),
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in left_payload],
+        *[F.col(f"_match.{c}").alias(c) for c in right_payload],
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 300,
+) -> DataFrame:
+    """Interval join: point rows matched to every interval of the same key
+    with ``start <= ts < end`` — WITHOUT the naive inequality-join plan
+    (which Spark executes as a per-key nested loop, O(points x intervals)).
+
+    Bin-and-filter: each point lands in one ``bucket_seconds`` bucket; each
+    interval explodes into the buckets it overlaps (bounded fan-out of
+    ceil(span/bucket)+1). The join is then a plain EQUI-join on
+    (key, bucket) — hash-partitioned, AQE-skew-splittable — followed by the
+    exact range predicate. Pick ``bucket_seconds`` ~ the typical interval
+    span so fan-out stays 1-2 buckets per interval.
+    """
+    pb = points.withColumn(
+        "_bucket", F.floor(F.col(ts_col).cast("long") / bucket_seconds)
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / bucket_seconds),
+                F.floor(F.col(end_col).cast("long") / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [on, "_bucket"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bucket")
+    )

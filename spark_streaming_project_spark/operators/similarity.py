@@ -18,7 +18,7 @@ Cosine results are rounded to 6 decimals *before* ranking so that
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine
@@ -83,6 +83,67 @@ def _pseudo_coef(key: str) -> float:
 
     h = int(hashlib.md5(key.encode()).hexdigest()[:6], 16)
     return (h % 2001 - 1000) / 1000.0
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    n_list: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into ``n_list`` inverted lists by
+    nearest centroid; a query searches only its ``n_probe`` closest lists.
+
+    Centroid selection is deterministic (the ``n_list`` vectors with the
+    smallest md5(vec_id) — a hash-ordered pseudo-random sample, so the
+    DuckDB oracle replays it exactly). At warehouse scale the centroids
+    would come from a sampled k-means fit and the list id becomes the
+    table's partition/bucketing key: one query then scans
+    ~n_probe/n_list of the data. Assignment itself is a broadcast
+    cross-join against n_list rows + a per-vector argmax — no shuffle of
+    the embedding table.
+
+    Ties are total-ordered everywhere: centroid rank by (cosine DESC,
+    cid ASC), final top-k by (rounded cosine DESC, id ASC).
+    """
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    hashed = vecs.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+    cents = (
+        hashed.orderBy("_h", id_col)
+        .limit(n_list)
+        .withColumn("cid", F.row_number().over(Window.orderBy("_h", id_col)))
+        .select("cid", F.col("_v").alias("_cv"))
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        F.col(id_col), "_v", "cid", cosine(F.col("_v"), F.col("_cv")).alias("_sim")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
+    )
+    assigned = scored.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    probes = (
+        scored.filter(F.col(id_col) == query_id)
+        .orderBy(F.desc("_sim"), F.asc("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    q = vecs.filter(F.col(id_col) == query_id).select(F.col("_v").alias("_query_vec"))
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("_v"), F.col("_query_vec")), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def lsh_bucket_topk(

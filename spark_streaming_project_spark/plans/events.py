@@ -128,3 +128,96 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("session_count"),
         F.count("*").alias("event_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (scale extension; reference has no joins — SURVEY.md §2.8).
+# union+window formulation: one shuffle on the key, no range-candidate blowup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "purchase_asof_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           v.view_event_id, v.view_ts, v.view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT e.event_id AS view_event_id, e.ts AS view_ts,
+               e.value AS view_value
+        FROM events e
+        WHERE e.event_type = 'view'
+          AND e.user_id = p.user_id AND e.ts <= p.ts
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT 1
+    ) v ON true
+    """,
+    tags=("events", "asof-join"),
+)
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the user's most recent prior-or-equal
+    view event (NULLs when none). Ties on view ts -> largest event_id."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        right_tiebreak="view_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join via bin-and-filter equi-join — not Spark's default
+# nested-loop inequality join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "error_aftermath_clicks",
+    oracle="""
+    SELECT err.event_id AS incident_id, err.user_id,
+           count(*) AS n_clicks, min(c.ts) AS first_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') err
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = err.user_id
+     AND c.ts >= err.ts AND c.ts < err.ts + INTERVAL 1 DAY
+    GROUP BY 1, 2
+    """,
+    tags=("events", "range-join"),
+)
+def error_aftermath_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: the user's clicks in the day after it
+    (incidents with zero clicks omitted — inner semantics)."""
+    from ..operators.joins import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end"),
+    )
+    matched = range_join_binned(
+        clicks, incidents, on="user_id", ts_col="click_ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=6 * 3600,
+    )
+    return matched.groupBy("incident_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("click_ts").alias("first_click_ts"),
+    )

@@ -565,3 +565,102 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("n_chars", [0.5, 0.95], 10_000).alias("chars_p50_p95"),
         F.count("*").alias("doc_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (the no-miss verifier tier; contrast
+# with dedup_minhash_pairs which is the LSH approximation of this set).
+# ---------------------------------------------------------------------------
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-list scale path; third similarity tier after brute-force
+# and hyperplane LSH).
+# ---------------------------------------------------------------------------
+
+_IVF_NLIST = 8
+_IVF_NPROBE = 2
+
+_IVF_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+               v AS cv
+        FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_IVF_NLIST}
+    ),
+    scored AS (
+        SELECT vec_id, v, cid,
+               {_duck_dot('v', 'cv')}
+               / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('cv', 'cv')})) AS sim
+        FROM vecs, cents
+    ),
+    assigned AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT cid FROM scored WHERE vec_id = {_QUERY_VEC_ID}
+        ORDER BY sim DESC, cid ASC LIMIT {_IVF_NPROBE}
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT a.vec_id,
+           round({_duck_dot('a.v', 'qv')}
+                 / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('qv', 'qv')})),
+                 6) AS cosine_sim
+    FROM assigned a JOIN probes USING (cid), q
+    WHERE a.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=_IVF_ORACLE,
+    tags=("llm", "similarity", "ivf"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC_ID,
+        k=10, n_list=_IVF_NLIST, n_probe=_IVF_NPROBE,
+    )

@@ -31,3 +31,79 @@ def test_salted_join_left_outer(spark):
     salted = skew_salted_join(big, small, "k", "left").select("k", "v", "d")
     assert plain.count() == salted.count()
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_asof_join_matches_naive_window_plan(spark):
+    from spark_streaming_project_spark.operators.joins import asof_join
+    from pyspark.sql import Window
+
+    # deterministic pseudo-random event data with duplicate timestamps
+    left = spark.range(500).select(
+        (F.col("id") % 37).alias("k"),
+        (F.xxhash64("id") % 1000).alias("lts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 37).alias("k"),
+        (F.xxhash64("id", F.lit(1)) % 500).alias("rts"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 2).alias("rval"),
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", right_tiebreak="rid"
+    )
+    # naive twin: inequality join + row_number argmax
+    j = left.join(right, "k", "left").withColumn(
+        "_ok", F.col("rts") <= F.col("lts")
+    )
+    w = Window.partitionBy("k", "lid").orderBy(
+        F.desc("_ok"), F.desc("rts"), F.desc("rid")
+    )
+    naive = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "k", "lts", "lid",
+            F.when(F.col("_ok"), F.col("rts")).alias("rts"),
+            F.when(F.col("_ok"), F.col("rid")).alias("rid"),
+            F.when(F.col("_ok"), F.col("rval")).alias("rval"),
+        )
+    )
+    assert got.count() == left.count()
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_asof_join_exact_match_toggle(spark):
+    from spark_streaming_project_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100, "L")], "k int, lts int, lv string")
+    right = spark.createDataFrame(
+        [(1, 100, "exact"), (1, 50, "earlier")], "k int, rts int, rv string"
+    )
+    with_exact = asof_join(left, right, "k", "lts", "rts").collect()[0]
+    assert with_exact["rv"] == "exact"
+    without = asof_join(left, right, "k", "lts", "rts", allow_exact=False).collect()[0]
+    assert without["rv"] == "earlier"
+
+
+def test_range_join_binned_matches_inequality_join(spark):
+    from spark_streaming_project_spark.operators.joins import range_join_binned
+
+    points = spark.range(2000).select(
+        (F.col("id") % 23).alias("k"),
+        F.timestamp_seconds(F.pmod(F.xxhash64("id"), F.lit(100_000))).alias("pts"),
+    )
+    intervals = spark.range(200).select(
+        (F.col("id") % 23).alias("k"),
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(90_000))).alias("s"),
+    ).withColumn("e", F.col("s") + F.expr("INTERVAL 2 HOURS"))
+    got = range_join_binned(points, intervals, "k", "pts", "s", "e", bucket_seconds=3600)
+    naive = points.join(intervals, "k").filter(
+        (F.col("pts") >= F.col("s")) & (F.col("pts") < F.col("e"))
+    )
+    assert got.count() == naive.count() > 0
+    assert got.select(*sorted(got.columns)).exceptAll(
+        naive.select(*sorted(got.columns))
+    ).count() == 0
