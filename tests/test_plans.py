@@ -60,3 +60,22 @@ def test_partial_aggregation_before_shuffle(spark):
     # appears twice in formatted output: tree line + detail header)
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    import re
+
+    p = plan_of(spark, "purchase_asof_view")
+    # union+window formulation: exactly ONE exchange (the key hash-partition);
+    # a range-join formulation would show a nested loop or extra shuffles
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_is_equi_join(spark):
+    p = plan_of(spark, "error_aftermath_clicks")
+    # bin-and-filter turns the interval predicate into a hash-joinable key
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)

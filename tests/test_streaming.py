@@ -297,3 +297,85 @@ def test_update_mode_final_state_matches_batch(spark, tmp_path):
         for r in nutriscore_counts(batch_df).collect()
     }
     assert state == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range condition
+    (the streaming sibling of the batch range join): every (purchase, click)
+    pair of the same user with the click in the hour before the purchase.
+    availableNow drain must emit exactly the batch join's result."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ssj_src")
+    ev.orderBy("ts").coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def purchases(df):
+        return (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+
+    def clicks(df):
+        return (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = purchases(stream_parquet_dir(spark, src, schema)).join(
+        clicks(stream_parquet_dir(spark, src, schema)), cond
+    ).select("p_id", "c_id", "p_user")
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_ssj"))
+    runner.add("ssj_stream", joined, output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = {
+        (r["p_id"], r["c_id"]) for r in spark.table("ssj_stream").collect()
+    }
+    want = {
+        (r["p_id"], r["c_id"])
+        for r in purchases(ev).join(clicks(ev), cond).collect()
+    }
+    assert got == want
+    assert got, "no stream-stream join results emitted"
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup built-in: dropDuplicatesWithinWatermark on a
+    stream that replays every event twice yields each event once."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    src = str(tmp_path / "ddw_src")
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # exact replay
+    schema = spark.read.parquet(src).schema
+
+    deduped = (
+        stream_parquet_dir(spark, src, schema)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_ddw"))
+    runner.add("ddw_stream", deduped, output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = sorted(r["event_id"] for r in spark.table("ddw_stream").collect())
+    want = sorted(r["event_id"] for r in ev.select("event_id").collect())
+    assert got == want
