@@ -18,6 +18,8 @@ Cosine results are rounded to 6 decimals *before* ranking so that
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +55,49 @@ def brute_force_topk(
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def brute_force_topk_pandas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Arrow-batched numpy variant of ``brute_force_topk`` — same contract.
+
+    The HOF version keeps arithmetic JVM-side but higher-order lambdas are
+    interpreted per element; at high dims the winning plan ships Arrow
+    batches to numpy, which does the dot products as vectorized C loops.
+    The per-batch matmul is embarrassingly parallel (no shuffle) and the
+    top-k remains a TakeOrderedAndProject, so the scan scales identically.
+    Scores are rounded to 6 decimals before ranking (float64 accumulation
+    differences vs the fold order live far below 1e-6).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+
+    @pandas_udf(T.DoubleType())
+    def cos_batch(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(sims)
+
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(cos_batch(F.col(vec_col)), ROUND_DECIMALS).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def hyperplane_bucket(

@@ -221,3 +221,38 @@ def error_aftermath_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clicks"),
         F.min("click_ts").alias("first_click_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time window (each event lands in width/slide windows; the
+# oracle unnests the two hour-aligned starts covering each event).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_2h",
+    oracle="""
+    SELECT ws AS window_start, event_type, count(*) AS event_count
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+               event_type
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-time", "sliding"),
+)
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour: every event is counted in the two
+    windows covering it (F.window with slide < width)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )

@@ -1,0 +1,56 @@
+"""Unit tests for LLM-pipeline operators beyond the oracle gate: the
+Pandas-UDF similarity tier must agree with the JVM HOF tier, IVF results
+must be a subset of the brute-force ranking, and n-gram Jaccard must hit
+hand-computable values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_project_spark.operators.dedup import ngram_jaccard_pairs
+from spark_streaming_project_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    ivf_topk,
+)
+from spark_streaming_project_spark.sources.batch import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_pandas_cosine_tier_matches_hof_tier(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    hof = brute_force_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    arrow = brute_force_topk_pandas(emb, "vec_id", "embedding", 0, k=10).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in hof] == [
+        (r["vec_id"], r["cosine_sim"]) for r in arrow
+    ]
+
+
+def test_ivf_results_subset_of_bruteforce_scores(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", 0, k=10_000_000).collect()
+    }
+    ivf = ivf_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    assert len(ivf) == 10
+    # every IVF hit carries the exact score, and the list is score-sorted
+    sims = [r["cosine_sim"] for r in ivf]
+    assert sims == sorted(sims, reverse=True)
+    for r in ivf:
+        assert exact[r["vec_id"]] == r["cosine_sim"]
+
+
+def test_ngram_jaccard_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # grams: abc bcd cde
+            (2, "a b c d x"),        # grams: abc bcd cdx  -> inter 2, union 4
+            (3, "z z z q q q w w"),  # disjoint grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert got == {(1, 2): 0.5}
