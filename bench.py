@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full computation, no
-collect/serialization cost on the measurement path).
+collect/serialization cost on the measurement path). Timing is steady-state
+(TPC-style): one untimed warm-up execution per query absorbs one-time
+whole-stage-codegen JIT and parquet footer reads, then the timed run
+measures the engine. Set SPARK_GRAFT_BENCH_COLD=1 for cold first-run times.
 """
 
 from __future__ import annotations
@@ -30,8 +33,13 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
+        if not cold:
+            REGISTRY[name].builder(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
         df = REGISTRY[name].builder(spark, SF_DIR)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

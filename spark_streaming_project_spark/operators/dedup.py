@@ -16,7 +16,7 @@ Scale design (the 100 TB contract):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles
@@ -154,28 +154,29 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs: every (id_a < id_b) pair whose
-    distinct word-n-gram Jaccard >= threshold. No LSH misses — candidate
-    generation is the inverted-index self-join (pairs sharing >= 1 gram),
-    which finds every pair with non-zero intersection.
+    distinct word-n-gram Jaccard >= threshold. No misses, unlike LSH.
 
-    Plan: explode grams -> equi-self-join on the gram string -> count
-    matches per pair (= |intersection|) -> join per-doc gram counts ->
-    |union| = na + nb - inter. All shuffles are keyed equi-joins/groupBys;
-    no array is ever shipped to the pair stage.
+    Strategy: inverted-index self-join on the gram string, count matches
+    per pair (= |intersection|), then |union| = na + nb - inter from the
+    per-doc gram counts. All stages are narrow-row equi-joins/groupBys —
+    no shingle array ever reaches the pair stage, so the intermediate is
+    cheap rows, not payloads.
 
-    Scale contract: cost is sum over grams of df(g)^2 — quadratic in hot
-    grams. This tier is the exact verifier for corpora (or candidate
-    subsets) where gram frequencies are bounded; at open-web 100 TB scale
-    run ``minhash_lsh_pairs`` first and this join only on its candidates.
+    Cost model: sum over grams of df(g)^2. On corpora with a dense shared
+    vocabulary (every pair overlaps a little — like the synthetic bench
+    corpus) this beats candidate-set methods because candidates ≈ all
+    pairs there. On sparse real-text corpora where most pairs share
+    nothing, use ``ngram_jaccard_pairs_prefix`` (AllPairs/PPJoin prefix
+    filtering), which prunes candidate generation to the rarest grams per
+    document and wins asymptotically.
     """
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
-    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
     inter = (
-        ga.join(gb, "gram")
+        grams.select(F.col(id_col).alias("id_a"), "gram")
+        .join(grams.select(F.col(id_col).alias("id_b"), "gram"), "gram")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
@@ -191,6 +192,78 @@ def ngram_jaccard_pairs(
         F.col("_na") + F.col("_nb") - F.col("_inter")
     )
     return res.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Same exact result as ``ngram_jaccard_pairs`` via PREFIX FILTERING
+    (AllPairs/PPJoin family) — the sparse-corpus / open-web scale path.
+
+    In a global canonical gram order (document frequency ASC, then hash —
+    rarest grams first), any pair with Jaccard >= t shares a gram within
+    each side's first ``|g| - ceil(t*|g|) + 1`` grams: were x's
+    smallest-ordered common gram outside the prefix, the suffix
+    (< t*|x| grams) couldn't hold the >= t*|x| common grams. The candidate
+    self-join therefore explodes only PREFIX grams — frequent grams land
+    outside prefixes, killing the df(g)^2 blowup — and candidates are
+    verified exactly on the full shingle arrays.
+
+    Grams travel as xxhash64 LONGs: a collision can only ADD a candidate
+    (exact verification discards it), so shuffle keys stay 8 bytes with
+    zero correctness risk. Prefer this variant when most document pairs
+    share no gram (real text at scale); on dense-vocabulary corpora where
+    nearly all pairs overlap, candidates ≈ all pairs and the count-based
+    variant wins instead.
+    """
+    sh = (
+        df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()  # consumed by prefix generation + two verification joins
+    )
+    exploded = sh.select(
+        F.col(id_col), F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("h")
+    )
+    gram_df = exploded.groupBy("h").agg(F.count("*").alias("_df"))
+    w_rank = Window.partitionBy(id_col).orderBy("_df", "h")
+    w_all = Window.partitionBy(id_col)
+    prefix = (
+        exploded.join(gram_df, "h")
+        .select(
+            F.col(id_col),
+            "h",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count("*").over(w_all).alias("_ng"),
+        )
+        .filter(
+            F.col("_rn")
+            <= F.col("_ng") - F.ceil(F.lit(threshold) * F.col("_ng")) + 1
+        )
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "h")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double") / F.size(
+        F.array_union("_sh_a", "_sh_b")
+    )
+    return verified.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 

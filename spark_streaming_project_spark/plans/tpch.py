@@ -469,3 +469,55 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
         F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery (per-part avg threshold),
+# decorrelated the Spark way — broadcast the part filter, then ONE window
+# pass per part key instead of a second scan + re-join of lineitem.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH sel AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+    fl AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN sel ON l_partkey = p_partkey
+    ),
+    th AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS avg_qty
+        FROM fl GROUP BY 1
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+    FROM fl JOIN th USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+    tags=("relational", "subquery"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from small-quantity orders of one brand's parts: lineitems
+    with quantity below 20% of that part's average quantity. The correlated
+    scalar subquery becomes a per-key window aggregate over the
+    already-filtered fact rows — one broadcast join + one shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sel = part.filter(F.col("p_brand") == "Brand#23").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    fl = li.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(sel), "l_partkey"
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum(_dec("l_quantity")).over(w).cast("double") / F.count("*").over(w)
+    return (
+        fl.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )

@@ -54,3 +54,25 @@ def test_ngram_jaccard_hand_computed(spark):
     rows = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1).collect()
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
     assert got == {(1, 2): 0.5}
+
+
+def test_ngram_prefix_filter_equals_inverted_index(spark):
+    """The AllPairs prefix-filtered variant must return exactly the
+    count-based variant's pairs (same exact-Jaccard semantics)."""
+    from spark_streaming_project_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(
+            docs, "text", "doc_id", threshold=0.4
+        ).collect()
+    }
+    assert base == pref
+    assert base, "fixture produced no near-dup pairs"

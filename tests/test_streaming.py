@@ -379,3 +379,49 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     got = sorted(r["event_id"] for r in spark.table("ddw_stream").collect())
     want = sorted(r["event_id"] for r in ev.select("event_id").collect())
     assert got == want
+
+
+def test_checkpoint_recovery_accumulates_state(spark, tmp_path):
+    """X6: a restarted query resumes from its checkpoint. Phase 1 drains two
+    files into a complete-mode count; phase 2 deletes those source files,
+    adds a third, and restarts with the SAME checkpoint — the final counts
+    still include phase 1's contribution, which can only come from the
+    recovered state store."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    chunks = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    src = str(tmp_path / "ckrec_src")
+    ckpt = str(tmp_path / "ckrec_ckpt")
+    schema = ev.schema
+
+    def counts(df):
+        return df.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    chunks[0].coalesce(1).write.mode("append").parquet(src)
+    chunks[1].coalesce(1).write.mode("append").parquet(src)
+
+    runner1 = StreamRunner(spark, ckpt)
+    runner1.add("ckrec_stream", counts(stream_parquet_dir(spark, src, schema)),
+                output_mode="complete")
+    runner1.start_all(available_now=True)
+    runner1.await_all(timeout_sec=180)
+    phase1 = {r["event_type"]: r["n"] for r in spark.table("ckrec_stream").collect()}
+    want1 = {
+        r["event_type"]: r["n"]
+        for r in counts(chunks[0].unionByName(chunks[1])).collect()
+    }
+    assert phase1 == want1
+
+    # delete phase-1 data files (keep the dir), add phase-2 file, restart
+    import glob, os
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        os.remove(f)
+    chunks[2].coalesce(1).write.mode("append").parquet(src)
+
+    runner2 = StreamRunner(spark, ckpt)
+    runner2.add("ckrec_stream", counts(stream_parquet_dir(spark, src, schema)),
+                output_mode="complete")
+    runner2.start_all(available_now=True)
+    runner2.await_all(timeout_sec=180)
+    phase2 = {r["event_type"]: r["n"] for r in spark.table("ckrec_stream").collect()}
+    want_all = {r["event_type"]: r["n"] for r in counts(ev).collect()}
+    assert phase2 == want_all
