@@ -1,0 +1,37 @@
+"""Bucketed-table layout: the co-located-join strategy for repeated big
+joins at warehouse scale.
+
+A join between two tables bucketed by the join key with the same bucket
+count needs NO shuffle — each task reads matching bucket files from both
+sides. At 100 TB this turns the nightly fact-to-fact join from a
+full-network shuffle into a local merge; the price is one bucketed write
+(a single clustering shuffle) paid once at ingest, amortized over every
+downstream join/aggregation on that key. (The reference has no joins at
+all — SURVEY.md §2.8 — so this is pure scale extension.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 16,
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a parquet table bucketed (and optionally
+    sort-ordered) by ``keys``. Joins/aggregations on ``keys`` between
+    tables sharing the bucket spec then plan without an Exchange; sorted
+    buckets additionally drop the Sort below a SortMergeJoin.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, keys[0], *keys[1:])
+    )
+    if sort_keys:
+        writer = writer.sortBy(sort_keys[0], *sort_keys[1:])
+    writer.saveAsTable(table)

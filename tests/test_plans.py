@@ -79,3 +79,51 @@ def test_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key with equal bucket counts join with
+    ZERO Exchange nodes — the co-located-join contract that makes repeated
+    fact-to-fact joins viable at 100 TB."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.sources.batch import load_table
+    from spark_streaming_project_spark.sources.bucketed import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}'")
+    try:
+        li = load_table(spark, SF_CORRECT, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, SF_CORRECT, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+        )
+        write_bucketed(li, "bdemo.li_b", ["l_orderkey"], num_buckets=8,
+                       sort_keys=["l_orderkey"])
+        write_bucketed(orders, "bdemo.ord_b", ["l_orderkey"], num_buckets=8,
+                       sort_keys=["l_orderkey"])
+
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bdemo.li_b").join(
+                spark.table("bdemo.ord_b"), "l_orderkey"
+            )
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            p = buf.getvalue()
+            assert "SortMergeJoin" in p
+            assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+            # and the join actually runs
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdemo.li_b")
+        spark.sql("DROP TABLE IF EXISTS bdemo.ord_b")
+        spark.sql("DROP DATABASE IF EXISTS bdemo")
