@@ -23,16 +23,27 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, dot, norm
 
 ROUND_DECIMALS = 6
 
 
 def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id: int) -> DataFrame:
-    """One-row frame holding the query vector (broadcast into the scan)."""
+    """One-row frame holding the query vector + its norm (broadcast into
+    the scan — the query self-dot must not be re-folded per data row)."""
     return df.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("_query_vec")
-    )
+    ).withColumn("_qn", norm(F.col("_query_vec")))
+
+
+def _cosine_vs_query(vec: Column) -> Column:
+    """cosine(vec, query) with the query norm taken from the broadcast
+    ``_qn`` column. Identical arithmetic and operation order to
+    ``cosine()`` (n = norm(a)*norm(b); NULL when n == 0), so scores stay
+    bit-identical — only the redundant per-row query self-fold is gone."""
+    d = dot(vec, F.col("_query_vec"))
+    n = norm(vec) * F.col("_qn")
+    return F.when(n > 0, d / n)
 
 
 def brute_force_topk(
@@ -49,9 +60,9 @@ def brute_force_topk(
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(
-                cosine(as_double(vec_col), F.col("_query_vec")), ROUND_DECIMALS
-            ).alias("cosine_sim"),
+            F.round(_cosine_vs_query(as_double(vec_col)), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
@@ -161,9 +172,20 @@ def ivf_topk(
         .limit(n_list)
         .withColumn("cid", F.row_number().over(Window.orderBy("_h", id_col)))
         .select("cid", F.col("_v").alias("_cv"))
+        .withColumn("_cn", norm(F.col("_cv")))
     )
-    scored = vecs.join(F.broadcast(cents)).select(
-        F.col(id_col), "_v", "cid", cosine(F.col("_v"), F.col("_cv")).alias("_sim")
+    # norms folded once per vector/centroid, not per (vector, centroid)
+    # pair; same expression and operation order as cosine() -> same bits
+    _n = F.col("_vn") * F.col("_cn")
+    scored = (
+        vecs.withColumn("_vn", norm(F.col("_v")))
+        .join(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "_v",
+            "cid",
+            F.when(_n > 0, dot(F.col("_v"), F.col("_cv")) / _n).alias("_sim"),
+        )
     )
     rn = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
@@ -175,14 +197,18 @@ def ivf_topk(
         .limit(n_probe)
         .select("cid")
     )
-    q = vecs.filter(F.col(id_col) == query_id).select(F.col("_v").alias("_query_vec"))
+    q = (
+        vecs.filter(F.col(id_col) == query_id)
+        .select(F.col("_v").alias("_query_vec"))
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
     return (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != query_id)
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col("_v"), F.col("_query_vec")), ROUND_DECIMALS).alias(
+            F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(
                 "cosine_sim"
             ),
         )
@@ -213,15 +239,15 @@ def lsh_bucket_topk(
     q = bucketed.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("_query_vec"),
         F.col("bucket").alias("_query_bucket"),
-    )
+    ).withColumn("_qn", norm(F.col("_query_vec")))
     scored = (
         bucketed.join(F.broadcast(q), F.col("bucket") == F.col("_query_bucket"))
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
-            F.round(
-                cosine(as_double(vec_col), F.col("_query_vec")), ROUND_DECIMALS
-            ).alias("cosine_sim"),
+            F.round(_cosine_vs_query(as_double(vec_col)), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

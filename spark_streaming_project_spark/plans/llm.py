@@ -457,8 +457,13 @@ _EMB_NDUP_ORACLE = f"""
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
-    found via hyperplane-bucket candidate generation."""
-    from ..functions.vectors import as_double, cosine
+    found via hyperplane-bucket candidate generation.
+
+    Norms are computed ONCE per vector before the pair join (the naive
+    ``cosine(va, vb)`` per pair re-folds both self-dots — 3 interpreted
+    array folds per candidate instead of 1). Same arithmetic, same
+    operation order, so results stay bit-identical to the oracle."""
+    from ..functions.vectors import as_double, dot, norm
     from ..operators.similarity import hyperplane_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -466,14 +471,18 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         as_double("embedding").alias("v"),
         hyperplane_bucket(F.col("embedding"), _DIM, _NDUP_BITS).alias("bucket"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     left = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
     )
     right = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
     )
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    d = dot(F.col("va"), F.col("vb"))
+    n = F.col("na") * F.col("nb")
+    sim = F.round(F.when(n > 0, d / n), 6)
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
