@@ -673,3 +673,38 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", _QUERY_VEC_ID,
         k=10, n_list=_IVF_NLIST, n_probe=_IVF_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window family beyond row_number (SURVEY.md §2.7 notes rank/
+# dense_rank absent from the reference; the engine exposes them).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_source_rank",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, count(*) AS doc_count
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, doc_count, rnk FROM (
+        SELECT *, dense_rank() OVER (
+            PARTITION BY lang ORDER BY doc_count DESC, source ASC) AS rnk
+        FROM c
+    ) WHERE rnk <= 3
+    """,
+    tags=("llm", "window-rank"),
+)
+def lang_source_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 sources per language by document count (dense_rank with a
+    total order on ties)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("doc_count"))
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_count"), F.asc("source"))
+    return (
+        counts.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

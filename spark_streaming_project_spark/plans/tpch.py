@@ -240,7 +240,8 @@ def segment_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "returns_rollup",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
            count(*) AS line_count,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
     FROM lineitem
@@ -249,10 +250,21 @@ def segment_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "rollup"),
 )
 def returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal rows keep an explicit 'ALL' sentinel (the source columns are
+    never NULL) so results have no NULL group keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("line_count"),
-        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "line_count",
+            "total_qty",
+        )
     )
 
 
@@ -400,16 +412,26 @@ def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "status_priority_cube",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS order_count
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           count(*) AS order_count
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("relational", "cube"),
 )
 def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal rows keep an explicit 'ALL' sentinel (the source columns are
+    never NULL) so results have no NULL group keys."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("order_count")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "order_count",
+        )
     )
 
 

@@ -127,3 +127,34 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bdemo.li_b")
         spark.sql("DROP TABLE IF EXISTS bdemo.ord_b")
         spark.sql("DROP DATABASE IF EXISTS bdemo")
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Date-partitioned parquet layout: a day filter must prune at the
+    directory level (PartitionFilters), reading 1/N of the data — the
+    layout every 100 TB event table uses."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "ev_part")
+    ev.write.partitionBy("day").parquet(path)
+
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("day") == "2024-01-05")
+        .groupBy("event_type")
+        .count()
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(day" in p
+    assert df.count() > 0
