@@ -543,3 +543,148 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated MIN/MAX scalar subquery (argmax-per-group).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customer_per_nation",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+           c.c_name AS name, c.c_acctbal AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    tags=("relational", "subquery", "window"),
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers holding their nation's maximum balance (TPC-H Q2's
+    correlated-min pattern, max flavor). Spark plan: a single window MAX
+    partitioned by the correlation key replaces the correlated subquery —
+    one shuffle on c_nationkey instead of a self-join, and it scales as a
+    plain keyed exchange at any fact size. Ties return all rows on both
+    sides; no float arithmetic, so equality is exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        cust.withColumn("max_bal", F.max("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") == F.col("max_bal"))
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: nation-to-nation trade volume by year (two dimension
+# lookups against the same nation table + a date window on the fact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+      AND ns.n_name <> nc.n_name
+      AND ns.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+    GROUP BY 1, 2, 3
+    """,
+    tags=("relational", "join", "datetime"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style bilateral trade: revenue between (supplier nation, customer
+    nation) pairs per ship year. Scale shape: the date window prunes the
+    fact scan first; supplier and both nation lookups broadcast (dims), so
+    the only shuffles are the two fact-sized equi-joins (orders, customer)
+    and the final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_0", "NATION_1", "NATION_2"))
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("ns_key"))
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(volume).cast("double").alias("volume"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond rollup/cube): disjoint one-dimensional
+# marginals in a single pass over the fact table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_marginals_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           count(*) AS order_count,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("relational", "grouping-sets"),
+)
+def order_marginals_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status marginal, priority marginal, and grand total in ONE scan +
+    ONE aggregation (Spark expands grouping sets map-side; a UNION ALL of
+    three groupBys would scan the fact three times). Subtotal keys carry an
+    explicit 'ALL' sentinel as in rollup/cube."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "order_count",
+            "total_revenue",
+        )
+    )
