@@ -46,6 +46,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # ANN quality: recall@10 of each approximate tier vs exact brute force
+    # (id-set overlap of the top-10 neighbor lists). Latency without recall
+    # would let a degenerate ANN (empty buckets) look "fast".
+    truth = {
+        r["vec_id"]
+        for r in REGISTRY["similarity_bruteforce_topk"].builder(spark, SF_DIR).collect()
+    }
+    ann_recall = {}
+    for name in (
+        "similarity_ann_lsh_topk",
+        "similarity_ann_lsh_multitable_topk",
+        "similarity_ivf_topk",
+    ):
+        got = {r["vec_id"] for r in REGISTRY[name].builder(spark, SF_DIR).collect()}
+        ann_recall[name] = round(len(got & truth) / max(len(truth), 1), 4)
+
     print(
         json.dumps(
             {
@@ -54,6 +71,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ann_recall_at_10": ann_recall,
             }
         )
     )

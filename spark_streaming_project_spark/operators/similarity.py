@@ -112,13 +112,31 @@ def brute_force_topk_pandas(
 
 
 def hyperplane_bucket(
-    vec_col: Column, dim: int, bits: int = 4, salt: str = "plane"
+    vec_col: Column | str, dim: int, bits: int = 4, salt: str = "plane"
 ) -> Column:
     """Sign-bit LSH bucket id from ``bits`` deterministic hyperplanes.
 
     Plane coefficients are md5-derived pseudo-randoms in [-1, 1]:
     coef(b, i) = (md5("salt:b:i")[:6] as int mod 2001 - 1000) / 1000.
+
+    When given a column NAME the whole bucket expression is emitted as one
+    SQL string and parsed JVM-side in a single call — building the
+    bits*dim-term tree Column-by-Column costs ~4 py4j round-trips per term
+    (~15 s of driver time at 8 tables x 4 bits x 64 dims), the parsed
+    string costs one. Arithmetic is textually left-to-right, identical to
+    the Column form and the DuckDB oracle twin, so sign decisions match
+    bit-for-bit.
     """
+    if isinstance(vec_col, str):
+        parts = []
+        for b in range(bits):
+            terms = " + ".join(
+                f"(CAST(get(`{vec_col}`, {i}) AS DOUBLE) * "
+                f"{_pseudo_coef(f'{salt}:{b}:{i}')!r})"
+                for i in range(dim)
+            )
+            parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+        return F.expr("0 + " + " + ".join(parts))
     bucket = F.lit(0)
     for b in range(bits):
         coefs = [
@@ -234,7 +252,7 @@ def lsh_bucket_topk(
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        hyperplane_bucket(vec_col, dim, bits).alias("bucket"),
     )
     q = bucketed.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("_query_vec"),
@@ -242,6 +260,109 @@ def lsh_bucket_topk(
     ).withColumn("_qn", norm(F.col("_query_vec")))
     scored = (
         bucketed.join(F.broadcast(q), F.col("bucket") == F.col("_query_bucket"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(_cosine_vs_query(as_double(vec_col)), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def _multitable_buckets_udf(dim: int, bits: int, tables: int, salt: str):
+    """Arrow-batched bucket computation for all ``tables`` LSH tables at
+    once: returns array<int> of per-table bucket ids.
+
+    Accumulation is an explicit left-to-right loop over dims (each step a
+    row-vectorized float64 op), NOT a BLAS matmul — pairwise/blocked
+    summation could flip a sign on a near-zero dot and break bit-parity
+    with the SQL-expression form and the DuckDB oracle.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    coef = np.array(
+        [
+            [
+                [_pseudo_coef(f"{salt}:{t}:{b}:{i}") for i in range(dim)]
+                for b in range(bits)
+            ]
+            for t in range(tables)
+        ],
+        dtype=np.float64,
+    )
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        out = np.zeros((m.shape[0], tables), dtype=np.int32)
+        for t in range(tables):
+            for b in range(bits):
+                acc = np.zeros(m.shape[0], dtype=np.float64)
+                for i in range(dim):
+                    acc = acc + m[:, i] * coef[t, b, i]
+                out[:, t] += (acc > 0).astype(np.int32) << b
+        return pd.Series(list(out))
+
+    return buckets
+
+
+def lsh_multitable_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    bits: int = 4,
+    tables: int = 8,
+    salt: str = "mplane",
+) -> DataFrame:
+    """OR-amplified multi-table LSH ANN: ``tables`` independent hyperplane
+    hashes; a vector is a candidate if it collides with the query in ANY
+    table. Single-table recall p per table becomes 1-(1-p)^tables while the
+    candidate set stays a small union of buckets (~tables/2^bits of the
+    data) — the standard recall dial that single-bucket LSH lacks.
+
+    Scale shape: all tables*bits plane dots are computed in ONE
+    Arrow-batched numpy UDF on the scan (no shuffle) — the equivalent
+    built-in expression tree (tables*bits*dim terms) falls out of
+    whole-stage codegen and evaluates interpreted, ~50x slower. The UDF
+    accumulates left-to-right over dims (vectorized across rows), so every
+    float64 sign decision is bit-identical to the expression form and the
+    DuckDB oracle. The query row is a 1-row broadcast, so the
+    OR-of-equalities match is a map-side filter (BroadcastNestedLoopJoin
+    against one row). At warehouse scale the table_0 bucket doubles as the
+    layout partition key and the remaining tables filter within the scan.
+    """
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    buckets_arr = _multitable_buckets_udf(dim, bits, tables, salt)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        buckets_arr(F.col(vec_col)).alias("_bs"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.get("_bs", t).alias(f"_b{t}") for t in range(tables)],
+    )
+    q = (
+        bucketed.filter(F.col(id_col) == query_id)
+        .select(
+            as_double(vec_col).alias("_query_vec"),
+            *[F.col(f"_b{t}").alias(f"_qb{t}") for t in range(tables)],
+        )
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
+    match_any = _reduce(
+        _or, [F.col(f"_b{t}") == F.col(f"_qb{t}") for t in range(tables)]
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), match_any)
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),

@@ -22,7 +22,11 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.multimodal import decode_assets, documents_as_assets
-from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+    lsh_multitable_topk,
+)
 from ..operators.textstats import doc_stats, fingerprints, language_id
 from ..sources.batch import load_table
 from .registry import register
@@ -286,6 +290,73 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucket_topk(
         emb, "vec_id", "embedding", _QUERY_VEC_ID, dim=_DIM, k=10, bits=_ANN_BITS
+    )
+
+
+# Multi-table OR amplification: single-table recall p becomes
+# 1-(1-p)^L at ~L/2^bits candidate fraction (bench reports recall@10).
+
+_ANN_TABLES = 8
+
+
+def _duck_bucket_salted(vec: str, salt: str) -> str:
+    """DuckDB twin of one hyperplane table with a custom salt (same
+    md5-derived coefficients, same left-to-right accumulation)."""
+    bits = []
+    for b in range(_ANN_BITS):
+        terms = " + ".join(
+            f"{vec}[{i + 1}] * ({_pseudo_coef(f'{salt}:{b}:{i}')})"
+            for i in range(_DIM)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_MULTI_BUCKETS = ",\n               ".join(
+    f"{_duck_bucket_salted('v', f'mplane:{t}')} AS b{t}" for t in range(_ANN_TABLES)
+)
+_MULTI_MATCH = " OR ".join(f"b.b{t} = q.qb{t}" for t in range(_ANN_TABLES))
+
+_ANN_MULTI_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v,
+               {_MULTI_BUCKETS}
+        FROM vecs
+    ),
+    q AS (SELECT v AS qv,
+                 {', '.join(f'b{t} AS qb{t}' for t in range(_ANN_TABLES))}
+          FROM bucketed WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT b.vec_id,
+           round({_duck_dot('b.v', 'qv')}
+                 / (sqrt({_duck_dot('b.v', 'b.v')}) * sqrt({_duck_dot('qv', 'qv')})),
+                 6) AS cosine_sim
+    FROM bucketed b, q
+    WHERE ({_MULTI_MATCH}) AND b.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, b.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_ann_lsh_multitable_topk",
+    oracle=_ANN_MULTI_ORACLE,
+    tags=("llm", "similarity", "lsh"),
+)
+def similarity_ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_multitable_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _QUERY_VEC_ID,
+        dim=_DIM,
+        k=10,
+        bits=_ANN_BITS,
+        tables=_ANN_TABLES,
     )
 
 
