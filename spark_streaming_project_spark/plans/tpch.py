@@ -688,3 +688,295 @@ def order_marginals_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
             "total_revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS with a correlated inequality (order has at least
+# one line shipped >60 days after the order date).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "subquery", "semi-join"),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style EXISTS: priorities of 1996 orders with a line shipped more
+    than 60 days after order placement. The correlated EXISTS is a LEFT
+    SEMI join whose condition carries the inequality alongside the equi
+    key — Spark hashes on the equi key only and evaluates the inequality
+    as a join residual, so it stays a plain keyed shuffle at any fact
+    size (no nested-loop). Date filter prunes the orders scan first.
+    Fills SURVEY.md §2.8 (reference has no joins/subqueries)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global scalar threshold + NOT EXISTS (rich customers
+# who never ordered), aggregated by segment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS cust_count,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                / count(*)
+                         FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "subquery", "anti-join"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-style: customers with above-average positive balance and no
+    orders, counted per market segment. The scalar average is a 1-row
+    aggregate broadcast into the filter (exact decimal sum / count, then
+    ONE double division — same bits as the oracle, so the threshold
+    comparison cannot flip on FP order). NOT EXISTS is a LEFT ANTI join:
+    one shuffle on custkey; at scale the anti side only ships distinct
+    o_custkey after partial aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("_avg_bal")
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cust_count"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share — conditional sum over total sum per year.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(sum(CASE WHEN ns.n_name = 'NATION_0'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    GROUP BY 1
+    """,
+    tags=("relational", "join", "conditional-aggregate"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-style market share: NATION_0 suppliers' revenue fraction per
+    order year. Numerator and denominator are both exact decimal sums
+    computed in the SAME aggregation (one scan, one shuffle), divided
+    once as doubles — bit-identical to the oracle regardless of
+    partial-agg order. Supplier and nation lookups broadcast; the only
+    fact-sized shuffle is the orders equi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == "NATION_0", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top-revenue supplier(s) — derived view joined against
+# its own max.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-03-31 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("relational", "subquery", "view"),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-style: supplier(s) with the maximum quarterly revenue. The
+    derived revenue view aggregates the date-pruned fact once (per-supplier
+    sums are exact decimals cast to double, so the max and the equality
+    filter see identical bits in both engines). The max-of-view scalar is
+    an unpartitioned window over the ALREADY-AGGREGATED view (|suppliers|
+    rows, not fact-sized — safe in one partition at any SF); ties keep all
+    maximal suppliers, so the result is a deterministic set. Supplier dim
+    broadcasts onto the view."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                F.lit("1996-03-31 00:00:00").cast("timestamp"),
+            )
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        revenue.withColumn("_max_rev", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over a keyed sum, then join back to the
+# customer/order detail.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150)
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("relational", "subquery", "semi-join"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large orders: orders whose total quantity exceeds 150,
+    with customer detail. The HAVING subquery and the outer per-order sum
+    reuse the SAME keyed aggregate (computed once, filtered, then joined
+    back) instead of aggregating lineitem twice — the oracle's IN
+    semantics, one fact scan. Quantity sums are exact decimals, so the
+    >150 cut cannot flip on FP order; the filtered key set is tiny and
+    broadcasts into the detail join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty_dec"))
+        .filter(F.col("_qty_dec") > F.lit(150).cast("decimal(18,6)"))
+        .select(
+            F.col("l_orderkey").alias("_big_okey"),
+            F.col("_qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == F.col("_big_okey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: keyed value vs a fraction of the global total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "valuable_parts",
+    oracle="""
+    WITH part_value AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+        FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, part_value
+    FROM part_value
+    WHERE part_value > (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                        FROM lineitem) * 0.001
+    """,
+    tags=("relational", "subquery", "conditional-aggregate"),
+)
+def valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-style: parts whose lineitem value exceeds 0.1% of total value.
+    Per-part and global sums are exact decimals cast to double; the
+    threshold is ONE double multiply, so the cut is bit-stable. The global
+    scalar derives from the per-part aggregate (re-aggregation of ~|parts|
+    rows, not a second fact scan) and broadcasts into the filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("_val_dec")
+    )
+    total = per_part.agg(
+        (F.sum("_val_dec").cast("double") * F.lit(0.001)).alias("_cut")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_val_dec").cast("double") > F.col("_cut"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_val_dec").cast("double").alias("part_value"),
+        )
+    )
