@@ -268,6 +268,69 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def choose_ngram_strategy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    sample_fraction: float = 0.1,
+    seed: int = 42,
+    dense_cutoff: float = 4.0,
+) -> str:
+    """Pick "inverted" vs "prefix" for exact n-gram Jaccard from a SAMPLED
+    gram-frequency sketch (ROADMAP: replaces the manual choice).
+
+    Statistic: lambda = expected number of shared grams per document pair
+    = sum_g df(g)*(df(g)-1)/2 over pairs(D,2), estimated on a
+    ``sample_fraction`` document sample. Dense shared vocabulary (every
+    pair overlaps a little) means candidates ~ all pairs, so the
+    counting/inverted-index plan wins; sparse corpora (most pairs share
+    nothing) reward prefix filtering's candidate pruning. The sketch is
+    two scalar aggregates over the sampled exploded grams — nothing but
+    the two numbers reaches the driver, so the probe costs one sampled
+    scan at any corpus size. Sampling uniformly scales both df(g) and D,
+    leaving lambda's expectation ~ invariant (it is a per-pair density).
+    """
+    sample = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else df
+    grams = sample.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    stats = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .agg(
+            F.sum(F.col("_df") * (F.col("_df") - 1) / 2).alias("_collisions"),
+        )
+        .collect()[0]
+    )
+    n_docs = sample.select(id_col).distinct().count()
+    if n_docs < 2 or stats["_collisions"] is None:
+        return "prefix"
+    lam = float(stats["_collisions"]) / (n_docs * (n_docs - 1) / 2)
+    return "inverted" if lam >= dense_cutoff else "prefix"
+
+
+def ngram_jaccard_pairs_adaptive(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    sample_fraction: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with the physical strategy chosen by
+    ``choose_ngram_strategy``'s sampled density sketch. Both strategies
+    produce identical results (equivalence-tested), so the choice is pure
+    performance: dense corpus -> inverted-index counting, sparse ->
+    AllPairs prefix filtering."""
+    strategy = choose_ngram_strategy(
+        df, text_col, id_col, n, sample_fraction, seed
+    )
+    op = ngram_jaccard_pairs if strategy == "inverted" else ngram_jaccard_pairs_prefix
+    return op(df, text_col, id_col, n, threshold)
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprints: sign-sum of per-token hash bits.
 

@@ -75,6 +75,19 @@ class StreamRunner:
     checkpoint_root: str
     specs: list[_QuerySpec] = field(default_factory=list)
     queries: dict[str, StreamingQuery] = field(default_factory=dict)
+    # "rocksdb" = out-of-heap keyed state (the 100 TB path: complete-mode
+    # counts and band-membership state grow with distinct keys; HDFS-backed
+    # in-memory maps OOM the executors long before disk fills). None keeps
+    # Spark's default provider. Session-wide: applies to every query the
+    # session starts while set.
+    state_store_provider: str | None = None
+
+    _PROVIDERS = {
+        "rocksdb": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
 
     def add(
         self,
@@ -91,6 +104,27 @@ class StreamRunner:
         return self
 
     def start_all(self, available_now: bool = False) -> dict[str, StreamingQuery]:
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prior = None
+        if self.state_store_provider is not None:
+            provider = self._PROVIDERS.get(
+                self.state_store_provider, self.state_store_provider
+            )
+            prior = self.spark.conf.get(conf_key, None)
+            self.spark.conf.set(conf_key, provider)
+        try:
+            self._start_specs(available_now)
+        finally:
+            # provider is latched per query at start(); restore the session
+            # conf so a shared session's later queries keep their default
+            if self.state_store_provider is not None:
+                if prior is None:
+                    self.spark.conf.unset(conf_key)
+                else:
+                    self.spark.conf.set(conf_key, prior)
+        return self.queries
+
+    def _start_specs(self, available_now: bool) -> None:
         for spec in self.specs:
             writer = (
                 spec.df.writeStream.queryName(spec.name)
@@ -109,7 +143,6 @@ class StreamRunner:
             if available_now:
                 writer = writer.trigger(availableNow=True)
             self.queries[spec.name] = writer.start()
-        return self.queries
 
     def await_all(self, timeout_sec: float | None = None) -> None:
         """Block until every query finishes (availableNow drains) or fails;

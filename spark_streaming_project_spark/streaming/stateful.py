@@ -53,3 +53,79 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int | None = None,
+    band_size: int | None = None,
+    max_band_members: int = 64,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: new documents pair against the FULL
+    stream history without batch recompute.
+
+    The stateless prefix (shingle -> minhash signature -> band keys) is the
+    same code path as the batch operator (``operators/dedup.py``), so a
+    document hashes to identical bands in both modes. State per band key is
+    the list of member doc ids seen so far; each arriving document emits one
+    candidate row per existing member, then joins the membership list. The
+    converged append-mode output therefore equals the batch band self-join's
+    candidate pairs (``id_a < id_b``, one row per colliding band).
+
+    Scale shape: bands are selective by construction, so per-key state is a
+    handful of ids; ``max_band_members`` (default 64) hard-caps degenerate
+    hot bands (e.g. boilerplate) — members beyond the cap still emit pairs
+    against the capped list but are not stored, bounding state at
+    O(bands x cap) for any stream length. Replayed ids (checkpoint recovery
+    re-delivery) are dropped by the membership check, keeping the output
+    exactly-once per (band, pair) for all stored members (ids past the cap
+    lose the replay guard along with storage). RocksDB state store recommended at 100 TB
+    keyspaces (see ``StreamRunner``).
+    """
+    from ..operators.dedup import (
+        BAND_SIZE,
+        NUM_PERM,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    num_perm = NUM_PERM if num_perm is None else num_perm
+    band_size = BAND_SIZE if band_size is None else band_size
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    bands = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(lsh_band_keys(num_perm, band_size)).alias("band"),
+    )
+
+    def emit(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        members = list(state.get[0]) if state.exists else []
+        known = set(members)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for d in sorted(int(x) for x in pdf["doc_id"]):
+                if d in known:
+                    continue
+                for m in members:
+                    out_a.append(min(m, d))
+                    out_b.append(max(m, d))
+                known.add(d)
+                if len(members) < max_band_members:
+                    members.append(d)
+        state.update((members,))
+        if out_a:
+            yield pd.DataFrame(
+                {"band": [key[0]] * len(out_a), "id_a": out_a, "id_b": out_b}
+            )
+
+    return bands.groupBy("band").applyInPandasWithState(
+        emit,
+        outputStructType="band string, id_a long, id_b long",
+        stateStructType="members array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

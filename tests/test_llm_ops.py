@@ -76,3 +76,39 @@ def test_ngram_prefix_filter_equals_inverted_index(spark):
     }
     assert base == pref
     assert base, "fixture produced no near-dup pairs"
+
+
+def test_adaptive_ngram_strategy_selection(spark):
+    """The sampled density sketch must route dense shared-vocab corpora to
+    the inverted-index plan and disjoint-vocab corpora to prefix
+    filtering, and the adaptive operator must return the exact pairs."""
+    from spark_streaming_project_spark.operators.dedup import (
+        choose_ngram_strategy,
+        ngram_jaccard_pairs_adaptive,
+    )
+
+    # dense: every doc is a small permutation of one shared sentence
+    dense = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over the lazy dog number {i % 3}")
+         for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    # sparse: pairwise-disjoint vocabularies
+    sparse = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f") for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    assert choose_ngram_strategy(dense, "text", "doc_id", sample_fraction=1.0) == "inverted"
+    assert choose_ngram_strategy(sparse, "text", "doc_id", sample_fraction=1.0) == "prefix"
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_adaptive(
+            dense, "text", "doc_id", threshold=0.5, sample_fraction=1.0
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dense, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert got == want and want

@@ -6,6 +6,7 @@ content across micro-batches."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spark_streaming_project_spark.operators.parse import parse_envelopes
@@ -112,3 +113,75 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = {r["content_hash"]: r["doc_id"] for r in out}
     assert len(got) == 4
     assert set(got.values()) <= {1, 2, 3, 4, 5, 6}
+
+
+def test_streaming_minhash_candidates_converge_to_batch(spark, tmp_path):
+    """Incremental LSH near-dup: after draining the stream, the distinct
+    (id_a, id_b) candidate set must equal the batch band self-join's —
+    including pairs whose members arrived in DIFFERENT micro-batches."""
+    from spark_streaming_project_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+    )
+    from spark_streaming_project_spark.streaming.runner import (
+        StreamRunner,
+        stream_parquet_dir,
+    )
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_minhash_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, "completely unrelated text about spark structured streaming state"),
+        (3, base),  # exact dup of 1, same batch as 4
+        (4, base + " today"),  # near dup, later batch than 1
+        (5, "another unrelated document mentioning parquet and arrow batches"),
+        (6, base),  # exact dup arriving in the last batch
+    ]
+    src = str(tmp_path / "nd_src")
+    schema = "doc_id long, text string"
+    for i in range(3):
+        spark.createDataFrame(rows[i * 2 : i * 2 + 2], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = stream_parquet_dir(
+        spark,
+        src,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        max_files_per_trigger=1,
+    )
+    cands = streaming_minhash_candidates(stream, "text", "doc_id")
+    runner = StreamRunner(spark, str(tmp_path / "nd_ckpt"))
+    runner.add("nd_stream", cands, output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.table("nd_stream").select("id_a", "id_b").collect()
+    }
+
+    batch_df = spark.createDataFrame(rows, schema)
+    sigs = minhash_signatures(batch_df, "text", "doc_id")
+    bands = sigs.select(
+        F.col("doc_id"), F.explode(lsh_band_keys()).alias("band")
+    )
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in bands.select(F.col("doc_id").alias("id_a"), "band")
+        .join(bands.select(F.col("doc_id").alias("id_b"), "band"), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert (1, 3) in expected and (1, 6) in expected  # exact dups must collide
+    assert got == expected

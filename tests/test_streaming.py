@@ -425,3 +425,65 @@ def test_checkpoint_recovery_accumulates_state(spark, tmp_path):
     phase2 = {r["event_type"]: r["n"] for r in spark.table("ckrec_stream").collect()}
     want_all = {r["event_type"]: r["n"] for r in counts(ev).collect()}
     assert phase2 == want_all
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """StreamRunner(state_store_provider='rocksdb') must run stateful
+    queries on the RocksDB provider (the out-of-heap scale path) and
+    produce identical results; the session conf must be restored after
+    start so later queries keep the default provider."""
+    from spark_streaming_project_spark.streaming.runner import StreamRunner
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    rows = [
+        (1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta"),
+        (4, "epsilon"), (5, "gamma delta"), (6, "zeta"),
+    ]
+    src = str(tmp_path / "rocks_src")
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * 2 : i * 2 + 2], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_parquet_dir(
+        spark,
+        src,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        max_files_per_trigger=1,
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(conf_key, None)
+
+    runner = StreamRunner(
+        spark, str(tmp_path / "rocks_ckpt"), state_store_provider="rocksdb"
+    )
+    runner.add("rocks_dedup", streaming_exact_dedup(stream, "text", "doc_id"))
+    runner.start_all(available_now=True)
+    assert spark.conf.get(conf_key, None) == default_provider  # restored
+    runner.await_all(timeout_sec=180)
+
+    out = spark.table("rocks_dedup").collect()
+    assert {r["content_hash"] for r in out} == {
+        r["content_hash"]
+        for r in spark.createDataFrame(rows, "doc_id long, text string")
+        .selectExpr("md5(text) AS content_hash")
+        .distinct()
+        .collect()
+    }
+    # the checkpoint actually used RocksDB (per-partition rocksdb dirs)
+    import glob
+
+    assert glob.glob(
+        str(tmp_path / "rocks_ckpt" / "rocks_dedup" / "state" / "**" / "*.zip"),
+        recursive=True,
+    ) or glob.glob(
+        str(tmp_path / "rocks_ckpt" / "rocks_dedup" / "state" / "**" / "*.changelog"),
+        recursive=True,
+    ), "no RocksDB snapshot artifacts under the state checkpoint"
