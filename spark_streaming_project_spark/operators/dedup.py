@@ -372,3 +372,69 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             "cast(0 as bigint))), cast(0 as bigint), (a, x) -> a + x)"
         ).alias("simhash"),
     )
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """EXACT SimHash near-dup pairs: (id_a < id_b, hamming) for every pair
+    whose ``bits``-bit SimHash fingerprints differ in <= ``max_hamming``
+    bits. No misses: fingerprints are split into ``max_hamming + 1``
+    equal-width bands, and by pigeonhole any pair within the cutoff agrees
+    exactly on at least one band — so a band-value equi-join generates a
+    complete candidate set, and bit_count(xor) verifies exactly.
+
+    Scale shape: the self-join shuffles on (band_index, band_value) — a
+    32/(k+1)-bit key, not the document — so shuffle rows are (id, band)
+    pairs and the quadratic blowup is confined to same-band groups
+    (2^bandwidth buckets spread hot fingerprints). Candidates are
+    deduplicated BEFORE the verify join-back, so each surviving pair pays
+    the fingerprint lookup once. One scan computes fingerprints; bands
+    derive from it by bit-slicing (no second pass over text).
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    assert n_bands * width == bits, "bands must evenly split the fingerprint"
+    sigs = simhash(df, text_col, id_col, bits).persist()
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(F.col(id_col), "_band.band_idx", "_band.band_val")
+    cand = (
+        bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+        .join(
+            bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sig_b")),
+        "id_b",
+    )
+    hamming = F.bit_count(F.expr("_sig_a ^ _sig_b"))
+    return verified.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    simhash_near_dup_pairs,
     BAND_SIZE,
     NUM_PERM,
     exact_dedup_groups,
@@ -195,6 +196,35 @@ _SIMHASH_BIT_TERMS = " + ".join(
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return simhash(docs, "text", "doc_id", bits=_SIMHASH_BITS)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    hashed AS (
+        SELECT doc_id,
+               [CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                for t in list_distinct(words)] AS hs
+        FROM toks WHERE len(words) > 0
+    ),
+    sh AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM hashed)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 1 via 2-band pigeonhole
+    banding (exact — the oracle brute-forces all pairs; the Spark plan
+    only joins on 16-bit band keys, the 100 TB shape)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return simhash_near_dup_pairs(docs, "text", "doc_id", bits=_SIMHASH_BITS, max_hamming=1)
 
 
 # ---------------------------------------------------------------------------

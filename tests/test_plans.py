@@ -158,3 +158,53 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     p = buf.getvalue()
     assert "PartitionFilters: [isnotnull(day" in p
     assert df.count() > 0
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """OPTIMIZE-style compaction: many small appended files rewrite into
+    one range-clustered file set with identical data and disjoint,
+    sorted key ranges per file (min/max pruning works cross-file)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.sources.batch import load_table
+    from spark_streaming_project_spark.sources.compaction import compact_parquet
+
+    path = str(tmp_path / "many_small")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").limit(2000)
+    for i in range(8):  # simulate 8 micro-batch appends, 4 tasks each
+        li.filter(F.col("l_orderkey") % 8 == i).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = sorted(
+        tuple(r) for r in before.select("l_orderkey", "l_linenumber").collect()
+    )
+    import os
+
+    n_small = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_small >= 32
+
+    stats = compact_parquet(spark, path, target_file_mb=128, sort_cols=["l_orderkey"])
+    assert stats["files_before"] == n_small
+    assert stats["files_after"] < n_small
+
+    after = spark.read.parquet(path)
+    after_rows = sorted(
+        tuple(r) for r in after.select("l_orderkey", "l_linenumber").collect()
+    )
+    assert after_rows == before_rows
+
+    # per-file key ranges must be disjoint (range clustering, not round-robin)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        t = pq.read_table(f, columns=["l_orderkey"])
+        if t.num_rows:
+            col = t.column("l_orderkey").to_pylist()
+            ranges.append((min(col), max(col)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file key ranges: {ranges}"
