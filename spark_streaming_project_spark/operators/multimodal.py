@@ -80,3 +80,109 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
     )
+
+
+RESIZED_SCHEMA = "asset_id long, kind string, resized binary, width int, height int"
+
+FRAMES_SCHEMA = "asset_id long, frame_idx int, ts_ms long, frame binary"
+
+FEATURES_SCHEMA = "asset_id long, kind string, feature array<float>"
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: nearest-neighbor byte sampling down/up to
+    exactly width*height bytes (position i reads source byte
+    floor(i*len/target)). Pure function of (payload, dims) — the PIL seam
+    (``real_decode``) replaces only this body; the Spark plumbing
+    (binary->binary, typed dims) is the production shape."""
+    target = width * height
+    n = len(payload)
+    if n == 0:
+        return b"\x00" * target
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def resize_assets(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Arrow-batched image resize over (asset_id, kind, payload): binary in,
+    binary out, executor-local (no shuffle — the plan is scan->mapInPandas).
+    At 100 TB this is the canonical embarrassingly-parallel media pass; the
+    output column is smaller than the input, so it SHRINKS the table for
+    downstream feature extraction."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "kind": pdf["kind"].values,
+                    "resized": [resize_stub(p, width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("asset_id", "kind", "payload").mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, frame_interval_ms: int = 1000
+) -> DataFrame:
+    """Frame sampling: one input video row -> ``n_frames`` output rows
+    (asset_id, frame_idx, ts_ms, frame). The 1->N fan-out happens INSIDE
+    ``mapInPandas`` (the output iterator yields more rows than the input
+    batch), which is how a real ffmpeg seek-and-decode runs on Spark:
+    payloads never leave the executor, and Arrow batches stay columnar.
+    Stub frames are equal byte-slices of the payload — deterministic, so
+    tests can recompute them in plain Python."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = len(payload)
+                step = max(1, n // n_frames)
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    tss.append(i * frame_interval_ms)
+                    frames.append(bytes(payload[i * step : i * step + step]))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(_frames, FRAMES_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Payload -> dense float feature vector (``array<float>``): a
+    numpy-vectorized rolling byte histogram projected to ``dim`` buckets and
+    l2-normalized. Deterministic stand-in for a CNN/audio embedding with the
+    REAL output contract — the vectors feed directly into the engine's
+    similarity/ANN operators (same ``array<float>`` column shape as the
+    ``embeddings`` table). Arrow-batched; one pass, no shuffle."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                nrm = float(np.sqrt((hist * hist).sum()))
+                feats.append((hist / nrm if nrm > 0 else hist).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "kind": pdf["kind"].values,
+                    "feature": feats,
+                }
+            )
+
+    return df.select("asset_id", "kind", "payload").mapInPandas(
+        _feat, FEATURES_SCHEMA
+    )

@@ -22,7 +22,11 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash,
 )
-from ..operators.multimodal import decode_assets, documents_as_assets
+from ..operators.multimodal import (
+    decode_assets,
+    documents_as_assets,
+    sample_frames,
+)
 from ..operators.similarity import (
     brute_force_topk,
     lsh_bucket_topk,
@@ -504,6 +508,44 @@ def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     decoded = decode_assets(documents_as_assets(docs))
     return decoded.select("asset_id", "payload_bytes", "feature_checksum")
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS asset_id, octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+        SELECT asset_id, n, greatest(1, n // 4) AS step,
+               unnest(range(4)) AS frame_idx
+        FROM a
+    )
+    SELECT asset_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(frame_idx * 1000 AS BIGINT) AS ts_ms,
+           CAST(CASE WHEN frame_idx * step < n
+                     THEN least(step, n - frame_idx * step)
+                     ELSE 0 END AS BIGINT) AS frame_len
+    FROM f
+    """,
+    tags=("llm", "multimodal"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the 1->N Arrow fan-out path: 4 frames per
+    asset with deterministic byte-slice stubs; the oracle replays each
+    frame's length and timestamp from the payload size alone (the frame
+    BYTES are pinned by `tests/test_multimodal.py` instead — a blob-slice
+    expression per frame is not reasonably expressible in SQL)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    frames = sample_frames(documents_as_assets(docs), n_frames=4)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        "ts_ms",
+        F.octet_length("frame").cast("bigint").alias("frame_len"),
+    )
 
 
 # ---------------------------------------------------------------------------
