@@ -372,3 +372,112 @@ def lsh_multitable_topk(
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def _kmeans_fit(
+    sample: np.ndarray, n_list: int, iters: int = 5
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample: seeds are
+    the first ``n_list`` sample rows (the sample itself is hash-ordered, so
+    seeding is pseudo-random but reproducible), then ``iters`` Lloyd steps
+    with cosine assignment and mean re-centering. Pure numpy; the sample is
+    bounded (default <=1024 rows) so the fit is O(sample * n_list * iters)
+    on the driver regardless of table size."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    unit = sample / np.where(norms > 0, norms, 1.0)
+    cents = unit[:n_list].copy()
+    for _ in range(iters):
+        cn = np.linalg.norm(cents, axis=1, keepdims=True)
+        cu = cents / np.where(cn > 0, cn, 1.0)
+        assign = np.argmax(unit @ cu.T, axis=1)
+        for c in range(n_list):
+            members = unit[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    n_list: int = 8,
+    n_probe: int = 2,
+    sample_size: int = 1024,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF ANN with LEARNED centroids: a sampled spherical k-means fit
+    replaces ``ivf_topk``'s hash-picked pseudo-centroids, so inverted
+    lists follow the data's actual cluster structure and probing
+    ``n_probe``/``n_list`` lists recovers most true neighbors instead of a
+    random fraction (bench reports recall@10 for both tiers side by side).
+
+    Scale shape: the fit collects a BOUNDED hash-ordered sample
+    (<= ``sample_size`` rows) — the only driver-side data movement, same
+    pattern as Spark MLlib's sampled inits. Assignment broadcasts the
+    n_list x dim centroid matrix inside an Arrow-batched numpy UDF (one
+    argmax matmul per batch, no shuffle of the embedding table); at
+    warehouse scale the list id becomes the table's partition key, making
+    each probe a partition-pruned scan. Fit and assignment are exactly
+    reproducible (hash-ordered seeds, fixed iteration count, row-wise
+    float64 matmul), but no SQL oracle can replay Lloyd iterations — the
+    registry entry is declared rows-only and pytest pins recall + exact
+    agreement of returned scores with brute force.
+
+    Ties total-ordered by (rounded cosine DESC, id ASC) as everywhere.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_fit(sample, n_list, iters)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cu = cents / np.where(cn > 0, cn, 1.0)
+
+    @pandas_udf(T.IntegerType())
+    def assign_cid(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        mu = m / np.where(nrm > 0, nrm, 1.0)
+        return pd.Series(np.argmax(mu @ cu.T, axis=1).astype(np.int32))
+
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    assigned = vecs.withColumn("cid", assign_cid(F.col("_v")))
+
+    qrow = assigned.filter(F.col(id_col) == query_id).select("_v").collect()
+    if not qrow:
+        return assigned.select(
+            F.col(id_col).alias("vec_id"), F.lit(0.0).alias("cosine_sim")
+        ).limit(0)
+    qv = np.asarray(qrow[0]["_v"], dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    qu = qv / (qn if qn > 0 else 1.0)
+    probe_cids = [int(c) for c in np.argsort(-(cu @ qu))[:n_probe]]
+
+    q = (
+        vecs.filter(F.col(id_col) == query_id)
+        .select(F.col("_v").alias("_query_vec"))
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
+    scored = (
+        assigned.filter(F.col("cid").isin(probe_cids))
+        .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

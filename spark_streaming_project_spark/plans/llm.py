@@ -29,6 +29,7 @@ from ..operators.multimodal import (
 )
 from ..operators.similarity import (
     brute_force_topk,
+    ivf_kmeans_topk,
     lsh_bucket_topk,
     lsh_multitable_topk,
 )
@@ -373,6 +374,21 @@ _ANN_MULTI_ORACLE = f"""
     ORDER BY cosine_sim DESC, b.vec_id ASC
     LIMIT 10
 """
+
+
+@register(
+    "similarity_ivf_kmeans_topk",
+    tags=("llm", "similarity", "ivf", "rows-only"),
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF ANN (sampled spherical k-means fit). Declared
+    rows-only: no SQL oracle can replay Lloyd iterations; pytest pins
+    recall@10 >= the hash-centroid tier and exact score agreement with
+    brute force, and bench reports its recall each run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10, n_list=8, n_probe=2
+    )
 
 
 @register(

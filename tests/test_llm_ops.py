@@ -112,3 +112,37 @@ def test_adaptive_ngram_strategy_selection(spark):
         for r in ngram_jaccard_pairs(dense, "text", "doc_id", threshold=0.5).collect()
     }
     assert got == want and want
+
+
+def test_ivf_kmeans_beats_hash_centroids(spark):
+    """Learned centroids must (a) return only TRUE cosine scores (every
+    returned id's score equals brute force's for that id) and (b) reach
+    recall@10 at least as high as the hash-centroid IVF tier at the same
+    n_list/n_probe budget."""
+    from spark_streaming_project_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_kmeans_topk,
+        ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    qid = 7
+    exact = brute_force_topk(emb, "vec_id", "embedding", qid, k=10).collect()
+    truth_scores = {r["vec_id"]: r["cosine_sim"] for r in exact}
+    all_scores = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in brute_force_topk(
+            emb, "vec_id", "embedding", qid, k=10_000
+        ).collect()
+    }
+
+    km = ivf_kmeans_topk(emb, "vec_id", "embedding", qid, k=10).collect()
+    hashed = ivf_topk(emb, "vec_id", "embedding", qid, k=10).collect()
+    for r in km:
+        assert all_scores[r["vec_id"]] == r["cosine_sim"]
+
+    recall_km = len({r["vec_id"] for r in km} & set(truth_scores)) / 10
+    recall_hash = len({r["vec_id"] for r in hashed} & set(truth_scores)) / 10
+    assert recall_km >= recall_hash
+    assert recall_km >= 0.5
