@@ -980,3 +980,517 @@ def valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_val_dec").cast("double").alias("part_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: pure scan-aggregate — the pushdown litmus test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simple_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "aggregate", "pushdown"),
+)
+def simple_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-style forecasting-revenue-change: no join, no groupBy — the whole
+    query is a filtered scan plus one partial-aggregable sum. At 100 TB this
+    is bounded by scan bandwidth alone: all four predicates push to the
+    parquet reader (min/max row-group skipping on l_shipdate), only three
+    columns are read, and the single global sum moves one decimal per task
+    across the wire."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting — fact-fact join + dim broadcast,
+# grouped by a wide customer key, deterministic top-20.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           c.c_acctbal AS acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+    tags=("relational", "join", "topk"),
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style: customers who returned the most revenue in a quarter.
+    lineitem is pre-filtered to 'R' and orders to the date window BEFORE the
+    fact-fact shuffle join, so the shuffle carries only the ~1/3 x window
+    fraction; nation broadcasts; the wide customer attributes ride through
+    one groupBy; TakeOrderedAndProject caps driver traffic at 20 rows per
+    partition. Tie-break on custkey makes the LIMIT deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join with a
+# predicate inside the join condition, then a two-level aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("relational", "outer-join", "aggregate"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style custdist: how many customers placed k (non-urgent) orders,
+    including k=0 — which is why the priority predicate must live in the
+    JOIN CONDITION (filtering orders pre-join), not a post-join WHERE that
+    would silently drop the zero-order customers. First aggregation shuffles
+    on c_custkey (same key as the join, so AQE can reuse the exchange);
+    the second aggregates ~|customers| rows down to ~the distinct count
+    values — negligible."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share — conditional sum / total sum in ONE
+# aggregation over one scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT CAST(sum(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         * 100.0 AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    tags=("relational", "join", "conditional-aggregate"),
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style promo share: numerator and denominator come out of the SAME
+    aggregation (a when/otherwise inside the sum), so the fact table is
+    scanned once and part broadcasts — no second pass, no self-join. Both
+    sums are exact decimals; the final divide is the only double op."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(_dec(promo_rev)).cast("double")
+                / F.sum(_dec(rev)).cast("double")
+                * F.lit(100.0)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier counts per part attribute, minus an
+# excluded supplier set (NOT IN -> broadcast anti-join).
+# (The reference schema has no partsupp table; lineitem's (partkey, suppkey)
+# pairs provide the same part->supplier relation.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#12'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("relational", "anti-join", "distinct-aggregate"),
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style supplier_cnt: the NOT IN subquery becomes a broadcast
+    LEFT ANTI join against the (tiny) excluded-supplier set — null-safe here
+    because s_suppkey is a non-null key. The part predicates broadcast with
+    part itself and prune most of the fact before the countDistinct shuffle.
+    countDistinct plans as two-phase partial-distinct, so duplicate
+    (part, supplier) pairs collapse map-side before the exchange."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive join — OR-of-ANDs residual over one equi-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "disjunctive_part_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational", "join", "disjunctive"),
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style OR-of-ANDs: the partkey equi-conjunct is common to every
+    disjunct, so the right plan is ONE broadcast hash join with the
+    disjunction as a post-join residual — never a union of three joins
+    (three fact scans) or a nested-loop. Single-table conjuncts that hold
+    across all branches (p_size <= 15, quantity <= 30) are pre-pushed below
+    the join so the hash table and probe stream shrink first."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .filter(branch)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit — 4-way join, LIKE filter on the dim,
+# year extraction, two-key rollup. (The testdata has no partsupp table, so
+# profit is gross revenue rather than revenue minus supplycost; the join
+# graph and aggregation shape are Q9's.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_year_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "join", "aggregate"),
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style profit by supplier nation and order year (reference has no
+    joins — SURVEY.md §2.8). The selective LIKE on part runs FIRST and that
+    small key set broadcasts, shrinking the fact stream before the only
+    big shuffle (lineitem⋈orders on orderkey); supplier and nation are
+    broadcast dims. At 100 TB the shuffle carries only red-part lines
+    (~13% here), and AQE can further coalesce post-filter partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional two-class counts after a fact-fact join.
+# (No l_shipmode in the testdata; l_linestatus plays the grouping role.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_shipment_counts",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("relational", "join", "conditional-agg"),
+)
+def priority_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-style: lines shipped in 1996 classified by order priority, two
+    conditional counts in ONE aggregation (not two filtered passes). The
+    date range prunes the fact scan via parquet min/max before the
+    orderkey shuffle; orders contributes only (key, priority), so column
+    pruning keeps the build side narrow."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: nested per-group scalar threshold feeding a semi-join
+# chain up to the supplier dim. (No partsupp/availqty in the testdata, so
+# the threshold is "supplier ships >50% of the part's total shipped
+# quantity" — same decorrelation structure.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS supp_qty
+        FROM lineitem JOIN rp ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    dominant AS (
+        SELECT DISTINCT l_suppkey FROM (
+            SELECT l_suppkey, supp_qty,
+                   sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+            FROM shipped
+        ) WHERE supp_qty * 2 > part_qty
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, n.n_name AS nation
+    FROM supplier s
+    JOIN dominant d ON s.s_suppkey = d.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("relational", "subquery", "semi-join"),
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-style nested-subquery chain: suppliers who ship the majority of
+    some red part's total quantity. The correlated threshold decorrelates
+    into one (partkey, suppkey) aggregation plus a window sum over partkey
+    — the same shuffle partitioning serves both, so Spark plans ONE
+    Exchange for agg+window. The majority test compares exact decimals
+    (supp_qty*2 > part_qty) so Spark and DuckDB cannot disagree on FP
+    rounding. Distinct suppkeys then drive a broadcast semi-join into the
+    supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: same-table EXISTS + NOT EXISTS (suppliers who kept
+# orders waiting). (No commit/receipt dates in the testdata; "late" is
+# shipping >90 days after order placement.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sole_late_suppliers",
+    oracle="""
+    SELECT s.s_name AS name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1
+    ORDER BY numwait DESC, name ASC
+    LIMIT 10
+    """,
+    tags=("relational", "subquery", "semi-join", "anti-join"),
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-style: the supplier solely responsible for a finished order
+    shipping late. The EXISTS/NOT-EXISTS pair over the SAME fact table
+    does NOT become two self-joins (three fact scans + two shuffles):
+    one pass groups lines by order, counting distinct suppliers and
+    distinct LATE suppliers — an order blames supplier S iff it has ≥2
+    suppliers and exactly one late supplier (= S, recovered as max of the
+    late-conditional key). One orderkey shuffle + one suppkey shuffle
+    total, identical blame semantics, and it scales linearly in fact
+    rows instead of quadratically in lines-per-order."""
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_suppkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(supp), F.col("late_suppkey") == supp.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(10)
+    )
