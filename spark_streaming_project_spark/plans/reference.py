@@ -295,7 +295,7 @@ def top_sugary_products_by_category(spark: SparkSession, sf_dir: str) -> DataFra
         FROM counts
     )
     SELECT CASE WHEN rnk <= 3 THEN main_category ELSE 'Autres' END AS main_category,
-           sum(category_count) AS category_count
+           CAST(sum(category_count) AS BIGINT) AS category_count
     FROM ranked
     GROUP BY 1
     """,
