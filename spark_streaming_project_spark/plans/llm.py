@@ -764,10 +764,29 @@ _NGRAM_JACCARD_ORACLE = f"""
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import ngram_jaccard_pairs
+    """Adaptive physical strategy: a sampled gram-density sketch picks
+    inverted-index counting (dense shared vocabulary) vs AllPairs prefix
+    filtering (sparse corpus). Both are exact, so one oracle covers both."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return ngram_jaccard_pairs_adaptive(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs_prefix",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pin the AllPairs/PPJoin prefix-filtered path specifically: the
+    adaptive entry may legitimately choose the inverted-index plan on the
+    dense synthetic corpus, so this entry keeps the sparse-corpus scale
+    path (the one that survives a skewed 100 TB crawl) oracle-gated."""
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
