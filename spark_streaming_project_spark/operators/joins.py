@@ -35,7 +35,22 @@ def skew_salted_join(
 
     The result equals the unsalted join row-for-row; only the shuffle key
     distribution changes (hot keys spread over ``salt_factor`` reducers).
+
+    ``how`` is restricted to modes where that equality actually holds. Each
+    BIG row carries exactly one salt, so inner/left-outer/semi/anti from the
+    big side are exact. Right- and full-outer are NOT: an unmatched
+    small-side row exists once per salt replica and would surface
+    ``salt_factor`` null-extended copies — we raise instead of returning
+    silently wrong rows (outer-preserve the small side by swapping the
+    operands or deduping separately).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"skew_salted_join: how={how!r} would replicate unmatched "
+            f"small-side rows {salt_factor}x; use one of {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor))
     big_salted = big.withColumn(SALT_COL, salt.cast("int"))
     small_salted = small.withColumn(

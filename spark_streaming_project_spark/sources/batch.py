@@ -19,9 +19,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @lru_cache(maxsize=256)
-def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+def _nanos_timestamp_cols_cached(path: str, mtime_ns: int) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects ([PARQUET_TYPE_ILLEGAL]); footer inspection via pyarrow."""
+    rejects ([PARQUET_TYPE_ILLEGAL]); footer inspection via pyarrow.
+    Keyed on (path, mtime) so a rewrite (e.g. ``compact_parquet``, which
+    emits micros) invalidates the cached answer instead of mis-applying
+    the ns->us conversion to a non-ns column."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
@@ -31,6 +34,10 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         for f in schema
         if pat.is_timestamp(f.type) and f.type.unit == "ns"
     )
+
+
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    return _nanos_timestamp_cols_cached(path, os.stat(path).st_mtime_ns)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,8 +53,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path) if os.path.exists(path) else ()
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # The legacy conf is only consulted while the relation resolves its
+    # schema (verified: execution after restore still reads correctly), so
+    # scope it to this read instead of leaking it session-wide.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

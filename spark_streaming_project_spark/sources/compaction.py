@@ -1,5 +1,6 @@
 """OPTIMIZE-style parquet compaction: rewrite a small-files directory into
-few large, optionally sorted files, published atomically.
+few large, optionally sorted files, published via a directory swap (see
+``compact_parquet`` for the exact — non-atomic — concurrency contract).
 
 Why it matters at scale: streaming sinks and per-batch appends produce one
 file per task per micro-batch — a 1000-executor job appending hourly makes
@@ -28,8 +29,20 @@ def compact_parquet(
     sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet directory at ``path`` into ceil(bytes/target)
-    files, optionally sort-clustered by ``sort_cols``; atomic swap via a
-    staging directory so concurrent readers see old-or-new, never partial.
+    files, optionally sort-clustered by ``sort_cols``, then swap the new
+    directory into place via two renames.
+
+    CONCURRENCY CONTRACT (honest version): the swap is NOT atomic for
+    concurrent readers. Between ``rename(path, old)`` and
+    ``rename(staging, path)`` the directory briefly does not exist (a
+    reader listing at that instant errors), and the subsequent
+    ``rmtree(old)`` breaks any reader mid-scan of the old files. The swap
+    also assumes a POSIX local filesystem where directory rename is cheap
+    (object stores have no rename — there you'd copy+delete). This helper
+    is therefore for MAINTENANCE WINDOWS or single-writer/no-reader
+    pipelines; true read-isolated compaction needs a metadata pointer the
+    readers resolve (a table-format transaction log à la Delta/Iceberg),
+    which is out of scope for a filesystem-only engine.
 
     Uses ``repartitionByRange`` on the sort key (each output file covers a
     disjoint key range -> tight min/max stats, cross-file pruning) or a

@@ -107,3 +107,25 @@ def test_range_join_binned_matches_inequality_join(spark):
     assert got.select(*sorted(got.columns)).exceptAll(
         naive.select(*sorted(got.columns))
     ).count() == 0
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    # right/full outer would surface each unmatched small-side row once per
+    # salt replica — the helper must refuse rather than multiply rows.
+    import pytest
+
+    big = spark.range(10).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    small = spark.range(5).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="skew_salted_join"):
+            skew_salted_join(big, small, "k", how)
+
+
+def test_salted_join_semi_anti(spark):
+    big = spark.range(1000).select((F.col("id") % 60).alias("k"), F.col("id").alias("v"))
+    small = spark.range(50).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    for how in ("left_semi", "left_anti"):
+        plain = big.join(small, "k", how).select("k", "v")
+        salted = skew_salted_join(big, small, "k", how).select("k", "v")
+        assert plain.count() == salted.count()
+        assert salted.exceptAll(plain).count() == 0
