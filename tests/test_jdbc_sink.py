@@ -1,0 +1,104 @@
+"""Live JDBC sink smoke (SURVEY.md §2.1 S4/S5): run the foreachBatch JDBC
+sinks against Apache Derby EMBEDDED — a real JDBC driver + SQL database
+running inside the Spark JVM (the Derby jars ship with Spark), so the
+write path exercised is byte-for-byte the one a Postgres deployment uses
+(Consumer.scala:282-320), minus only the network.
+
+Mirrors the reference semantics: overwrite = drop/recreate per micro-batch
+(final table == last complete-mode state), append = accumulate one result
+set per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_streaming_project_spark.streaming import (
+    StreamRunner,
+    foreach_batch_jdbc_append,
+    foreach_batch_jdbc_overwrite,
+    stream_parquet_dir,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def derby_url(spark, tmp_path):
+    jvm = spark.sparkContext._jvm
+    try:
+        jvm.java.lang.Class.forName(DERBY_DRIVER)
+    except Exception:
+        pytest.skip("Derby embedded driver not on the Spark classpath")
+    # keep derby.log out of the repo cwd
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    return f"jdbc:derby:{tmp_path}/derbydb;create=true"
+
+
+def _two_batch_source(spark, tmp_path):
+    """Two parquet files + maxFilesPerTrigger=1 -> exactly two micro-batches
+    under availableNow."""
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate([[("a", 1), ("b", 2)], [("a", 10), ("c", 3)]]):
+        spark.createDataFrame(rows, SRC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    return stream_parquet_dir(spark, src, SRC_SCHEMA, max_files_per_trigger=1)
+
+
+def test_jdbc_overwrite_holds_final_complete_state(spark, tmp_path, derby_url):
+    stream = _two_batch_source(spark, tmp_path)
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    props = {"driver": DERBY_DRIVER}
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt"))
+    runner.add(
+        "jdbc_overwrite",
+        agg,
+        output_mode="complete",
+        sink_format=None,
+        foreach_batch=foreach_batch_jdbc_overwrite(derby_url, "agg_out", props),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = {
+        r["k"]: r["total"]
+        for r in spark.read.jdbc(derby_url, "agg_out", properties=props).collect()
+    }
+    # overwrite per batch -> only the LAST complete-mode state survives
+    assert got == {"a": 11, "b": 2, "c": 3}
+
+
+def test_jdbc_append_accumulates_batches(spark, tmp_path, derby_url):
+    stream = _two_batch_source(spark, tmp_path)
+    props = {"driver": DERBY_DRIVER}
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt"))
+    runner.add(
+        "jdbc_append",
+        stream.withColumn("tag", F.lit("raw")),
+        output_mode="append",
+        sink_format=None,
+        foreach_batch=foreach_batch_jdbc_append(derby_url, "rows_out", props),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    rows = spark.read.jdbc(derby_url, "rows_out", properties=props).collect()
+    assert len(rows) == 4  # 2 rows per micro-batch, appended, none lost
+    assert {(r["k"], r["v"]) for r in rows} == {("a", 1), ("b", 2), ("a", 10), ("c", 3)}
