@@ -76,18 +76,21 @@ def top_n_with_other(
     bucket summing everything else — the dashboard's donut-chart prep, done
     engine-side.
 
-    Single-pass shape: rank once with a window over the (already tiny)
-    aggregated frame, then aggregate rank>n into the residual row via a
-    conditional key — one shuffle, no self-join, no union re-scan.
+    Scale shape: the winners come from ``orderBy(...).limit(n)``, which Spark
+    plans as ``TakeOrderedAndProject`` — each partition keeps only its local
+    top-n and the driver merges n·num_partitions rows; no global sort, no
+    single-partition window.  The residual is a broadcast anti-join against
+    those n keys followed by a full aggregate to one row, so a
+    high-cardinality key column never funnels through one task.  Ties break
+    deterministically on (count desc, key asc), matching the old window rank.
     """
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc(count_col), F.asc(key_col))
-    ranked = df.withColumn("_rank", F.row_number().over(w))
-    bucketed = ranked.select(
-        F.when(F.col("_rank") <= n, F.col(key_col))
-        .otherwise(F.lit(other_label))
-        .alias(key_col),
-        F.col(count_col),
+    top = df.orderBy(F.desc(count_col), F.asc(key_col)).limit(n)
+    residual = (
+        df.join(F.broadcast(top.select(key_col)), on=key_col, how="left_anti")
+        .agg(F.sum(count_col).alias(count_col))
+        .select(F.lit(other_label).alias(key_col), F.col(count_col))
+        # sum over an empty remainder is NULL -> emit no residual row at all,
+        # matching the old conditional-bucket semantics.
+        .where(F.col(count_col).isNotNull())
     )
-    return bucketed.groupBy(key_col).agg(F.sum(count_col).alias(count_col))
+    return top.select(key_col, count_col).unionByName(residual)

@@ -160,6 +160,40 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert df.count() > 0
 
 
+def test_top_n_with_other_no_global_window(spark):
+    """T2 on a HIGH-cardinality key (one row per customer) must not funnel
+    through a single-partition window: winners come from
+    TakeOrderedAndProject, the residual from a broadcast anti-join — both
+    scale-safe shapes."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.topk import top_n_with_other
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    wide = (
+        load_table(spark, SF_CORRECT, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn("o_custkey", F.col("o_custkey").cast("string"))
+    )
+    df = top_n_with_other(wide, "o_custkey", "n_orders", 5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # semantics: n winner rows + one residual summing the rest
+    rows = {r["o_custkey"]: r["n_orders"] for r in df.collect()}
+    assert len(rows) == 6 and "Autres" in rows
+    total = wide.agg(F.sum("n_orders")).collect()[0][0]
+    assert sum(rows.values()) == total
+
+
 def test_compact_parquet_small_files(spark, tmp_path):
     """OPTIMIZE-style compaction: many small appended files rewrite into
     one range-clustered file set with identical data and disjoint,
