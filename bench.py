@@ -35,47 +35,58 @@ def main() -> None:
 
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(REGISTRY):
-        if not cold:
-            REGISTRY[name].builder(spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        df = REGISTRY[name].builder(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # One broken query must cost only its own row, never the artifact:
+        # round 2's bench died on a single AnalysisException and recorded
+        # nothing at all. Failures land in "errors" and the JSON still prints.
+        try:
+            if not cold:
+                REGISTRY[name].builder(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            df = REGISTRY[name].builder(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
 
     # ANN quality: recall@10 of each approximate tier vs exact brute force
     # (id-set overlap of the top-10 neighbor lists). Latency without recall
     # would let a degenerate ANN (empty buckets) look "fast".
-    truth = {
-        r["vec_id"]
-        for r in REGISTRY["similarity_bruteforce_topk"].builder(spark, SF_DIR).collect()
-    }
     ann_recall = {}
-    for name in (
-        "similarity_ann_lsh_topk",
-        "similarity_ann_lsh_multitable_topk",
-        "similarity_ivf_topk",
-        "similarity_ivf_kmeans_topk",
-    ):
-        got = {r["vec_id"] for r in REGISTRY[name].builder(spark, SF_DIR).collect()}
-        ann_recall[name] = round(len(got & truth) / max(len(truth), 1), 4)
+    try:
+        truth = {
+            r["vec_id"]
+            for r in REGISTRY["similarity_bruteforce_topk"]
+            .builder(spark, SF_DIR)
+            .collect()
+        }
+        for name in (
+            "similarity_ann_lsh_topk",
+            "similarity_ann_lsh_multitable_topk",
+            "similarity_ivf_topk",
+            "similarity_ivf_kmeans_topk",
+        ):
+            got = {r["vec_id"] for r in REGISTRY[name].builder(spark, SF_DIR).collect()}
+            ann_recall[name] = round(len(got & truth) / max(len(truth), 1), 4)
+    except Exception as exc:  # noqa: BLE001
+        errors["__ann_recall__"] = f"{type(exc).__name__}: {exc}"[:500]
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ann_recall_at_10": ann_recall,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ann_recall_at_10": ann_recall,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,41 @@
+"""Timestamp utilities.
+
+The driver testdata stores ``events.ts`` as parquet TIMESTAMP with
+``isAdjustedToUTC=false``, which Spark reads as TIMESTAMP_NTZ — and Spark 4
+refuses ``CAST(timestamp_ntz AS BIGINT)`` outright (DATATYPE_MISMATCH).
+Every operator that needs epoch arithmetic (sessionization gaps, range-join
+bucketing) must therefore go through :func:`epoch_seconds`, which picks a
+legal, deterministic conversion per timestamp flavor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def epoch_seconds(df: DataFrame, col: str) -> Column:
+    """Seconds since the Unix epoch for timestamp column ``col`` of ``df``.
+
+    - TIMESTAMP (with local time zone): plain ``CAST(... AS BIGINT)``.
+    - TIMESTAMP_NTZ: interval subtraction from the epoch wall-clock,
+      ``CAST(ts - TIMESTAMP_NTZ '1970-01-01' AS BIGINT)`` — session-timezone
+      *independent* (an NTZ→LTZ cast would shift by the driver session's
+      zone and wobble across DST transitions), so the same wall-clock input
+      always yields the same epoch number on any cluster.
+
+    Sub-second precision is truncated (floor for post-epoch values), matching
+    ``CAST(timestamp AS BIGINT)`` semantics. Stays entirely inside
+    whole-stage codegen — no UDF, no shuffle.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"CAST(`{col}` - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS BIGINT)"
+        )
+    if isinstance(dt, TimestampType):
+        return F.col(col).cast("long")
+    raise TypeError(
+        f"epoch_seconds: column {col!r} has non-timestamp type {dt.simpleString()}"
+    )

@@ -164,15 +164,19 @@ def range_join_binned(
     exact range predicate. Pick ``bucket_seconds`` ~ the typical interval
     span so fan-out stays 1-2 buckets per interval.
     """
+    from ..functions.timeutil import epoch_seconds
+
+    # epoch_seconds handles TIMESTAMP_NTZ columns (bare .cast("long") is
+    # illegal on NTZ in Spark 4); bucket math is identical for both flavors.
     pb = points.withColumn(
-        "_bucket", F.floor(F.col(ts_col).cast("long") / bucket_seconds)
+        "_bucket", F.floor(epoch_seconds(points, ts_col) / bucket_seconds)
     )
     ib = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("long") / bucket_seconds),
-                F.floor(F.col(end_col).cast("long") / bucket_seconds),
+                F.floor(epoch_seconds(intervals, start_col) / bucket_seconds),
+                F.floor(epoch_seconds(intervals, end_col) / bucket_seconds),
             )
         ),
     )

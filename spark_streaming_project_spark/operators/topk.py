@@ -83,14 +83,34 @@ def top_n_with_other(
     those n keys followed by a full aggregate to one row, so a
     high-cardinality key column never funnels through one task.  Ties break
     deterministically on (count desc, key asc), matching the old window rank.
+
+    Totals are preserved for ANY input: rows are first combined to one row
+    per key (map-side-combinable; a no-op pass-through when the input is
+    already aggregated), the anti-join is NULL-safe (a NULL key can win a
+    top-n slot without its count also leaking into the residual), and a
+    final merge of the tiny (≤ n+1 row) union folds a winner key equal to
+    ``other_label`` into one row.  Pre-aggregation also makes the plan
+    deterministic, so the two evaluations of the top-n subtree (anti-join +
+    union) cannot disagree.
     """
-    top = df.orderBy(F.desc(count_col), F.asc(key_col)).limit(n)
+    agg = df.groupBy(key_col).agg(F.sum(count_col).alias(count_col))
+    top = agg.orderBy(F.desc(count_col), F.asc(key_col)).limit(n)
     residual = (
-        df.join(F.broadcast(top.select(key_col)), on=key_col, how="left_anti")
+        agg.alias("_rest")
+        .join(
+            F.broadcast(top.select(F.col(key_col).alias("_top_key"))),
+            on=F.col(f"_rest.{key_col}").eqNullSafe(F.col("_top_key")),
+            how="left_anti",
+        )
         .agg(F.sum(count_col).alias(count_col))
         .select(F.lit(other_label).alias(key_col), F.col(count_col))
         # sum over an empty remainder is NULL -> emit no residual row at all,
         # matching the old conditional-bucket semantics.
         .where(F.col(count_col).isNotNull())
     )
-    return top.select(key_col, count_col).unionByName(residual)
+    return (
+        top.select(key_col, count_col)
+        .unionByName(residual)
+        .groupBy(key_col)
+        .agg(F.sum(count_col).alias(count_col))
+    )

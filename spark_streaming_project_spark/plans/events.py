@@ -107,9 +107,14 @@ def events_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "sessionization"),
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeutil import epoch_seconds
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # epoch_seconds handles the testdata's TIMESTAMP_NTZ (a bare
+    # .cast("long") is illegal on NTZ in Spark 4).
+    sec = epoch_seconds(ev, "ts")
+    gap = sec - F.lag(sec).over(w)
     flagged = ev.select(
         "user_id",
         "ts",

@@ -1,0 +1,89 @@
+"""Regression pins for the round-3 fixes.
+
+1. ``epoch_seconds`` must work on BOTH timestamp flavors — the driver
+   testdata ships TIMESTAMP_NTZ, where Spark 4 rejects a bare
+   ``CAST(... AS BIGINT)`` (the round-2 driver gate lost ``user_sessions``
+   and ``error_aftermath_clicks`` to exactly that).
+2. ``top_n_with_other`` must preserve the grand total on the inputs the
+   ADVICE flagged: NULL keys in the top-n, non-pre-aggregated (duplicate
+   key) input, and a winner key colliding with the residual label.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from spark_streaming_project_spark.functions.timeutil import epoch_seconds
+from spark_streaming_project_spark.operators.topk import top_n_with_other
+
+UTC = datetime.timezone.utc
+
+
+def test_epoch_seconds_ntz_and_ltz_agree(spark):
+    rows = [
+        ("1970-01-01 00:00:00", 0),
+        ("2024-01-01 00:09:58", 1704067798),
+        ("1999-12-31 23:59:59", 946684799),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string").select(
+        F.col("s").cast("timestamp").alias("ltz"),
+        F.col("s").cast("timestamp_ntz").alias("ntz"),
+    )
+    got = df.select(
+        epoch_seconds(df, "ltz").alias("a"), epoch_seconds(df, "ntz").alias("b")
+    ).collect()
+    want = [e for _, e in rows]
+    # session tz is UTC, so LTZ and NTZ must agree and match the true epoch
+    assert [r["a"] for r in got] == want
+    assert [r["b"] for r in got] == want
+
+
+def test_epoch_seconds_rejects_non_timestamp(spark):
+    import pytest
+
+    df = spark.range(1)
+    with pytest.raises(TypeError):
+        epoch_seconds(df, "id")
+
+
+def test_top_n_with_other_null_key_not_double_counted(spark):
+    # NULL has the highest count -> wins a top-2 slot; its 50 must NOT also
+    # leak into the residual (the old null-unsafe anti-join double-counted).
+    df = spark.createDataFrame(
+        [(None, 50), ("a", 10), ("b", 5), ("c", 3)], "k string, cnt long"
+    )
+    rows = {r["k"]: r["cnt"] for r in top_n_with_other(df, "k", "cnt", 2).collect()}
+    assert rows == {None: 50, "a": 10, "Autres": 8}
+    assert sum(rows.values()) == 68
+
+
+def test_top_n_with_other_null_key_in_residual(spark):
+    # NULL does not win -> its count belongs to the residual, not dropped.
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 9), (None, 2), ("c", 1)], "k string, cnt long"
+    )
+    rows = {r["k"]: r["cnt"] for r in top_n_with_other(df, "k", "cnt", 2).collect()}
+    assert rows == {"a": 10, "b": 9, "Autres": 3}
+
+
+def test_top_n_with_other_preaggregates_duplicate_keys(spark):
+    # Raw (unaggregated) input: per-key sums decide winners and every row's
+    # count lands somewhere (the old version silently dropped non-winning
+    # duplicates of a winner key).
+    df = spark.createDataFrame(
+        [("a", 6), ("a", 6), ("b", 10), ("c", 2), ("c", 1)], "k string, cnt long"
+    )
+    rows = {r["k"]: r["cnt"] for r in top_n_with_other(df, "k", "cnt", 1).collect()}
+    assert rows == {"a": 12, "Autres": 13}
+
+
+def test_top_n_with_other_merges_other_label_collision(spark):
+    # A genuine key named like the residual label folds into ONE output row.
+    df = spark.createDataFrame(
+        [("Autres", 7), ("x", 5), ("y", 1)], "k string, cnt long"
+    )
+    rows = top_n_with_other(df, "k", "cnt", 1).collect()
+    got = {r["k"]: r["cnt"] for r in rows}
+    assert len(rows) == 1 and got == {"Autres": 13}
