@@ -170,9 +170,13 @@ def ngram_jaccard_pairs(
     filtering), which prunes candidate generation to the rarest grams per
     document and wins asymptotically.
     """
+    # One shingle pass total: shingling is interpreted higher-order lambdas
+    # (the most expensive expression in the pipeline) and this frame feeds
+    # three consumers (sizes + both self-join sides) — unpersisted, Spark
+    # recomputes it per consumer. MEMORY_AND_DISK, skinny (id, gram) rows.
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
-    )
+    ).persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     inter = (
         grams.select(F.col(id_col).alias("id_a"), "gram")
@@ -245,11 +249,24 @@ def ngram_jaccard_pairs_prefix(
             F.col("_rn")
             <= F.col("_ng") - F.ceil(F.lit(threshold) * F.col("_ng")) + 1
         )
+        .persist()  # both sides of the candidate self-join
     )
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "h")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "h"), "h")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_ng_a"), "h")
+        .join(
+            prefix.select(
+                F.col(id_col).alias("id_b"), F.col("_ng").alias("_ng_b"), "h"
+            ),
+            "h",
+        )
+        # AllPairs LENGTH filter: Jaccard >= t forces
+        # min(|x|,|y|) >= |x∩y| >= t·|x∪y| >= t·max(|x|,|y|), so size-skewed
+        # pairs are dropped before the (expensive) exact-verify join.
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_ng_a") >= F.ceil(F.lit(threshold) * F.col("_ng_b")))
+            & (F.col("_ng_b") >= F.ceil(F.lit(threshold) * F.col("_ng_a")))
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
