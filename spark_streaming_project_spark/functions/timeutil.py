@@ -39,3 +39,19 @@ def epoch_seconds(df: DataFrame, col: str) -> Column:
     raise TypeError(
         f"epoch_seconds: column {col!r} has non-timestamp type {dt.simpleString()}"
     )
+
+
+def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Return ``df`` with ``col`` usable as an EVENT-TIME column.
+
+    Watermarks and event-time windows require TIMESTAMP (with local time
+    zone) — Spark raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    TIMESTAMP_NTZ. NTZ columns are cast, i.e. interpreted as wall-clock in
+    the SESSION time zone (this engine pins it to UTC in ``session.py``),
+    preserving microsecond precision. Already-LTZ columns pass through
+    untouched. Apply at the streaming-source boundary, before
+    ``withWatermark``.
+    """
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df

@@ -1,0 +1,88 @@
+"""Distributed graph helpers for dedup canonicalization.
+
+Near-dup detection emits PAIRS; production dedup needs CLUSTERS — the
+transitive closure of those pairs — so each document maps to one canonical
+representative (min id of its component). A greedy "drop id_b" keep-list is
+not transitive: for a chain a-b, b-c it never links a and c, and which docs
+survive depends on pair orientation. Connected components is the standard
+answer (cf. MinHashLSH dedup pipelines; large-star/small-star in Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+Implementation: min-label propagation with pointer jumping (path halving) —
+each round every node takes the min of (its label, its neighbors' labels,
+its label's label). The extra label-of-label hop is what turns O(diameter)
+rounds into O(log n): long chains collapse by halving. Per round the driver
+sees ONE scalar (the monotonically decreasing label sum) for the convergence
+test; label frames are persisted per round and the previous round's cache is
+released, so lineage never grows past one round's plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; ``component``
+    is the minimum node id reachable through any chain of edges.
+
+    Scale shape: every round is two equi-joins + a keyed min aggregate, all
+    hash-partitioned on node id — no driver-side graph, no crossJoin. Rounds
+    needed = O(log n) thanks to pointer jumping; real dedup graphs (many
+    small near-clique clusters) converge in 2-4 rounds. Raises RuntimeError
+    if ``max_iter`` rounds don't converge rather than returning a partially
+    propagated (wrong) labeling.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+
+    # localCheckpoint (not persist): each round's frame must TRUNCATE lineage,
+    # or the logical plan nests one level per round and analysis stack-
+    # overflows after ~6 rounds. eager=True doubles as the materialization.
+    lbl = (
+        sym.select("u")
+        .distinct()
+        .withColumn("lbl", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = lbl.agg(F.sum("lbl")).collect()[0][0]
+    if prev_sum is None:  # empty edge set
+        sym.unpersist()
+        return lbl.select("u", F.col("lbl").alias("component"))
+
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(lbl.select(F.col("u").alias("v"), "lbl"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("_nlbl"))
+        )
+        stepped = lbl.join(nmin, "u", "left").select(
+            "u", F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl")
+        )
+        # pointer jumping: also adopt the label of the current label
+        hop = stepped.select(F.col("u").alias("_t"), F.col("lbl").alias("_tl"))
+        new = (
+            stepped.join(hop, stepped["lbl"] == hop["_t"], "left")
+            .select("u", F.least("lbl", F.coalesce("_tl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so an unchanged sum == full convergence;
+        # this one scalar is the only thing that reaches the driver per round.
+        new_sum = new.agg(F.sum("lbl")).collect()[0][0]
+        lbl = new
+        if new_sum == prev_sum:
+            sym.unpersist()
+            return lbl.select("u", F.col("lbl").alias("component"))
+        prev_sum = new_sum
+
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components: no convergence after {max_iter} rounds "
+        f"(pathological graph or max_iter too small)"
+    )

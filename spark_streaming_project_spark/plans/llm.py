@@ -790,6 +790,69 @@ def dedup_ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Transitive canonicalization: connected components over the near-dup pair
+# graph (pairs alone aren't a dedup policy — a chain a~b, b~c must land in
+# ONE cluster). Oracle replays the closure with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS u, doc_id AS r FROM documents
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, min(r) AS canonical_id FROM reach GROUP BY u
+"""
+
+
+@register(
+    "dedup_canonical_map",
+    oracle=_CANONICAL_ORACLE,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document mapped to the canonical representative (min doc_id) of
+    its TRANSITIVE near-dup cluster: exact n-gram Jaccard pairs (threshold
+    0.5) -> connected components (pointer-jumping label propagation) ->
+    left join back so unique docs map to themselves."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(docs, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("u").alias("doc_id"), "component"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN (inverted-list scale path; third similarity tier after brute-force
 # and hyperplane LSH).
 # ---------------------------------------------------------------------------

@@ -1,45 +1,74 @@
 """Source-layer contracts: ns-timestamp reads don't leak session conf, the
-footer cache tracks file rewrites, and compaction preserves data."""
+footer cache tracks file rewrites, and loads work across the timestamp
+encodings the driver testdata has shipped (nanos in round 1, micros
+TIMESTAMP_NTZ since round 2)."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from spark_streaming_project_spark.sources.batch import load_table
 
-NS_SF = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.001"
 CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
-def test_load_table_restores_nanos_conf(spark):
-    # events.ts is TIMESTAMP(NANOS) in the driver testdata — the one table
-    # that forces the legacy conf on during schema resolution.
+def _write_ns_events(path: str, n: int = 10) -> None:
+    """A tiny events table with a TIMESTAMP(NANOS) column — the encoding
+    round-1 testdata used, which Spark rejects without the legacy conf."""
+    base = datetime.datetime(2024, 1, 1)
+    ts = [base + datetime.timedelta(seconds=i, microseconds=137) for i in range(n)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_load_table_converts_nanos_and_restores_conf(spark, tmp_path):
+    _write_ns_events(str(tmp_path / "events.parquet"))
     assert spark.conf.get(CONF, None) is None
-    df = load_table(spark, NS_SF, "events")
+    df = load_table(spark, str(tmp_path), "events")
     assert spark.conf.get(CONF, None) is None  # restored, not leaked
-    # and the plan still executes correctly after the restore
-    assert df.count() > 0
+    # ns values truncate to micro-precision timestamps
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    first = df.orderBy("event_id").first()
+    assert first["ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 137)
+
+
+def test_load_table_reads_current_testdata(spark):
+    # the regenerated driver testdata stores micros; load must pass it
+    # through untouched (no ns conversion), whatever the tz flavor.
+    assert spark.conf.get(CONF, None) is None
+    df = load_table(spark, SF, "events")
+    assert spark.conf.get(CONF, None) is None
+    assert df.count() > 0
+    assert df.schema["ts"].dataType.simpleString() in ("timestamp", "timestamp_ntz")
 
 
 def test_load_table_preserves_preexisting_conf(spark):
     spark.conf.set(CONF, "false")
     try:
-        load_table(spark, NS_SF, "events").count()
+        load_table(spark, SF, "events").count()
         assert spark.conf.get(CONF) == "false"
     finally:
         spark.conf.unset(CONF)
 
 
 def test_footer_cache_invalidated_on_rewrite(spark, tmp_path):
-    # Copy the ns-timestamp file, read it (caches "ts is ns"), then rewrite
+    # Write an ns-timestamp file, read it (caches "ts is ns"), then rewrite
     # the same path with MICROS timestamps: the stale cache must not apply
     # the div-1000 conversion to the already-micros column.
     path = str(tmp_path / "events.parquet")
-    shutil.copyfile(os.path.join(NS_SF, "events.parquet"), path)
+    _write_ns_events(path)
     first = load_table(spark, str(tmp_path), "events")
     ns_max = first.select(F.max("ts")).collect()[0][0]
 

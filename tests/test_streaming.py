@@ -18,6 +18,7 @@ from spark_streaming_project_spark.operators.aggregates import (
 )
 from spark_streaming_project_spark.operators.parse import parse_envelopes
 from spark_streaming_project_spark.operators.topk import additive_counts
+from spark_streaming_project_spark.functions.timeutil import ensure_event_time
 from spark_streaming_project_spark.sources.batch import load_table
 from spark_streaming_project_spark.sources.fixtures import (
     make_envelopes,
@@ -150,7 +151,9 @@ def test_per_batch_append_topk(spark, tmp_path):
 def test_watermarked_tumbling_window(spark, tmp_path):
     """X4 extension: watermarked tumbling-window counts in append mode emit
     exactly the windows closed by the final watermark."""
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = ensure_event_time(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts"
+    )  # watermarks require TIMESTAMP; testdata ships TIMESTAMP_NTZ
     src = str(tmp_path / "events_src")
     ev.orderBy("ts").coalesce(2).write.parquet(src)
 
@@ -202,7 +205,9 @@ def test_session_window_streaming_matches_batch_gap_logic(spark, tmp_path):
     matches the batch lag-gap sessionization (same gap)."""
     import datetime
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = ensure_event_time(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts"
+    )
     src = str(tmp_path / "sess_src")
     ev.orderBy("ts").coalesce(2).write.parquet(src)
     schema = spark.read.parquet(src).schema
@@ -304,7 +309,9 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     (the streaming sibling of the batch range join): every (purchase, click)
     pair of the same user with the click in the hour before the purchase.
     availableNow drain must emit exactly the batch join's result."""
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = ensure_event_time(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts"
+    )
     src = str(tmp_path / "ssj_src")
     ev.orderBy("ts").coalesce(2).write.parquet(src)
     schema = spark.read.parquet(src).schema
@@ -359,7 +366,9 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """Streaming exact-dedup built-in: dropDuplicatesWithinWatermark on a
     stream that replays every event twice yields each event once."""
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    ev = ensure_event_time(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts"
+    ).limit(500)
     src = str(tmp_path / "ddw_src")
     ev.coalesce(1).write.parquet(src)
     ev.coalesce(1).write.mode("append").parquet(src)  # exact replay
