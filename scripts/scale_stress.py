@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Scale-stress the dedup / ANN tiers: sf0.1 vs a derived 10x corpus.
+
+The driver ships sf0.1 as the largest testdata; the 100 TB claims rest on
+HOW each tier's cost grows, so this harness derives a deterministic 10x
+corpus (50k docs / 20k vectors) from sf0.1 by replication-with-perturbation
+— every original document gains 9 near-duplicate variants (~10% of tokens
+rewritten, so variant groups sit well above the 0.5 Jaccard cutoff), every
+vector gains 9 small-noise neighbors — and times each tier at both scales.
+
+Derived data lands in _scale/ (gitignored — derived artifact, regenerated
+on demand). Run: python scripts/scale_stress.py; one JSON line per
+(tier, scale) plus a summary with growth factors. Used to produce SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC_SF = "/root/testdata/sf0.1"
+OUT_DIR = os.path.join(REPO, "_scale", "sf1x")
+REPLICAS = 10
+SEED = 42
+
+
+def build_derived() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+
+    docs = pq.read_table(os.path.join(SRC_SF, "documents.parquet"))
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+
+    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for r in range(REPLICAS):
+        for pos, (i, t) in enumerate(zip(ids, texts)):
+            if r == 0 or t is None:
+                nt = t
+            else:
+                toks = t.split(" ")
+                # rewrite ~10% of tokens deterministically: variant groups
+                # stay near-dups of each other (Jaccard ~0.8 vs original)
+                for j in range(len(toks)):
+                    if (i + j + r) % 10 == 0:
+                        toks[j] = f"{toks[j]}v{r}"
+                nt = " ".join(toks)
+            out["doc_id"].append(i * 16 + r)
+            out["text"].append(nt)
+            out["lang"].append(langs[pos])
+            out["source"].append(sources[pos])
+            out["n_chars"].append(len(nt) if nt is not None else None)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "source": pa.array(out["source"], pa.string()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+            }
+        ),
+        os.path.join(OUT_DIR, "documents.parquet"),
+    )
+
+    emb = pq.read_table(os.path.join(SRC_SF, "embeddings.parquet"))
+    vids = emb.column("vec_id").to_pylist()
+    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+    labels = emb.column("label").to_pylist()
+    all_ids, all_vecs, all_labels = [], [], []
+    for r in range(REPLICAS):
+        noise = (
+            np.zeros_like(vecs)
+            if r == 0
+            else rng.normal(0, 0.02, vecs.shape).astype(np.float32)
+        )
+        all_ids.extend(v * 16 + r for v in vids)
+        all_vecs.append(vecs + noise)
+        all_labels.extend(labels)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(all_ids, pa.int64()),
+                "embedding": pa.array(
+                    np.concatenate(all_vecs).tolist(),
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(all_labels, pa.int32()),
+            }
+        ),
+        os.path.join(OUT_DIR, "embeddings.parquet"),
+    )
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(OUT_DIR, "embeddings.parquet")):
+        build_derived()
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators import dedup as D
+    from spark_streaming_project_spark.operators import similarity as S
+    from spark_streaming_project_spark.operators.graph import connected_components
+    from spark_streaming_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_stress")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: list[dict] = []
+
+    def run(tier: str, scale: str, fn) -> None:
+        t0 = time.perf_counter()
+        n = fn().count()
+        sec = round(time.perf_counter() - t0, 2)
+        row = {"tier": tier, "scale": scale, "rows_out": n, "sec": sec}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    for scale, ddir in (("sf0.1", SRC_SF), ("10x", OUT_DIR)):
+        docs = spark.read.parquet(os.path.join(ddir, "documents.parquet"))
+        emb = spark.read.parquet(os.path.join(ddir, "embeddings.parquet"))
+        qid = int(emb.select(F.min("vec_id")).collect()[0][0])
+        dim = 64
+
+        run("dedup_exact", scale, lambda: D.exact_dedup_groups(docs, "text", "doc_id"))
+        run("dedup_minhash_lsh", scale,
+            lambda: D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5))
+        run("dedup_simhash", scale,
+            lambda: D.simhash_near_dup_pairs(docs, "text", "doc_id"))
+        run("ngram_inverted", scale,
+            lambda: D.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5))
+        run("ngram_prefix", scale,
+            lambda: D.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", 3, 0.5))
+        run("canonical_cc", scale, lambda: connected_components(
+            D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)))
+        run("ann_bruteforce", scale,
+            lambda: S.brute_force_topk(emb, "vec_id", "embedding", qid))
+        run("ann_lsh_multitable", scale, lambda: S.lsh_multitable_topk(
+            emb, "vec_id", "embedding", qid, dim))
+        run("ann_ivf", scale,
+            lambda: S.ivf_topk(emb, "vec_id", "embedding", qid))
+
+    by_tier: dict[str, dict[str, float]] = {}
+    for r in results:
+        by_tier.setdefault(r["tier"], {})[r["scale"]] = r["sec"]
+    summary = {
+        t: {
+            **v,
+            "growth": round(v["10x"] / v["sf0.1"], 1) if v.get("sf0.1") else None,
+        }
+        for t, v in by_tier.items()
+    }
+    print(json.dumps({"summary": summary}))
+
+
+if __name__ == "__main__":
+    main()
