@@ -949,3 +949,150 @@ def lang_source_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.dense_rank().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline utilities: deterministic splits, vocabulary, scrubbing,
+# embedding-space diagnostics. All md5/regex-based so the oracle replays the
+# exact assignment, not a statistical summary of it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_split_counts",
+    oracle="""
+    SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang,
+           count(*) AS doc_count
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "split"),
+)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, reshuffle-proof train/val/test assignment from the
+    first hex digit of md5(doc_id): 0-b => train (75%), c-d => val (12.5%),
+    e-f => test (12.5%). Content-independent and stable as the corpus grows
+    — the property that prevents eval-set leakage across pipeline reruns.
+    Pure expression over the scan: no shuffle beyond the final count."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h <= "b", F.lit("train"))
+        .when(h <= "d", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("doc_count")
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT lower(unnest(words)) AS token FROM toks)
+    SELECT token, count(*) AS token_count
+    FROM tok
+    GROUP BY token
+    ORDER BY token_count DESC, token ASC
+    LIMIT 50
+    """,
+    tags=("llm", "vocab"),
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 lowercased whitespace tokens. The
+    scale shape is explode -> partial-agg -> TakeOrderedAndProject: the
+    map-side combine collapses each partition to its distinct tokens before
+    the single shuffle, and no global sort materializes."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .select(F.lower("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=r"""
+    SELECT CAST(count(*) FILTER (len(regexp_extract_all(text, '[0-9]{4,}')) > 0)
+                AS BIGINT) AS docs_affected,
+           CAST(coalesce(sum(len(regexp_extract_all(text, '[0-9]{4,}'))), 0)
+                AS BIGINT) AS total_redactions,
+           CAST(coalesce(sum(len(text) - len(regexp_replace(text, '[0-9]{4,}', '', 'g'))), 0)
+                AS BIGINT) AS chars_redacted
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    tags=("llm", "scrub"),
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction audit for a scrubbing pass (pattern: digit runs of 4+ — the
+    id/phone/credit-card shape): how many documents are touched, how many
+    spans, how many characters. The scrub itself is regexp_replace on the
+    scan; this query is the audit aggregate a pipeline logs next to it."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pat = r"[0-9]{4,}"
+    n_spans = F.regexp_count(F.col("text"), F.lit(pat))
+    scrubbed_len = F.length(F.regexp_replace(F.col("text"), pat, ""))
+    return docs.agg(
+        F.count_if(n_spans > 0).cast("bigint").alias("docs_affected"),
+        F.coalesce(F.sum(n_spans), F.lit(0)).cast("bigint").alias("total_redactions"),
+        F.coalesce(F.sum(F.length("text") - scrubbed_len), F.lit(0))
+        .cast("bigint")
+        .alias("chars_redacted"),
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH elems AS (
+        SELECT label,
+               unnest(list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)))
+                   AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, pos, sum(v) AS s, count(*) AS n
+        FROM elems GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS vec_count,
+           round(sqrt(sum((s / n) * (s / n))), 6) AS centroid_norm
+    FROM sums
+    GROUP BY label
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm — the embedding-space collapse/coverage
+    diagnostic (a label whose centroid norm approaches 1 on unit vectors is
+    a tight cluster; near 0 means the label spans the sphere). Elements are
+    rounded to a 1e-3 grid before summing so the Spark and DuckDB float
+    totals agree bit-for-bit; the aggregation is posexplode ->
+    (label, pos) partial sums -> per-label fold, all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "raw")
+    ).select("label", "pos", F.round(F.col("raw").cast("double"), 3).alias("v"))
+    sums = elems.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    return sums.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("vec_count"),
+        F.round(
+            F.sqrt(F.sum((F.col("s") / F.col("n")) * (F.col("s") / F.col("n")))), 6
+        ).alias("centroid_norm"),
+    )
