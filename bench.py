@@ -86,7 +86,31 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # The driver records only the LAST 2000 chars of stdout and json-parses
+    # the final line; a full 76-query map is ~2.7 KB, so every round's
+    # artifact came back parsed:null. Write the complete result to
+    # BENCH_FULL.json and shrink the printed line (slowest queries first)
+    # until it fits the capture window.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        ranked = sorted(timings, key=timings.get, reverse=True)
+        shown: dict[str, float] = {}
+        out["queries"] = shown
+        out["n_queries"] = len(timings)
+        out["detail"] = "BENCH_FULL.json"
+        for name in ranked:
+            shown[name] = timings[name]
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) > 1850:
+                del shown[name]
+                break
+        out["queries_shown"] = len(shown)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

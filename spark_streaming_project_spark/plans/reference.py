@@ -306,6 +306,35 @@ def top_categories_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_n_with_other(counts, "main_category", "category_count", 3)
 
 
+@register(
+    "top_categories_donut",
+    oracle="""
+    WITH counts AS (
+        SELECT split_part(p_name, ' ', 1) AS main_category,
+               count(*) AS category_count
+        FROM part GROUP BY 1
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            ORDER BY category_count DESC, main_category ASC) AS rnk
+        FROM counts
+    )
+    SELECT CASE WHEN rnk <= 8 THEN main_category ELSE 'Autres' END AS main_category,
+           CAST(sum(category_count) AS BIGINT) AS category_count
+    FROM ranked
+    GROUP BY 1
+    """,
+    tags=("reference", "T2"),
+)
+def top_categories_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's actual donut prep (streamlit/app.py:153-160:
+    ``top_n = 8``, 'Autres' row only when a remainder exists — which
+    ``top_n_with_other`` reproduces by emitting no residual row when the
+    remainder is empty). The n=3 twin above keeps the residual branch
+    exercised on the small fixture corpus."""
+    counts = category_counts(spark, sf_dir)
+    return top_n_with_other(counts, "main_category", "category_count", 8)
+
+
 # ---------------------------------------------------------------------------
 # A7 — weighted average (streamlit/app.py:214-216): Σ(group·count)/Σ(count).
 # ---------------------------------------------------------------------------
