@@ -457,14 +457,22 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "unpivot"),
 )
 def lineitem_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot AFTER aggregating, not before: stack-then-groupBy triples the
+    rows entering the shuffle (fact_rows x measures), while aggregating the
+    three sums in one scan and stacking the per-flag aggregate unpivots a
+    handful of rows. Same exact decimal totals, 3x less shuffle volume —
+    the ordering that matters at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    long = li.selectExpr(
-        "l_returnflag",
-        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
-        "'discount', l_discount) AS (measure, value)",
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).alias("_q"),
+        F.sum(_dec("l_extendedprice")).alias("_p"),
+        F.sum(_dec("l_discount")).alias("_d"),
     )
-    return long.groupBy("l_returnflag", "measure").agg(
-        F.sum(_dec("value")).cast("double").alias("total")
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', _q, 'price', _p, 'discount', _d) AS (measure, _t)",
+    ).select(
+        "l_returnflag", "measure", F.col("_t").cast("double").alias("total")
     )
 
 
