@@ -19,8 +19,10 @@ def _dec(col, scale: int = 6):
 
 # ---------------------------------------------------------------------------
 # Tumbling event-time window (batch twin of the streaming windowed count).
-# date_trunc is used (rather than F.window) so the grouping column is a plain
-# timestamp comparable across engines; streaming tests exercise F.window.
+# F.window (not date_trunc): window() operates natively in the column's
+# timestamp domain, so a TIMESTAMP_NTZ input yields NTZ wall-clock window
+# bounds in ANY session time zone. date_trunc round-trips NTZ through the
+# session zone (verified: mismatches DuckDB under America/New_York).
 # ---------------------------------------------------------------------------
 
 
@@ -39,13 +41,16 @@ def _dec(col, scale: int = 6):
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"),
-            "event_type",
-        )
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("event_count"),
             F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
         )
     )
 
