@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, dot, norm
@@ -233,6 +233,106 @@ def ivf_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_list: int = 8,
+) -> None:
+    """Materialize the IVF index as ``list_id``-PARTITIONED parquet plus a
+    centroid sidecar — the storage layout that makes ANN probing a
+    partition-pruned scan instead of a full-table filter.
+
+    Same deterministic hash-centroid scheme as :func:`ivf_topk` (n_list
+    vectors with the smallest md5(id)); each vector lands in the directory
+    of its nearest centroid. The centroids (≤ n_list tiny rows) go to
+    ``<path>/_ivf_centroids`` — the underscore prefix keeps Spark's reader
+    from picking the sidecar up as data. At query time
+    :func:`ivf_partitioned_topk` resolves probe lists driver-side from the
+    sidecar and the scan's PartitionFilters prune to n_probe/n_list of the
+    files — the physical realization of the pruning that ``ivf_topk`` can
+    only do logically.
+    """
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    hashed = vecs.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+    cents = (
+        hashed.orderBy("_h", id_col)
+        .limit(n_list)
+        .withColumn("cid", F.row_number().over(Window.orderBy("_h", id_col)))
+        .select("cid", F.col("_v").alias("_cv"))
+        .withColumn("_cn", norm(F.col("_cv")))
+    )
+    _n = F.col("_vn") * F.col("_cn")
+    scored = (
+        vecs.withColumn("_vn", norm(F.col("_v")))
+        .join(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "_v",
+            "cid",
+            F.when(_n > 0, dot(F.col("_v"), F.col("_cv")) / _n).alias("_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
+    )
+    assigned = (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_v").alias(vec_col), F.col("cid").alias("list_id"))
+    )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    cents.select("cid", F.col("_cv").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_ivf_centroids")
+
+
+def ivf_partitioned_topk(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a :func:`write_ivf_partitioned` index: probe lists are chosen
+    DRIVER-SIDE against the ≤ n_list centroid sidecar (bounded collect),
+    and the data scan filters ``list_id IN (probes)`` — a pure partition-
+    directory prune, visible as PartitionFilters in the plan; non-probed
+    files are never opened. Scoring matches :func:`ivf_topk` bit-for-bit
+    (same cosine expression, same rounding, same total order)."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/_ivf_centroids").collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def _cos(c) -> float:
+        cn = math.sqrt(sum(x * x for x in c["centroid"]))
+        if qn * cn == 0:
+            return float("-inf")
+        return sum(a * b for a, b in zip(query_vec, c["centroid"])) / (qn * cn)
+
+    probes = [
+        c["cid"] for c in sorted(cents, key=lambda c: (-_cos(c), c["cid"]))[:n_probe]
+    ]
+    data = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    if exclude_id is not None:
+        data = data.filter(F.col(id_col) != exclude_id)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = data.select(
+        F.col(id_col),
+        F.round(
+            dot(as_double(vec_col), q)
+            / (norm(as_double(vec_col)) * F.lit(qn)),
+            ROUND_DECIMALS,
+        ).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
 def lsh_bucket_topk(
