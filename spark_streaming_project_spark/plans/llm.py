@@ -1096,3 +1096,76 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum((F.col("s") / F.col("n")) * (F.col("s") / F.col("n")))), 6
         ).alias("centroid_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive keep-list: the canonical-policy sibling of dedup_keep_list.
+# Greedy "drop every id_b" can drop BOTH endpoints of a chain's middle links;
+# the canonical policy keeps exactly one doc (the min id) per TRANSITIVE
+# near-dup cluster — the invariant production dedup wants.
+# ---------------------------------------------------------------------------
+
+_CANONICAL_KEEP_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS u, doc_id AS r FROM documents
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    canon AS (
+        SELECT u AS doc_id, min(r) AS canonical_id FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN canon c ON c.doc_id = d.doc_id
+    WHERE c.doc_id = c.canonical_id
+"""
+
+
+@register(
+    "dedup_canonical_keep",
+    oracle=_CANONICAL_KEEP_ORACLE,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving TRANSITIVE near-dup removal: MinHash-LSH verified
+    pairs (threshold 0.3) -> connected components -> keep only each
+    cluster's min doc_id. Contrast with dedup_keep_list (greedy drop-id_b,
+    order-dependent on chains)."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    cc = connected_components(pairs, "id_a", "id_b")
+    keep = cc.filter(F.col("u") == F.col("component")).select(
+        F.col("u").alias("doc_id")
+    )
+    survivors = docs.join(
+        cc.select(F.col("u").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id").unionByName(keep)
+    return docs.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
