@@ -1,0 +1,79 @@
+"""Streaming parity for the LLM-pipeline surface: the curation transforms
+are plain DataFrame expressions, so the SAME logic must run unchanged as a
+structured stream and converge to the batch answers (batch/stream
+unification — the engine's core contract)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_streaming_project_spark.sources.batch import load_table
+from spark_streaming_project_spark.streaming import StreamRunner, stream_parquet_dir
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split_counts(df):
+    """corpus_split_counts logic, engine-side (works on batch AND stream)."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h <= "b", F.lit("train"))
+        .when(h <= "d", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("doc_count")
+    )
+
+
+def _quality_keep(df):
+    """curated-corpus style stateless filter: non-null text, >= 20 tokens."""
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    return df.filter(F.col("text").isNotNull() & (toks >= 20)).select(
+        "doc_id", "lang"
+    )
+
+
+def test_streaming_split_counts_converge_to_batch(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_src")
+    # two chunks -> two micro-batches with maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_split"))
+    runner.add("split_stream", _split_counts(stream), output_mode="complete")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        (r["split"], r["lang"]): r["doc_count"]
+        for r in spark.table("split_stream").collect()
+    }
+    want = {
+        (r["split"], r["lang"]): r["doc_count"]
+        for r in _split_counts(docs).collect()
+    }
+    assert got == want and got
+
+
+def test_streaming_quality_filter_is_stateless_append(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_q_src")
+    docs.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_q"))
+    runner.add("quality_stream", _quality_keep(stream), output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = sorted(r["doc_id"] for r in spark.table("quality_stream").collect())
+    want = sorted(r["doc_id"] for r in _quality_keep(docs).collect())
+    assert got == want and len(got) > 0
+    assert os.path.isdir(str(tmp_path / "ckpt_q"))
