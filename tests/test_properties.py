@@ -109,3 +109,88 @@ def test_epoch_seconds_flavors_agree(spark, ts):
     for r, t in zip(rows_, ts):
         want = int(t.replace(tzinfo=datetime.timezone.utc).timestamp())
         assert r["a"] == want and r["b"] == want
+
+
+# ---------------------------------------------------------------------------
+# Join operators vs brute-force references: asof_join and range_join_binned
+# have the subtlest semantics in the tree (tie-breaks, boundary inclusivity,
+# bucket fan-out) — random inputs vs an O(n*m) python oracle pin them.
+# ---------------------------------------------------------------------------
+
+ts_vals = st.integers(0, 50)
+ids = st.integers(0, 3)
+
+left_rows = st.lists(
+    st.tuples(ids, ts_vals, st.integers(1000, 1999)), min_size=1, max_size=15
+)
+right_rows = st.lists(
+    st.tuples(ids, ts_vals, st.integers(2000, 2999)), min_size=0, max_size=15
+)
+
+
+@given(left=left_rows, right=right_rows)
+@SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from spark_streaming_project_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(left, "k long, lts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, rts long, rid long")
+    nkey = lambda t: tuple((x is None, 0 if x is None else x) for x in t)
+    got = sorted(
+        (
+            (r["k"], r["lts"], r["lid"], r["rid"])
+            for r in asof_join(
+                ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                right_tiebreak="rid",
+            ).collect()
+        ),
+        key=nkey,
+    )
+    want = []
+    for k, lts, lid in left:
+        cands = [(rts, rid) for (rk, rts, rid) in right if rk == k and rts <= lts]
+        want.append((k, lts, lid, max(cands)[1] if cands else None))
+    # multiset compare: duplicate left rows (even cross-key id collisions)
+    # each produce exactly one output row
+    assert got == sorted(want, key=nkey)
+
+
+intervals = st.lists(
+    st.tuples(ids, ts_vals, st.integers(0, 20), st.integers(3000, 3999)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(points=left_rows, ivals=intervals, bucket=st.sampled_from([1, 3, 7, 100]))
+@SETTINGS
+def test_range_join_binned_matches_bruteforce(spark, points, ivals, bucket):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.joins import range_join_binned
+
+    pdf = spark.createDataFrame(points, "k long, ts long, pid long")
+    pdf = pdf.select("k", F.timestamp_seconds("ts").alias("ts"), "pid")
+    idf = spark.createDataFrame(
+        [(k, s, s + w, iid) for (k, s, w, iid) in ivals],
+        "k long, s long, e long, iid long",
+    ).select(
+        "k",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+        "iid",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_binned(
+            pdf, idf, on="k", ts_col="ts", start_col="s", end_col="e",
+            bucket_seconds=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for (pk, pts, pid) in points
+        for (ik, s, w, iid) in ivals
+        if pk == ik and s <= pts < s + w
+    )
+    assert got == want
