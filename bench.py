@@ -97,6 +97,11 @@ def main() -> None:
         json.dump(out, fh, indent=1)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
+        if errors:  # full messages live in BENCH_FULL.json
+            out["errors"] = {
+                k: errors[k][:100] for k in sorted(errors)[:5]
+            }
+            out["n_errors"] = len(errors)
         ranked = sorted(timings, key=timings.get, reverse=True)
         shown: dict[str, float] = {}
         out["queries"] = shown
