@@ -45,9 +45,13 @@ def main() -> None:
                 REGISTRY[name].builder(spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
-            df = REGISTRY[name].builder(spark, SF_DIR)
+            # time builder + execution together: some builders (connected
+            # components, k-means fit) do real driver-coordinated work
+            # eagerly at construction, and that cost belongs in the number
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            REGISTRY[name].builder(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
