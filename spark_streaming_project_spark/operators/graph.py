@@ -28,18 +28,53 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; ``component``
     is the minimum node id reachable through any chain of edges.
 
-    Scale shape: every round is two equi-joins + a keyed min aggregate, all
-    hash-partitioned on node id — no driver-side graph, no crossJoin. Rounds
-    needed = O(log n) thanks to pointer jumping; real dedup graphs (many
-    small near-clique clusters) converge in 2-4 rounds. Raises RuntimeError
-    if ``max_iter`` rounds don't converge rather than returning a partially
-    propagated (wrong) labeling.
+    Adaptive physical strategy, like the n-gram dedup chooser:
+
+    - **small edge sets** (≤ ``driver_threshold`` rows, checked with a
+      bounded ``limit(threshold+1)`` probe) collapse in a driver-side
+      union-find — a dedup pair graph is usually tiny relative to its
+      corpus, and ~5 distributed rounds of fixed job overhead would dwarf
+      the microseconds of actual work;
+    - **large edge sets** run the distributed loop: every round is two
+      equi-joins + a keyed min aggregate, all hash-partitioned on node id —
+      no driver-side graph, no crossJoin. Rounds needed = O(log n) thanks
+      to pointer jumping; real dedup graphs (many small near-clique
+      clusters) converge in 2-4 rounds. Raises RuntimeError if ``max_iter``
+      rounds don't converge rather than returning a partially propagated
+      (wrong) labeling.
+
+    Both paths produce identical labelings (equivalence property-tested);
+    pass ``driver_threshold=0`` to force the distributed path.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+
+    if driver_threshold > 0:
+        probe = sym.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in probe:
+                ra, rb = find(r["u"]), find(r["v"])
+                if ra != rb:  # min root wins -> roots are component minima
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = [(x, find(x)) for x in parent]
+            schema = sym.select(
+                F.col("u"), F.col("u").alias("component")
+            ).schema
+            return edges.sparkSession.createDataFrame(rows or [], schema)
+
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
 
     # localCheckpoint (not persist): each round's frame must TRUNCATE lineage,

@@ -8,46 +8,59 @@ from pyspark.sql import functions as F
 
 from spark_streaming_project_spark.operators.graph import connected_components
 
+# every topology runs through BOTH physical paths: the driver union-find
+# (small-graph fast path) and the distributed pointer-jumping loop
+# (driver_threshold=0 forces it)
+THRESHOLDS = (100_000, 0)
 
-def _cc(spark, edges, **kw):
+
+def _cc(spark, edges, threshold, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     return {
         r["u"]: r["component"]
-        for r in connected_components(df, **kw).collect()
+        for r in connected_components(df, driver_threshold=threshold, **kw).collect()
     }
 
 
-def test_chain_collapses_to_one_component(spark):
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_chain_collapses_to_one_component(spark, threshold):
     # a 6-node path: the case where greedy drop-id_b never links the ends
-    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], threshold)
     assert got == {n: 1 for n in range(1, 7)}
 
 
-def test_two_components_and_orientation_independence(spark):
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_two_components_and_orientation_independence(spark, threshold):
     # second component's edges written "backwards" (larger id first)
-    got = _cc(spark, [(1, 2), (2, 3), (30, 10), (20, 30)])
+    got = _cc(spark, [(1, 2), (2, 3), (30, 10), (20, 30)], threshold)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10, 30: 10}
 
 
-def test_star_and_triangle(spark):
-    got = _cc(spark, [(7, 3), (7, 9), (7, 11), (100, 101), (101, 102), (100, 102)])
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_star_and_triangle(spark, threshold):
+    got = _cc(
+        spark,
+        [(7, 3), (7, 9), (7, 11), (100, 101), (101, 102), (100, 102)],
+        threshold,
+    )
     assert got == {3: 3, 7: 3, 9: 3, 11: 3, 100: 100, 101: 100, 102: 100}
 
 
-def test_empty_edges(spark):
-    got = _cc(spark, [])
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_empty_edges(spark, threshold):
+    got = _cc(spark, [], threshold)
     assert got == {}
 
 
 def test_long_path_converges_within_log_rounds(spark):
-    # 64-node path: diameter 63, but pointer jumping must converge well
-    # inside the default 25 rounds (halving => ~log2(64)+const).
+    # 64-node path through the DISTRIBUTED loop: diameter 63, but pointer
+    # jumping must converge well inside the default 25 rounds.
     edges = [(i, i + 1) for i in range(64)]
-    got = _cc(spark, edges)
+    got = _cc(spark, edges, 0)
     assert set(got.values()) == {0}
 
 
 def test_max_iter_exhaustion_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(20)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="no convergence"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, driver_threshold=0)

@@ -79,8 +79,11 @@ def test_connected_components_matches_union_find(spark, pairs):
     df = spark.createDataFrame(pairs or [(0, 0)], "id_a long, id_b long")
     if not pairs:
         df = df.limit(0)
+    # driver_threshold=0 forces the distributed loop — comparing the
+    # driver union-find fast path against itself would prove nothing
     got = {
-        r["u"]: r["component"] for r in connected_components(df).collect()
+        r["u"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
     }
     # roots are component minima by construction (max root reparented under
     # min root on every union), and the final find() fully resolves chains
