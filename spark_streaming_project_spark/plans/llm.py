@@ -626,11 +626,17 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hyperplane_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id",
-        as_double("embedding").alias("v"),
-        hyperplane_bucket(F.col("embedding"), _DIM, _NDUP_BITS).alias("bucket"),
-    ).withColumn("nrm", norm(F.col("v")))
+    # persist: the hyperplane hashing + norm folds (interpreted HOFs over
+    # the full vector, bits x dim work per row) feed BOTH self-join sides
+    bucketed = (
+        emb.select(
+            "vec_id",
+            as_double("embedding").alias("v"),
+            hyperplane_bucket(F.col("embedding"), _DIM, _NDUP_BITS).alias("bucket"),
+        )
+        .withColumn("nrm", norm(F.col("v")))
+        .persist()
+    )
     left = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "bucket",
