@@ -142,8 +142,12 @@ def main() -> None:
             lambda: D.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5))
         run("ngram_prefix", scale,
             lambda: D.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", 3, 0.5))
+        # driver_threshold=0: measure the DISTRIBUTED pointer-jumping loop
+        # (the operator's default adaptively collapses graphs this small
+        # into a driver union-find, which would measure nothing)
         run("canonical_cc", scale, lambda: connected_components(
-            D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)))
+            D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5),
+            driver_threshold=0))
         run("ann_bruteforce", scale,
             lambda: S.brute_force_topk(emb, "vec_id", "embedding", qid))
         run("ann_lsh_multitable", scale, lambda: S.lsh_multitable_topk(
