@@ -371,3 +371,52 @@ def weighted_nova_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("product_count"))
     )
     return weighted_average(nova, "nova_group", "product_count", "weighted_nova")
+
+
+# ---------------------------------------------------------------------------
+# Dashboard read-side top-10 panels (streamlit/app.py:166-178: brand bar
+# chart `head(10)`, packaging pie `head(10)`): registered engine-side so the
+# dashboard's exact result sets are part of the gated surface, planned as
+# TakeOrderedAndProject on top of the A3/A4 aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_brands",
+    oracle="""
+    SELECT regexp_replace(p_brand, '^Brand#', '') AS brand,
+           count(*) AS product_count
+    FROM part
+    WHERE p_brand IS NOT NULL
+    GROUP BY 1
+    ORDER BY product_count DESC, brand ASC
+    LIMIT 10
+    """,
+    tags=("reference", "T1", "dashboard"),
+)
+def top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streamlit/app.py:166-169: top-10 brands bar chart (ties pinned by
+    brand asc for a total order)."""
+    return brand_counts(spark, sf_dir).orderBy(
+        F.desc("product_count"), F.asc("brand")
+    ).limit(10)
+
+
+@register(
+    "top_packaging",
+    oracle="""
+    SELECT regexp_replace(o_orderpriority, '^[0-9]-', '') AS packaging,
+           count(*) AS packaging_count
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    GROUP BY 1
+    ORDER BY packaging_count DESC, packaging ASC
+    LIMIT 10
+    """,
+    tags=("reference", "T1", "dashboard"),
+)
+def top_packaging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streamlit/app.py:172-178: top-10 packaging pie (same total order)."""
+    return packaging_distribution(spark, sf_dir).orderBy(
+        F.desc("packaging_count"), F.asc("packaging")
+    ).limit(10)
