@@ -1175,3 +1175,72 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(survivors, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking + sequence packing: corpus -> dataloader-shaped rows. Both pure
+# built-in expression pipelines; oracles replay them with list slicing and
+# per-shard running sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "document_chunks",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    c AS (
+        SELECT doc_id, words,
+               unnest(range(CAST(ceil(len(words) / 64.0) AS BIGINT))) AS chunk_idx
+        FROM toks WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(words[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ')
+               AS chunk_text,
+           CAST(len(words[chunk_idx * 64 + 1 : chunk_idx * 64 + 64]) AS BIGINT)
+               AS n_tokens
+    FROM c
+    """,
+    tags=("llm", "chunking"),
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document split into 64-token chunks (map-only explode+slice —
+    no shuffle; the dataloader-side transform run engine-side)."""
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64)
+
+
+@register(
+    "packed_sequences",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    sized AS (
+        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens
+        FROM toks WHERE len(words) > 0
+    ),
+    binned AS (
+        SELECT doc_id % 32 AS shard, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (
+                       PARTITION BY doc_id % 32 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 256.0) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT shard, bin_id,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM binned
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "packing"),
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of documents into 256-token context bins,
+    windowed PER SHARD (doc_id % 32) so the running sum never funnels the
+    corpus through one task."""
+    from ..operators.chunking import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, "text", "doc_id", bin_tokens=256, n_shards=32)
