@@ -1244,3 +1244,60 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_documents(docs, "text", "doc_id", bin_tokens=256, n_shards=32)
+
+
+# ---------------------------------------------------------------------------
+# Curation audit: declared vs predicted language agreement per language —
+# the first QC report a corpus pipeline runs after language ID.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_agreement",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    scores AS (
+        SELECT doc_id,
+           {_SCORE_EXPRS}
+        FROM toks
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                    WHEN s_fr = greatest(s_fr, s_de, s_es) THEN 'fr'
+                    WHEN s_de = greatest(s_de, s_es) THEN 'de'
+                    ELSE 'es' END AS predicted_lang
+        FROM scores
+    )
+    SELECT d.lang,
+           count(*) AS doc_count,
+           CAST(count(*) FILTER (p.predicted_lang = d.lang) AS BIGINT)
+               AS agree_count,
+           CAST(count(*) FILTER (p.predicted_lang = 'und') AS BIGINT)
+               AS und_count
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+    tags=("llm", "text", "audit"),
+)
+def lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per declared language: how many docs the n-gram/stopword language ID
+    agrees on, and how many it can't call at all — the audit that catches a
+    mislabeled slice before it trains. Broadcast-sized join of the
+    prediction frame back onto the metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs.filter(F.col("text").isNotNull()), "text", "doc_id")
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.count_if(F.col("predicted_lang") == F.col("lang"))
+            .cast("bigint")
+            .alias("agree_count"),
+            F.count_if(F.col("predicted_lang") == "und")
+            .cast("bigint")
+            .alias("und_count"),
+        )
+    )
