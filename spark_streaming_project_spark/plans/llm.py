@@ -732,11 +732,17 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct + approximate percentiles per language (sketch-based —
-    the 100 TB path where exact distinct/percentile would shuffle raw data)."""
+    the 100 TB path where exact distinct/percentile would shuffle raw data).
+
+    The percentile pair is emitted as two scalar columns (not one ARRAY
+    column) so rows-only artifact checks can sort/hash the rows.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    pcts = F.percentile_approx("n_chars", [0.5, 0.95], 10_000)
     return docs.groupBy("lang").agg(
         F.approx_count_distinct("source").alias("approx_sources"),
-        F.percentile_approx("n_chars", [0.5, 0.95], 10_000).alias("chars_p50_p95"),
+        F.element_at(pcts, 1).alias("chars_p50"),
+        F.element_at(pcts, 2).alias("chars_p95"),
         F.count("*").alias("doc_count"),
     )
 
