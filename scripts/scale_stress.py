@@ -119,13 +119,51 @@ def main() -> None:
 
     results: list[dict] = []
 
-    def run(tier: str, scale: str, fn) -> None:
+    def run(tier: str, scale: str, fn, extra: dict | None = None) -> None:
         t0 = time.perf_counter()
         n = fn().count()
         sec = round(time.perf_counter() - t0, 2)
         row = {"tier": tier, "scale": scale, "rows_out": n, "sec": sec}
+        if extra:
+            row.update(extra)
         results.append(row)
         print(json.dumps(row), flush=True)
+        # operators persist() shared intermediates and return lazy frames;
+        # release between tiers so each measurement owns its working set
+        spark.catalog.clearCache()
+
+    def single_table_ndup(emb, dim: int, bits: int = 6, threshold: float = 0.2):
+        """MEASUREMENT COMPARATOR ONLY: the pre-round-4 single-wide-table
+        candidate scheme (one ``bits``-bit hyperplane table, vectors carried
+        through the bucket self-join), kept here so SCALE.md can show the
+        within-bucket n^2/2^bits blowup the banded scheme replaces."""
+        from spark_streaming_project_spark.functions.vectors import as_double, dot, norm
+
+        b = (
+            emb.select(
+                "vec_id",
+                as_double("embedding").alias("v"),
+                S.hyperplane_bucket("embedding", dim, bits).alias("bucket"),
+            )
+            .withColumn("nrm", norm(F.col("v")))
+            .persist()
+        )
+        left = b.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"), "bucket",
+        )
+        right = b.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"), "bucket",
+        )
+        n = F.col("na") * F.col("nb")
+        sim = F.round(F.when(n > 0, dot(F.col("va"), F.col("vb")) / n), 6)
+        return (
+            left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold)
+        )
 
     for scale, ddir in (("sf0.1", SRC_SF), ("10x", OUT_DIR)):
         docs = spark.read.parquet(os.path.join(ddir, "documents.parquet"))
@@ -154,6 +192,40 @@ def main() -> None:
             emb, "vec_id", "embedding", qid, dim))
         run("ann_ivf", scale,
             lambda: S.ivf_topk(emb, "vec_id", "embedding", qid))
+        run("emb_ndup_single6bit", scale,
+            lambda: single_table_ndup(emb, dim))
+        run("emb_ndup_banded", scale, lambda: S.banded_ndup_pairs(
+            emb, "vec_id", "embedding", dim, threshold=0.2))
+
+    # -- connected-components pathological topologies ----------------------
+    # The easy regime (many near-clique clusters) converges in 2-4 rounds;
+    # the O(log n) pointer-jumping claim is only interesting where diameter
+    # is large (one long chain) or one component swallows the graph (ER
+    # random graph above the giant-component threshold, avg degree 4).
+    def chain_edges(n: int):
+        return spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+
+    def er_edges(n: int, m: int):
+        # deterministic pseudo-random endpoints; self-loops dropped
+        return (
+            spark.range(m)
+            .select(
+                (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % n).alias("id_a"),
+                (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % n).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+
+    for scale, n_nodes in (("sf0.1", 100_000), ("10x", 1_000_000)):
+        st: dict = {}
+        run("cc_chain", scale, lambda: connected_components(
+            chain_edges(n_nodes), driver_threshold=0, stats=st), extra=st)
+        st2: dict = {}
+        run("cc_giant_er", scale, lambda: connected_components(
+            er_edges(n_nodes, 2 * n_nodes), driver_threshold=0, stats=st2),
+            extra=st2)
 
     by_tier: dict[str, dict[str, float]] = {}
     for r in results:

@@ -23,12 +23,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind a ``localCheckpoint(eager=True)`` frame.
+
+    ``Dataset.unpersist`` only clears cache-manager entries, not checkpoint
+    blocks; the blocks belong to the RDD inside the checkpoint's LogicalRDD
+    scan. Best-effort: if the internal shape ever changes, the ContextCleaner
+    still reclaims blocks on GC — this just makes release deterministic so
+    checkpoint storage stays O(1) rounds instead of O(rounds).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; ``component``
     is the minimum node id reachable through any chain of edges.
@@ -49,13 +66,19 @@ def connected_components(
       (wrong) labeling.
 
     Both paths produce identical labelings (equivalence property-tested);
-    pass ``driver_threshold=0`` to force the distributed path.
+    pass ``driver_threshold=0`` to force the distributed path. When a
+    ``stats`` dict is supplied it receives ``{"rounds": n, "path": ...}``
+    — the scale-stress harness uses it to pin the O(log n) round claim on
+    pathological topologies (long chain, giant component).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
 
     if driver_threshold > 0:
         probe = sym.limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
+            if stats is not None:
+                stats["path"] = "driver"
+                stats["rounds"] = 0
             parent: dict = {}
 
             def find(x):
@@ -77,46 +100,53 @@ def connected_components(
 
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
 
-    # localCheckpoint (not persist): each round's frame must TRUNCATE lineage,
-    # or the logical plan nests one level per round and analysis stack-
-    # overflows after ~6 rounds. eager=True doubles as the materialization.
-    lbl = (
-        sym.select("u")
-        .distinct()
-        .withColumn("lbl", F.col("u"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = lbl.agg(F.sum("lbl")).collect()[0][0]
-    if prev_sum is None:  # empty edge set
-        sym.unpersist()
-        return lbl.select("u", F.col("lbl").alias("component"))
-
-    for _ in range(max_iter):
-        nmin = (
-            sym.join(lbl.select(F.col("u").alias("v"), "lbl"), "v")
-            .groupBy("u")
-            .agg(F.min("lbl").alias("_nlbl"))
-        )
-        stepped = lbl.join(nmin, "u", "left").select(
-            "u", F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl")
-        )
-        # pointer jumping: also adopt the label of the current label
-        hop = stepped.select(F.col("u").alias("_t"), F.col("lbl").alias("_tl"))
-        new = (
-            stepped.join(hop, stepped["lbl"] == hop["_t"], "left")
-            .select("u", F.least("lbl", F.coalesce("_tl", "lbl")).alias("lbl"))
+    try:
+        # localCheckpoint (not persist): each round's frame must TRUNCATE
+        # lineage, or the logical plan nests one level per round and analysis
+        # stack-overflows after ~6 rounds. eager=True doubles as the
+        # materialization; the previous round's blocks are released once the
+        # new round is materialized, so checkpoint storage stays O(1) rounds.
+        lbl = (
+            sym.select("u")
+            .distinct()
+            .withColumn("lbl", F.col("u"))
             .localCheckpoint(eager=True)
         )
-        # labels only ever decrease, so an unchanged sum == full convergence;
-        # this one scalar is the only thing that reaches the driver per round.
-        new_sum = new.agg(F.sum("lbl")).collect()[0][0]
-        lbl = new
-        if new_sum == prev_sum:
-            sym.unpersist()
+        if stats is not None:
+            stats["path"] = "distributed"
+        prev_sum = lbl.agg(F.sum("lbl")).collect()[0][0]
+        if prev_sum is None:  # empty edge set
             return lbl.select("u", F.col("lbl").alias("component"))
-        prev_sum = new_sum
 
-    sym.unpersist()
+        for _round in range(max_iter):
+            if stats is not None:
+                stats["rounds"] = _round + 1
+            nmin = (
+                sym.join(lbl.select(F.col("u").alias("v"), "lbl"), "v")
+                .groupBy("u")
+                .agg(F.min("lbl").alias("_nlbl"))
+            )
+            stepped = lbl.join(nmin, "u", "left").select(
+                "u", F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl")
+            )
+            # pointer jumping: also adopt the label of the current label
+            hop = stepped.select(F.col("u").alias("_t"), F.col("lbl").alias("_tl"))
+            new = (
+                stepped.join(hop, stepped["lbl"] == hop["_t"], "left")
+                .select("u", F.least("lbl", F.coalesce("_tl", "lbl")).alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            # labels only ever decrease, so an unchanged sum == convergence;
+            # this one scalar is all that reaches the driver per round.
+            new_sum = new.agg(F.sum("lbl")).collect()[0][0]
+            _release_checkpoint(lbl)  # new is materialized; round N-1 blocks free
+            lbl = new
+            if new_sum == prev_sum:
+                return lbl.select("u", F.col("lbl").alias("component"))
+            prev_sum = new_sum
+    finally:
+        sym.unpersist()
+
     raise RuntimeError(
         f"connected_components: no convergence after {max_iter} rounds "
         f"(pathological graph or max_iter too small)"

@@ -304,8 +304,13 @@ def ivf_partitioned_topk(
     DRIVER-SIDE against the ≤ n_list centroid sidecar (bounded collect),
     and the data scan filters ``list_id IN (probes)`` — a pure partition-
     directory prune, visible as PartitionFilters in the plan; non-probed
-    files are never opened. Scoring matches :func:`ivf_topk` bit-for-bit
-    (same cosine expression, same rounding, same total order)."""
+    files are never opened. Scoring matches :func:`ivf_topk` bit-for-bit:
+    the same ``_cosine_vs_query`` expression (zero-norm guard included)
+    against a broadcast one-row query frame whose ``_qn`` is the SAME Spark
+    norm fold — not a driver-side Python summation, whose association order
+    could differ at ROUND_DECIMALS boundaries. Probe CHOICE still happens
+    driver-side against the ≤ n_list sidecar (a centroid rank, not a score
+    the caller sees)."""
     import math
 
     cents = spark.read.parquet(f"{path}/_ivf_centroids").collect()
@@ -323,14 +328,17 @@ def ivf_partitioned_topk(
     data = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
     if exclude_id is not None:
         data = data.filter(F.col(id_col) != exclude_id)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = data.select(
+    q_arr = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = (
+        spark.range(1)
+        .select(as_double(q_arr).alias("_query_vec"))
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
+    scored = data.join(F.broadcast(q)).select(
         F.col(id_col),
-        F.round(
-            dot(as_double(vec_col), q)
-            / (norm(as_double(vec_col)) * F.lit(qn)),
-            ROUND_DECIMALS,
-        ).alias("cosine_sim"),
+        F.round(_cosine_vs_query(as_double(vec_col)), ROUND_DECIMALS).alias(
+            "cosine_sim"
+        ),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
@@ -472,6 +480,85 @@ def lsh_multitable_topk(
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def banded_ndup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    bands: int = 6,
+    bits: int = 10,
+    salt: str = "ndupband",
+    round_decimals: int = ROUND_DECIMALS,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via OR'd MULTI-BAND hyperplane LSH:
+    ``bands`` independent ``bits``-bit tables; a pair is a candidate if it
+    collides in ANY table, and candidates are verified exactly ONCE.
+
+    Scale shape (vs a single wide table): random-pair collision probability
+    is bands/2**bits — narrower per-table buckets kill the n^2/2**bits
+    within-bucket blowup while OR-amplification restores recall for true
+    near-dups (p_bit**bits per table becomes 1-(1-p**bits)**bands). At a
+    realistic dedup threshold (cosine 0.9, p_bit ~0.9) the defaults give
+    ~92% recall at a 6/1024 random-collision rate, vs 3%/(1/64) for the old
+    single 6-bit table. Candidate generation is SKINNY: (id, band, bucket)
+    rows only — vectors join in once per deduped candidate pair, never per
+    band collision. All bands*bits plane dots are one Arrow-batched numpy
+    pass on the scan (see ``_multitable_buckets_udf``; sign decisions are
+    bit-identical to the SQL-expression form, so the DuckDB oracle replays
+    bucketing exactly).
+
+    The bucketed frame is persist()ed — it feeds candidate generation plus
+    both verification sides. The returned frame is lazy, so release is the
+    CALLER's job after its terminal action (``spark.catalog.clearCache()``
+    or unpersist via the frame's plan); bench.py clears between queries.
+    """
+    buckets_arr = _multitable_buckets_udf(dim, bits, bands, salt)
+    bucketed = (
+        df.select(
+            F.col(id_col),
+            as_double(vec_col).alias("_v"),
+            buckets_arr(F.col(vec_col)).alias("_bs"),
+        )
+        .withColumn("_nrm", norm(F.col("_v")))
+        .persist()
+    )
+    keys = bucketed.select(
+        F.col(id_col), F.posexplode("_bs").alias("_band", "_bucket")
+    )
+    cand = (
+        keys.select(F.col(id_col).alias("id_a"), "_band", "_bucket")
+        .join(
+            keys.select(F.col(id_col).alias("id_b"), "_band", "_bucket"),
+            ["_band", "_bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        bucketed.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_nrm").alias("_na"),
+        ),
+        "id_a",
+    ).join(
+        bucketed.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_nrm").alias("_nb"),
+        ),
+        "id_b",
+    )
+    n = F.col("_na") * F.col("_nb")
+    sim = F.round(F.when(n > 0, dot(F.col("_va"), F.col("_vb")) / n), round_decimals)
+    return (
+        verified.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
 
 
 def _kmeans_fit(

@@ -565,24 +565,36 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-duplicate pairs: hyperplane-bucket candidate join
-# (same LSH family as ANN), exact cosine verification. The bucket join keeps
-# candidates ~O(n^2 / 2^bits) instead of all-pairs.
+# Embedding-cosine near-duplicate pairs: OR'd multi-band hyperplane LSH
+# candidate join (bands x narrow tables, verify-once), exact cosine
+# verification. Random-pair candidates ~ n^2 * bands/2^bits — the narrow-
+# band OR replaces the old single-6-bit-table n^2/64 within-bucket blowup.
 # ---------------------------------------------------------------------------
 
-_NDUP_BITS = 6
+_NDUP_BANDS = 6
+_NDUP_BITS = 10
 _NDUP_THRESHOLD = 0.2
+_NDUP_SALT = "ndupband"
 
 
-def _duck_bucket_bits(vec: str, bits: int) -> str:
+def _duck_band_bucket(vec: str, band: int) -> str:
+    """DuckDB twin of one band of similarity._multitable_buckets_udf: same
+    md5-derived plane coefficients (salt:{band}:{bit}:{dim} keys), same
+    left-to-right accumulation, so sign decisions match bit-for-bit."""
     out = []
-    for b in range(bits):
+    for b in range(_NDUP_BITS):
         terms = " + ".join(
-            f"{vec}[{i + 1}] * ({_pseudo_coef(f'plane:{b}:{i}')})" for i in range(_DIM)
+            f"{vec}[{i + 1}] * ({_pseudo_coef(f'{_NDUP_SALT}:{band}:{b}:{i}')})"
+            for i in range(_DIM)
         )
         out.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
     return " + ".join(out)
 
+
+_NDUP_BAND_COLS = ",\n               ".join(
+    f"{_duck_band_bucket('v', t)} AS b{t}" for t in range(_NDUP_BANDS)
+)
+_NDUP_MATCH_ANY = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_NDUP_BANDS))
 
 _EMB_NDUP_ORACLE = f"""
     WITH vecs AS (
@@ -590,23 +602,24 @@ _EMB_NDUP_ORACLE = f"""
         FROM embeddings
     ),
     bucketed AS (
-        SELECT vec_id, v, {{bucket}} AS bucket FROM vecs
+        SELECT vec_id, v,
+               {_NDUP_BAND_COLS}
+        FROM vecs
     ),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
         FROM bucketed a JOIN bucketed b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          ON a.vec_id < b.vec_id AND ({_NDUP_MATCH_ANY})
     )
     SELECT id_a, id_b,
-           round({{dot_ab}} / (sqrt({{dot_aa}}) * sqrt({{dot_bb}})), 6) AS cosine_sim
+           round({_duck_dot('va', 'vb')}
+                 / (sqrt({_duck_dot('va', 'va')}) * sqrt({_duck_dot('vb', 'vb')})),
+                 6) AS cosine_sim
     FROM pairs
-    WHERE round({{dot_ab}} / (sqrt({{dot_aa}}) * sqrt({{dot_bb}})), 6) >= {_NDUP_THRESHOLD}
-""".format(
-    bucket=_duck_bucket_bits("v", _NDUP_BITS),
-    dot_ab=_duck_dot("va", "vb"),
-    dot_aa=_duck_dot("va", "va"),
-    dot_bb=_duck_dot("vb", "vb"),
-)
+    WHERE round({_duck_dot('va', 'vb')}
+                / (sqrt({_duck_dot('va', 'va')}) * sqrt({_duck_dot('vb', 'vb')})),
+                6) >= {_NDUP_THRESHOLD}
+"""
 
 
 @register(
@@ -616,43 +629,21 @@ _EMB_NDUP_ORACLE = f"""
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
-    found via hyperplane-bucket candidate generation.
-
-    Norms are computed ONCE per vector before the pair join (the naive
-    ``cosine(va, vb)`` per pair re-folds both self-dots — 3 interpreted
-    array folds per candidate instead of 1). Same arithmetic, same
-    operation order, so results stay bit-identical to the oracle."""
-    from ..functions.vectors import as_double, dot, norm
-    from ..operators.similarity import hyperplane_bucket
+    via OR'd multi-band hyperplane LSH with verify-once candidates — see
+    ``similarity.banded_ndup_pairs`` for the recall/candidate-count math
+    that replaced the old single 6-bit table (n^2/64 growth at scale)."""
+    from ..operators.similarity import banded_ndup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # persist: the hyperplane hashing + norm folds (interpreted HOFs over
-    # the full vector, bits x dim work per row) feed BOTH self-join sides
-    bucketed = (
-        emb.select(
-            "vec_id",
-            as_double("embedding").alias("v"),
-            hyperplane_bucket(F.col("embedding"), _DIM, _NDUP_BITS).alias("bucket"),
-        )
-        .withColumn("nrm", norm(F.col("v")))
-        .persist()
-    )
-    left = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "bucket",
-    )
-    right = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "bucket",
-    )
-    d = dot(F.col("va"), F.col("vb"))
-    n = F.col("na") * F.col("nb")
-    sim = F.round(F.when(n > 0, d / n), 6)
-    return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= _NDUP_THRESHOLD)
+    return banded_ndup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        dim=_DIM,
+        threshold=_NDUP_THRESHOLD,
+        bands=_NDUP_BANDS,
+        bits=_NDUP_BITS,
+        salt=_NDUP_SALT,
     )
 
 
