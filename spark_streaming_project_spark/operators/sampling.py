@@ -1,0 +1,117 @@
+"""Corpus sampling + contamination audit — the selection ops a training-data
+pipeline runs after cleaning/dedup: draw a deterministic stratified sample,
+cap each partition at a token budget, and audit train/test n-gram leakage.
+
+All three are hash-deterministic (md5 over ids), so results are stable
+across engines, reruns, and repartitions — the property that makes sampling
+decisions reproducible and eval-set leakage checks trustworthy — and a
+DuckDB oracle replays each op bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, word_shingles
+
+
+def _hex_threshold(rate: float) -> str:
+    """2-hex-char keep threshold for a sampling rate: a row survives when
+    ``substr(md5(id), 1, 2) < threshold``. Fixed-width lowercase hex compares
+    lexicographically == numerically, so the whole test stays a string
+    comparison (portable to any SQL engine, no hex->int cast). rate >= 1.0
+    maps to 'zz', which every hex pair sorts below."""
+    if rate >= 1.0:
+        return "zz"
+    return format(max(int(rate * 256), 0), "02x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff the first two
+    hex chars of md5(id) fall below the stratum's rate threshold.
+
+    The training-data mixture knob (e.g. keep 100% of books, 25% of web):
+    content-independent, stable as the corpus grows, and reproducible —
+    rerunning on a superset keeps exactly the previously kept ids, so
+    incremental pipeline runs never churn the sample. Pure expression over
+    the scan: no shuffle, no RNG state, embarrassingly parallel at 100 TB.
+    """
+    h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    thr = F.lit(_hex_threshold(default_rate))
+    for k, r in rates.items():
+        thr = F.when(F.col(strata_col) == k, F.lit(_hex_threshold(r))).otherwise(thr)
+    return df.filter(h2 < thr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    part_col: str,
+    budget: int,
+) -> DataFrame:
+    """Cap each partition (e.g. language) at ``budget`` tokens: docs are
+    taken in md5(id) order (a deterministic shuffle) until the budget fills;
+    the doc whose running-total START offset still fits is kept whole.
+
+    Output: (id, partition, n_tokens) for kept docs. The running sum is a
+    per-partition ordered window — partitions pack independently, so the
+    1000-executor shape is one shuffle on ``part_col`` and a linear pass per
+    partition (same scale shape as sharded sequence packing). md5 ordering
+    makes the kept set a uniform sample of each partition rather than
+    whatever order the files arrived in.
+    """
+    sized = df.select(
+        F.col(id_col),
+        F.col(part_col),
+        token_count(text_col).alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        sized.withColumn("_start", start.cast("long"))
+        .filter(F.col("_start") < budget)
+        .select(id_col, part_col, "n_tokens")
+    )
+
+
+def ngram_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-left-document n-gram overlap against the whole right corpus:
+    (id, shared_grams, right_docs) for every left doc sharing at least one
+    distinct word n-gram with any right doc.
+
+    The decontamination primitive (does a training doc leak an eval doc?):
+    shingle both sides once, explode to skinny (id, gram) rows, inverted-
+    index equi-join on the gram, two COUNT DISTINCTs per left doc. At n=5
+    grams are near-unique, so df(g) stays tiny and the join output is
+    ~true-overlap-sized — the same sparse-corpus regime where the inverted
+    n-gram plan wins (see dedup.ngram_jaccard_pairs' cost model).
+    """
+    lg = left.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    rg = right.select(
+        F.col(id_col).alias("_rid"), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    return lg.join(rg, "gram").groupBy(id_col).agg(
+        F.countDistinct("gram").alias("shared_grams"),
+        F.countDistinct("_rid").alias("right_docs"),
+    )

@@ -482,6 +482,60 @@ def lsh_multitable_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine over INT8-QUANTIZED vectors — the storage-
+    compression tier: per-vector scalar quantization
+    ``q_i = floor(x_i / max|x| * 127 + 0.5)`` shrinks float32/float64
+    embeddings 4-8x on disk and in shuffle, and cosine is scale-invariant,
+    so scoring runs on the quantized arrays directly (no dequantization,
+    the per-vector scale never joins back in). At 100 TB the quantized
+    column is what you'd persist; recall vs full-precision brute force is
+    pinned in pytest and reported by bench.
+
+    ``floor(.. + 0.5)`` instead of round(): floor is IEEE-exact and
+    identical across engines, so the DuckDB oracle replays quantization
+    bit-for-bit (round() ties differ by engine).
+    """
+    qz = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_s", F.array_max(F.transform(F.col("_v"), F.abs)))
+        .withColumn(
+            "_q",
+            F.when(
+                F.col("_s") > 0,
+                F.transform(
+                    F.col("_v"),
+                    lambda x: F.floor(x / F.col("_s") * 127 + F.lit(0.5)).cast(
+                        "double"
+                    ),
+                ),
+            ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0.0))),
+        )
+    )
+    q = (
+        qz.filter(F.col(id_col) == query_id)
+        .select(F.col("_q").alias("_query_vec"))
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
+    scored = (
+        qz.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_cosine_vs_query(F.col("_q")), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def banded_ndup_pairs(
     df: DataFrame,
     id_col: str,

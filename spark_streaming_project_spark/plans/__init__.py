@@ -42,6 +42,13 @@ def _reorder() -> None:
         "dedup_ngram_jaccard_pairs",
         "dedup_ngram_jaccard_pairs_prefix",
     ]
+    new_this_round = [
+        # first-ever rows for the round-4 sampling/audit/quantization adds
+        "stratified_source_sample",
+        "token_budget_sample",
+        "decontamination_overlap",
+        "similarity_quantized_topk",
+    ]
     fresh_family = [
         # same dedup/similarity family: cheap fresh rows on current testdata
         "curated_corpus",
@@ -49,12 +56,8 @@ def _reorder() -> None:
         "dedup_keep_list",
         "simhash_fingerprints",
         "dedup_simhash_pairs",
-        "similarity_ivf_topk",
-        "similarity_bruteforce_topk",
-        "similarity_ann_lsh_topk",
-        "similarity_ann_lsh_multitable_topk",
     ]
-    priority = tpch_names + changed + fresh_family
+    priority = tpch_names + changed + new_this_round + fresh_family
     missing = [n for n in priority + tail if n not in REGISTRY]
     if missing:  # guard against silent drift when queries are renamed
         raise KeyError(f"registry reorder references unknown queries: {missing}")

@@ -1298,3 +1298,176 @@ def lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("und_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus selection: deterministic stratified sampling, per-language token
+# budgets, and the train/test contamination audit (operators/sampling.py).
+# ---------------------------------------------------------------------------
+
+# mixture rates by source tier: src0-4 curated (keep all), src5-9 mid (half),
+# the long tail at 20%
+_STRATA_RATES = {
+    f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.2) for i in range(20)
+}
+
+
+@register(
+    "stratified_source_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE
+            WHEN source IN ({", ".join(f"'src{i}'" for i in range(5))}) THEN 'zz'
+            WHEN source IN ({", ".join(f"'src{i}'" for i in range(5, 10))}) THEN '80'
+            ELSE '33'
+          END
+    """,
+    tags=("llm", "sampling"),
+)
+def stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling (the training-data mixture
+    knob): md5(doc_id) hex prefix vs a per-stratum threshold — no RNG state,
+    no shuffle, stable under corpus growth and reruns. See
+    operators/sampling.stratified_sample for the threshold encoding."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "source", _STRATA_RATES).select(
+        "doc_id", "source", "lang"
+    )
+
+
+@register(
+    "token_budget_sample",
+    oracle=r"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+                   AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start
+        FROM sized WHERE n_tokens > 0
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM cum WHERE start < 5000
+    """,
+    tags=("llm", "sampling"),
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every language at a 5000-token budget, taking docs in md5(id)
+    order (deterministic uniform-ish draw). One shuffle on lang + a linear
+    per-partition window pass — same scale shape as sharded packing."""
+    from ..operators.sampling import token_budget_sample as _tbs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _tbs(docs, "text", "doc_id", "lang", budget=5000).select(
+        "doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+
+
+@register(
+    "decontamination_overlap",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g5 AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 5
+                    THEN list_distinct([array_to_string(words[i:i+4], ' ')
+                                        for i in range(1, len(words) - 3)])
+                    ELSE [] END AS shingles
+        FROM toks
+    ),
+    gr AS (SELECT doc_id, unnest(shingles) AS gram FROM g5),
+    tr AS (SELECT doc_id, gram FROM gr
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'),
+    te AS (SELECT doc_id, gram FROM gr
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) > 'd')
+    SELECT tr.doc_id,
+           count(DISTINCT tr.gram) AS shared_grams,
+           count(DISTINCT te.doc_id) AS test_docs
+    FROM tr JOIN te ON tr.gram = te.gram
+    GROUP BY 1
+    """,
+    tags=("llm", "audit", "dedup"),
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: for every TRAIN doc (md5 split, as in
+    corpus_split_counts), the distinct 5-grams it shares with any TEST doc
+    and how many test docs it touches. 5-grams are near-unique, so the
+    inverted-index equi-join output stays ~true-overlap-sized — the audit a
+    pretraining pipeline runs before shipping a corpus."""
+    from ..operators.sampling import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = docs.filter(h <= "b")
+    test = docs.filter(h > "d")
+    return (
+        ngram_overlap(train, test, "text", "doc_id", n=5)
+        .select(
+            "doc_id",
+            "shared_grams",
+            F.col("right_docs").alias("test_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized similarity: int8 scalar quantization (the storage-compression
+# tier — cosine is scale-invariant, so quantized arrays score directly).
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+        FROM vecs
+    ),
+    qq AS (
+        SELECT vec_id,
+               CASE WHEN s > 0
+                    THEN list_transform(v, x -> floor(x / s * 127 + 0.5))
+                    ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS q
+        FROM qz
+    ),
+    qv AS (SELECT q AS qvec FROM qq WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id,
+           round({_duck_dot('q', 'qvec')}
+                 / (sqrt({_duck_dot('q', 'q')}) * sqrt({_duck_dot('qvec', 'qvec')})),
+                 6) AS cosine_sim
+    FROM qq, qv
+    WHERE vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_quantized_topk",
+    oracle=_QUANT_ORACLE,
+    tags=("llm", "similarity", "quantization"),
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors over int8-quantized embeddings (per-vector
+    max-abs scale, floor(x/s*127+0.5)); the 4-8x storage/shuffle compression
+    path whose recall vs full precision bench reports."""
+    from ..operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10)

@@ -65,3 +65,35 @@ def foreach_batch_per_batch_topk(
         topk.write.mode("append").parquet(out_dir)
 
     return write
+
+
+def foreach_batch_reaggregate(
+    aggregate: Callable[[DataFrame], DataFrame],
+    staging_dir: str,
+    out_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin for transforms that need a GLOBAL ordered pass (e.g.
+    sequence packing's per-shard running sum) and therefore have no
+    incremental streaming plan: accumulate raw micro-batch rows in
+    ``staging_dir``, re-run the batch transform over the accumulated corpus,
+    and atomically refresh ``out_dir`` — complete-mode semantics built from
+    append parts (the X5 re-aggregation family). After an availableNow
+    drain, ``out_dir`` equals the batch transform over the full input
+    (parity-tested in tests/test_streaming_llm.py).
+
+    Scale note: each refresh re-reads the accumulated staging data, so cost
+    per batch grows with history — the pattern fits bounded backfills and
+    periodic re-packs. A 100 TB continuous pipeline would re-pack only the
+    shards the micro-batch touched (shard = id % n_shards makes the dirty
+    set cheap to compute); the full-refresh form keeps parity exact here.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(staging_dir)
+        spark = batch_df.sparkSession
+        result = aggregate(spark.read.parquet(staging_dir))
+        result.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+    return write

@@ -146,3 +146,25 @@ def test_ivf_kmeans_beats_hash_centroids(spark):
     recall_hash = len({r["vec_id"] for r in hashed} & set(truth_scores)) / 10
     assert recall_km >= recall_hash
     assert recall_km >= 0.5
+
+
+def test_quantized_topk_high_recall_and_bounded_error(spark):
+    """int8 scalar quantization must keep near-perfect neighbor recall on
+    64-dim embeddings (quantization noise ~1/254 per element) and its
+    scores must sit within a small bound of the full-precision scores."""
+    from spark_streaming_project_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    qid = 7
+    exact = brute_force_topk(emb, "vec_id", "embedding", qid, k=10).collect()
+    quant = quantized_topk(emb, "vec_id", "embedding", qid, k=10).collect()
+    exact_scores = {r["vec_id"]: r["cosine_sim"] for r in exact}
+    recall = len({r["vec_id"] for r in quant} & set(exact_scores)) / 10
+    assert recall >= 0.8
+    for r in quant:
+        if r["vec_id"] in exact_scores:
+            assert abs(r["cosine_sim"] - exact_scores[r["vec_id"]]) < 0.02

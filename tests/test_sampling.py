@@ -1,0 +1,126 @@
+"""Property tests for the corpus-selection operators (operators/sampling.py):
+determinism, subset/stability under corpus growth, budget bounds, and
+contamination-overlap ground truth on a crafted fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_project_spark.operators.sampling import (
+    ngram_overlap,
+    stratified_sample,
+    token_budget_sample,
+)
+from spark_streaming_project_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark)
+    rates = {"src0": 0.0, "src1": 1.0}
+    kept = stratified_sample(docs, "doc_id", "source", rates, default_rate=0.5)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "src0" not in by_src  # rate 0 -> nothing survives
+    assert by_src["src1"] == totals["src1"]  # rate 1 -> everything survives
+    # default rate 0.5 should keep roughly half of the remaining strata
+    rest_kept = sum(v for k, v in by_src.items() if k not in ("src0", "src1"))
+    rest_total = sum(v for k, v in totals.items() if k not in ("src0", "src1"))
+    assert 0.3 * rest_total < rest_kept < 0.7 * rest_total
+    # byte-for-byte deterministic across invocations
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "doc_id", "source", rates, 0.5)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_stratified_sample_stable_under_corpus_growth(spark):
+    """Sampling a SUBSET of the corpus keeps exactly the ids that the full
+    corpus run keeps within that subset — the no-churn property that makes
+    incremental pipeline reruns reproducible."""
+    docs = _docs(spark)
+    rates = {"src2": 0.4}
+    full = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "doc_id", "source", rates, 0.3).collect()
+    }
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {
+        r["doc_id"]
+        for r in stratified_sample(half, "doc_id", "source", rates, 0.3).collect()
+    }
+    assert sub == {i for i in full if i % 2 == 0}
+
+
+def test_token_budget_sample_respects_budget(spark):
+    docs = _docs(spark)
+    budget = 1500
+    kept = token_budget_sample(docs, "text", "doc_id", "lang", budget).collect()
+    assert kept, "budget sample empty"
+    by_lang: dict[str, int] = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
+    for lang, total in by_lang.items():
+        # every kept doc STARTS inside the budget, so the overshoot is at
+        # most one document; the previous docs sum to < budget
+        max_doc = max(r["n_tokens"] for r in kept if r["lang"] == lang)
+        assert total < budget + max_doc, f"{lang}: {total} >> {budget}"
+    # determinism: same budget -> same exact id set
+    again = token_budget_sample(docs, "text", "doc_id", "lang", budget).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
+
+
+def test_token_budget_monotone_in_budget(spark):
+    docs = _docs(spark)
+    small = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, "text", "doc_id", "lang", 800).collect()
+    }
+    large = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, "text", "doc_id", "lang", 3000).collect()
+    }
+    assert small <= large and len(small) < len(large)
+
+
+def test_ngram_overlap_ground_truth(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with no shared grams at all"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "prefix words then the quick brown fox jumps over the end"),
+            (11, "the quick brown fox jumps elsewhere entirely now yes"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["shared_grams"], r["right_docs"])
+        for r in ngram_overlap(
+            left.filter(F.col("text").isNotNull()), right, "text", "doc_id", n=5
+        ).collect()
+    }
+    # doc 1 shares "the quick brown fox jumps" (both right docs) plus
+    # "quick brown fox jumps over" and "brown fox jumps over the" (right
+    # doc 10 only) -> 3 grams, 2 docs; doc 2 shares nothing
+    assert rows == {1: (3, 2)}

@@ -77,3 +77,79 @@ def test_streaming_quality_filter_is_stateless_append(spark, tmp_path):
     want = sorted(r["doc_id"] for r in _quality_keep(docs).collect())
     assert got == want and len(got) > 0
     assert os.path.isdir(str(tmp_path / "ckpt_q"))
+
+
+def test_streaming_chunking_converges_to_batch(spark, tmp_path):
+    """chunk_documents is a stateless map (tokenize -> explode -> slice), so
+    the SAME operator runs unchanged on a stream in append mode and must
+    emit exactly the batch chunk set."""
+    from spark_streaming_project_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_chunk_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_chunk"))
+    runner.add(
+        "chunks_stream",
+        chunk_documents(stream, "text", "doc_id"),
+        output_mode="append",
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    cols = ["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("chunks_stream").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in chunk_documents(docs, "text", "doc_id").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_packing_converges_to_batch(spark, tmp_path):
+    """pack_documents needs a per-shard ordered running sum — no incremental
+    streaming plan exists — so the streaming twin re-packs the accumulated
+    corpus each micro-batch (foreach_batch_reaggregate). After the
+    availableNow drain the refreshed output must equal batch packing of the
+    full corpus."""
+    from spark_streaming_project_spark.operators.chunking import pack_documents
+    from spark_streaming_project_spark.streaming.sinks import (
+        foreach_batch_reaggregate,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_pack_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    staging = str(tmp_path / "pack_staging")
+    out = str(tmp_path / "pack_out")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_pack"))
+    runner.add(
+        "pack_stream",
+        stream.select("doc_id", "text"),
+        output_mode="append",
+        sink_format=None,
+        foreach_batch=foreach_batch_reaggregate(
+            lambda df: pack_documents(df, "text", "doc_id"), staging, out
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    cols = ["shard", "bin_id", "doc_count", "total_tokens"]
+    final = spark.read.parquet(out)
+    # the last refresh must cover every batch (batch_id stamps the refresh)
+    assert final.select(F.max("batch_id")).collect()[0][0] >= 1
+    got = sorted(tuple(r[c] for c in cols) for r in final.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in pack_documents(docs, "text", "doc_id").collect()
+    )
+    assert got == want and len(got) > 0
