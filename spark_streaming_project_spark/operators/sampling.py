@@ -93,6 +93,7 @@ def ngram_overlap(
     text_col: str,
     id_col: str,
     n: int = 5,
+    max_right_df: int | None = None,
 ) -> DataFrame:
     """Per-left-document n-gram overlap against the whole right corpus:
     (id, shared_grams, right_docs) for every left doc sharing at least one
@@ -104,6 +105,14 @@ def ngram_overlap(
     grams are near-unique, so df(g) stays tiny and the join output is
     ~true-overlap-sized — the same sparse-corpus regime where the inverted
     n-gram plan wins (see dedup.ngram_jaccard_pairs' cost model).
+
+    ``max_right_df`` is the hot-gram guard for real corpora: a boilerplate
+    gram appearing in k right docs multiplies the join output by k for
+    every left doc containing it (the Σ df(g)² blowup, measured 51x at 10x
+    in SCALE.md). Grams with right-side document frequency above the cap
+    are dropped BEFORE the join — semantically, license headers and
+    navigation chrome shared by many eval docs are not evidence of leakage,
+    so the cap is a precision improvement as well as the scale guard.
     """
     lg = left.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
@@ -111,6 +120,14 @@ def ngram_overlap(
     rg = right.select(
         F.col(id_col).alias("_rid"), F.explode(word_shingles(text_col, n)).alias("gram")
     )
+    if max_right_df is not None:
+        keep = (
+            rg.groupBy("gram")
+            .agg(F.countDistinct("_rid").alias("_df"))
+            .filter(F.col("_df") <= max_right_df)
+            .select("gram")
+        )
+        rg = rg.join(keep, "gram")
     return lg.join(rg, "gram").groupBy(id_col).agg(
         F.countDistinct("gram").alias("shared_grams"),
         F.countDistinct("_rid").alias("right_docs"),

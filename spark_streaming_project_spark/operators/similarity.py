@@ -265,6 +265,20 @@ def write_ivf_partitioned(
         .select("cid", F.col("_v").alias("_cv"))
         .withColumn("_cn", norm(F.col("_cv")))
     )
+    assigned = _assign_to_centroids(vecs, cents, id_col, vec_col)
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    cents.select("cid", F.col("_cv").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_ivf_centroids")
+
+
+def _assign_to_centroids(
+    vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, list_id) with list_id = argmax-cosine centroid — broadcast
+    cross-join against ≤ n_list rows + per-vector argmax; ties broken by
+    (cosine DESC, cid ASC) so assignment is total-ordered. ``vecs`` must
+    carry (id_col, _v); ``cents`` (cid, _cv, _cn)."""
     _n = F.col("_vn") * F.col("_cn")
     scored = (
         vecs.withColumn("_vn", norm(F.col("_v")))
@@ -279,15 +293,41 @@ def write_ivf_partitioned(
     rn = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
     )
-    assigned = (
+    return (
         scored.withColumn("_rn", rn)
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("_v").alias(vec_col), F.col("cid").alias("list_id"))
     )
-    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
-    cents.select("cid", F.col("_cv").alias("centroid")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/_ivf_centroids")
+
+
+def append_ivf_partitioned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+) -> None:
+    """Index MAINTENANCE: assign new vectors to the EXISTING centroid
+    sidecar of a :func:`write_ivf_partitioned` index and append them to
+    their list partitions — the incremental path that keeps a live ANN
+    index partition-pruned without rebuilding it.
+
+    Centroids are read back from the sidecar (≤ n_list rows) and the
+    assignment is the same broadcast-argmax expression as the initial
+    build, so an index grown by appends is bit-identical to one built in a
+    single pass with the same centroids. Periodic re-fit (new sidecar +
+    rewrite) is a separate, caller-scheduled operation — exactly how
+    warehouse ANN indexes amortize centroid drift. Duplicate ids are the
+    caller's concern (appends are blind, like parquet appends anywhere).
+    """
+    spark = df.sparkSession
+    cents = (
+        spark.read.parquet(f"{path}/_ivf_centroids")
+        .select("cid", as_double("centroid").alias("_cv"))
+        .withColumn("_cn", norm(F.col("_cv")))
+    )
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    assigned = _assign_to_centroids(vecs, cents, id_col, vec_col)
+    assigned.write.partitionBy("list_id").mode("append").parquet(path)
 
 
 def ivf_partitioned_topk(

@@ -22,11 +22,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> "F.Column":
+    """Z-order (Morton) key over numeric columns: each column is min/max
+    rank-scaled to ``bits`` bits (one 2-scalar-per-column aggregate reaches
+    the driver) and the bits are interleaved, so sorting by the single key
+    clusters rows that are close in EVERY dimension.
+
+    Why not sort_cols at scale: lexicographic sort gives tight min/max file
+    stats only for the leading column — a filter on the second column still
+    reads every file. The z-curve splits locality across all columns, so
+    min/max pruning works for filters on any subset (the standard OPTIMIZE
+    ZORDER BY semantics). Linear min/max scaling (not percent_rank) keeps
+    the key a pure per-row expression — no global window, no extra shuffle;
+    heavily skewed columns dilute their effective bits, which is the usual
+    tradeoff (fix upstream with a transform, e.g. log).
+
+    NULLs scale to the minimum (sort first, prune like the min value).
+    """
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"_mn_{i}"], row[f"_mx_{i}"]
+        mn = 0.0 if mn is None else mn
+        span = (mx - mn) if (mx is not None and mx > mn) else 1.0
+        s = (
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+            / F.lit(span)
+            * F.lit(float(top))
+        ).cast("long")
+        scaled.append(F.least(F.greatest(s, F.lit(0)), F.lit(top)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(cols) + i)
+    return z
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_mb: int = 128,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet directory at ``path`` into ceil(bytes/target)
     files, optionally sort-clustered by ``sort_cols``, then swap the new
@@ -45,9 +89,11 @@ def compact_parquet(
     which is out of scope for a filesystem-only engine.
 
     Uses ``repartitionByRange`` on the sort key (each output file covers a
-    disjoint key range -> tight min/max stats, cross-file pruning) or a
-    plain round-robin ``repartition`` when unsorted. Returns a stats dict
-    {files_before, files_after, bytes}.
+    disjoint key range -> tight min/max stats, cross-file pruning), or on
+    the interleaved :func:`zorder_value` key when ``zorder_cols`` is given
+    (tight-ish min/max for EVERY z-ordered column — multi-dimension
+    pruning), or a plain round-robin ``repartition`` when unsorted.
+    Returns a stats dict {files_before, files_after, bytes}.
 
     Scale note: the rewrite is one job whose parallelism equals the output
     file count; for a partitioned table run per partition (callers loop
@@ -62,7 +108,15 @@ def compact_parquet(
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
-    if sort_cols:
+    if zorder_cols:
+        z = zorder_value(df, zorder_cols)
+        out = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_out, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif sort_cols:
         out = df.repartitionByRange(n_out, *[F.col(c) for c in sort_cols])
         out = out.sortWithinPartitions(*sort_cols)
     else:

@@ -97,3 +97,20 @@ def foreach_batch_reaggregate(
         ).parquet(out_dir)
 
     return write
+
+
+def foreach_batch_ivf_append(
+    path: str, id_col: str, vec_col: str
+) -> Callable[[DataFrame, int], None]:
+    """Streaming ANN index maintenance: each micro-batch of new vectors is
+    assigned against the index's EXISTING centroid sidecar and appended to
+    its ``list_id`` partitions (``similarity.append_ivf_partitioned``).
+    The index stays partition-pruned for probes throughout; an index grown
+    batch-by-batch is bit-identical to one built in a single pass with the
+    same centroids (parity-tested in tests/test_ivf_storage.py)."""
+    from ..operators.similarity import append_ivf_partitioned
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        append_ivf_partitioned(batch_df, id_col, vec_col, path)
+
+    return write

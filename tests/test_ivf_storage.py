@@ -79,3 +79,110 @@ def test_ivf_partitioned_excludes_nothing_by_default(spark, tmp_path):
     assert len(got) == 5
     sims = [r["cosine_sim"] for r in got]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_append_grows_index_identically_to_single_pass(spark, tmp_path):
+    """An index built from half the corpus then APPENDED with the other
+    half must contain exactly the rows of a single-pass assignment of the
+    full corpus against the same (first-half-derived) centroids."""
+    from spark_streaming_project_spark.operators.similarity import (
+        append_ivf_partitioned,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    grown = str(tmp_path / "ivf_grown")
+    write_ivf_partitioned(first, "vec_id", "embedding", grown, n_list=N_LIST)
+    append_ivf_partitioned(second, "vec_id", "embedding", grown)
+
+    # single-pass twin: same sidecar centroids, full corpus in one append
+    single = str(tmp_path / "ivf_single")
+    write_ivf_partitioned(first, "vec_id", "embedding", single, n_list=N_LIST)
+    import shutil
+
+    shutil.rmtree(single)
+    spark.read.parquet(f"{grown}/_ivf_centroids").write.parquet(
+        f"{single}/_ivf_centroids"
+    )
+    append_ivf_partitioned(emb, "vec_id", "embedding", single)
+
+    got = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(grown).select("vec_id", "list_id").collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(single).select("vec_id", "list_id").collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+
+def test_streaming_ivf_append_matches_batch(spark, tmp_path):
+    """foreach_batch_ivf_append: an index maintained by streaming
+    micro-batches equals one maintained by a single batch append, and
+    probes against it still prune partitions."""
+    from spark_streaming_project_spark.streaming import (
+        StreamRunner,
+        stream_parquet_dir,
+    )
+    from spark_streaming_project_spark.streaming.sinks import (
+        foreach_batch_ivf_append,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    rest = emb.filter(F.col("vec_id") >= 100)
+
+    path = str(tmp_path / "ivf_stream")
+    write_ivf_partitioned(base, "vec_id", "embedding", path, n_list=N_LIST)
+
+    src = str(tmp_path / "vec_src")
+    rest.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    rest.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_ivf"))
+    runner.add(
+        "ivf_maint",
+        stream,
+        output_mode="append",
+        sink_format=None,
+        foreach_batch=foreach_batch_ivf_append(path, "vec_id", "embedding"),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    # batch twin from the same starting index
+    twin = str(tmp_path / "ivf_twin")
+    write_ivf_partitioned(base, "vec_id", "embedding", twin, n_list=N_LIST)
+    from spark_streaming_project_spark.operators.similarity import (
+        append_ivf_partitioned,
+    )
+
+    append_ivf_partitioned(rest, "vec_id", "embedding", twin)
+
+    got = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(path).select("vec_id", "list_id").collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(twin).select("vec_id", "list_id").collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+    # probing the streamed index still prunes partitions
+    qvec = [float(x) for x in base.select("embedding").head()[0]]
+    df = ivf_partitioned_topk(spark, path, "vec_id", "embedding", qvec, n_probe=N_PROBE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert len(df.collect()) > 0

@@ -242,3 +242,67 @@ def test_compact_parquet_small_files(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"overlapping file key ranges: {ranges}"
+
+
+def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
+    """Z-order compaction: per-file min/max spans must be tight on BOTH
+    clustered columns (multi-dim pruning), where a lexicographic sort gives
+    the trailing column full-span files (no pruning on it)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.sources.compaction import compact_parquet
+
+    # two independent uniform dimensions; enough bytes for several
+    # target_file_mb=1 output files
+    base = spark.range(1_200_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 37 + 11) % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def avg_spans(path):
+        spans_x, spans_y = [], []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            mn_x = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+            mx_x = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+            mn_y = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            mx_y = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            spans_x.append((mx_x - mn_x) / 199)
+            spans_y.append((mx_y - mn_y) / 199)
+        return sum(spans_x) / len(spans_x), sum(spans_y) / len(spans_y)
+
+    def write_small(path):
+        for i in range(4):
+            base.filter(F.col("payload") % 4 == i).repartition(4).write.mode(
+                "append"
+            ).parquet(path)
+
+    zpath = str(tmp_path / "zorder")
+    write_small(zpath)
+    rows_before = base.count()
+    compact_parquet(spark, zpath, target_file_mb=1, zorder_cols=["x", "y"])
+    assert spark.read.parquet(zpath).count() == rows_before  # lossless
+    zx, zy = avg_spans(zpath)
+
+    spath = str(tmp_path / "sorted")
+    write_small(spath)
+    compact_parquet(spark, spath, target_file_mb=1, sort_cols=["x"])
+    sx, sy = avg_spans(spath)
+
+    n_files = len(glob.glob(os.path.join(zpath, "*.parquet")))
+    assert n_files >= 4, "need several files for span statistics"
+    # z-order: BOTH dimensions prunable. With ~8 files the z prefix fixes
+    # ~3 interleaved bits, i.e. 2 bits on one dimension and 1 on the other
+    # (spans ~0.25 / ~0.5, sampled range boundaries add slack) — so assert
+    # a robust < 0.8 on each, not a per-dimension split.
+    assert zx < 0.8 and zy < 0.8, (zx, zy)
+    # lexicographic sort: leading column tight, trailing column full-span
+    assert sx < 0.3, sx
+    assert sy > 0.8, sy
+    # the z-curve's whole point: the trailing dimension becomes prunable
+    assert zy < 0.6 * sy, (zy, sy)

@@ -124,3 +124,37 @@ def test_ngram_overlap_ground_truth(spark):
     # "quick brown fox jumps over" and "brown fox jumps over the" (right
     # doc 10 only) -> 3 grams, 2 docs; doc 2 shares nothing
     assert rows == {1: (3, 2)}
+
+
+def test_ngram_overlap_hot_gram_guard(spark):
+    """max_right_df drops boilerplate grams shared by many right docs (not
+    leakage evidence, and the SCALE.md-measured df^2 join blowup) while
+    keeping rare-gram matches intact."""
+    boiler = "this standard license header appears on every single page"
+    left = spark.createDataFrame(
+        [(1, boiler + " plus the unique secret fact about cats")],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [(10 + i, boiler + f" filler {i} only here") for i in range(5)]
+        + [(99, "nothing else has the unique secret fact about cats here")],
+        ["doc_id", "text"],
+    )
+    from spark_streaming_project_spark.operators.sampling import ngram_overlap
+
+    uncapped = {
+        r["doc_id"]: (r["shared_grams"], r["right_docs"])
+        for r in ngram_overlap(left, right, "text", "doc_id", n=5).collect()
+    }
+    capped = {
+        r["doc_id"]: (r["shared_grams"], r["right_docs"])
+        for r in ngram_overlap(
+            left, right, "text", "doc_id", n=5, max_right_df=2
+        ).collect()
+    }
+    # uncapped: boilerplate grams hit all 5 boiler docs + the real match
+    assert uncapped[1][1] == 6
+    # capped: the 5-doc boilerplate grams are gone; the unique 5-gram
+    # "the unique secret fact about"/"unique secret fact about cats"
+    # (df=1) still links doc 99
+    assert capped[1] == (2, 1)
