@@ -87,6 +87,33 @@ def token_budget_sample(
     )
 
 
+def mixture_epochs(
+    df: DataFrame,
+    strata_col: str,
+    epochs: dict[str, int],
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Epoch-weighted mixture replication: each row is repeated its
+    stratum's epoch count, with an ``epoch`` column (1..n) distinguishing
+    the copies — the upsampling half of data mixing (stratified_sample is
+    the downsampling half; a mixture spec uses both: rates for <1x,
+    epochs for >=1x).
+
+    Pure explode(sequence) on the scan — map-only, no shuffle, no RNG; a
+    stratum with 0 epochs vanishes. At 100 TB you'd fold the epoch column
+    into the dataloader order rather than materializing copies, but the
+    logical transform (and its cost model: output rows = Σ docs·epochs) is
+    exactly this.
+    """
+    n = F.lit(default_epochs)
+    for k, e in epochs.items():
+        n = F.when(F.col(strata_col) == k, F.lit(int(e))).otherwise(n)
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(seq))
+
+
 def ngram_overlap(
     left: DataFrame,
     right: DataFrame,

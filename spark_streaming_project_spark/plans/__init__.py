@@ -13,6 +13,7 @@ from . import reference  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import profiling  # noqa: E402,F401
 
 
 def _reorder() -> None:
@@ -43,19 +44,19 @@ def _reorder() -> None:
         "dedup_ngram_jaccard_pairs_prefix",
     ]
     new_this_round = [
-        # first-ever rows for the round-4 sampling/audit/quantization adds
+        # first-ever rows for the round-4 additions
         "stratified_source_sample",
         "token_budget_sample",
         "decontamination_overlap",
         "similarity_quantized_topk",
+        "quantity_histogram",
+        "event_user_skew",
+        "mixture_epoch_counts",
     ]
     fresh_family = [
         # same dedup/similarity family: cheap fresh rows on current testdata
         "curated_corpus",
         "dedup_minhash_pairs",
-        "dedup_keep_list",
-        "simhash_fingerprints",
-        "dedup_simhash_pairs",
     ]
     priority = tpch_names + changed + new_this_round + fresh_family
     missing = [n for n in priority + tail if n not in REGISTRY]

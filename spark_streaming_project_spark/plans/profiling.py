@@ -1,0 +1,112 @@
+"""Profiling + mixture-planning queries: the observability and data-mixing
+surface over the synthetic warehouse (operators/profiling.py,
+operators/sampling.py). All arithmetic is engine-portable (floor buckets,
+explicit clamps, integer epochs), so DuckDB replays each bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .registry import register
+
+# lineitem quantity is 1..50 in the TPC-H-ish generator; 10 buckets of 5
+_HIST_LO, _HIST_HI, _HIST_N = 1.0, 51.0, 10
+
+
+@register(
+    "quantity_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT least(greatest(CAST(floor((CAST(l_quantity AS DOUBLE) - {_HIST_LO})
+                                          / {(_HIST_HI - _HIST_LO) / _HIST_N}) AS BIGINT),
+                              0), {_HIST_N - 1}) AS bucket,
+               CAST(l_quantity AS DOUBLE) AS q
+        FROM lineitem WHERE l_quantity IS NOT NULL
+    )
+    SELECT bucket,
+           {_HIST_LO} + bucket * {(_HIST_HI - _HIST_LO) / _HIST_N} AS lo_edge,
+           count(*) AS row_count,
+           min(q) AS min_val,
+           max(q) AS max_val
+    FROM b GROUP BY bucket
+    """,
+    tags=("profiling",),
+)
+def quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of lineitem quantity — the single-scan,
+    bounded-key-domain profile that exposes skew/clipping before a plan
+    commits to a partition strategy."""
+    from ..operators.profiling import numeric_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_histogram(li, "l_quantity", _HIST_LO, _HIST_HI, _HIST_N)
+
+
+@register(
+    "event_user_skew",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, count(*) AS key_count
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    t AS (SELECT count(*) AS total_rows FROM events WHERE user_id IS NOT NULL)
+    SELECT user_id, key_count, total_rows,
+           round(CAST(key_count AS DOUBLE) / total_rows, 6) AS share
+    FROM c, t
+    ORDER BY key_count DESC, user_id ASC
+    LIMIT 20
+    """,
+    tags=("profiling", "skew"),
+)
+def event_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest event users with row share — the pre-flight skew
+    probe that decides whether a user-keyed join needs salting
+    (operators/joins.skew_salted_join) before it melts one reducer."""
+    from ..operators.profiling import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_profile(ev, "user_id", k=20)
+
+
+# epoch plan by source tier, mirroring _STRATA_RATES' tiers upward:
+# curated sources get 3 epochs, mid tier 2, the tail 1
+_EPOCHS = {f"src{i}": (3 if i < 5 else 2 if i < 10 else 1) for i in range(20)}
+
+
+@register(
+    "mixture_epoch_counts",
+    oracle=f"""
+    WITH reps AS (
+        SELECT doc_id, source,
+               unnest(generate_series(1,
+                   CASE
+                     WHEN source IN ({", ".join(f"'src{i}'" for i in range(5))}) THEN 3
+                     WHEN source IN ({", ".join(f"'src{i}'" for i in range(5, 10))}) THEN 2
+                     ELSE 1
+                   END)) AS epoch
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS replicated_docs,
+           count(DISTINCT doc_id) AS unique_docs,
+           max(epoch) AS epochs
+    FROM reps GROUP BY source
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def mixture_epoch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture plan: replicate each source its epoch count
+    (curated 3x, mid 2x, tail 1x) and summarize the replicated corpus —
+    the upsampling twin of stratified_source_sample. The epoch explode is
+    map-only; the summary is one hash aggregate."""
+    from ..operators.sampling import mixture_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = mixture_epochs(docs, "source", _EPOCHS)
+    return reps.groupBy("source").agg(
+        F.count("*").alias("replicated_docs"),
+        F.countDistinct("doc_id").alias("unique_docs"),
+        F.max("epoch").alias("epochs"),
+    )
