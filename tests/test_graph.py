@@ -64,3 +64,24 @@ def test_max_iter_exhaustion_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(20)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(df, max_iter=1, driver_threshold=0)
+
+
+def test_checkpoint_storage_stays_bounded_across_rounds(spark):
+    """Each round must release the previous round's localCheckpoint blocks
+    (ADVICE r3): after a multi-round distributed run, the storage manager
+    must not hold one cached RDD per round."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(2000)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = connected_components(edges, driver_threshold=0, stats=stats)
+    assert out.select("component").distinct().count() == 1
+    assert stats["rounds"] >= 5  # long chain -> genuinely multi-round
+
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # the final label frame (referenced by `out`) may legitimately remain;
+    # anything O(rounds) means the release regressed
+    assert after - before <= 2, (before, after, stats)
