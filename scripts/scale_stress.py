@@ -117,9 +117,12 @@ def main() -> None:
     spark = get_spark(app_name="scale_stress")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    only = set(sys.argv[1:])  # optional tier-name filter: run a subset
     results: list[dict] = []
 
     def run(tier: str, scale: str, fn, extra: dict | None = None) -> None:
+        if only and tier not in only:
+            return
         t0 = time.perf_counter()
         n = fn().count()
         sec = round(time.perf_counter() - t0, 2)
@@ -196,6 +199,22 @@ def main() -> None:
             lambda: single_table_ndup(emb, dim))
         run("emb_ndup_banded", scale, lambda: S.banded_ndup_pairs(
             emb, "vec_id", "embedding", dim, threshold=0.2))
+
+        # decontamination overlap: md5 train/test split as the registered
+        # query; the derived 10x corpus multiplies every gram's df by ~10,
+        # so the uncapped inverted join shows the df^2 growth and the
+        # hot-gram cap is the guard (drops grams in > max_right_df eval docs)
+        from pyspark.sql import functions as _F
+
+        from spark_streaming_project_spark.operators.sampling import ngram_overlap
+
+        _h = _F.substring(_F.md5(_F.col("doc_id").cast("string")), 1, 1)
+        _nn = docs.filter(_F.col("text").isNotNull())
+        run("decon_overlap", scale, lambda: ngram_overlap(
+            _nn.filter(_h <= "b"), _nn.filter(_h > "d"), "text", "doc_id", n=5))
+        run("decon_overlap_capped", scale, lambda: ngram_overlap(
+            _nn.filter(_h <= "b"), _nn.filter(_h > "d"), "text", "doc_id",
+            n=5, max_right_df=20))
 
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
