@@ -1,0 +1,170 @@
+"""Repetition and language-model quality signals for corpus curation.
+
+Gopher-style repetition profiling (Rae et al. 2021, table A1) and a
+CCNet-style unigram log-probability score (Wenzek et al. 2019) — the two
+standard "is this document junk?" families a pretraining pipeline runs
+besides length/diversity heuristics (see ``textstats.doc_stats``).
+
+Everything is built-in expressions: array HOFs for within-document
+fractions, map-side-combinable groupBys for the frequency passes. No Python
+on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _word_grams(toks, n: int):
+    """Non-distinct word n-grams as an array column (order preserved)."""
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, width)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, width), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return grams
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, gram_n: int = 2
+) -> DataFrame:
+    """Per-document repetition profile (Gopher repetition rules):
+
+    - ``dup_gram_frac``: 1 - distinct/total word n-grams — the fraction of
+      n-gram slots occupied by a repeat.
+    - ``top_token_frac``: occurrences of the most frequent token / total
+      tokens (Gopher's "most common word" rule).
+    - ``top_gram_frac``: occurrences of the most frequent n-gram / total
+      n-grams.
+
+    Shape: the dup fraction is a pure array pass (no shuffle); the two
+    top-frequency signals need a per-(doc, term) count, which is a skinny
+    explode + two map-side-combinable hash aggregates keyed by the document
+    id — linear in corpus token count, no joins wider than the id. At
+    100 TB the (doc_id, term) key is near-unique so partial aggregation
+    collapses almost everything before the exchange.
+
+    Only documents with at least ``gram_n`` tokens appear (shorter ones
+    have no n-gram to profile).
+    """
+    toks = tokens(text_col)
+    grams = _word_grams(toks, gram_n)
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"), grams.alias("_grams"))
+        .filter(F.size("_grams") > 0)
+    )
+    dup = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size("_grams").alias("n_grams"),
+        F.round(
+            1.0 - F.size(F.array_distinct("_grams")).cast("double") / F.size("_grams"),
+            6,
+        ).alias("dup_gram_frac"),
+    )
+    top_tok = (
+        base.select(F.col(id_col), F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_tok"), F.sum("count").alias("_n_tok"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_top_tok").cast("double") / F.col("_n_tok"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+    top_gram = (
+        base.select(F.col(id_col), F.explode("_grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_g"), F.sum("count").alias("_n_g"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_top_g").cast("double") / F.col("_n_g"), 6).alias(
+                "top_gram_frac"
+            ),
+        )
+    )
+    return dup.join(top_tok, id_col).join(top_gram, id_col)
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution (the CCNet/KenLM-proxy quality score: boilerplate
+    and keyword-stuffed docs score high, rare-garbage docs score low).
+
+    Two passes over the skinny (doc_id, token) explode:
+
+    1. vocabulary pass — token -> global count, plus the corpus total folded
+       in via a broadcast single-row aggregate (never a driver collect);
+    2. scoring pass — tokens join the vocabulary on the token key, then a
+       per-document mean of ``ln(count/total)``.
+
+    Scale note: the token-keyed join is the skew point (stopwords are hot).
+    The vocabulary side is token-distinct (bounded by |V|, not corpus size)
+    and usually broadcastable; when it isn't, AQE's skew-join split handles
+    the hot keys — both sides of the join are already partially aggregated
+    so the shuffled volume is ~|tokens| + |V|, not quadratic.
+    """
+    tok = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    )
+    # fold per-doc duplicate tokens before the join: (doc, token) counts
+    doc_tok = tok.groupBy(id_col, "token").agg(F.count("*").alias("k"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = doc_tok.join(F.broadcast(vocab), "token").crossJoin(F.broadcast(total))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(logp * F.col("k")) / F.sum("k"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def cross_doc_gram_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Per-document cross-corpus duplication: the fraction of a document's
+    distinct word n-grams that also occur in at least ``min_df - 1`` OTHER
+    documents (RefinedWeb-style duplicated-content measure, corpus-internal
+    sibling of the train/test ``ngram_overlap`` audit).
+
+    Inverted-index shape: distinct (doc, gram) rows, gram -> document
+    frequency, join back, per-doc ratio. At n=5 grams are near-unique so
+    df(g) is tiny; the join output equals the explode size — linear. No
+    pairwise expansion anywhere (contrast dedup.ngram_jaccard_pairs, which
+    needs the pair identities, not just the ratio).
+    """
+    from ..functions.text import word_shingles
+
+    g = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    dfreq = g.groupBy("gram").agg(F.countDistinct(id_col).alias("gram_df"))
+    return (
+        g.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("gram_df") >= min_df).cast("long"))
+            .cast("bigint")
+            .alias("shared_grams"),
+            F.round(
+                F.sum((F.col("gram_df") >= min_df).cast("long")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )

@@ -159,3 +159,41 @@ def ngram_overlap(
         F.countDistinct("gram").alias("shared_grams"),
         F.countDistinct("_rid").alias("right_docs"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data ordering:
+    every row gets a ``shard`` in [0, n_shards) and a dense ``pos`` within
+    its shard, both pure functions of (seed, id).
+
+    Training runs need the corpus in a reproducible pseudo-random order
+    (and re-shuffled per epoch by changing the seed) without a global sort:
+    hash the id with the seed, take the hash's low bits as the shard, and
+    rank by the full hash within each shard. The only exchange is the
+    shard-keyed window rank — n_shards independent sorts of |corpus|/n_shards
+    rows each, which is exactly the per-output-file sort a shard writer does
+    anyway; there is no single global ordering bottleneck. Ties are
+    impossible (the id is appended to the sort key).
+
+    At 100 TB you'd pick n_shards ~ output-file count (tens of thousands);
+    each window partition then fits one task and the plan is a single
+    hash-exchange + per-partition sort, the minimum any deterministic
+    permutation needs.
+    """
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    # 15 hex chars = 60 bits: fits a signed 64-bit int, always positive
+    hval = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    w = (
+        Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    )
+    return (
+        df.withColumn("_h", hval)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+    )

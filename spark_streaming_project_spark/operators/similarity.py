@@ -762,3 +762,110 @@ def ivf_kmeans_topk(
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    bits: int = 6,
+    salt: str = "semdedup",
+    round_decimals: int = ROUND_DECIMALS,
+) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, and inside each cluster drop one endpoint
+    of every pair whose cosine exceeds ``threshold`` — keeping the member
+    LEAST similar to the cluster centroid (the paper's policy: redundant
+    prototypical copies go, the atypical representative stays).
+
+    Clustering here is the deterministic hyperplane bucketer (k = 2**bits
+    clusters) so a SQL oracle can replay the whole pipeline; a learned
+    k-means tier plugs into the same within-cluster step (see
+    ``ivf_kmeans_topk`` for the fit machinery).
+
+    Scale shape: centroids are a (cluster, pos) partial-sum aggregate —
+    skinny, map-side combinable, 2**bits * dim rows total. The only
+    quadratic piece is the within-cluster pair join, which is the SemDeDup
+    algorithm itself: cost ~ n^2 / k, so ``bits`` is chosen to bound the
+    expected cluster size (the paper uses k ~ sqrt(n); at 100 TB you raise
+    ``bits`` — or swap in k-means centroids — so clusters stay ~1e4 rows
+    and every cluster's pair block fits one task). Elements are rounded to
+    a 1e-3 grid before the centroid mean so Spark and DuckDB partial-sum
+    orders agree at the 6-decimal output rounding.
+
+    Returns one row per input vector: (id, cluster, cos_centroid, kept).
+    """
+    bucketed = (
+        df.select(
+            F.col(id_col),
+            as_double(vec_col).alias("_v"),
+            hyperplane_bucket(vec_col, dim, bits=bits, salt=salt).alias("cluster"),
+        )
+        .withColumn("_vr", F.transform("_v", lambda x: F.round(x, 3)))
+        .persist()
+    )
+    # cluster centroid: elementwise mean over the 1e-3-rounded members
+    cent = (
+        bucketed.select("cluster", F.posexplode("_vr").alias("_pos", "_x"))
+        .groupBy("cluster", "_pos")
+        .agg(F.avg("_x").alias("_m"))
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm")
+        )
+        .select(
+            "cluster", F.transform("_pm", lambda s: s.getField("_m")).alias("_c")
+        )
+    )
+    scored = (
+        bucketed.join(F.broadcast(cent), "cluster")
+        .withColumn("_n", norm(F.col("_v")) * norm(F.col("_c")))
+        .withColumn(
+            "cos_centroid",
+            F.round(
+                F.when(F.col("_n") > 0, dot(F.col("_v"), F.col("_c")) / F.col("_n")),
+                round_decimals,
+            ),
+        )
+        .select(id_col, "cluster", "_v", "cos_centroid")
+        .persist()
+    )
+    a = scored.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("cos_centroid").alias("_ca"),
+    )
+    b = scored.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("cos_centroid").alias("_cb"),
+    )
+    n_ab = norm(F.col("_va")) * norm(F.col("_vb"))
+    pair_sim = F.round(
+        F.when(n_ab > 0, dot(F.col("_va"), F.col("_vb")) / n_ab), round_decimals
+    )
+    # drop the pair member MORE similar to the centroid; ties -> higher id
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(pair_sim >= threshold)
+        .select(
+            F.when(F.col("_ca") > F.col("_cb"), F.col("_ida"))
+            .when(F.col("_ca") < F.col("_cb"), F.col("_idb"))
+            .otherwise(F.greatest("_ida", "_idb"))
+            .alias("_drop_id")
+        )
+        .distinct()
+    )
+    return scored.join(
+        dropped, scored[id_col] == dropped["_drop_id"], "left"
+    ).select(
+        id_col,
+        "cluster",
+        "cos_centroid",
+        F.col("_drop_id").isNull().alias("kept"),
+    )

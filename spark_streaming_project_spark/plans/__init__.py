@@ -14,6 +14,7 @@ from . import llm  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
+from . import quality  # noqa: E402,F401
 
 
 def _reorder() -> None:
@@ -36,12 +37,12 @@ def _reorder() -> None:
     ]
     changed = [
         # implementation changed this round -> needs a fresh green row
+        # (approx_stats additionally has a recorded r3 err to supersede);
+        # the remaining persist-lifecycle-touched dedup queries are pinned
+        # by pytest and fell past the cap to make room for first-ever rows
         "approx_stats",
         "dedup_embedding_pairs",
         "dedup_canonical_map",
-        "dedup_canonical_keep",
-        "dedup_ngram_jaccard_pairs",
-        "dedup_ngram_jaccard_pairs_prefix",
     ]
     new_this_round = [
         # first-ever rows for the round-4 additions
@@ -52,12 +53,14 @@ def _reorder() -> None:
         "quantity_histogram",
         "event_user_skew",
         "mixture_epoch_counts",
+        # quality/ordering family (this session)
+        "repetition_profile",
+        "unigram_quality",
+        "cross_doc_gram_share",
+        "training_shuffle_order",
+        "semdedup_audit",
     ]
-    fresh_family = [
-        # same dedup/similarity family: cheap fresh rows on current testdata
-        "curated_corpus",
-        "dedup_minhash_pairs",
-    ]
+    fresh_family: list[str] = []
     priority = tpch_names + changed + new_this_round + fresh_family
     missing = [n for n in priority + tail if n not in REGISTRY]
     if missing:  # guard against silent drift when queries are renamed

@@ -1,0 +1,276 @@
+"""Corpus-quality and training-data-ordering queries: Gopher-style
+repetition profiling, CCNet-style unigram-LM scoring, cross-corpus
+duplicated-gram share, deterministic shuffle-sharding, and SemDeDup
+semantic pruning.
+
+Same contract as every other plans module: md5-deterministic pipelines so
+the DuckDB oracle replays each one bit-for-bit (FP aggregates are rounded
+to 6 decimals at the comparison surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import (
+    cross_doc_gram_stats,
+    repetition_stats,
+    unigram_logprob,
+)
+from ..operators.sampling import shuffle_shards
+from ..operators.similarity import semdedup_prune
+from ..sources.batch import load_table
+from .llm import _DIM, _TOKS_CTE, _duck_dot, _pseudo_coef
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Gopher repetition profile: dup n-gram fraction + top token/gram fractions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_profile",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    base AS (
+        SELECT doc_id, words,
+               [array_to_string(words[i:i+1], ' ') for i in range(1, len(words))]
+                   AS grams
+        FROM toks WHERE len(words) >= 2
+    ),
+    dup AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                   AS dup_gram_frac
+        FROM base
+    ),
+    tt AS (
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac
+        FROM (
+            SELECT doc_id, term, count(*) AS c
+            FROM (SELECT doc_id, unnest(words) AS term FROM base)
+            GROUP BY 1, 2
+        )
+        GROUP BY doc_id
+    ),
+    tg AS (
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_gram_frac
+        FROM (
+            SELECT doc_id, gram, count(*) AS c
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+            GROUP BY 1, 2
+        )
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_grams, dup_gram_frac, top_token_frac, top_gram_frac
+    FROM dup JOIN tt USING (doc_id) JOIN tg USING (doc_id)
+    """,
+    tags=("llm", "quality"),
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher repetition rules): duplicate
+    word-bigram fraction plus most-frequent token / bigram occupancy. The
+    filter a pretraining pipeline applies before any model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "text", "doc_id", gram_n=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "dup_gram_frac",
+        "top_token_frac",
+        "top_gram_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality: mean ln p(token) under the corpus's own distribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_quality",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(words) AS token FROM toks),
+    dt AS (SELECT doc_id, token, count(*) AS k FROM tok GROUP BY 1, 2),
+    v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    t AS (SELECT sum(cnt) AS total FROM v)
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_tokens,
+           round(sum(k * ln(CAST(cnt AS DOUBLE) / total)) / sum(k), 6) AS avg_logprob
+    FROM dt JOIN v USING (token), t
+    GROUP BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality proxy: per-document mean unigram log-probability
+    under the corpus's own token distribution (two aggregation passes over
+    the skinny token explode; the vocabulary side is |V|-bounded and
+    broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus duplicated-gram share (RefinedWeb-style duplication measure).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_doc_gram_share",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    g5 AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 5
+                    THEN list_distinct([array_to_string(words[i:i+4], ' ')
+                                        for i in range(1, len(words) - 3)])
+                    ELSE [] END AS shingles
+        FROM toks
+    ),
+    gr AS (SELECT doc_id, unnest(shingles) AS gram FROM g5),
+    dfq AS (SELECT gram, count(DISTINCT doc_id) AS gram_df FROM gr GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_grams,
+           round(CAST(sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS shared_frac
+    FROM gr JOIN dfq USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "dedup"),
+)
+def cross_doc_gram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every document, the fraction of its distinct word 5-grams that
+    occur in at least one OTHER document — the corpus-internal duplication
+    measure (inverted-index shape, linear; no pair expansion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_doc_gram_stats(docs, "text", "doc_id", n=5, min_df=2)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle-sharding: reproducible training order.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "epoch0"
+_N_SHARDS = 16
+
+
+@register(
+    "training_shuffle_order",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % {_N_SHARDS} AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % {_N_SHARDS}
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("llm", "ordering"),
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: md5(seed, id) assigns each
+    doc a shard and a dense in-shard position — a reproducible pseudo-random
+    permutation with no global sort (n_shards independent in-partition
+    sorts; see ``sampling.shuffle_shards``)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=_N_SHARDS, seed=_SHUFFLE_SEED)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic pruning over the embedding table.
+# ---------------------------------------------------------------------------
+
+_SEM_BITS = 6
+_SEM_SALT = "semdedup"
+_SEM_THRESHOLD = 0.2
+
+
+def _duck_sem_bucket(vec: str) -> str:
+    """DuckDB twin of hyperplane_bucket(bits=6, salt='semdedup'): same
+    md5-derived coefficients, same left-to-right accumulation order."""
+    bits = []
+    for b in range(_SEM_BITS):
+        terms = " + ".join(
+            f"{vec}[{i + 1}] * ({_pseudo_coef(f'{_SEM_SALT}:{b}:{i}')})"
+            for i in range(_DIM)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_SEM_COS_CENT = (
+    f"round(CASE WHEN sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('c', 'c')}) > 0 "
+    f"THEN {_duck_dot('v', 'c')} / "
+    f"(sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('c', 'c')})) END, 6)"
+)
+_SEM_PAIR_COS = (
+    f"round(CASE WHEN sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('bb.v', 'bb.v')}) > 0 "
+    f"THEN {_duck_dot('a.v', 'bb.v')} / "
+    f"(sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('bb.v', 'bb.v')})) END, 6)"
+)
+
+
+@register(
+    "semdedup_audit",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, v,
+               CAST({_duck_sem_bucket('v')} AS INTEGER) AS cluster,
+               list_transform(v, x -> round(x, 3)) AS vr
+        FROM vecs
+    ),
+    elems AS (
+        SELECT cluster, unnest(vr) AS x, generate_subscripts(vr, 1) AS pos
+        FROM b
+    ),
+    cm AS (SELECT cluster, pos, avg(x) AS m FROM elems GROUP BY 1, 2),
+    cent AS (SELECT cluster, list(m ORDER BY pos) AS c FROM cm GROUP BY 1),
+    sc AS (
+        SELECT vec_id, b.cluster, v, {_SEM_COS_CENT} AS cos_centroid
+        FROM b JOIN cent USING (cluster)
+    ),
+    drops AS (
+        SELECT DISTINCT
+               CASE WHEN a.cos_centroid > bb.cos_centroid THEN a.vec_id
+                    WHEN a.cos_centroid < bb.cos_centroid THEN bb.vec_id
+                    ELSE greatest(a.vec_id, bb.vec_id) END AS drop_id
+        FROM sc a JOIN sc bb ON a.cluster = bb.cluster AND a.vec_id < bb.vec_id
+        WHERE {_SEM_PAIR_COS} >= {_SEM_THRESHOLD}
+    )
+    SELECT vec_id, cluster, cos_centroid,
+           vec_id NOT IN (SELECT drop_id FROM drops) AS kept
+    FROM sc
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning verdict per vector: hyperplane cluster,
+    similarity to the cluster centroid, and whether the vector survives the
+    within-cluster near-duplicate prune (the paper keeps the member least
+    similar to the centroid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(
+        emb,
+        "vec_id",
+        "embedding",
+        dim=_DIM,
+        threshold=_SEM_THRESHOLD,
+        bits=_SEM_BITS,
+        salt=_SEM_SALT,
+    )
