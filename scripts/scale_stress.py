@@ -216,6 +216,33 @@ def main() -> None:
             _nn.filter(_h <= "b"), _nn.filter(_h > "d"), "text", "doc_id",
             n=5, max_right_df=20))
 
+        # -- quality / ordering / incremental tiers (round 4, session 2) --
+        from spark_streaming_project_spark.operators.quality import (
+            cross_doc_gram_stats,
+            repetition_stats,
+            unigram_logprob,
+        )
+        from spark_streaming_project_spark.operators.sampling import shuffle_shards
+
+        run("repetition_stats", scale,
+            lambda: repetition_stats(docs, "text", "doc_id"))
+        run("unigram_logprob", scale,
+            lambda: unigram_logprob(docs, "text", "doc_id"))
+        run("cross_doc_gram", scale,
+            lambda: cross_doc_gram_stats(docs, "text", "doc_id", n=5))
+        run("shuffle_shards", scale,
+            lambda: shuffle_shards(docs.select("doc_id"), "doc_id", n_shards=32))
+        # incremental ingest probe: lower-half corpus indexes, upper-half batch
+        run("incremental_dedup", scale, lambda: D.incremental_dedup_verdicts(
+            docs.filter(_h <= "7"), docs.filter(_h > "7"), "text", "doc_id"))
+        # SemDeDup: fixed k shows the n^2/k within-cluster growth; scaling
+        # bits with n (k ~ n) is the documented 100 TB remedy — measure both
+        run("semdedup_bits6", scale, lambda: S.semdedup_prune(
+            emb, "vec_id", "embedding", dim, threshold=0.2, bits=6))
+        run("semdedup_bits_scaled", scale, lambda: S.semdedup_prune(
+            emb, "vec_id", "embedding", dim, threshold=0.2,
+            bits=6 if scale == "sf0.1" else 9))
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

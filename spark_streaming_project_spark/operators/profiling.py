@@ -79,3 +79,52 @@ def skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         .orderBy(F.desc("key_count"), F.asc(key_col))
         .limit(k)
     )
+
+
+def paired_stats(
+    df: DataFrame,
+    key_col: str,
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """Per-key Pearson correlation + means for two INTEGER columns, computed
+    from exact integer sums with a single FP division at the end — so the
+    result is bit-identical across engines and shuffle orders (builtin
+    ``corr()`` accumulates doubles in partition order and drifts).
+
+    One scan, one map-side-combinable aggregate: n, Σx, Σy, Σxy, Σx², Σy²
+    per key; corr = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)). The sums
+    here are 64-bit (exact below 2⁵³ when widened to double); at warehouse
+    scale swap them to DECIMAL(38,0) — the shape is unchanged.
+
+    NULL in either column drops the row; keys whose variance is zero in
+    either column get NULL corr.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        F.col(key_col), x.alias("_x"), y.alias("_y")
+    )
+    agg = base.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return agg.select(
+        F.col(key_col),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(sx / n, 6).alias("mean_x"),
+        F.round(sy / n, 6).alias("mean_y"),
+        F.round(
+            F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy)), 6
+        ).alias("corr_xy"),
+    )

@@ -33,7 +33,12 @@ def _reorder() -> None:
     """
     tail = ["similarity_ivf_kmeans_topk"]
     tpch_names = [
-        n for n, q in REGISTRY.items() if q.builder.__module__.endswith(".tpch")
+        n
+        for n, q in REGISTRY.items()
+        if q.builder.__module__.endswith(".tpch")
+        # these two DID record green rows in the r3 artifact; the other 33
+        # TPC-H names have not been recorded since the r2 testdata generation
+        and n not in ("pricing_summary", "shipping_priority")
     ]
     changed = [
         # implementation changed this round -> needs a fresh green row
@@ -42,7 +47,6 @@ def _reorder() -> None:
         # by pytest and fell past the cap to make room for first-ever rows
         "approx_stats",
         "dedup_embedding_pairs",
-        "dedup_canonical_map",
     ]
     new_this_round = [
         # first-ever rows for the round-4 additions
@@ -59,6 +63,8 @@ def _reorder() -> None:
         "cross_doc_gram_share",
         "training_shuffle_order",
         "semdedup_audit",
+        "incremental_dedup_verdicts",
+        "doc_length_corr",
     ]
     fresh_family: list[str] = []
     priority = tpch_names + changed + new_this_round + fresh_family

@@ -110,3 +110,53 @@ def mixture_epoch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("unique_docs"),
         F.max("epoch").alias("epochs"),
     )
+
+
+@register(
+    "doc_length_corr",
+    oracle=r"""
+    WITH base AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS BIGINT) AS y
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    agg AS (
+        SELECT source, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM base GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+           round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                       AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS corr_xy
+    FROM agg
+    """,
+    tags=("profiling", "llm"),
+)
+def doc_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character/token correlation — the deterministic-statistics
+    profile: Pearson corr from exact integer sums with ONE terminal FP
+    division, so the value is bit-stable across engines and shuffle orders
+    (builtin corr() is partition-order-dependent)."""
+    from ..functions.text import token_count
+    from ..operators.profiling import paired_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return paired_stats(docs, "source", F.col("n_chars"), token_count("text"))

@@ -274,3 +274,83 @@ def semdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_SEM_BITS,
         salt=_SEM_SALT,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup: new batch vs existing corpus index.
+# ---------------------------------------------------------------------------
+
+from .llm import _BAND_EXPRS, _SHINGLES_CTE, _SIG_COLS  # noqa: E402
+
+_INC_THRESHOLD = 0.3
+
+_INCREMENTAL_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    split AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' AS is_corpus
+        FROM documents
+    ),
+    bdig AS (
+        SELECT d.doc_id, md5(d.text) AS dg
+        FROM documents d JOIN split USING (doc_id) WHERE NOT is_corpus
+    ),
+    cdig AS (
+        SELECT DISTINCT md5(d.text) AS dg
+        FROM documents d JOIN split USING (doc_id)
+        WHERE is_corpus AND d.text IS NOT NULL
+    ),
+    exact AS (SELECT doc_id FROM bdig WHERE dg IN (SELECT dg FROM cdig)),
+    bb AS (SELECT b.* FROM bands b JOIN split s USING (doc_id)
+           WHERE NOT s.is_corpus),
+    cb AS (SELECT b.* FROM bands b JOIN split s USING (doc_id)
+           WHERE s.is_corpus),
+    cand AS (
+        SELECT DISTINCT bb.doc_id AS nid, cb.doc_id AS cid
+        FROM bb JOIN cb USING (band)
+    ),
+    near AS (
+        SELECT DISTINCT nid AS doc_id
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.nid
+        JOIN sh sb ON sb.doc_id = cand.cid
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+              >= {_INC_THRESHOLD}
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+                WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM documents d JOIN split USING (doc_id)
+    WHERE NOT is_corpus
+"""
+
+
+@register(
+    "incremental_dedup_verdicts",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("llm", "dedup", "incremental"),
+)
+def incremental_dedup_verdicts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingestion dedup: the md5-split 'new batch' (upper half)
+    checked against the 'existing corpus' (lower half) — exact digest
+    anti-probe plus MinHash-LSH band probe with Jaccard verification; one
+    verdict per batch doc (exact_dup / near_dup / new)."""
+    from ..operators.dedup import incremental_dedup_verdicts
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    corpus = docs.filter(h <= "7")
+    batch = docs.filter(h > "7")
+    return incremental_dedup_verdicts(
+        corpus, batch, "text", "doc_id", threshold=_INC_THRESHOLD
+    )

@@ -161,3 +161,41 @@ def test_semdedup_drops_the_centroid_prototypical_member(spark):
     dropped = 1 if not out[1]["kept"] else 2
     survivor = 2 if dropped == 1 else 1
     assert out[dropped]["cos_centroid"] >= out[survivor]["cos_centroid"]
+
+
+def test_incremental_dedup_verdicts_ground_truth(spark):
+    from spark_streaming_project_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    corpus = _toy_docs(spark, [(1, base), (2, "x1 x2 x3 x4 x5 x6")])
+    batch = _toy_docs(
+        spark,
+        [
+            (10, base),                               # byte-identical -> exact_dup
+            (11, base + " extra trailing tokens"),    # high overlap   -> near_dup
+            (12, "q1 q2 q3 q4 q5 q6 q7 q8"),          # disjoint       -> new
+        ],
+    )
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup_verdicts(
+            corpus, batch, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert out == {10: "exact_dup", 11: "near_dup", 12: "new"}
+
+
+def test_incremental_dedup_verdict_covers_every_batch_doc(spark):
+    from spark_streaming_project_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    corpus, batch = docs.filter(h <= "7"), docs.filter(h > "7")
+    out = incremental_dedup_verdicts(corpus, batch, "text", "doc_id")
+    assert out.count() == batch.count()
+    kinds = {r["verdict"] for r in out.select("verdict").distinct().collect()}
+    assert kinds <= {"exact_dup", "near_dup", "new"} and "new" in kinds
