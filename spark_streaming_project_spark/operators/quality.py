@@ -53,10 +53,14 @@ def repetition_stats(
     """
     toks = tokens(text_col)
     grams = _word_grams(toks, gram_n)
+    # the tokenized frame feeds THREE consumers (dup fractions + two
+    # frequency passes); persist so the split/zip passes run once — caller
+    # releases after its terminal action (bench clears between queries)
     base = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), toks.alias("_toks"), grams.alias("_grams"))
         .filter(F.size("_grams") > 0)
+        .persist()
     )
     dup = base.select(
         F.col(id_col),
@@ -149,9 +153,11 @@ def cross_doc_gram_stats(
     """
     from ..functions.text import word_shingles
 
+    # the exploded gram frame feeds the df aggregate AND the join probe;
+    # persist so the (expensive) shingle pass runs once — caller releases
     g = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
-    )
+    ).persist()
     dfreq = g.groupBy("gram").agg(F.countDistinct(id_col).alias("gram_df"))
     return (
         g.join(dfreq, "gram")

@@ -65,6 +65,7 @@ def _reorder() -> None:
         "semdedup_audit",
         "incremental_dedup_verdicts",
         "doc_length_corr",
+        "tokenized_fingerprints",
     ]
     fresh_family: list[str] = []
     priority = tpch_names + changed + new_this_round + fresh_family

@@ -266,3 +266,59 @@ def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_count",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing event-time window aggregate (RANGE frame): the per-event rolling
+# feature a fraud/abuse pipeline computes — distinct from the tumbling/
+# sliding window queries above, which aggregate per bucket, not per row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_trailing_1h",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(value AS DECIMAL(18, 6)) AS v
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(v) OVER w AS DOUBLE), 6) AS sum_value_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window"),
+)
+def user_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity: event count and value sum over a
+    RANGE frame keyed by integer epoch seconds. The frame is SET-based
+    (every row whose second falls in [t-3599, t]), so tie order inside a
+    second cannot change the result; sums run in DECIMAL so partial-sum
+    order cannot either — the aggregate is bit-deterministic across engines
+    and shuffle layouts. One hash exchange on user_id, per-partition sort:
+    the same cost envelope as any windowed feature at 100 TB."""
+    from ..functions.timeutil import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = epoch_seconds(ev, "ts")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        sec.alias("sec"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.round(F.sum("v").over(w).cast("double"), 6).alias("sum_value_1h"),
+    )

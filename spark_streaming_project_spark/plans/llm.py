@@ -1471,3 +1471,33 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10)
+
+
+@register(
+    "media_dedup_groups",
+    oracle="""
+    SELECT octet_length(encode(text)) AS payload_bytes,
+           CAST(list_sum([ascii(substr(text, i, 1))
+                          for i in range(1, least(strlen(text), 64) + 1)]) AS BIGINT)
+               AS feature_checksum,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup through the Arrow decode path: assets grouped by the
+    (size, feature-checksum) perceptual-hash proxy — the exact-dedup shape
+    (`dedup_exact_groups`) applied to the multimodal tier, so duplicate
+    payloads collapse without the bytes ever reaching the driver. A real
+    perceptual hash (pHash/chromaprint) slots into the same decode seam
+    (``real_decode``) and this plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    decoded = decode_assets(documents_as_assets(docs))
+    return decoded.groupBy("payload_bytes", "feature_checksum").agg(
+        F.min("asset_id").alias("keep_id"),
+        F.count("*").alias("dup_count"),
+    )

@@ -10,7 +10,7 @@ to 6 decimals at the comparison surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.quality import (
@@ -353,4 +353,74 @@ def incremental_dedup_verdicts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(h > "7")
     return incremental_dedup_verdicts(
         corpus, batch, "text", "doc_id", threshold=_INC_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenize-to-ids: the corpus -> token-id step of a pretraining pipeline,
+# with a deterministic per-doc checksum instead of raw id arrays (arrays
+# defeat rows-only artifact hashing; the checksum pins content + order).
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP = 100
+
+
+@register(
+    "tokenized_fingerprints",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (
+        SELECT doc_id, unnest(words) AS token,
+               generate_subscripts(words, 1) AS pos
+        FROM toks
+    ),
+    vocab AS (
+        SELECT token,
+               row_number() OVER (ORDER BY count(*) DESC, token ASC) AS token_id
+        FROM tok GROUP BY token
+        QUALIFY token_id <= {_VOCAB_TOP}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+           CAST(sum(t.pos * coalesce(v.token_id, 0)) AS BIGINT) AS id_checksum
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "tokenize"),
+)
+def tokenized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to vocabulary ids (top-{100} by frequency, rest
+    UNK) summarized as an order-sensitive integer checksum per document
+    (sum of position x id — exact integer arithmetic, so the check pins the
+    id sequence without shipping arrays). The vocab is |V|-bounded and
+    broadcast; the token join + per-doc fold is the linear tokenize shape a
+    pretraining run materializes."""
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(_tokens("text")).alias("pos0", "token"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    # top-K first (TakeOrderedAndProject — distributed partial top-K per
+    # partition), THEN rank the K survivors: the global row_number window
+    # only ever sees _VOCAB_TOP rows, never the full vocabulary
+    wv = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_VOCAB_TOP)
+        .select("token", F.row_number().over(wv).alias("token_id"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("long")).cast("bigint").alias("n_unk"),
+        F.sum(F.col("pos") * F.coalesce("token_id", F.lit(0)))
+        .cast("bigint")
+        .alias("id_checksum"),
     )

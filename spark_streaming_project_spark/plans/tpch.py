@@ -1502,3 +1502,55 @@ def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("name"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ntile deciles (window-function breadth): per-nation customer spend tiers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+               sum(o.o_totalprice) AS total
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tiered AS (
+        SELECT nationkey,
+               ntile(10) OVER (PARTITION BY nationkey
+                               ORDER BY total DESC, custkey ASC) AS decile,
+               total
+        FROM spend
+    )
+    SELECT nationkey, decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(total) AS DOUBLE), 2) AS decile_spend
+    FROM tiered GROUP BY 1, 2
+    """,
+    tags=("tpch", "window"),
+)
+def nation_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer spend deciles: DECIMAL-exact per-customer totals,
+    ntile(10) under a TOTAL order (spend desc, custkey tiebreak — ntile with
+    ties but no tiebreak is nondeterministic across shuffles), then a
+    per-(nation, decile) rollup. The window partitions by nation, so there
+    is no global-sort bottleneck — the same shape at any customer count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.desc("total"), F.asc("custkey"))
+    tiered = spend.select("nationkey", F.ntile(10).over(w).alias("decile"), "total")
+    return tiered.groupBy("nationkey", "decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum("total").cast("double"), 2).alias("decile_spend"),
+    )

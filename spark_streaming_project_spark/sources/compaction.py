@@ -141,3 +141,34 @@ def compact_parquet(
         "files_after": len(files_after),
         "bytes": total_bytes,
     }
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int = 16,
+    seed: str = "epoch0",
+) -> None:
+    """Materialize the deterministic training order (see
+    ``sampling.shuffle_shards``) as one sorted parquet file per shard:
+    ``path/shard=NN/part-*.parquet`` with rows in ascending ``pos`` order
+    inside each file — the layout a dataloader consumes sequentially.
+
+    One exchange total: ``repartition(n_shards, shard)`` is the same hash
+    partitioning the rank window needs, so the sort-within-partitions and
+    the per-shard file write reuse it. Re-running with the same seed is
+    byte-deterministic; a new epoch is a new seed — a full rewrite, which
+    is the honest cost of a true reshuffle (epoch-local perturbations that
+    avoid the rewrite belong in the dataloader).
+    """
+    from ..operators.sampling import shuffle_shards
+
+    ordered = shuffle_shards(df, id_col, n_shards=n_shards, seed=seed)
+    (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

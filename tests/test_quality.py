@@ -6,6 +6,7 @@ crafted fixtures, then the invariants that must hold on real testdata
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import functions as F
 
@@ -199,3 +200,47 @@ def test_incremental_dedup_verdict_covers_every_batch_doc(spark):
     assert out.count() == batch.count()
     kinds = {r["verdict"] for r in out.select("verdict").distinct().collect()}
     assert kinds <= {"exact_dup", "near_dup", "new"} and "new" in kinds
+
+
+def test_write_training_shards_sorted_files_and_determinism(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_streaming_project_spark.sources.compaction import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, "doc_id", out1, n_shards=4, seed="e0")
+    write_training_shards(docs, "doc_id", out2, n_shards=4, seed="e0")
+
+    def read_shards(root):
+        shards = {}
+        for d in sorted(glob.glob(os.path.join(root, "shard=*"))):
+            shard = int(d.rsplit("=", 1)[1])
+            tables = [
+                pq.read_table(f)
+                for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+            ]
+            rows = [
+                (p, i)
+                for t in tables
+                for p, i in zip(
+                    t.column("pos").to_pylist(), t.column("doc_id").to_pylist()
+                )
+            ]
+            shards[shard] = rows
+        return shards
+
+    s1 = read_shards(out1)
+    assert set(s1) == {0, 1, 2, 3}
+    total = 0
+    for shard, rows in s1.items():
+        poss = [p for p, _ in rows]
+        assert poss == sorted(poss), f"shard {shard} not in pos order"
+        assert poss == list(range(1, len(poss) + 1))
+        total += len(rows)
+    assert total == docs.count()
+    assert s1 == read_shards(out2)  # same seed -> byte-identical layout

@@ -153,3 +153,50 @@ def test_streaming_packing_converges_to_batch(spark, tmp_path):
         for r in pack_documents(docs, "text", "doc_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Steady-state ingestion: each arriving micro-batch is deduped against
+    the STATIC corpus index via foreachBatch; because verdicts depend only
+    on (batch doc, corpus), the union over micro-batches must equal the
+    one-shot batch verdicts for the same docs."""
+    from spark_streaming_project_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    corpus, newdocs = docs.filter(h <= "7"), docs.filter(h > "7")
+
+    src = str(tmp_path / "inc_src")
+    newdocs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    newdocs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "inc_out")
+
+    def _dedupe_batch(batch_df, _bid):
+        incremental_dedup_verdicts(corpus, batch_df, "text", "doc_id").write.mode(
+            "append"
+        ).parquet(out)
+        spark.catalog.clearCache()  # release the per-batch signature persists
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_inc"))
+    runner.add("inc_dedup", stream, sink_format=None, foreach_batch=_dedupe_batch)
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = {
+        (r["doc_id"], r["verdict"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["verdict"])
+        for r in incremental_dedup_verdicts(
+            corpus, newdocs, "text", "doc_id"
+        ).collect()
+    }
+    assert got == want and len(got) == newdocs.count()
