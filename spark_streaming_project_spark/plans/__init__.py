@@ -15,6 +15,8 @@ from . import events  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
+from . import retrieval  # noqa: E402,F401
+from . import funnel  # noqa: E402,F401
 
 
 def _reorder() -> None:
@@ -48,6 +50,18 @@ def _reorder() -> None:
         "approx_stats",
         "dedup_embedding_pairs",
     ]
+    newest_this_session = [
+        # session-3 additions: retrieval + product-analytics families —
+        # zero artifact history, so they take the window slots right after
+        # the changed queries
+        "tfidf_top_terms",
+        "bm25_search",
+        "conjunctive_search",
+        "zipf_profile",
+        "funnel_conversion",
+        "cohort_retention",
+        "conversion_delay",
+    ]
     new_this_round = [
         # first-ever rows for the round-4 additions
         "stratified_source_sample",
@@ -68,7 +82,13 @@ def _reorder() -> None:
         "tokenized_fingerprints",
     ]
     fresh_family: list[str] = []
-    priority = tpch_names + changed + new_this_round + fresh_family
+    # Window math (driver records the first 50): 34 tpch + 2 changed +
+    # 7 newest = 43, leaving 7 slots for the session-2 additions; the
+    # remaining 8 sit immediately past the cap (still fully covered by the
+    # local oracle-parity suite, tests/test_correctness.py, every round).
+    priority = (
+        tpch_names + changed + newest_this_session + new_this_round + fresh_family
+    )
     missing = [n for n in priority + tail if n not in REGISTRY]
     if missing:  # guard against silent drift when queries are renamed
         raise KeyError(f"registry reorder references unknown queries: {missing}")

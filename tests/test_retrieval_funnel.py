@@ -1,0 +1,220 @@
+"""Semantic tests for the retrieval (TF-IDF / BM25 / conjunctive / Zipf)
+and funnel (conversion / cohort / delay) operators on constructed inputs —
+the oracle-parity suite pins them against DuckDB on the testdata; these pin
+the SEMANTICS on adversarial fixtures (order violations, ties, exact Zipf
+frequencies)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_project_spark.operators.funnel import (
+    cohort_retention,
+    conversion_delay_stats,
+    funnel_conversion,
+)
+from spark_streaming_project_spark.operators.retrieval import (
+    bm25_scores,
+    conjunctive_search,
+    tfidf_top_terms,
+    zipf_profile,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common common rare"),
+            (2, "common filler"),
+            (3, "common filler"),
+        ],
+    )
+    top = {
+        r["term_rank"]: r["term"]
+        for r in tfidf_top_terms(df, "text", "doc_id", k=3)
+        .filter(F.col("doc_id") == 1)
+        .collect()
+    }
+    # 'rare' (df=1) has higher idf than 'common' (df=3) but tf 1 vs 2;
+    # tf*idf: common = 2*(ln(4/4)+1) = 2.0, rare = 1*(ln(4/2)+1) ~ 1.693
+    assert top[1] == "common" and top[2] == "rare"
+
+
+def test_tfidf_rank_ties_break_on_term(spark):
+    df = _docs(spark, [(1, "bb aa"), (2, "zz")])
+    rows = (
+        tfidf_top_terms(df, "text", "doc_id", k=2)
+        .filter(F.col("doc_id") == 1)
+        .orderBy("term_rank")
+        .collect()
+    )
+    # identical tf and df -> identical score; rank must break on term asc
+    assert [r["term"] for r in rows] == ["aa", "bb"]
+
+
+def test_bm25_prefers_matching_shorter_doc(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "target filler filler filler filler filler filler filler"),
+            (2, "target filler"),
+            (3, "nothing here"),
+        ],
+    )
+    rows = bm25_scores(df, "text", "doc_id", ["target"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids  # no query term -> no row
+    assert ids[0] == 2  # same tf, shorter doc wins under length norm
+    assert rows[0]["bm25"] > rows[1]["bm25"] > 0
+
+
+def test_bm25_score_formula_exact(spark):
+    # one doc, one term, hand-computed score
+    df = _docs(spark, [(1, "t a b c"), (2, "a b c d")])
+    n, dfreq, tf, dl, avgdl, k1, b = 2, 1, 1, 4, 4.0, 1.2, 0.75
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    got = bm25_scores(df, "text", "doc_id", ["t"], k1=k1, b=b).collect()
+    assert len(got) == 1
+    assert got[0]["bm25"] == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_conjunctive_requires_all_terms(spark):
+    df = _docs(
+        spark,
+        [(1, "x y z"), (2, "x y"), (3, "x x x x"), (4, "y z x w")],
+    )
+    ids = sorted(
+        r["doc_id"]
+        for r in conjunctive_search(df, "text", "doc_id", ["x", "y", "z"]).collect()
+    )
+    assert ids == [1, 4]
+
+
+def test_conjunctive_duplicate_query_terms_collapse(spark):
+    df = _docs(spark, [(1, "x y"), (2, "x")])
+    ids = sorted(
+        r["doc_id"]
+        for r in conjunctive_search(df, "text", "doc_id", ["x", "x", "y"]).collect()
+    )
+    assert ids == [1]
+
+
+def test_zipf_slope_recovers_exact_power_law(spark):
+    # freq(rank) = round(1000 / rank): slope of the ln-ln fit ~ -1
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * round(1000 / rank)
+    df = _docs(spark, [(1, " ".join(words))])
+    row = zipf_profile(df, "text", "doc_id", top_n=20).collect()[0]
+    assert row["n_terms"] == 20
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+    assert row["fit_r"] == pytest.approx(-1.0, abs=0.01)
+    # intercept ~ ln(1000)
+    assert row["zipf_intercept"] == pytest.approx(math.log(1000), abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t, 0.0)
+         for i, (s, u, t) in enumerate(rows)],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double",
+    )
+
+
+def test_funnel_order_violation_not_counted(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: proper view -> click -> purchase
+            (0, 1, "view"), (10, 1, "click"), (20, 1, "purchase"),
+            # user 2: click BEFORE first view -> stops at 'view' stage
+            (5, 2, "click"), (30, 2, "view"),
+            # user 3: view only
+            (0, 3, "view"),
+            # user 4: purchase with no view at all -> not even stage 0
+            (0, 4, "purchase"),
+        ],
+    )
+    got = {
+        r["stage"]: r["users"]
+        for r in funnel_conversion(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_same_second_counts_as_ordered(spark):
+    ev = _events(spark, [(0, 1, "view"), (0, 1, "click")])
+    got = {
+        r["stage"]: r["users"]
+        for r in funnel_conversion(ev, ["view", "click"]).collect()
+    }
+    assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_counts_monotone_on_testdata(spark):
+    from spark_streaming_project_spark.sources.batch import load_table
+    from .conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    rows = (
+        funnel_conversion(ev, ["view", "click", "purchase"])
+        .orderBy("stage_idx")
+        .collect()
+    )
+    users = [r["users"] for r in rows]
+    assert users == sorted(users, reverse=True)
+    assert users[0] > 0
+
+
+def test_cohort_retention_offsets(spark):
+    wk = 604_800
+    ev = _events(
+        spark,
+        [
+            (0, 1, "view"),            # user 1 cohort week 2822 (2024-01-01 ~)
+            (2 * wk, 1, "view"),       # active again 2 weeks later
+            (wk, 2, "view"),           # user 2 first active one week later
+        ],
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["users"]
+        for r in cohort_retention(ev).collect()
+    }
+    base = dt.datetime(2024, 1, 1)
+    w0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // wk
+    assert got == {(w0, 0): 1, (w0, 2): 1, (w0 + 1, 0): 1}
+
+
+def test_conversion_delay_excludes_purchase_before_view(spark):
+    ev = _events(
+        spark,
+        [
+            (0, 1, "view"), (100, 1, "purchase"),
+            (50, 2, "purchase"), (60, 2, "view"),  # converted "backwards"
+            (0, 3, "view"),
+        ],
+    )
+    row = conversion_delay_stats(ev, "view", "purchase").collect()[0]
+    assert row["converters"] == 1
+    assert row["mean_delay_sec"] == 100.0
+    assert row["p50_delay_sec"] == 100.0
