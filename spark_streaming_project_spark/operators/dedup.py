@@ -231,19 +231,22 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.size("shingles") > 0)
         .persist()  # consumed by prefix generation + two verification joins
     )
+    # _ng rides along from size(shingles) — cheaper than a count() window
+    # over the exploded frame (one whole window aggregation removed).
     exploded = sh.select(
-        F.col(id_col), F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("h")
+        F.col(id_col),
+        F.size("shingles").alias("_ng"),
+        F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("h"),
     )
     gram_df = exploded.groupBy("h").agg(F.count("*").alias("_df"))
     w_rank = Window.partitionBy(id_col).orderBy("_df", "h")
-    w_all = Window.partitionBy(id_col)
     prefix = (
         exploded.join(gram_df, "h")
         .select(
             F.col(id_col),
             "h",
             F.row_number().over(w_rank).alias("_rn"),
-            F.count("*").over(w_all).alias("_ng"),
+            "_ng",
         )
         .filter(
             F.col("_rn")
@@ -251,11 +254,23 @@ def ngram_jaccard_pairs_prefix(
         )
         .persist()  # both sides of the candidate self-join
     )
+    # Overlap threshold: J >= t  <=>  inter >= t/(1+t) * (na+nb).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_ng_a") + F.col("_ng_b"))
+    )
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_ng_a"), "h")
+        prefix.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_ng").alias("_ng_a"),
+            F.col("_rn").alias("_rn_a"),
+            "h",
+        )
         .join(
             prefix.select(
-                F.col(id_col).alias("id_b"), F.col("_ng").alias("_ng_b"), "h"
+                F.col(id_col).alias("id_b"),
+                F.col("_ng").alias("_ng_b"),
+                F.col("_rn").alias("_rn_b"),
+                "h",
             ),
             "h",
         )
@@ -266,6 +281,20 @@ def ngram_jaccard_pairs_prefix(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("_ng_a") >= F.ceil(F.lit(threshold) * F.col("_ng_b")))
             & (F.col("_ng_b") >= F.ceil(F.lit(threshold) * F.col("_ng_a")))
+            # PPJoin POSITIONAL filter (Xiao et al. 2008): a gram matched at
+            # ranks (ra, rb) caps the overlap from that gram onward at
+            # 1 + min(ng_a-ra, ng_b-rb); the FIRST shared gram in the
+            # canonical order has no overlap before it, so every true pair
+            # keeps at least that generating row and pruning rows below the
+            # alpha overlap threshold loses nothing.
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("_ng_a") - F.col("_rn_a"),
+                    F.col("_ng_b") - F.col("_rn_b"),
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
