@@ -78,6 +78,7 @@ def main() -> None:
         }
         for name in (
             "similarity_ann_lsh_topk",
+            "similarity_lsh_multiprobe_topk",
             "similarity_ann_lsh_multitable_topk",
             "similarity_ivf_topk",
             "similarity_ivf_kmeans_topk",

@@ -128,3 +128,43 @@ def paired_stats(
             F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy)), 6
         ).alias("corr_xy"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    key_col: str,
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """Per-key Spearman rank correlation with the textbook tie handling
+    (average ranks), deterministic across engines.
+
+    Ranks are fractional under ties, so we carry DOUBLED average ranks —
+    ``2*rank() + ties - 1``, an exact INTEGER — and feed them through the
+    same exact-integer-sum Pearson as :func:`paired_stats` (correlation is
+    affine-invariant, so the doubling cancels). One window pass per axis
+    partitioned by key (the per-group sort IS the rank), then a single
+    combinable aggregate; no builtin corr(), no partition-order FP drift.
+    """
+    from pyspark.sql import Window
+
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        F.col(key_col), x.alias("_x"), y.alias("_y")
+    )
+    wx = Window.partitionBy(key_col).orderBy("_x")
+    wy = Window.partitionBy(key_col).orderBy("_y")
+    tx = Window.partitionBy(key_col, "_x")
+    ty = Window.partitionBy(key_col, "_y")
+    ranked = base.select(
+        F.col(key_col),
+        (2 * F.rank().over(wx) + F.count("*").over(tx) - 1).alias("_rx2"),
+        (2 * F.rank().over(wy) + F.count("*").over(ty) - 1).alias("_ry2"),
+    )
+    out = paired_stats(ranked, key_col, "_rx2", "_ry2")
+    return out.select(
+        F.col(key_col),
+        "n_rows",
+        F.col("corr_xy").alias("spearman_rho"),
+    )

@@ -1,0 +1,103 @@
+"""Slowly-changing-dimension (type 2) maintenance.
+
+Engine extension: the reference's sink story is overwrite/append JDBC
+tables (`Consumer.scala:286-316`); a warehouse also needs MERGE-shaped
+dimension maintenance. ``scd2_apply`` is the declarative Spark form of the
+classic SCD2 merge: close changed current rows, insert new versions, keep
+history untouched.
+
+Scale notes (100 TB dimension):
+- One equi-join on the business key between the CURRENT slice and the
+  update batch (update batches are typically small: broadcastable —
+  callers can wrap ``updates`` in ``F.broadcast``); history rows are
+  passed through untouched with no shuffle at all.
+- Unions are narrow; the result partitioning is the scan partitioning.
+- No window functions, no global ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_apply"]
+
+
+def _differs(tracked: list[str]) -> Column:
+    """NULL-safe 'any tracked attribute changed' predicate between the
+    current row (``cur_<c>``) and the update row (``upd_<c>``)."""
+    cond = F.lit(False)
+    for c in tracked:
+        cond = cond | ~F.col(f"cur_{c}").eqNullSafe(F.col(f"upd_{c}"))
+    return cond
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective: Column,
+) -> DataFrame:
+    """Merge an update batch into an SCD2 dimension.
+
+    ``dim`` columns: ``key``, ``tracked...``, ``valid_from``, ``valid_to``
+    (NULL = open), ``is_current``. ``updates`` columns: ``key``,
+    ``tracked...``. ``effective`` is the batch effective date/timestamp
+    expression applied to every change.
+
+    Semantics (standard type-2 merge):
+    - key in updates, any tracked attribute differs from the CURRENT row ->
+      current row closes (``valid_to = effective``, ``is_current = false``)
+      and a new open row with the update's attributes is inserted;
+    - key in updates with identical attributes -> untouched;
+    - key not in updates -> untouched;
+    - key only in updates (new member) -> one new open row.
+    History (non-current) rows never join, never shuffle.
+    """
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+
+    cur_sel = cur.select(
+        F.col(key),
+        F.lit(True).alias("_in_cur"),
+        *[F.col(c).alias(f"cur_{c}") for c in tracked],
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    upd_sel = updates.select(
+        F.col(key),
+        F.lit(True).alias("_in_upd"),
+        *[F.col(c).alias(f"upd_{c}") for c in tracked],
+    )
+    j = cur_sel.join(upd_sel, key, "full_outer")
+    changed = F.col("_in_upd").isNotNull() & (
+        F.col("_in_cur").isNull() | _differs(tracked)
+    )
+
+    # untouched current rows (no update, or identical attributes)
+    kept = j.filter(F.col("_in_cur").isNotNull() & ~changed).select(
+        F.col(key),
+        *[F.col(f"cur_{c}").alias(c) for c in tracked],
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    # current rows closed by a differing update
+    closed = j.filter(F.col("_in_cur").isNotNull() & changed).select(
+        F.col(key),
+        *[F.col(f"cur_{c}").alias(c) for c in tracked],
+        "valid_from",
+        effective.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # new open versions (changed keys + brand-new keys)
+    opened = j.filter(changed).select(
+        F.col(key),
+        *[F.col(f"upd_{c}").alias(c) for c in tracked],
+        effective.alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist.unionByName(kept).unionByName(closed).unionByName(opened)

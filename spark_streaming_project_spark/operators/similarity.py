@@ -419,6 +419,83 @@ def lsh_bucket_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    bits: int = 4,
+    n_flip: int = 3,
+    salt: str = "plane",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007): search the query's
+    bucket PLUS the ``n_flip`` buckets reached by flipping the planes with
+    the smallest |margin| — the planes the query sits closest to, where
+    true neighbors most likely landed on the other side.
+
+    Same storage as single-table LSH (ONE bucket id per vector — unlike
+    multi-table OR-amplification, which stores L ids), recall between the
+    single-table and multi-table tiers at (1+n_flip)/2^bits candidate
+    fraction. The probe set is a deterministic expression of the query
+    vector: per-plane margins are computed inside the broadcast one-row
+    query frame, ranked with array_sort on (|margin|, plane) structs, and
+    EXPLODED into (1+n_flip) probe rows so the candidate join stays a hash
+    EQUI-join on bucket — no nested-loop, no driver-side math.
+
+    At scale: identical shape to ``lsh_bucket_topk`` — bucket is the
+    partition key, probes multiply the scanned buckets by (1+n_flip).
+    """
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(vec_col, dim, bits, salt=salt).alias("bucket"),
+    )
+    # per-plane signed margins of the query vector, same coefficients and
+    # left-to-right accumulation as hyperplane_bucket (sign(margin_b) is
+    # exactly bucket bit b)
+    margin_sql = [
+        " + ".join(
+            f"(CAST(get(_query_vec, {i}) AS DOUBLE) * "
+            f"{_pseudo_coef(f'{salt}:{b}:{i}')!r})"
+            for i in range(dim)
+        )
+        for b in range(bits)
+    ]
+    flip_struct = (
+        "array_sort(array("
+        + ", ".join(
+            f"struct(abs({m}) AS am, {b} AS b)" for b, m in enumerate(margin_sql)
+        )
+        + "))"
+    )
+    probes = (
+        f"array_union(array(_query_bucket), transform(slice({flip_struct}, 1, "
+        f"{n_flip}), s -> _query_bucket ^ shiftleft(1, s.b)))"
+    )
+    q = (
+        bucketed.filter(F.col(id_col) == query_id)
+        .select(
+            as_double(vec_col).alias("_query_vec"),
+            F.col("bucket").alias("_query_bucket"),
+        )
+        .withColumn("_qn", norm(F.col("_query_vec")))
+        .select("_query_vec", "_qn", F.explode(F.expr(probes)).alias("_probe"))
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("_probe"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(_cosine_vs_query(as_double(vec_col)), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def _multitable_buckets_udf(dim: int, bits: int, tables: int, salt: str):
     """Arrow-batched bucket computation for all ``tables`` LSH tables at
     once: returns array<int> of per-table bucket ids.

@@ -17,6 +17,7 @@ from . import profiling  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import funnel  # noqa: E402,F401
+from . import warehouse  # noqa: E402,F401
 
 
 def _reorder() -> None:
@@ -61,6 +62,10 @@ def _reorder() -> None:
         "funnel_conversion",
         "cohort_retention",
         "conversion_delay",
+        "scd2_customer_segment",
+        "revenue_concentration",
+        "doc_length_spearman",
+        "similarity_lsh_multiprobe_topk",
     ]
     new_this_round = [
         # first-ever rows for the round-4 additions
@@ -83,8 +88,8 @@ def _reorder() -> None:
     ]
     fresh_family: list[str] = []
     # Window math (driver records the first 50): 34 tpch + 2 changed +
-    # 7 newest = 43, leaving 7 slots for the session-2 additions; the
-    # remaining 8 sit immediately past the cap (still fully covered by the
+    # 11 newest = 47, leaving 3 slots for the session-2 additions; the
+    # remaining 12 sit immediately past the cap (still fully covered by the
     # local oracle-parity suite, tests/test_correctness.py, every round).
     priority = (
         tpch_names + changed + newest_this_session + new_this_round + fresh_family

@@ -391,6 +391,76 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-probe amplification (Lv et al., VLDB 2007): same storage as the
+# single-table tier (one bucket id per vector); recall is recovered by also
+# probing the buckets across the query's lowest-|margin| hyperplanes.
+
+_N_FLIP = 3
+
+_PROBE_MARGINS = [
+    " + ".join(
+        f"qv[{i + 1}] * ({_pseudo_coef(f'plane:{b}:{i}')})" for i in range(_DIM)
+    )
+    for b in range(_ANN_BITS)
+]
+
+_ANN_MULTIPROBE_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, {_duck_bucket('v')} AS bucket FROM vecs
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM bucketed
+          WHERE vec_id = {_QUERY_VEC_ID}),
+    margins AS (
+        SELECT qb, unnest([{", ".join(
+            f"struct_pack(am := abs({m}), b := {b})"
+            for b, m in enumerate(_PROBE_MARGINS)
+        )}]) AS s
+        FROM q
+    ),
+    flips AS (
+        SELECT xor(qb, 1 << s.b) AS p
+        FROM margins ORDER BY s.am, s.b LIMIT {_N_FLIP}
+    ),
+    probes AS (SELECT qb AS p FROM q UNION SELECT p FROM flips)
+    SELECT b.vec_id,
+           round({_duck_dot('b.v', 'qv')}
+                 / (sqrt({_duck_dot('b.v', 'b.v')}) * sqrt({_duck_dot('qv', 'qv')})),
+                 6) AS cosine_sim
+    FROM bucketed b, probes, q
+    WHERE b.bucket = probes.p AND b.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine_sim DESC, b.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_lsh_multiprobe_topk",
+    oracle=_ANN_MULTIPROBE_ORACLE,
+    tags=("llm", "similarity", "lsh"),
+)
+def similarity_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: single-table storage, (1 + n_flip)/2^bits
+    candidate fraction, recall recovered by probing the flip buckets of
+    the query's smallest-|margin| planes."""
+    from ..operators.similarity import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _QUERY_VEC_ID,
+        dim=_DIM,
+        k=10,
+        bits=_ANN_BITS,
+        n_flip=_N_FLIP,
+    )
+
+
 @register(
     "similarity_ann_lsh_multitable_topk",
     oracle=_ANN_MULTI_ORACLE,

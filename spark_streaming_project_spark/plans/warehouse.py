@@ -1,0 +1,199 @@
+"""Warehouse-maintenance and distribution-shape queries: SCD2 dimension
+merge, revenue concentration (Pareto curve), and Spearman rank correlation.
+
+Engine extension: the reference's write story is overwrite/append JDBC
+snapshots (`Consumer.scala:286-316`, `Infra/postgres/init.sql`); a real
+warehouse also versions its dimensions (SCD2) and profiles its fact
+distributions. All three queries replay bit-for-bit on DuckDB.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.profiling import spearman_corr
+from ..operators.scd import scd2_apply
+from ..sources.batch import load_table
+from .registry import register
+
+
+@register(
+    "scd2_customer_segment",
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment,
+               DATE '1995-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, 'DELINQUENT' AS seg
+        FROM customer WHERE c_acctbal < 0
+        UNION ALL SELECT CAST(-1 AS BIGINT), 'NEWCO'
+    ),
+    chg AS (
+        SELECT upd.c_custkey, upd.seg
+        FROM upd LEFT JOIN cur ON upd.c_custkey = cur.c_custkey
+        WHERE cur.c_custkey IS NULL OR cur.c_mktsegment <> upd.seg
+    )
+    SELECT cur.* FROM cur
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from,
+           DATE '1996-06-01', FALSE
+    FROM cur JOIN chg ON cur.c_custkey = chg.c_custkey
+    UNION ALL
+    SELECT c_custkey, seg, DATE '1996-06-01', CAST(NULL AS DATE), TRUE
+    FROM chg
+    """,
+    tags=("warehouse", "scd"),
+)
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 merge of a segment-change batch (negative-balance customers
+    flip to DELINQUENT; one brand-new member) into the customer dimension:
+    closed old versions + new open versions + untouched rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(_dt.date(1995, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        cust.filter(F.col("c_acctbal") < 0)
+        .select("c_custkey", F.lit("DELINQUENT").alias("c_mktsegment"))
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-1).cast("bigint").alias("c_custkey"),
+                F.lit("NEWCO").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim, upd, "c_custkey", ["c_mktsegment"], F.lit(_dt.date(1996, 6, 1))
+    )
+
+
+@register(
+    "revenue_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS _rev
+        FROM orders GROUP BY 1
+    ),
+    dec AS (
+        SELECT o_custkey, _rev,
+               ntile(10) OVER (ORDER BY _rev DESC, o_custkey ASC) AS decile
+        FROM rev
+    ),
+    per AS (
+        SELECT decile, count(*) AS customers, sum(_rev) AS _drev
+        FROM dec GROUP BY 1
+    )
+    SELECT decile, customers,
+           round(CAST(_drev AS DOUBLE), 2) AS decile_revenue,
+           round(CAST(_drev AS DOUBLE)
+                 / CAST(sum(_drev) OVER () AS DOUBLE), 6) AS revenue_share,
+           round(CAST(sum(_drev) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                 / CAST(sum(_drev) OVER () AS DOUBLE), 6) AS cum_share
+    FROM per
+    """,
+    tags=("warehouse", "window", "topk"),
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto curve of order revenue by customer decile (decile 1 = biggest
+    spenders): customer count, exact-decimal decile revenue, share, and
+    cumulative share. The '80/20' profile of the fact table.
+
+    Scale shape: the global ntile runs over PER-CUSTOMER aggregates (a
+    frame orders of magnitude smaller than the fact table), and everything
+    after it is a 10-row frame — the same pattern as nation_spend_deciles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_rev")
+    )
+    w = Window.orderBy(F.desc("_rev"), F.asc("o_custkey"))
+    dec = rev.select("o_custkey", "_rev", F.ntile(10).over(w).alias("decile"))
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("customers"), F.sum("_rev").alias("_drev")
+    )
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("_drev").over(w_all).cast("double")
+    return per.select(
+        "decile",
+        "customers",
+        F.round(F.col("_drev").cast("double"), 2).alias("decile_revenue"),
+        F.round(F.col("_drev").cast("double") / total, 6).alias("revenue_share"),
+        F.round(
+            F.sum("_drev").over(w_cum).cast("double") / total, 6
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "doc_length_spearman",
+    oracle=r"""
+    WITH base AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS BIGINT) AS y
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    ranked AS (
+        SELECT source,
+               2 * rank() OVER (PARTITION BY source ORDER BY x)
+                   + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
+               2 * rank() OVER (PARTITION BY source ORDER BY y)
+                   + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+        FROM base
+    ),
+    agg AS (
+        SELECT source, count(*) AS n,
+               sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+        FROM ranked GROUP BY source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                       AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS spearman_rho
+    FROM agg
+    """,
+    tags=("profiling", "llm"),
+)
+def doc_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank correlation of characters vs tokens —
+    monotone-association twin of doc_length_corr's Pearson, robust to the
+    heavy right tail of document lengths. Average-rank tie handling, exact
+    integer sums, one terminal FP division."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return spearman_corr(docs, "source", F.col("n_chars"), token_count("text"))

@@ -168,3 +168,50 @@ def test_quantized_topk_high_recall_and_bounded_error(spark):
     for r in quant:
         if r["vec_id"] in exact_scores:
             assert abs(r["cosine_sim"] - exact_scores[r["vec_id"]]) < 0.02
+
+
+def test_multiprobe_recall_dominates_single_table(spark):
+    """Multi-probe searches a SUPERSET of the single-table bucket (query
+    bucket + n_flip flip buckets), so with identical planes its top-10
+    recall can only match or beat the single-table tier; scores must be
+    the exact brute-force cosines."""
+    from spark_streaming_project_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", 0, k=10_000_000).collect()
+    }
+    truth10 = {
+        r["vec_id"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    }
+    single = lsh_bucket_topk(emb, "vec_id", "embedding", 0, dim=64, k=10, bits=4)
+    multi = lsh_multiprobe_topk(
+        emb, "vec_id", "embedding", 0, dim=64, k=10, bits=4, n_flip=3
+    )
+    s_ids = {r["vec_id"] for r in single.collect()}
+    m_rows = multi.collect()
+    m_ids = {r["vec_id"] for r in m_rows}
+    assert len(m_ids & truth10) >= len(s_ids & truth10)
+    for r in m_rows:  # every hit carries the exact brute-force score
+        assert exact[r["vec_id"]] == r["cosine_sim"]
+
+
+def test_multiprobe_zero_flips_equals_single_table(spark):
+    from spark_streaming_project_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    single = lsh_bucket_topk(emb, "vec_id", "embedding", 0, dim=64, k=10, bits=4)
+    zero = lsh_multiprobe_topk(
+        emb, "vec_id", "embedding", 0, dim=64, k=10, bits=4, n_flip=0
+    )
+    assert [(r["vec_id"], r["cosine_sim"]) for r in single.collect()] == [
+        (r["vec_id"], r["cosine_sim"]) for r in zero.collect()
+    ]

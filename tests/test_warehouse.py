@@ -1,0 +1,133 @@
+"""Semantics tests for the warehouse operators: SCD2 merge on constructed
+dimensions (change / no-change / new-member / history passthrough /
+two-batch layering) and Spearman rank correlation (monotone, anti-monotone,
+tie handling). Oracle parity on testdata lives in test_correctness.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_project_spark.operators.profiling import spearman_corr
+from spark_streaming_project_spark.operators.scd import scd2_apply
+
+D = dt.date
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, seg string, valid_from date, valid_to date, is_current boolean"
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, seg string")
+
+
+def test_scd2_change_new_and_untouched(spark):
+    dim = _dim(
+        spark,
+        [
+            (1, "A", D(2020, 1, 1), None, True),
+            (2, "B", D(2020, 1, 1), None, True),
+            # closed history for key 1 from an earlier merge
+            (1, "Z", D(2019, 1, 1), D(2020, 1, 1), False),
+        ],
+    )
+    upd = _upd(spark, [(1, "A2"), (2, "B"), (3, "C")])
+    out = scd2_apply(dim, upd, "k", ["seg"], F.lit(D(2021, 6, 1)))
+    rows = {(r["k"], r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out.collect()}
+    assert rows == {
+        # history untouched
+        (1, "Z", D(2019, 1, 1), D(2020, 1, 1), False),
+        # key 1 changed: old closed, new opened
+        (1, "A", D(2020, 1, 1), D(2021, 6, 1), False),
+        (1, "A2", D(2021, 6, 1), None, True),
+        # key 2 identical: untouched
+        (2, "B", D(2020, 1, 1), None, True),
+        # key 3 brand new
+        (3, "C", D(2021, 6, 1), None, True),
+    }
+
+
+def test_scd2_null_attribute_is_null_safe(spark):
+    dim = _dim(spark, [(1, None, D(2020, 1, 1), None, True)])
+    # NULL -> NULL is NOT a change; NULL -> 'X' is
+    out_same = scd2_apply(dim, _upd(spark, [(1, None)]), "k", ["seg"],
+                          F.lit(D(2021, 1, 1)))
+    assert out_same.count() == 1
+    assert out_same.collect()[0]["is_current"] is True
+    out_chg = scd2_apply(dim, _upd(spark, [(1, "X")]), "k", ["seg"],
+                         F.lit(D(2021, 1, 1)))
+    assert out_chg.count() == 2
+
+
+def test_scd2_two_batches_layer(spark):
+    dim = _dim(spark, [(1, "A", D(2020, 1, 1), None, True)])
+    once = scd2_apply(dim, _upd(spark, [(1, "B")]), "k", ["seg"],
+                      F.lit(D(2021, 1, 1)))
+    twice = scd2_apply(once, _upd(spark, [(1, "C")]), "k", ["seg"],
+                       F.lit(D(2022, 1, 1)))
+    rows = {(r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in twice.collect()}
+    assert rows == {
+        ("A", D(2020, 1, 1), D(2021, 1, 1), False),
+        ("B", D(2021, 1, 1), D(2022, 1, 1), False),
+        ("C", D(2022, 1, 1), None, True),
+    }
+    # exactly one open row survives
+    assert twice.filter(F.col("is_current")).count() == 1
+
+
+def _pairs(spark, xy):
+    return spark.createDataFrame(
+        [("g", x, y) for x, y in xy], "grp string, x bigint, y bigint"
+    )
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    # y = x^3 is monotone: Pearson < 1 but Spearman == 1
+    df = _pairs(spark, [(x, x ** 3) for x in range(1, 9)])
+    row = spearman_corr(df, "grp", "x", "y").collect()[0]
+    assert row["spearman_rho"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_spearman_reversed_is_minus_one(spark):
+    df = _pairs(spark, [(x, 100 - x) for x in range(1, 9)])
+    row = spearman_corr(df, "grp", "x", "y").collect()[0]
+    assert row["spearman_rho"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_spearman_tie_handling_matches_scipy_formula(spark):
+    # hand-checked with average ranks: x=[1,2,2,3], y=[10,20,20,40]
+    # rank_x=[1,2.5,2.5,4], rank_y=[1,2.5,2.5,4] -> rho = 1
+    df = _pairs(spark, [(1, 10), (2, 20), (2, 20), (3, 40)])
+    row = spearman_corr(df, "grp", "x", "y").collect()[0]
+    assert row["spearman_rho"] == pytest.approx(1.0, abs=1e-9)
+    # and a partial-tie case: x=[1,1,2], y=[1,2,3]
+    # rx=[1.5,1.5,3], ry=[1,2,3]; rho = cov/sd = 0.866025
+    df2 = _pairs(spark, [(1, 1), (1, 2), (2, 3)])
+    row2 = spearman_corr(df2, "grp", "x", "y").collect()[0]
+    assert row2["spearman_rho"] == pytest.approx(0.866025, abs=1e-6)
+
+
+def test_revenue_concentration_shape(spark):
+    from spark_streaming_project_spark.plans import REGISTRY
+    from .conftest import SF_CORRECT
+
+    rows = (
+        REGISTRY["revenue_concentration"].builder(spark, SF_CORRECT)
+        .orderBy("decile")
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["revenue_share"] for r in rows]
+    # decile 1 holds the biggest spenders
+    assert shares[0] == max(shares)
+    assert rows[-1]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+    # cumulative share is monotone
+    cums = [r["cum_share"] for r in rows]
+    assert cums == sorted(cums)
