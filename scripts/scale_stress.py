@@ -103,9 +103,35 @@ def build_derived() -> None:
     )
 
 
+def build_derived_events() -> None:
+    """10x events: each replica is a fresh user population (user_id/event_id
+    offset), timestamps unchanged — funnel/cohort cost scales with users."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    ev = pq.read_table(os.path.join(SRC_SF, "events.parquet"))
+    cols = {c: ev.column(c).to_pylist() for c in ev.column_names}
+    out: dict[str, list] = {c: [] for c in ev.column_names}
+    for r in range(REPLICAS):
+        for i in range(ev.num_rows):
+            out["event_id"].append(cols["event_id"][i] * 16 + r)
+            out["user_id"].append(cols["user_id"][i] * 16 + r)
+            for c in ("ts", "event_type", "value", "props"):
+                out[c].append(cols[c][i])
+    pq.write_table(
+        pa.table(
+            {c: pa.array(out[c], ev.schema.field(c).type) for c in ev.column_names}
+        ),
+        os.path.join(OUT_DIR, "events.parquet"),
+    )
+
+
 def main() -> None:
     if not os.path.exists(os.path.join(OUT_DIR, "embeddings.parquet")):
         build_derived()
+    if not os.path.exists(os.path.join(OUT_DIR, "events.parquet")):
+        build_derived_events()
 
     from pyspark.sql import functions as F
 
@@ -242,6 +268,37 @@ def main() -> None:
         run("semdedup_bits_scaled", scale, lambda: S.semdedup_prune(
             emb, "vec_id", "embedding", dim, threshold=0.2,
             bits=6 if scale == "sf0.1" else 9))
+
+        # -- retrieval / analytics tiers (round 4, session 3) -------------
+        # tfidf/bm25/zipf are token-linear (explode + combinable aggregates);
+        # funnel/cohort reduce per-user before anything global; spearman's
+        # cost is the per-source rank sorts.
+        from spark_streaming_project_spark.functions.text import token_count
+        from spark_streaming_project_spark.operators.funnel import (
+            cohort_retention,
+            funnel_conversion,
+        )
+        from spark_streaming_project_spark.operators.profiling import spearman_corr
+        from spark_streaming_project_spark.operators.retrieval import (
+            bm25_scores,
+            tfidf_top_terms,
+            zipf_profile,
+        )
+
+        ev = spark.read.parquet(os.path.join(ddir, "events.parquet"))
+        run("tfidf_top_terms", scale,
+            lambda: tfidf_top_terms(docs, "text", "doc_id", k=3))
+        run("bm25_search", scale, lambda: bm25_scores(
+            docs, "text", "doc_id", ["spark", "window", "vector"]))
+        run("zipf_profile", scale,
+            lambda: zipf_profile(docs, "text", "doc_id", top_n=100))
+        run("funnel", scale,
+            lambda: funnel_conversion(ev, ["view", "click", "purchase"]))
+        run("cohort_retention", scale, lambda: cohort_retention(ev))
+        run("spearman", scale, lambda: spearman_corr(
+            docs.filter(F.col("text").isNotNull()
+                        & F.col("n_chars").isNotNull()),
+            "source", F.col("n_chars"), token_count("text")))
 
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;

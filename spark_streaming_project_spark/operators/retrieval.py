@@ -131,15 +131,14 @@ def bm25_scores(
     tf = tf_all.filter(F.col("term").isin(terms))
     # df(t) over the full corpus for just the query terms: bounded rows.
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    doc_len = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.size(tokens(text_col)).alias("_len"))
+    # ONE extra tokenization pass for lengths; corpus scalars (N, avgdl)
+    # derive from the same frame instead of re-tokenizing a third time.
+    doc_len = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.size(tokens(text_col)).alias("_len")
     )
-    stats = df.filter(F.col(text_col).isNotNull()).agg(
+    stats = doc_len.agg(
         F.count("*").alias("_n_docs"),
-        (
-            F.sum(F.size(tokens(text_col))).cast("double") / F.count("*")
-        ).alias("_avgdl"),
+        (F.sum("_len").cast("double") / F.count("*")).alias("_avgdl"),
     )
     idf = F.log(
         F.lit(1.0)
