@@ -22,7 +22,13 @@ from ..functions.timeutil import epoch_seconds
 
 WEEK_SECONDS = 604_800
 
-__all__ = ["funnel_conversion", "cohort_retention", "conversion_delay_stats"]
+__all__ = [
+    "funnel_conversion",
+    "user_first_times",
+    "funnel_stage_counts",
+    "cohort_retention",
+    "conversion_delay_stats",
+]
 
 
 def _first_epoch(sec, event_type: str):
@@ -32,20 +38,19 @@ def _first_epoch(sec, event_type: str):
     ).alias(f"_t_{event_type}")
 
 
-def funnel_conversion(df: DataFrame, stages: list[str]) -> DataFrame:
-    """Ordered funnel: users whose FIRST occurrence of each stage respects
-    the stage order (first(stage[i]) <= first(stage[i+1]) for every prior
-    stage). Returns (stage_idx, stage, users) with users monotonically
-    non-increasing down the funnel.
-
-    One conditional-min aggregate per user (single shuffle), then a
-    constant number of scalar counts unpivoted via stack() — the raw
-    stream is touched exactly once.
+def user_first_times(df: DataFrame, stages: list[str]) -> DataFrame:
+    """Per-user earliest epoch-second of each stage: ``(user_id, _t_<stage>
+    ...)``. A plain min-aggregation, so it runs UNCHANGED as a streaming
+    aggregation (per-user state = one long per stage, monotonically
+    tightening as events arrive) — the incremental-funnel state table.
     """
     sec = epoch_seconds(df, "ts")
-    per_user = df.groupBy("user_id").agg(
-        *[_first_epoch(sec, s) for s in stages]
-    )
+    return df.groupBy("user_id").agg(*[_first_epoch(sec, s) for s in stages])
+
+
+def funnel_stage_counts(per_user: DataFrame, stages: list[str]) -> DataFrame:
+    """Stage roll-up over a :func:`user_first_times` frame (batch, or the
+    materialized state of the streaming twin): (stage_idx, stage, users)."""
     # reached[i] = all first-times 0..i present and non-decreasing
     reached_exprs = []
     cond = None
@@ -71,6 +76,21 @@ def funnel_conversion(df: DataFrame, stages: list[str]) -> DataFrame:
         "stage",
         F.col("users").cast("bigint").alias("users"),
     )
+
+
+def funnel_conversion(df: DataFrame, stages: list[str]) -> DataFrame:
+    """Ordered funnel: users whose FIRST occurrence of each stage respects
+    the stage order (first(stage[i]) <= first(stage[i+1]) for every prior
+    stage). Returns (stage_idx, stage, users) with users monotonically
+    non-increasing down the funnel.
+
+    One conditional-min aggregate per user (single shuffle), then a
+    constant number of scalar counts unpivoted via stack() — the raw
+    stream is touched exactly once. The per-user stage is streamable as-is
+    (:func:`user_first_times`); :func:`funnel_stage_counts` rolls the
+    state table up.
+    """
+    return funnel_stage_counts(user_first_times(df, stages), stages)
 
 
 def cohort_retention(df: DataFrame) -> DataFrame:

@@ -66,6 +66,8 @@ def _reorder() -> None:
         "revenue_concentration",
         "doc_length_spearman",
         "similarity_lsh_multiprobe_topk",
+        "dq_core_violations",
+        "events_hourly_gapfill",
     ]
     new_this_round = [
         # first-ever rows for the round-4 additions

@@ -322,3 +322,74 @@ def user_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_1h"),
         F.round(F.sum("v").over(w).cast("double"), 6).alias("sum_value_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled hourly series: time-series densification (the missing-bucket
+# problem every dashboard hits — hours with zero events must exist as rows).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS h, event_type FROM events
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM base),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT h, event_type, count(*) AS c FROM base GROUP BY 1, 2
+    )
+    SELECT g.hour_start, t.event_type,
+           coalesce(c.c, CAST(0 AS BIGINT)) AS event_count
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.h = g.hour_start AND c.event_type = t.event_type
+    """,
+    tags=("events", "window-time", "gapfill"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly (hour x event_type) series with explicit zero rows for
+    silent hours — the densification a charting/alerting layer needs (a
+    silent hour IS the signal for an error-rate alert).
+
+    Shape: the grid is sequence(min_hour, max_hour) exploded from a
+    one-row bounds aggregate (interval arithmetic stays in the column's
+    native timestamp domain — NTZ-safe like events_hourly's F.window),
+    cross-joined against the distinct type dimension via broadcast
+    nested-loop (both sides bounded: hours x types, never event-count
+    sized), then ONE left equi-join against the hourly counts. At 100 TB
+    the grid is still hours x types rows — the fact table never appears
+    twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.window("ts", "1 hour").getField("start").alias("h"), "event_type"
+    )
+    counts = base.groupBy("h", "event_type").agg(F.count("*").alias("c"))
+    bounds = base.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour_start")
+    )
+    types = ev.select(F.col("event_type").alias("_ty")).distinct()
+    return (
+        grid.join(F.broadcast(types))
+        .join(
+            counts,
+            (F.col("hour_start") == F.col("h"))
+            & (F.col("_ty") == counts["event_type"]),
+            "left",
+        )
+        .select(
+            "hour_start",
+            F.col("_ty").alias("event_type"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("event_count"),
+        )
+    )

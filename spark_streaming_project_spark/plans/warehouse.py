@@ -197,3 +197,89 @@ def doc_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & F.col("n_chars").isNotNull()
     )
     return spearman_corr(docs, "source", F.col("n_chars"), token_count("text"))
+
+
+@register(
+    "dq_core_violations",
+    oracle="""
+    SELECT 'not_null:text' AS rule,
+           count(*) FILTER (WHERE text IS NULL) AS violations FROM documents
+    UNION ALL
+    SELECT 'unique:doc_id', count(*) - count(DISTINCT doc_id) FROM documents
+    UNION ALL
+    SELECT 'unique:text', count(*) - count(DISTINCT text) FROM documents
+    UNION ALL
+    SELECT 'chars_consistent',
+           count(*) FILTER (WHERE NOT coalesce(n_chars = length(text), FALSE))
+    FROM documents
+    UNION ALL
+    SELECT 'in_set:event_type',
+           count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+                            NOT IN ('view','click','purchase','signup','error'))
+    FROM events
+    UNION ALL
+    SELECT 'range:l_quantity',
+           count(*) FILTER (WHERE l_quantity IS NOT NULL
+                            AND (l_quantity < 1 OR l_quantity > 50))
+    FROM lineitem
+    UNION ALL
+    SELECT 'fk:l_orderkey', count(*)
+    FROM lineitem l
+    WHERE l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'fk:o_custkey', count(*)
+    FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
+    """,
+    tags=("warehouse", "dataquality"),
+)
+def dq_core_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-contract report over the warehouse: nullability,
+    uniqueness, value domains, ranges, cross-table referential integrity,
+    and a derived-column consistency predicate — one (rule, violations)
+    row each. The explicit form of the defensive null-guards the reference
+    scatters through its queries (Consumer.scala:194,209-212,246,258,270).
+    """
+    from ..operators.dataquality import (
+        check_foreign_key,
+        check_in_set,
+        check_not_null,
+        check_predicate,
+        check_range,
+        check_unique,
+        dq_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return dq_report(
+        [
+            check_not_null(docs, "text", rule="not_null:text"),
+            check_unique(docs, ["doc_id"], rule="unique:doc_id"),
+            check_unique(docs, ["text"], rule="unique:text"),
+            check_predicate(
+                docs,
+                F.col("n_chars") == F.length("text"),
+                rule="chars_consistent",
+            ),
+            check_in_set(
+                events,
+                "event_type",
+                ["view", "click", "purchase", "signup", "error"],
+                rule="in_set:event_type",
+            ),
+            check_range(lineitem, "l_quantity", 1, 50, rule="range:l_quantity"),
+            check_foreign_key(
+                lineitem, "l_orderkey", orders, "o_orderkey",
+                rule="fk:l_orderkey", broadcast_parent=False,
+            ),
+            check_foreign_key(
+                orders, "o_custkey", customer, "c_custkey", rule="fk:o_custkey"
+            ),
+        ]
+    )

@@ -200,3 +200,40 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == newdocs.count()
+
+
+def test_streaming_funnel_state_converges_to_batch(spark, tmp_path):
+    """Incremental funnel: the per-user first-times frame is a plain min
+    aggregation, so it streams unchanged (complete mode, per-user state =
+    one long per stage that only tightens); the stage roll-up over the
+    materialized state table must equal the one-shot batch funnel."""
+    from spark_streaming_project_spark.operators.funnel import (
+        funnel_conversion,
+        funnel_stage_counts,
+        user_first_times,
+    )
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "ev_src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stages = ["view", "click", "purchase"]
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_funnel"))
+    runner.add(
+        "funnel_state", user_first_times(stream, stages), output_mode="complete"
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        (r["stage_idx"], r["stage"]): r["users"]
+        for r in funnel_stage_counts(spark.table("funnel_state"), stages).collect()
+    }
+    want = {
+        (r["stage_idx"], r["stage"]): r["users"]
+        for r in funnel_conversion(ev, stages).collect()
+    }
+    assert got == want and got
