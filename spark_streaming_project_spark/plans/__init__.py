@@ -68,6 +68,8 @@ def _reorder() -> None:
         "similarity_lsh_multiprobe_topk",
         "dq_core_violations",
         "events_hourly_gapfill",
+        "user_value_locf",
+        "hourly_anomalies",
     ]
     new_this_round = [
         # first-ever rows for the round-4 additions

