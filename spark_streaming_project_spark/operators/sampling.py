@@ -197,3 +197,44 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("_h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis, IPL 2006): each row draws u in (0,1) from md5(salt:id) and
+    scores key = u^(1/w); the k largest keys are the sample, equivalent in
+    distribution to sequential weighted draws without replacement.
+
+    Determinism: u is a pure hash (no RNG state), so the same corpus
+    always yields the same sample — replayable by any engine with md5.
+    Scale shape: one scan computing (key) + TakeOrderedAndProject(k); no
+    shuffle beyond the top-k reduction, works unchanged on 10^12 rows.
+    Rows with NULL or non-positive weight are excluded (u^(1/w) is
+    undefined there and such rows carry no sampling mass).
+    """
+    w = F.col(weight_col).cast("double")
+    h = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}:', cast(`{id_col}` as string))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    u = (h + F.lit(1.0)) / F.lit(float(2**32 + 1))
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(F.col(id_col), F.col(weight_col), key.alias("_raw_key"))
+        .orderBy(F.desc("_raw_key"), F.asc(id_col))
+        .limit(k)
+        # selection/order use the raw key; the REPORTED key is rounded so
+        # the comparison surface tolerates last-ulp pow() differences
+        # across engines/libms
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round("_raw_key", 6).alias("sample_key"),
+        )
+    )

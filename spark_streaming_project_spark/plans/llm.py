@@ -1571,3 +1571,60 @@ def media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("asset_id").alias("keep_id"),
         F.count("*").alias("dup_count"),
     )
+
+
+@register(
+    "weighted_doc_sample",
+    oracle="""
+    SELECT doc_id, n_chars, round(_raw_key, 6) AS sample_key
+    FROM (
+        SELECT doc_id, n_chars,
+               pow((CAST(concat('0x', substr(md5(concat('ws:',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1.0)
+                   / 4294967297.0,
+                   1.0 / CAST(n_chars AS DOUBLE)) AS _raw_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY _raw_key DESC, doc_id ASC
+        LIMIT 100
+    )
+    """,
+    tags=("llm", "sampling", "topk"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample (Efraimidis-Spirakis weighted
+    reservoir, deterministic md5 draws): longer documents proportionally
+    more likely, no RNG state, one top-k pass. The mixture-sampling
+    primitive for weight-by-quality / weight-by-length corpus draws."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
+@register(
+    "dedup_component_sizes",
+    oracle=f"""
+    WITH cmap AS ({_CANONICAL_ORACLE}),
+    comps AS (
+        SELECT canonical_id, count(*) AS component_size
+        FROM cmap GROUP BY 1
+    )
+    SELECT component_size, count(*) AS n_components
+    FROM comps GROUP BY 1
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution (component-size histogram over
+    the transitive canonical map): the shape a dedup report leads with —
+    how much of the corpus sits in clusters of 2, 3, ..., n. Composes the
+    CC output with two combinable aggregates; singletons count as size-1
+    components."""
+    cmap = dedup_canonical_map(spark, sf_dir)
+    return (
+        cmap.groupBy("canonical_id")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+    )

@@ -283,3 +283,51 @@ def dq_core_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+@register(
+    "segment_revenue_percentiles",
+    oracle="""
+    WITH rev AS (
+        SELECT c_mktsegment, c_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS _rev
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_custkey,
+           round(CAST(_rev AS DOUBLE), 2) AS revenue,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(rank() OVER w2 AS BIGINT) AS seg_rank
+    FROM rev
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY _rev ASC, c_custkey ASC),
+           w2 AS (PARTITION BY c_mktsegment ORDER BY _rev DESC, c_custkey ASC)
+    """,
+    tags=("warehouse", "window"),
+)
+def segment_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every customer inside their market segment:
+    percent_rank + cume_dist (ascending revenue) and a descending rank —
+    the remaining rank-family window functions (rank/dense_rank/ntile/
+    row_number appear elsewhere in the registry). Windows partition by
+    segment over PER-CUSTOMER aggregates; exact-decimal revenue keys make
+    the ordering engine-identical."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_rev"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("_rev"), F.asc("c_custkey"))
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("_rev"), F.asc("c_custkey")
+    )
+    return rev.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w2).cast("bigint").alias("seg_rank"),
+    )

@@ -1,5 +1,6 @@
 from .runner import StreamRunner, stream_parquet_dir, stream_json_dir
 from .sinks import (
+    foreach_batch_dq_gate,
     foreach_batch_jdbc_append,
     foreach_batch_jdbc_overwrite,
     foreach_batch_per_batch_topk,
@@ -11,6 +12,7 @@ __all__ = [
     "stream_parquet_dir",
     "stream_json_dir",
     "kafka_stream",
+    "foreach_batch_dq_gate",
     "foreach_batch_jdbc_append",
     "foreach_batch_jdbc_overwrite",
     "foreach_batch_per_batch_topk",

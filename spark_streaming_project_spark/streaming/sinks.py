@@ -114,3 +114,40 @@ def foreach_batch_ivf_append(
         append_ivf_partitioned(batch_df, id_col, vec_col, path)
 
     return write
+
+
+def foreach_batch_dq_gate(
+    rules_fn: Callable[[DataFrame], DataFrame],
+    good_path: str,
+    quarantine_path: str,
+    max_violations: int = 0,
+) -> Callable[[DataFrame, int], None]:
+    """Admission-control sink: every micro-batch is scored by the
+    data-quality report ``rules_fn`` (a ``operators.dataquality.dq_report``
+    composition: batch_df -> (rule, violations) frame); batches whose TOTAL
+    violations exceed ``max_violations`` are diverted whole to
+    ``quarantine_path``, clean batches append to ``good_path``. Either way
+    the per-batch report lands under ``<good_path>_reports`` with the
+    batch id, so the contract trail is queryable.
+
+    Whole-batch quarantine (not row-level filtering) is deliberate: rules
+    like uniqueness and referential integrity are batch-level properties
+    with no per-row blame assignment, and an over-threshold batch usually
+    signals an upstream fault where partial admission makes recovery
+    harder. Row-level cleansing belongs in the transform, not the gate.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        report = rules_fn(batch_df)
+        rows = report.collect()  # bounded: one row per rule
+        total = sum(r["violations"] for r in rows)
+        target = good_path if total <= max_violations else quarantine_path
+        batch_df.write.mode("append").parquet(target)
+        spark = batch_df.sparkSession
+        spark.createDataFrame(
+            [(batch_id, r["rule"], r["violations"], total > max_violations)
+             for r in rows],
+            "batch_id long, rule string, violations long, quarantined boolean",
+        ).write.mode("append").parquet(f"{good_path}_reports")
+
+    return write

@@ -158,3 +158,47 @@ def test_ngram_overlap_hot_gram_guard(spark):
     # "the unique secret fact about"/"unique secret fact about cats"
     # (df=1) still links doc 99
     assert capped[1] == (2, 1)
+
+
+def test_weighted_sample_matches_direct_computation(spark):
+    """E-S keys are pure functions of (id, weight); the operator's top-k
+    must equal the same formula evaluated in Python."""
+    import hashlib
+
+    from spark_streaming_project_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(10 + 90 * (i % 7))) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / (2**32 + 1.0)
+        return u ** (1.0 / w)
+
+    want = sorted(rows, key=lambda r: (-key(*r), r[0]))[:10]
+    got = weighted_sample(df, "id", "w", k=10).collect()
+    assert [(r["id"], r["w"]) for r in got] == [(i, w) for i, w in want]
+    for r in got:
+        assert r["sample_key"] == round(key(r["id"], r["w"]), 6)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from spark_streaming_project_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], "id bigint, w double"
+    )
+    got = weighted_sample(df, "id", "w", k=10).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_weighted_sample_weight_monotone_in_expectation(spark):
+    """With weight >> others, the heavy row should (nearly) always make a
+    small sample — checked deterministically: a row with astronomically
+    larger weight has key u^(1/w) -> 1, beating any u^(1) draw."""
+    from spark_streaming_project_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0) for i in range(100)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    got = {r["id"] for r in weighted_sample(df, "id", "w", k=5).collect()}
+    assert 999 in got

@@ -237,3 +237,56 @@ def test_streaming_funnel_state_converges_to_batch(spark, tmp_path):
         for r in funnel_conversion(ev, stages).collect()
     }
     assert got == want and got
+
+
+def test_streaming_dq_gate_quarantines_dirty_batch(spark, tmp_path):
+    """Admission control: the clean micro-batch must land in the good dir,
+    the null-ridden one whole in quarantine, and the per-batch report must
+    record both verdicts."""
+    from spark_streaming_project_spark.operators.dataquality import (
+        check_not_null,
+        check_unique,
+        dq_report,
+    )
+    from spark_streaming_project_spark.streaming import foreach_batch_dq_gate
+
+    src = str(tmp_path / "dq_src")
+    clean = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id bigint, text string"
+    )
+    dirty = spark.createDataFrame(
+        [(100 + i, None) for i in range(5)], "doc_id bigint, text string"
+    )
+    clean.coalesce(1).write.mode("append").parquet(src)
+    dirty.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quarantine")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_dq"))
+    runner.add(
+        "dq_gate",
+        stream,
+        foreach_batch=foreach_batch_dq_gate(
+            lambda df: dq_report(
+                [check_not_null(df, "text"), check_unique(df, ["doc_id"])]
+            ),
+            good,
+            quar,
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    good_ids = {r["doc_id"] for r in spark.read.parquet(good).collect()}
+    quar_ids = {r["doc_id"] for r in spark.read.parquet(quar).collect()}
+    assert good_ids == set(range(10))
+    assert quar_ids == {100 + i for i in range(5)}
+
+    rep = spark.read.parquet(f"{good}_reports").collect()
+    # two batches x two rules
+    assert len(rep) == 4
+    verdicts = {(r["rule"], r["quarantined"]): r["violations"] for r in rep}
+    assert verdicts[("not_null:text", True)] == 5
+    assert verdicts[("not_null:text", False)] == 0
