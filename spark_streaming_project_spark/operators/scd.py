@@ -101,3 +101,22 @@ def scd2_apply(
         F.lit(True).alias("is_current"),
     )
     return hist.unionByName(kept).unionByName(closed).unionByName(opened)
+
+
+def scd1_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Type-1 (latest-wins) upsert: update rows REPLACE dimension rows with
+    the same key, new keys append, everything else passes through. No
+    history — the overwrite-in-place counterpart of :func:`scd2_apply`.
+
+    Shape: one LEFT ANTI join on the key (broadcastable update batches) +
+    a union; the dimension is never shuffled beyond the anti-join probe.
+    ``updates`` must carry the same columns as ``dim`` and at most one row
+    per key (enforce upstream with dropDuplicates/window if the batch may
+    contain multiple versions).
+    """
+    survivors = dim.join(updates.select(key), key, "left_anti")
+    return survivors.unionByName(updates.select(*dim.columns))

@@ -394,8 +394,11 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multi-probe amplification (Lv et al., VLDB 2007): same storage as the
 # single-table tier (one bucket id per vector); recall is recovered by also
 # probing the buckets across the query's lowest-|margin| hyperplanes.
+# n_flip=5 measured: recall@10 0.4/0.5 (sf0.1/sf0.01) at 6/16 buckets vs
+# the single-table tier's 0.1 at 1/16; single-bit flips plateau there (the
+# remaining misses sit >= 2 plane flips from the query's bucket).
 
-_N_FLIP = 3
+_N_FLIP = 5
 
 _PROBE_MARGINS = [
     " + ".join(

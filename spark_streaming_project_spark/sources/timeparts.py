@@ -50,3 +50,36 @@ def read_days(
         (F.col("event_date") >= F.lit(start_date).cast("date"))
         & (F.col("event_date") <= F.lit(end_date).cast("date"))
     )
+
+
+def backfill_days(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Idempotently recompute the day-partitions PRESENT IN ``df`` without
+    touching any other day (dynamic partition overwrite — the backfill
+    primitive: re-deriving one corrupted/late day must not rewrite the
+    table).
+
+    Spark's static overwrite mode would drop EVERY partition first; the
+    conf flips to dynamic for this write and is restored after, so the
+    session's default behavior is unchanged.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.withColumn("event_date", F.to_date(F.col(ts_col)))
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned table whose schema GREW over time (later days
+    carry added columns): ``mergeSchema`` unions all file footers; rows
+    from older files surface NULL for columns they predate. The standard
+    additive-evolution contract for an append-only event lake."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

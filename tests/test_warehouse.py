@@ -131,3 +131,69 @@ def test_revenue_concentration_shape(spark):
     # cumulative share is monotone
     cums = [r["cum_share"] for r in rows]
     assert cums == sorted(cums)
+
+
+def test_scd1_upsert_replaces_appends_keeps(spark):
+    from spark_streaming_project_spark.operators.scd import scd1_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    upd = spark.createDataFrame([(2, "B2"), (9, "new")], "k bigint, v string")
+    got = {(r["k"], r["v"]) for r in scd1_apply(dim, upd, "k").collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
+
+
+# ---------------------------------------------------------------------------
+# property-based SCD2 invariants: for ANY update batch, the merged dimension
+# must keep exactly one open row per live key, no post-effective open date,
+# and closed rows must chain (valid_to of one version = valid_from of next).
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _keys = st.integers(min_value=0, max_value=6)
+    _vals = st.sampled_from(["a", "b", "c", None])
+    _batches = st.lists(
+        st.tuples(_keys, _vals), min_size=0, max_size=8,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(batch1=_batches, batch2=_batches)
+    def test_scd2_invariants_hold_for_any_batches(spark, batch1, batch2):
+        from spark_streaming_project_spark.operators.scd import scd2_apply
+
+        dim = _dim(
+            spark,
+            [(k, "init", D(2020, 1, 1), None, True) for k in range(4)],
+        )
+        for eff, batch in ((D(2021, 1, 1), batch1), (D(2022, 1, 1), batch2)):
+            if not batch:
+                continue
+            upd = _upd(spark, batch)
+            dim = scd2_apply(dim, upd, "k", ["seg"], F.lit(eff))
+        rows = dim.collect()
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r["k"], []).append(r)
+        for k, vs in by_key.items():
+            opens = [r for r in vs if r["is_current"]]
+            assert len(opens) == 1, f"key {k}: {len(opens)} open rows"
+            assert opens[0]["valid_to"] is None
+            closed = sorted(
+                (r for r in vs if not r["is_current"]),
+                key=lambda r: r["valid_from"],
+            )
+            # versions chain: each closed row's valid_to is the next row's
+            # valid_from, ending at the open row
+            chain = closed + opens
+            for a, b in zip(chain, chain[1:]):
+                assert a["valid_to"] == b["valid_from"], f"key {k} gap"
