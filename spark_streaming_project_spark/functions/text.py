@@ -34,19 +34,26 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.regexp_count(F.lower(c), F.lit(BPE_TOKEN_RE))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the text (the unit for MinHash /
-    Jaccard dedup). Array-level: no explode, no shuffle."""
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """ALL word n-grams in order (duplicates kept — the unit for counting
+    statistics: PMI, repetition). Array-level: no explode, no shuffle;
+    n-grams as a zip_with fold over n shifted views of the token array —
+    two array passes instead of a per-index slice (higher-order lambdas
+    are interpreted, not codegen'd, so pass count dominates cost at
+    scale)."""
     toks = tokens(col)
-    # n-grams as a zip_with fold over n shifted views of the token array —
-    # two array passes instead of a per-index slice (higher-order lambdas are
-    # interpreted, not codegen'd, so pass count dominates cost at scale)
     width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.slice(toks, 1, width)
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, width)
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(grams)
+    return grams
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text (the unit for MinHash /
+    Jaccard dedup). Array-level: no explode, no shuffle."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def rolling_fingerprint(col: Column | str) -> Column:

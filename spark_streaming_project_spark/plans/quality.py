@@ -424,3 +424,184 @@ def tokenized_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: corpus-wide pointwise mutual information of adjacent
+# token pairs — the classic collocation extractor (Church & Hanks 1990).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pmi_collocations",
+    oracle=rf"""
+    WITH {_TOKS_CTE},
+    uni AS (
+        SELECT t, count(*) AS c FROM (SELECT unnest(words) AS t FROM toks)
+        GROUP BY 1
+    ),
+    n_uni AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
+    bi_all AS (
+        SELECT g, count(*) AS c_xy
+        FROM (
+            SELECT unnest([array_to_string(words[i:i+1], ' ')
+                           for i in range(1, len(words))]) AS g
+            FROM toks WHERE len(words) >= 2
+        )
+        GROUP BY 1
+    ),
+    n_bi AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS nb FROM bi_all),
+    scored AS (
+        SELECT g AS bigram, c_xy,
+               ln((CAST(c_xy AS DOUBLE) * nu * nu)
+                  / (nb * ux.c * uy.c)) AS _pmi
+        FROM bi_all
+        JOIN uni ux ON ux.t = split_part(g, ' ', 1)
+        JOIN uni uy ON uy.t = split_part(g, ' ', 2)
+        CROSS JOIN n_uni CROSS JOIN n_bi
+        WHERE c_xy >= 5
+    )
+    SELECT bigram, c_xy, round(_pmi, 6) AS pmi
+    FROM scored
+    ORDER BY _pmi DESC, bigram ASC
+    LIMIT 20
+    """,
+    tags=("llm", "quality", "topk"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI (min pair count 5):
+    ln(P(xy) / (P(x)P(y))) from exact corpus counts — the statistical
+    phrase detector a tokenizer/quality pipeline runs over a corpus.
+
+    Scale shape: two combinable counting aggregates (unigrams, bigrams),
+    two vocab-keyed joins for the marginals, scalars as broadcast one-row
+    frames, TakeOrderedAndProject(20). The ratio is assembled from
+    integers in one fixed multiplication order, so the double is engine-
+    identical and the ordering deterministic.
+    """
+    from ..functions.text import tokens as _tokens
+    from ..functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    uni = (
+        docs.select(F.explode(_tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("nu"))
+    bi_all = (
+        docs.select(F.explode(word_ngrams("text", 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    n_bi = bi_all.agg(F.sum("c_xy").cast("double").alias("nb"))
+    ux = uni.select(F.col("t").alias("_tx"), F.col("c").alias("_cx"))
+    uy = uni.select(F.col("t").alias("_ty"), F.col("c").alias("_cy"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") * F.col("nu") * F.col("nu"))
+        / (F.col("nb") * F.col("_cx") * F.col("_cy"))
+    )
+    scored = (
+        bi_all.filter(F.col("c_xy") >= 5)
+        .join(ux, F.split_part(F.col("g"), F.lit(" "), F.lit(1)) == F.col("_tx"))
+        .join(uy, F.split_part(F.col("g"), F.lit(" "), F.lit(2)) == F.col("_ty"))
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select(F.col("g").alias("bigram"), "c_xy", pmi.alias("_pmi"))
+    )
+    return (
+        scored.orderBy(F.desc("_pmi"), F.asc("bigram"))
+        .limit(20)
+        .select("bigram", "c_xy", F.round("_pmi", 6).alias("pmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution drift: smoothed KL divergence of each source's
+# unigram distribution against the corpus, over the corpus top-1000 vocab.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_drift_kl",
+    oracle=r"""
+    WITH st AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (SELECT t, count(*) AS c FROM st GROUP BY 1),
+    vocab AS (SELECT t, c FROM uni ORDER BY c DESC, t ASC LIMIT 1000),
+    nv AS (SELECT CAST(sum(c) AS DOUBLE) AS n_v, count(*) AS v FROM vocab),
+    sc AS (
+        SELECT source, t, count(*) AS c_s FROM st
+        WHERE t IN (SELECT t FROM vocab) GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.source, v.t, v.c, coalesce(sc.c_s, 0) AS c_s
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN vocab v
+        LEFT JOIN sc ON sc.source = s.source AND sc.t = v.t
+    ),
+    ns AS (SELECT source, CAST(sum(c_s) AS DOUBLE) AS n_s FROM grid GROUP BY 1)
+    SELECT g.source,
+           CAST(ns.n_s AS BIGINT) AS vocab_tokens,
+           round(sum(
+               ((g.c_s + 1.0) / (ns.n_s + nv.v))
+               * ln(((g.c_s + 1.0) / (ns.n_s + nv.v))
+                    / ((g.c + 1.0) / (nv.n_v + nv.v)))
+           ), 6) AS kl_divergence
+    FROM grid g JOIN ns ON ns.source = g.source CROSS JOIN nv
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "quality", "profiling"),
+)
+def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed KL(source || corpus) over the corpus top-1000 unigram
+    vocabulary (add-1 smoothing on both sides) — the drift monitor a
+    corpus pipeline runs per ingestion source: a source whose token
+    distribution diverges from the corpus is mislabeled, templated, or
+    broken upstream.
+
+    Scale shape: one token-count aggregate, a bounded top-1000 vocab
+    (TakeOrdered), a sources x vocab grid from broadcast nested-loop over
+    two BOUNDED frames, and one combinable sum per source. The raw corpus
+    is scanned twice (corpus counts; per-source counts), never joined
+    against itself.
+    """
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    st = docs.select("source", F.explode(_tokens("text")).alias("t"))
+    uni = st.groupBy("t").agg(F.count("*").alias("c"))
+    vocab = uni.orderBy(F.desc("c"), F.asc("t")).limit(1000)
+    nv = vocab.agg(
+        F.sum("c").cast("double").alias("n_v"), F.count("*").alias("v")
+    )
+    sc = (
+        st.join(F.broadcast(vocab.select("t")), "t")
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c_s"))
+    )
+    sources = docs.select("source").distinct()
+    grid = (
+        sources.join(F.broadcast(vocab))
+        .join(sc, ["source", "t"], "left")
+        .select(
+            "source", "c", F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s")
+        )
+    )
+    ns = grid.groupBy("source").agg(F.sum("c_s").cast("double").alias("n_s"))
+    p = (F.col("c_s") + 1.0) / (F.col("n_s") + F.col("v"))
+    q = (F.col("c") + 1.0) / (F.col("n_v") + F.col("v"))
+    return (
+        grid.join(ns, "source")
+        .join(F.broadcast(nv))
+        .groupBy("source", F.col("n_s").cast("bigint").alias("vocab_tokens"))
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"))
+    )

@@ -244,3 +244,63 @@ def test_write_training_shards_sorted_files_and_determinism(spark, tmp_path):
         total += len(rows)
     assert total == docs.count()
     assert s1 == read_shards(out2)  # same seed -> byte-identical layout
+
+
+def test_pmi_hand_computed(spark):
+    """PMI of a constructed corpus: 'foo bar' always adjacent (perfect
+    collocation) vs 'foo baz' never adjacent."""
+    import math
+
+    from spark_streaming_project_spark.plans.quality import pmi_collocations
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os, tempfile
+
+    # 5 docs of "foo bar", 5 docs of "x y" filler to clear the c_xy >= 5 bar
+    texts = ["foo bar"] * 5 + ["x y"] * 5
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+            "source": pa.array(["s"] * 10, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = {r["bigram"]: r["pmi"] for r in pmi_collocations(spark, d).collect()}
+    # corpus: 20 unigrams (foo,bar,x,y each 5), 10 bigrams (foo bar x5, x y x5)
+    # pmi(foo bar) = ln((5 * 20 * 20) / (10 * 5 * 5)) = ln(8)
+    assert rows == {
+        "foo bar": round(math.log(8.0), 6),
+        "x y": round(math.log(8.0), 6),
+    }
+
+
+def test_source_drift_kl_flags_divergent_source(spark):
+    """A source with a disjoint vocabulary must show strictly larger KL
+    than sources drawn from the corpus-majority distribution; KL >= 0."""
+    from spark_streaming_project_spark.plans.quality import source_drift_kl
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os, tempfile
+
+    normal = "alpha beta gamma delta " * 10
+    weird = "zzz qqq www eee " * 10
+    texts = [normal] * 8 + [weird] * 2
+    srcs = ["normal"] * 8 + ["weird"] * 2
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = {r["source"]: r["kl_divergence"] for r in source_drift_kl(spark, d).collect()}
+    assert set(got) == {"normal", "weird"}
+    assert got["weird"] > got["normal"] >= 0
