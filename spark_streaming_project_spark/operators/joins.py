@@ -185,3 +185,91 @@ def range_join_binned(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("_bucket")
     )
+
+
+def bloom_build(dim: DataFrame, key: str, bits_log2: int = 20, n_hashes: int = 3) -> DataFrame:
+    """Distributed Bloom-filter build over ``dim[key]``: each key sets
+    ``n_hashes`` bit positions (xxhash64 with per-hash seeds, mod 2^bits);
+    positions pack into 64-bit words via a combinable ``bit_or`` aggregate,
+    so the result is a (word_idx, mask) frame of AT MOST 2^bits/64 rows —
+    16k rows for 2^20 bits — broadcastable no matter how many keys the
+    dimension has. The engine-level twin of Spark's internal runtime
+    bloom filter (spark.sql.optimizer.runtime.bloomFilter), exposed so a
+    pipeline can apply it across stages/jobs where the optimizer can't.
+    """
+    m = 1 << bits_log2
+    pos = dim.filter(F.col(key).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    (F.abs(F.xxhash64(F.col(key), F.lit(i))) % m).alias(f"h{i}")
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("bit")
+    )
+    # PySpark's shiftleft() only takes a literal shift amount; the SQL
+    # twin accepts a column, so the bit goes through expr()
+    return pos.groupBy((F.col("bit") / 64).cast("long").alias("word_idx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")
+        ).alias("mask")
+    )
+
+
+def bloom_prune(
+    fact: DataFrame,
+    key: str,
+    bloom: DataFrame,
+    bits_log2: int = 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Keep only fact rows whose key MIGHT be in the bloom (all n_hashes
+    bits set). False positives pass (the real join discards them); false
+    negatives are impossible, so pruning never changes join results — it
+    only shrinks the shuffled fact volume by the dimension's selectivity.
+
+    Shape: n_hashes broadcast hash EQUI-joins against the packed word
+    frame + a codegen bit test each; NULL keys are dropped (they cannot
+    match an equi-join anyway).
+    """
+    m = 1 << bits_log2
+    out = fact.filter(F.col(key).isNotNull())
+    for i in range(n_hashes):
+        h = F.abs(F.xxhash64(F.col(key), F.lit(i))) % m
+        w = bloom.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("mask").alias(f"_m{i}")
+        )
+        out = (
+            out.withColumn(f"_h{i}", h)
+            .join(
+                F.broadcast(w),
+                (F.col(f"_h{i}") / 64).cast("long") == F.col(f"_w{i}"),
+            )
+            .filter(
+                F.expr(
+                    f"(shiftright(_m{i}, CAST(_h{i} % 64 AS INT)) & 1) = 1"
+                )
+            )
+            .drop(f"_h{i}", f"_w{i}", f"_m{i}")
+        )
+    return out
+
+
+def bloom_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    bits_log2: int = 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Inner equi-join with a Bloom runtime filter applied to the fact side
+    FIRST: at 100 TB the win is that non-matching fact rows never enter
+    the join shuffle — with a selective dimension the shuffled volume
+    drops by orders of magnitude for the cost of a ≤(2^bits/64)-row
+    broadcast. Result is EXACTLY fact ⋈ dim (no false negatives; false
+    positives die in the join)."""
+    bloom = bloom_build(dim, dim_key, bits_log2, n_hashes)
+    pruned = bloom_prune(fact, fact_key, bloom, bits_log2, n_hashes)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

@@ -87,6 +87,7 @@ def _reorder() -> None:
         "segment_revenue_percentiles",
         "pmi_collocations",
         "source_drift_kl",
+        "bloom_pruned_order_join",
     ]
     new_this_round = [
         # first-ever rows for the round-4 additions

@@ -331,3 +331,35 @@ def segment_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.rank().over(w2).cast("bigint").alias("seg_rank"),
     )
+
+
+@register(
+    "bloom_pruned_order_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < -900
+    """,
+    tags=("warehouse", "join", "runtime-filter"),
+)
+def bloom_pruned_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of deeply-negative-balance customers, executed with an
+    explicit Bloom runtime filter: the packed-word bloom of the selective
+    dimension broadcasts (<= 2^20/64 rows regardless of dimension size)
+    and prunes the fact BEFORE the join shuffle. Results are EXACTLY the
+    plain join (the oracle) — the bloom admits false positives that the
+    join discards and can never drop a true match; what changes at 100 TB
+    is the shuffled fact volume, not the answer."""
+    from ..operators.joins import bloom_filtered_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") < -900
+    )
+    joined = bloom_filtered_join(orders, cust, "o_custkey", "c_custkey")
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+    )

@@ -151,3 +151,51 @@ def foreach_batch_dq_gate(
         ).write.mode("append").parquet(f"{good_path}_reports")
 
     return write
+
+
+def foreach_batch_jdbc_idempotent_append(
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    ledger_table: str = "batch_ledger",
+) -> Callable[[DataFrame, int], None]:
+    """EXACTLY-ONCE append: before writing, consult a batch-id ledger
+    table; batches already present are skipped entirely, so a micro-batch
+    REPLAYED after a failure (Spark reruns the last epoch from the
+    checkpoint) does not duplicate rows. The ledger row commits AFTER the
+    data write — a crash between the two replays the batch, which the
+    ledger then admits exactly once more ONLY if the data write also
+    failed; if data landed but the ledger didn't, the replay re-appends —
+    so the data write itself must be the idempotent half on backends
+    without XA. For warehouses this is the standard (batch_id, table)
+    high-water-mark pattern; with a transactional backend wrap both
+    writes in one transaction for true atomicity.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = (
+                spark.read.jdbc(url, ledger_table, properties=properties)
+                .filter(
+                    (F.col("tbl") == table) & (F.col("batch_id") == batch_id)
+                )
+                .count()
+            )
+        except Exception:
+            seen = 0  # ledger doesn't exist yet: first ever batch
+        if seen:
+            return
+        batch_df.write.mode("append").jdbc(url, table, properties=properties)
+        # VARCHAR explicitly: some backends (Derby) map StringType to CLOB,
+        # which cannot appear in the ledger's pushed-down equality filter
+        (
+            spark.createDataFrame(
+                [(table, batch_id)], "tbl string, batch_id long"
+            )
+            .write.mode("append")
+            .option("createTableColumnTypes", "tbl VARCHAR(128), batch_id BIGINT")
+            .jdbc(url, ledger_table, properties=properties)
+        )
+
+    return write

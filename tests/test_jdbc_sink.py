@@ -102,3 +102,35 @@ def test_jdbc_append_accumulates_batches(spark, tmp_path, derby_url):
     rows = spark.read.jdbc(derby_url, "rows_out", properties=props).collect()
     assert len(rows) == 4  # 2 rows per micro-batch, appended, none lost
     assert {(r["k"], r["v"]) for r in rows} == {("a", 1), ("b", 2), ("a", 10), ("c", 3)}
+
+
+def test_jdbc_idempotent_append_survives_replay(spark, derby_url, tmp_path):
+    """Exactly-once: calling the sink twice with the SAME batch id (what a
+    post-failure epoch replay does) must not duplicate rows; a NEW batch
+    id appends normally."""
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_jdbc_idempotent_append,
+    )
+
+    props = {"driver": DERBY_DRIVER}
+    sink = foreach_batch_jdbc_idempotent_append(derby_url, "IDEM_T", props)
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], SRC_SCHEMA)
+    b1 = spark.createDataFrame([("c", 3)], SRC_SCHEMA)
+
+    sink(b0, 0)
+    sink(b0, 0)  # replayed epoch: must be a no-op
+    sink(b1, 1)
+    sink(b1, 1)  # replayed again
+
+    got = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.jdbc(derby_url, "IDEM_T", properties=props).collect()
+    )
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+    ledger = sorted(
+        (r["tbl"], r["batch_id"])
+        for r in spark.read.jdbc(
+            derby_url, "batch_ledger", properties=props
+        ).collect()
+    )
+    assert ledger == [("IDEM_T", 0), ("IDEM_T", 1)]

@@ -129,3 +129,50 @@ def test_salted_join_semi_anti(spark):
         salted = skew_salted_join(big, small, "k", how).select("k", "v")
         assert plain.count() == salted.count()
         assert salted.exceptAll(plain).count() == 0
+
+
+def test_bloom_prune_no_false_negatives_and_selective(spark):
+    """Every true match must survive pruning (bloom has no false
+    negatives); with a selective dim the pruned fact must be much smaller
+    than the full fact; the filtered join must equal the plain join."""
+    from spark_streaming_project_spark.operators.joins import (
+        bloom_build,
+        bloom_filtered_join,
+        bloom_prune,
+    )
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    from .conftest import SF_CORRECT
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    cust = load_table(spark, SF_CORRECT, "customer").filter(
+        F.col("c_acctbal") < -900  # selective dimension slice
+    )
+    assert 0 < cust.count() < 100
+
+    bloom = bloom_build(cust, "c_custkey")
+    pruned = bloom_prune(orders, "o_custkey", bloom)
+
+    true_matches = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    )
+    n_true, n_pruned, n_all = true_matches.count(), pruned.count(), orders.count()
+    # no false negatives: every matching order survived
+    assert n_pruned >= n_true
+    # selectivity: the bloom removed the vast majority of non-matching rows
+    assert n_pruned < n_all * 0.2
+
+    got = bloom_filtered_join(orders, cust, "o_custkey", "c_custkey")
+    want = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    assert got.count() == want.count()
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
+
+
+def test_bloom_word_frame_is_bounded(spark):
+    from spark_streaming_project_spark.operators.joins import bloom_build
+
+    dim = spark.range(10_000).select(F.col("id").alias("k"))
+    bloom = bloom_build(dim, "k", bits_log2=16)
+    assert bloom.count() <= (1 << 16) // 64
