@@ -1,0 +1,150 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+Classic corpus BPE: train on the WORD-FREQUENCY dictionary (unique word,
+count) — orders of magnitude smaller than the corpus — and each round
+merge the globally most frequent adjacent symbol pair. The merge table is
+what a tokenizer ships; this learns it engine-side.
+
+Scale shape (100 TB corpus):
+- One corpus-sized aggregate total (the word-count dict); every training
+  round then runs on the DICT (vocab-sized, ~10^6 rows for web text) —
+  pair counting is an explode + combinable sum, the argmax is a 1-row
+  TakeOrdered collect (a bounded driver scalar per round, same
+  coordination pattern as k-means fit and connected components).
+- The merge application is an array fold (F.aggregate) — greedy
+  left-to-right exactly like reference BPE, JVM-side, no Python on the
+  dict rows.
+- Lineage is truncated with localCheckpoint every few rounds so n_merges
+  rounds cost O(1) plan depth each.
+
+Determinism: pair-count ties break lexicographically on the pair, so the
+merge sequence is a pure function of the corpus (pytest pins it against a
+reference pure-Python implementation — the merge loop has no
+SQL-expressible oracle, like k-means).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["word_freq_dict", "bpe_train_merges", "bpe_reference"]
+
+# separator used to display a pair; never appears inside symbols because
+# symbols grow only by concatenating word characters (whitespace-split)
+_SEP = " "
+
+
+def word_freq_dict(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) corpus dictionary — the BPE training input."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts weighted by word frequency: one
+    zip_with over (symbols, symbols[2:]) — no per-word Python."""
+    width = F.greatest(F.size("symbols") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("symbols", 1, width),
+        F.slice("symbols", 2, width),
+        lambda a, b: F.concat(a, F.lit(_SEP), b),
+    )
+    return (
+        words.filter(F.size("symbols") >= 2)
+        .select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right merge of (left, right) -> left||right in every
+    symbol array, as an array FOLD: push each symbol; when the
+    accumulator's last element is `left` and the incoming symbol is
+    `right`, replace the last element with the concatenation. Overlapping
+    runs resolve left-first — reference BPE semantics."""
+    def _esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    l_, r_ = _esc(left), _esc(right)
+    merged = F.expr(
+        f"""
+        aggregate(
+            symbols,
+            CAST(array() AS ARRAY<STRING>),
+            (acc, s) -> CASE
+                WHEN size(acc) > 0
+                     AND element_at(acc, -1) = '{l_}' AND s = '{r_}'
+                THEN concat(slice(acc, 1, size(acc) - 1),
+                            array(concat('{l_}', '{r_}')))
+                ELSE concat(acc, array(s))
+            END
+        )
+        """
+    )
+    return words.select(merged.alias("symbols"), "cnt")
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus; returns
+    [(left, right, pair_count), ...] in merge order. Driver receives ONE
+    row per round (the argmax pair) — nothing corpus- or vocab-sized."""
+    words = word_freq_dict(df, text_col).select(
+        F.expr("split(word, '')").alias("symbols"), F.col("cnt")
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(_SEP, 1)
+        merges.append((left, right, top[0]["pair_count"]))
+        prev = words
+        words = _apply_merge(words, left, right).localCheckpoint()
+        prev.unpersist()
+    words.unpersist()
+    return merges
+
+
+def bpe_reference(word_counts: dict[str, int], n_merges: int = 10):
+    """Pure-Python reference BPE (the pytest oracle): identical greedy
+    semantics and tie-breaking."""
+    words = [(list(w), c) for w, c in word_counts.items()]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        # max count, ties broken lexicographically on "left SEP right"
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}{_SEP}{kv[0][1]}")
+        )
+        merges.append((left, right, cnt))
+        new_words = []
+        for syms, c in words:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_words.append((out, c))
+        words = new_words
+    return merges

@@ -605,3 +605,35 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("n_s").cast("bigint").alias("vocab_tokens"))
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (rows-only: the iterative argmax loop has no SQL
+# twin — pinned by tests/test_bpe.py exact-match vs the pure-Python
+# reference, the same pattern as the k-means ANN tier).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_merge_table",
+    tags=("llm", "tokenizer", "rows-only"),
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 BPE merge rules learned from the corpus word-frequency
+    dictionary (Sennrich et al. 2016): (merge_rank, left, right, merged,
+    pair_count), deterministic under lexicographic tie-break. Training
+    rounds aggregate the VOCAB-sized dict and ship one argmax row to the
+    driver per round — the k-means/connected-components coordination
+    pattern, corpus touched exactly once."""
+    from ..operators.bpe import bpe_train_merges
+    from ..sources.batch import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, left + right, int(cnt))
+            for i, (left, right, cnt) in enumerate(merges)
+        ],
+        "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )

@@ -1,0 +1,55 @@
+"""Distributed BPE training vs the pure-Python reference: the merge
+sequence (pairs, order, counts) must match EXACTLY on constructed corpora
+and on the real documents table — the rows-only pin for an operator whose
+iterative argmax loop has no SQL oracle (like k-means)."""
+
+from __future__ import annotations
+
+from spark_streaming_project_spark.operators.bpe import (
+    bpe_reference,
+    bpe_train_merges,
+    word_freq_dict,
+)
+from spark_streaming_project_spark.sources.batch import load_table
+
+from .conftest import SF_CORRECT
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_bpe_hand_checked(spark):
+    # classic toy corpus: "low low low lower newest newest"
+    df = _docs(spark, ["low low low lower", "newest newest"])
+    got = bpe_train_merges(df, "text", n_merges=4)
+    want = bpe_reference(
+        {"low": 3, "lower": 1, "newest": 2}, n_merges=4
+    )
+    assert got == want
+    # first merge must be the most frequent pair: 'l o' appears 4 times
+    assert got[0][:2] == ("l", "o") and got[0][2] == 4
+
+
+def test_bpe_overlapping_run_merges_left_first(spark):
+    df = _docs(spark, ["aaa aaa"])
+    got = bpe_train_merges(df, "text", n_merges=2)
+    want = bpe_reference({"aaa": 2}, n_merges=2)
+    assert got == want
+    # merge 1: (a,a) count 4 (two per word, greedy); merge 2: (aa,a)
+    assert got[0] == ("a", "a", 4)
+    assert got[1][:2] == ("aa", "a")
+
+
+def test_bpe_matches_reference_on_testdata(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    wc = {
+        r["word"]: r["cnt"]
+        for r in word_freq_dict(docs, "text").collect()
+    }
+    got = bpe_train_merges(docs, "text", n_merges=6)
+    want = bpe_reference(wc, n_merges=6)
+    assert got == want
+    assert len(got) == 6
