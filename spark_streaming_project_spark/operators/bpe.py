@@ -148,3 +148,62 @@ def bpe_reference(word_counts: dict[str, int], n_merges: int = 10):
             new_words.append((out, c))
         words = new_words
     return merges
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Apply a learned merge table to the (word, cnt) dictionary: returns
+    (word, cnt, subwords array). Encoding applies merges IN TRAINING
+    ORDER, each as the same greedy array fold used during training —
+    reference BPE encode semantics. The expression tree is n_merges folds
+    deep; for shipped merge tables (10^4+) batch by checkpointing every
+    ~32 merges (plan depth, not data volume, is the cost)."""
+    out = words.select(
+        "word", "cnt", F.expr("split(word, '')").alias("symbols")
+    )
+    for i, (left, right, _) in enumerate(merges):
+        out = out.withColumn(
+            "symbols", _apply_merge_col("symbols", left, right)
+        )
+        if (i + 1) % 32 == 0:
+            out = out.localCheckpoint()
+    return out.select("word", "cnt", F.col("symbols").alias("subwords"))
+
+
+def _apply_merge_col(symbols_col: str, left: str, right: str):
+    """Column-level twin of :func:`_apply_merge` (same fold)."""
+
+    def _esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    l_, r_ = _esc(left), _esc(right)
+    return F.expr(
+        f"""
+        aggregate(
+            `{symbols_col}`,
+            CAST(array() AS ARRAY<STRING>),
+            (acc, s) -> CASE
+                WHEN size(acc) > 0
+                     AND element_at(acc, -1) = '{l_}' AND s = '{r_}'
+                THEN concat(slice(acc, 1, size(acc) - 1),
+                            array(concat('{l_}', '{r_}')))
+                ELSE concat(acc, array(s))
+            END
+        )
+        """
+    )
+
+
+def bpe_reference_encode(word: str, merges) -> list[str]:
+    """Pure-Python encode twin (pytest oracle)."""
+    syms = list(word)
+    for left, right, *_ in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms

@@ -53,3 +53,44 @@ def test_bpe_matches_reference_on_testdata(spark):
     want = bpe_reference(wc, n_merges=6)
     assert got == want
     assert len(got) == 6
+
+
+def test_bpe_encode_matches_reference(spark):
+    from spark_streaming_project_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_reference_encode,
+    )
+
+    df = _docs(spark, ["low low low lower", "newest newest widest"])
+    merges = bpe_train_merges(df, "text", n_merges=5)
+    wdict = word_freq_dict(df, "text")
+    encoded = {
+        r["word"]: list(r["subwords"])
+        for r in bpe_encode_words(wdict, merges).collect()
+    }
+    for w in ["low", "lower", "newest", "widest"]:
+        assert encoded[w] == bpe_reference_encode(w, merges), w
+    # subwords reassemble the word exactly
+    for w, subs in encoded.items():
+        assert "".join(subs) == w
+
+
+def test_bpe_encode_on_testdata_reassembles(spark):
+    from spark_streaming_project_spark.operators.bpe import bpe_encode_words
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    merges = bpe_train_merges(docs, "text", n_merges=6)
+    wdict = word_freq_dict(docs, "text")
+    enc = bpe_encode_words(wdict, merges)
+    from pyspark.sql import functions as F
+
+    bad = enc.filter(
+        F.concat_ws("", F.col("subwords")) != F.col("word")
+    ).count()
+    assert bad == 0
+    # merges actually compress: mean subwords/word < mean chars/word
+    stats = enc.agg(
+        F.avg(F.size("subwords")).alias("s"),
+        F.avg(F.length("word")).alias("c"),
+    ).collect()[0]
+    assert stats["s"] < stats["c"]

@@ -496,3 +496,72 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
         str(tmp_path / "rocks_ckpt" / "rocks_dedup" / "state" / "**" / "*.changelog"),
         recursive=True,
     ), "no RocksDB snapshot artifacts under the state checkpoint"
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: purchases with no click in
+    the preceding hour must still emit (with NULL click columns) once the
+    watermark passes — the outer-join state-eviction semantics the inner
+    join never exercises. availableNow drain must equal the batch left
+    join."""
+    ev = ensure_event_time(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts"
+    )
+    src = str(tmp_path / "ssloj_src")
+    ev.orderBy("ts").coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def purchases(df):
+        return (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+
+    def clicks(df):
+        return (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            .withWatermark("c_ts", "10 minutes")
+        )
+
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    joined = purchases(stream_parquet_dir(spark, src, schema)).join(
+        clicks(stream_parquet_dir(spark, src, schema)), cond, "left_outer"
+    ).select("p_id", "c_id")
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_ssloj"))
+    runner.add("ssloj_stream", joined, output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = {(r["p_id"], r["c_id"]) for r in spark.table("ssloj_stream").collect()}
+    batch = purchases(ev).join(clicks(ev), cond, "left_outer")
+    want = {(r["p_id"], r["c_id"]) for r in batch.collect()}
+    # Outer semantics under availableNow: inner matches emit immediately
+    # and must ALL be present; NULL-padded rows emit only when the
+    # watermark evicts the purchase, and purchases near the end of the
+    # drain legitimately stop the query still in state (the eviction
+    # boundary depends on per-micro-batch watermark timing, not a fixed
+    # margin). So: nothing wrong ever emits (subset), the inner join is
+    # complete, and real NULL-padded rows did emit.
+    assert got <= want
+    inner_want = {(p, c) for p, c in want if c is not None}
+    inner_got = {(p, c) for p, c in got if c is not None}
+    assert inner_got == inner_want
+    nulls_got = {p for p, c in got if c is None}
+    assert nulls_got, "no NULL-padded outer rows emitted"
+    # and every emitted NULL row is a true non-match
+    assert nulls_got <= {p for p, c in want if c is None}
