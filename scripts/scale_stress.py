@@ -300,6 +300,25 @@ def main() -> None:
                         & F.col("n_chars").isNotNull()),
             "source", F.col("n_chars"), token_count("text")))
 
+        # -- collocation / drift / tokenizer tiers (round 4, session 3) ---
+        from spark_streaming_project_spark.plans.quality import (
+            pmi_collocations as _pmi_q,
+            source_drift_kl as _kl_q,
+        )
+        from spark_streaming_project_spark.operators.bpe import bpe_train_merges
+
+        ddir_ = ddir
+        run("pmi_collocations", scale, lambda: _pmi_q(spark, ddir_))
+        run("source_drift_kl", scale, lambda: _kl_q(spark, ddir_))
+
+        def _bpe():
+            # merges list -> 1-row frame so run() can count() uniformly;
+            # the measured work is the 6 training rounds
+            m = bpe_train_merges(docs, "text", n_merges=6)
+            return spark.createDataFrame([(len(m),)], "n int")
+
+        run("bpe_train_6", scale, _bpe)
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

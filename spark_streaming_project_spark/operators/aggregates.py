@@ -124,3 +124,39 @@ def weighted_average(
             F.sum(F.col(value_col) * F.col(weight_col)) / F.sum(F.col(weight_col))
         ).alias(out_col)
     )
+
+
+def merge_agg_state(state, delta, keys, counters):
+    """Merge ADDITIVE aggregate frames (counts, sums — anything with a
+    commutative monoid): full-outer join on the grouping keys, missing
+    sides contribute the identity. The primitive behind incremental
+    materialized-view maintenance: state' = state (+) delta, so refreshing
+    a 10^9-group dashboard table costs O(|delta| + touched groups), never
+    a fact-table rescan.
+
+    Non-additive measures (min/max are semigroup-mergeable too and could
+    be added; averages must travel as (sum, count) pairs; distinct counts
+    need sketches) — callers decompose before merging.
+    """
+    from pyspark.sql import functions as F
+
+    s = state.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_s_{c}") for c in counters],
+    )
+    d = delta.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_d_{c}") for c in counters],
+    )
+    j = s.join(d, keys, "full_outer")
+    zero = F.lit(0)
+    return j.select(
+        *[F.col(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(f"_s_{c}"), zero)
+                + F.coalesce(F.col(f"_d_{c}"), zero)
+            ).alias(c)
+            for c in counters
+        ],
+    )

@@ -2,6 +2,7 @@ from .runner import StreamRunner, stream_parquet_dir, stream_json_dir
 from .sinks import (
     foreach_batch_dq_gate,
     foreach_batch_jdbc_append,
+    foreach_batch_incremental_agg,
     foreach_batch_jdbc_idempotent_append,
     foreach_batch_jdbc_overwrite,
     foreach_batch_per_batch_topk,
@@ -15,6 +16,7 @@ __all__ = [
     "kafka_stream",
     "foreach_batch_dq_gate",
     "foreach_batch_jdbc_append",
+    "foreach_batch_incremental_agg",
     "foreach_batch_jdbc_idempotent_append",
     "foreach_batch_jdbc_overwrite",
     "foreach_batch_per_batch_topk",

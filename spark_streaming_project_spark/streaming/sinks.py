@@ -199,3 +199,40 @@ def foreach_batch_jdbc_idempotent_append(
         )
 
     return write
+
+
+def foreach_batch_incremental_agg(
+    path: str,
+    agg_fn: Callable[[DataFrame], DataFrame],
+    keys: list[str],
+    counters: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """Incremental materialized-view sink: per micro-batch, aggregate ONLY
+    the batch (``agg_fn``: rows -> additive partial aggregate) and merge
+    it into the parquet state table with ``merge_agg_state`` — the view is
+    maintained in O(|batch|) per trigger instead of per-batch full
+    recomputation (foreach_batch_reaggregate's shape). Publication is a
+    staging write + directory swap (same contract as compact_parquet:
+    atomic on POSIX renames, last-writer-wins)."""
+    import os
+    import shutil
+
+    from ..operators.aggregates import merge_agg_state
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = agg_fn(batch_df)
+        if os.path.isdir(path):
+            state = spark.read.parquet(path)
+            merged = merge_agg_state(state, delta, keys, counters)
+        else:
+            merged = delta
+        staging = f"{path}__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{path}__old_{batch_id}"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return write

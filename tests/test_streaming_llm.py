@@ -290,3 +290,49 @@ def test_streaming_dq_gate_quarantines_dirty_batch(spark, tmp_path):
     verdicts = {(r["rule"], r["quarantined"]): r["violations"] for r in rep}
     assert verdicts[("not_null:text", True)] == 5
     assert verdicts[("not_null:text", False)] == 0
+
+
+def test_incremental_agg_maintenance_matches_batch(spark, tmp_path):
+    """Incremental materialized view: per-batch partial aggregates merged
+    into parquet state must equal the one-shot batch aggregate after the
+    drain — and per-trigger cost is O(|batch|), not O(history) (the
+    foreach_batch_reaggregate contrast)."""
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "inc_src")
+    for i in range(3):  # three micro-batches
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        )
+
+    state = str(tmp_path / "agg_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_inc"))
+    runner.add(
+        "inc_agg",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, agg, ["event_type"], ["n", "total"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["total"]) for r in agg(ev).collect()
+    }
+    assert got == want and got
