@@ -946,3 +946,151 @@ def semdedup_prune(
         "cos_centroid",
         F.col("_drop_id").isNull().alias("kept"),
     )
+
+
+def _pq_fit(
+    sample: np.ndarray, n_sub: int, n_codes: int, iters: int = 5
+) -> np.ndarray:
+    """Deterministic per-subspace Euclidean k-means (the PQ codebooks):
+    seeds are the first ``n_codes`` hash-ordered sample rows of each
+    subspace, then ``iters`` Lloyd steps. Returns (n_sub, n_codes,
+    dim/n_sub). Bounded sample -> O(sample * n_codes * iters) driver
+    work, independent of table size (same contract as _kmeans_fit)."""
+    dim = sample.shape[1]
+    sub = dim // n_sub
+    books = []
+    for s in range(n_sub):
+        x = sample[:, s * sub : (s + 1) * sub]
+        cents = x[:n_codes].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+            assign = np.argmin(d, axis=1)
+            for c in range(n_codes):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return np.stack(books)
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    n_sub: int = 16,
+    n_codes: int = 16,
+    rerank: int = 100,
+    sample_size: int = 1024,
+    iters: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jegou et al., PAMI 2011), deployed
+    the standard two-phase way: ADC (asymmetric distance computation) over
+    the COMPRESSED codes builds a ``rerank``-sized shortlist, then only
+    the shortlist's full vectors are read for exact cosine re-ranking.
+    Vectors compress to ``n_sub`` 4-bit codes (defaults: 16 subspaces x
+    16 codes = 8 bytes per 64-dim float32 vector, 32x) and ADC scoring a
+    query needs only an (n_sub x n_codes) lookup table of query-subvector
+    . codeword dots — 256 doubles broadcast as plan LITERALS, so the
+    shortlist scan never touches the original vectors. THE memory-bound
+    ANN tier at 10^11 vectors: the code table fits where the vectors
+    can't, and full vectors are fetched for ~rerank rows per query.
+
+    Plan shape: codebook fit on a bounded hash-ordered sample (driver,
+    same contract as ivf_kmeans); encoding is one Arrow-batched numpy pass
+    (argmin per subspace, no shuffle); ADC is n_sub element_at() lookups
+    per row inside codegen ending in TakeOrderedAndProject(rerank); the
+    re-rank joins ``rerank`` ids back to vectors and returns EXACT scores
+    (same contract as the LSH/IVF tiers: approximate candidate set, true
+    cosines). Pytest pins recall vs brute force and exact-score agreement;
+    rows-only in the registry (Lloyd has no SQL twin).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    dim = sample.shape[1]
+    sub = dim // n_sub
+    books = _pq_fit(sample, n_sub, n_codes, iters)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        codes = np.empty((m.shape[0], n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            x = m[:, s * sub : (s + 1) * sub]
+            d = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=-1)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    coded = vecs.withColumn("_codes", encode(F.col("_v")))
+
+    qrow = vecs.filter(F.col(id_col) == query_id).select("_v").collect()
+    if not qrow:
+        return coded.select(
+            F.col(id_col).alias("vec_id"), F.lit(0.0).alias("cosine_sim")
+        ).limit(0)
+    qv = np.asarray(qrow[0]["_v"], dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+
+    # ADC lookup tables as plan literals: dot(q_s, codeword) and
+    # ||codeword||^2 per (subspace, code) — n_sub*n_codes doubles each
+    luts = [
+        [float(qv[s * sub : (s + 1) * sub] @ books[s][c]) for c in range(n_codes)]
+        for s in range(n_sub)
+    ]
+    n2s = [
+        [float(books[s][c] @ books[s][c]) for c in range(n_codes)]
+        for s in range(n_sub)
+    ]
+    dot_expr = None
+    n2_expr = None
+    for s in range(n_sub):
+        lut = F.array(*[F.lit(v) for v in luts[s]])
+        n2 = F.array(*[F.lit(v) for v in n2s[s]])
+        code = F.col("_codes").getItem(s) + 1
+        d = F.element_at(lut, code)
+        n_ = F.element_at(n2, code)
+        dot_expr = d if dot_expr is None else dot_expr + d
+        n2_expr = n_ if n2_expr is None else n2_expr + n_
+    approx_norm = F.sqrt(n2_expr)
+    denom = F.lit(qn) * approx_norm
+    sim = F.when(denom > 0, dot_expr / denom)
+    shortlist = (
+        coded.filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(sim, ROUND_DECIMALS).alias("_adc"),
+        )
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    # exact re-rank: only `rerank` full vectors are read/scored
+    q = (
+        vecs.filter(F.col(id_col) == query_id)
+        .select(F.col("_v").alias("_query_vec"))
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
+    return (
+        shortlist.join(vecs, id_col)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

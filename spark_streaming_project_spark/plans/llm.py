@@ -1631,3 +1631,19 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("component_size")
         .agg(F.count("*").alias("n_components"))
     )
+
+
+@register(
+    "similarity_pq_topk",
+    tags=("llm", "similarity", "pq", "rows-only"),
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (16 subspaces x 16 codes = 8 bytes per
+    vector, 32x compression) with ADC shortlist + exact re-rank. Declared
+    rows-only (per-subspace Lloyd fits have no SQL twin); pytest pins
+    recall@10 >= 0.8 and exact-score agreement with brute force, and
+    bench reports its recall each run."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10)

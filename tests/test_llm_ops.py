@@ -215,3 +215,49 @@ def test_multiprobe_zero_flips_equals_single_table(spark):
     assert [(r["vec_id"], r["cosine_sim"]) for r in single.collect()] == [
         (r["vec_id"], r["cosine_sim"]) for r in zero.collect()
     ]
+
+
+def test_pq_topk_recall_and_exact_rerank_scores(spark):
+    """PQ/ADC tier (shortlist + exact re-rank): recall@10 vs brute force
+    must clear 0.8 on the default 16x16 codebooks, and every returned
+    score must be the EXACT brute-force cosine (the re-rank phase reads
+    full vectors for the shortlist only)."""
+    from spark_streaming_project_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in brute_force_topk(
+            emb, "vec_id", "embedding", 0, k=10_000_000
+        ).collect()
+    }
+    truth = {
+        r["vec_id"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    }
+    got = pq_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    ids = {r["vec_id"] for r in got}
+    assert len(ids & truth) / 10 >= 0.8
+    for r in got:
+        assert exact[r["vec_id"]] == r["cosine_sim"]
+
+
+def test_pq_adc_shortlist_monotone_in_rerank(spark):
+    """A bigger shortlist can only improve (or keep) recall — the ADC
+    phase is a filter, not a scorer."""
+    from spark_streaming_project_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    truth = {
+        r["vec_id"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    }
+    small = {
+        r["vec_id"]
+        for r in pq_topk(emb, "vec_id", "embedding", 0, k=10, rerank=25).collect()
+    }
+    big = {
+        r["vec_id"]
+        for r in pq_topk(emb, "vec_id", "embedding", 0, k=10, rerank=200).collect()
+    }
+    assert len(big & truth) >= len(small & truth)
