@@ -53,6 +53,9 @@ def _reorder() -> None:
         "promo_revenue_ratio",
         "priority_shipment_counts",
         "late_shipment_priority",
+        "quantity_percentiles",
+        "orders_by_year_month",
+        "customer_order_history",
     ]
     tpch_names = [n for n in tpch_names if n not in _overflow] + _overflow
     changed = [
@@ -88,6 +91,9 @@ def _reorder() -> None:
         "pmi_collocations",
         "source_drift_kl",
         "bloom_pruned_order_join",
+        "contrastive_negatives",
+        "eval_quota_split",
+        "value_winsorized",
     ]
     new_this_round = [
         # first-ever rows for the round-4 additions
@@ -109,12 +115,13 @@ def _reorder() -> None:
         "tokenized_fingerprints",
     ]
     fresh_family: list[str] = []
-    # Window math (driver records the first 50): 2 changed + 20 newest
-    # (zero artifact history) = 22, leaving 28 slots for the TPC-H names
-    # VERDICT r3 flagged as unrecorded-since-regeneration (the 6 demoted
-    # simple shapes, and the 15 session-2 additions, sit immediately past
-    # the cap — still fully covered by the local oracle-parity suite,
-    # tests/test_correctness.py, every round).
+    # Window math (driver records the first 50): 2 changed + the newest
+    # zero-artifact-history queries first, remaining slots go to the TPC-H
+    # names VERDICT r3 flagged as unrecorded-since-regeneration, with the
+    # simplest single-scan shapes demoted (complex shapes carry more
+    # artifact value). Everything past the cap — demoted tpch + the
+    # session-2 additions — is still fully covered by the local
+    # oracle-parity suite (tests/test_correctness.py) every round.
     priority = (
         changed + newest_this_session + tpch_names + new_this_round + fresh_family
     )

@@ -526,3 +526,67 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolled.filter((F.col("n") == 24) & (var_num > 0) & (F.abs(z) > 3.0))
         .select("event_type", "hour_start", "event_count", F.round(z, 6).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: robust-statistics clamp of the value column at per-type
+# p01/p99 — the outlier treatment an analytics pipeline applies before
+# averaging heavy-tailed metrics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_winsorized",
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE value < lo) AS clamped_low,
+           count(*) FILTER (WHERE value > hi) AS clamped_high,
+           round(CAST(sum(CAST(CASE WHEN value < lo THEN lo
+                                    WHEN value > hi THEN hi
+                                    ELSE value END AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS winsorized_mean
+    FROM events e JOIN th USING (event_type)
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("events", "percentile", "robust"),
+)
+def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized mean of event values (clamped at the type's
+    exact p01/p99): two passes — a per-type percentile aggregate
+    broadcast back onto the scan, then a decimal-exact clamped sum. The
+    robust mean a dashboard should show for heavy-tailed value columns.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias(
+                "clamped_low"
+            ),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias(
+                "clamped_high"
+            ),
+            F.round(
+                F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -1647,3 +1647,90 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10)
+
+
+@register(
+    "contrastive_negatives",
+    oracle="""
+    WITH anchors AS (SELECT vec_id AS anchor_id, label AS a_label
+                     FROM embeddings WHERE vec_id < 5),
+    ranked AS (
+        SELECT anchor_id, e.vec_id AS negative_id,
+               CAST(row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY md5(CAST(anchor_id AS VARCHAR) || ':'
+                               || CAST(e.vec_id AS VARCHAR)), e.vec_id
+               ) AS INTEGER) AS neg_rank
+        FROM anchors JOIN embeddings e
+          ON e.label <> a_label AND e.vec_id <> anchor_id
+    )
+    SELECT anchor_id, negative_id, neg_rank
+    FROM ranked WHERE neg_rank <= 5
+    """,
+    tags=("llm", "sampling"),
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor, 5 different-label vectors drawn by md5(anchor:candidate) order
+    — no RNG state, stable under reruns and corpus growth of unrelated
+    rows. Per-anchor window over label-filtered candidates; at scale the
+    anchor set is the partition key and candidates pre-filter by label
+    before any window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+    )
+    cands = emb.select(F.col("vec_id").alias("negative_id"), "label")
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("anchor_id").cast("string"),
+                F.col("negative_id").cast("string"),
+            )
+        ),
+        "negative_id",
+    )
+    return (
+        anchors.join(
+            cands,
+            (F.col("label") != F.col("a_label"))
+            & (F.col("negative_id") != F.col("anchor_id")),
+        )
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.row_number().over(w).alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= 5)
+    )
+
+
+@register(
+    "eval_quota_split",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    tags=("llm", "sampling"),
+)
+def eval_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota evaluation split: EXACTLY min(20, |lang|) documents per
+    language, chosen by md5(doc_id) order — the fixed-size eval-set
+    counterpart of the rate-based stratified sample (quotas survive corpus
+    growth; rates don't)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= 20)
+        .select("doc_id", "lang")
+    )
