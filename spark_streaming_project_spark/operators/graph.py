@@ -151,3 +151,84 @@ def connected_components(
         f"connected_components: no convergence after {max_iter} rounds "
         f"(pathological graph or max_iter too small)"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    iters: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list (undirected edges are
+    symmetrized). Returns (node, rank) with ranks summing to ~1.
+
+    Distributed shape (the connected-components coordination pattern):
+    per round ONE join (ranks x out-edges) + one keyed sum; the dangling
+    mass is a single scalar aggregate to the driver (nodes with no
+    out-edges redistribute uniformly); lineage truncates per round via
+    localCheckpoint with the previous round's blocks freed, so ``iters``
+    rounds cost O(1) plan depth and checkpoint storage each. Fixed
+    iteration count, no convergence collect beyond the scalar — at 10^12
+    edges each round is exactly one shuffle on dst.
+
+    No SQL oracle can replay the iteration (like k-means/BPE) — pytest
+    pins hand-checkable graphs and a pure-Python reference to 1e-9.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    e = e.distinct().persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = ranks.localCheckpoint()
+    try:
+        for _ in range(iters):
+            with_deg = ranks.join(
+                deg, ranks["node"] == deg["_s"], "left"
+            ).select("node", "rank", "_deg")
+            # dangling mass: ONE scalar per round
+            dangling = (
+                with_deg.filter(F.col("_deg").isNull())
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+            contribs = (
+                with_deg.filter(F.col("_deg").isNotNull())
+                .join(e, F.col("node") == F.col("_s"))
+                .select(
+                    F.col("_d").alias("node"),
+                    (F.col("rank") / F.col("_deg")).alias("_c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_in"))
+            )
+            base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+            prev = ranks
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+            _release_checkpoint(prev)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return ranks

@@ -1734,3 +1734,30 @@ def eval_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "neardup_centrality",
+    tags=("llm", "dedup", "graph", "rows-only"),
+)
+def neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash near-dup graph: documents with
+    high rank sit at the center of large duplicate neighborhoods — the
+    'template/boilerplate detector' view of the dedup graph (a canonical
+    map says WHICH cluster; centrality says WHO anchors it). Declared
+    rows-only (power iteration has no SQL twin; pytest pins the algorithm
+    against a pure-Python reference to 1e-9). Top-20 by rank, rounded for
+    a stable total order."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    pr = pagerank(pairs, "id_a", "id_b", iters=10)
+    return (
+        pr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 6).alias("centrality")
+        )
+        .orderBy(F.desc("centrality"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -85,3 +85,61 @@ def test_checkpoint_storage_stays_bounded_across_rounds(spark):
     # the final label frame (referenced by `out`) may legitimately remain;
     # anything O(rounds) means the release regressed
     assert after - before <= 2, (before, after, stats)
+
+
+def _pagerank_reference(edges, damping=0.85, iters=10, directed=False):
+    """Pure-Python power iteration with identical semantics."""
+    e = set()
+    for a, b in edges:
+        e.add((a, b))
+        if not directed:
+            e.add((b, a))
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    out = {}
+    for s, d in e:
+        out.setdefault(s, []).append(d)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        base = (1 - damping) / n + damping * dangling / n
+        new = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            c = rank[s] / len(ds)
+            for d in ds:
+                new[d] += c
+        rank = {v: base + damping * new[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_on_star_and_cycle(spark):
+    from spark_streaming_project_spark.operators.graph import pagerank
+
+    # star: hub 0 <-> leaves 1..4, plus a disconnected 3-cycle 10-11-12
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    want = _pagerank_reference(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # ranks form a distribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # hub of the star outranks its leaves
+    assert got[0] > got[1]
+    # cycle nodes are symmetric
+    assert got[10] == pytest.approx(got[11], abs=1e-12)
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    from spark_streaming_project_spark.operators.graph import pagerank
+
+    # chain 1 -> 2 -> 3 with 3 dangling
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, directed=True).collect()}
+    want = _pagerank_reference(edges, directed=True)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert got[3] > got[2] > got[1]  # rank accumulates down the chain

@@ -197,3 +197,109 @@ def test_range_join_binned_matches_bruteforce(spark, points, ivals, bucket):
         if pk == ik and s <= pts < s + w
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-3 operators
+# ---------------------------------------------------------------------------
+
+_event_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),                 # user
+        st.integers(0, 10_000),            # seconds offset
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=_event_rows)
+@SETTINGS
+def test_funnel_counts_monotone_for_any_events(spark, data):
+    """Funnel stage counts are non-increasing for ANY event set, and every
+    count is bounded by the distinct-user count."""
+    from spark_streaming_project_spark.operators.funnel import funnel_conversion
+
+    ev = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(seconds=s), u, t, 0.0)
+            for i, (u, s, t) in enumerate(data)
+        ],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double",
+    )
+    rows = (
+        funnel_conversion(ev, ["view", "click", "purchase"])
+        .orderBy("stage_idx")
+        .collect()
+    )
+    users = [r["users"] for r in rows]
+    assert users == sorted(users, reverse=True)
+    n_users = ev.select("user_id").distinct().count()
+    assert all(0 <= u <= n_users for u in users)
+
+
+_key_sets = st.lists(st.integers(0, 10_000), min_size=1, max_size=50)
+
+
+@given(dim_keys=_key_sets, fact_keys=_key_sets)
+@SETTINGS
+def test_bloom_never_drops_a_match(spark, dim_keys, fact_keys):
+    """For ANY key sets, bloom pruning keeps every fact row whose key
+    exists in the dimension (zero false negatives) — the property that
+    makes the runtime filter safe to apply blindly."""
+    from spark_streaming_project_spark.operators.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "k bigint")
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "k bigint")
+    bloom = bloom_build(dim, "k", bits_log2=12)
+    kept = {r["k"] for r in bloom_prune(fact, "k", bloom, bits_log2=12).collect()}
+    must_keep = set(fact_keys) & set(dim_keys)
+    assert must_keep <= kept
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=3,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_winsorized_mean_is_bounded_by_raw_extremes(spark, vals):
+    """The winsorized mean always lies within [min, max] of the raw data,
+    and clamp counts never exceed the row count."""
+    from spark_streaming_project_spark.plans.events import value_winsorized
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    base = datetime.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "ts": pa.array(
+                    [base + datetime.timedelta(seconds=i) for i in range(len(vals))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(vals), pa.int64()),
+                "event_type": pa.array(["view"] * len(vals), pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * len(vals), pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    row = value_winsorized(spark, d).collect()[0]
+    assert min(vals) - 1e-6 <= row["winsorized_mean"] <= max(vals) + 1e-6
+    assert 0 <= row["clamped_low"] <= len(vals)
+    assert 0 <= row["clamped_high"] <= len(vals)
+    assert row["n"] == len(vals)
