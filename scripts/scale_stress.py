@@ -348,6 +348,10 @@ def main() -> None:
         run("cc_giant_er", scale, lambda: connected_components(
             er_edges(n_nodes, 2 * n_nodes), driver_threshold=0, stats=st2),
             extra=st2)
+        from spark_streaming_project_spark.operators.graph import pagerank
+
+        run("pagerank_er_10it", scale, lambda: pagerank(
+            er_edges(n_nodes, 2 * n_nodes), "id_a", "id_b", iters=10))
 
     by_tier: dict[str, dict[str, float]] = {}
     for r in results:
