@@ -84,6 +84,7 @@ def main() -> None:
             "similarity_ivf_kmeans_topk",
             "similarity_quantized_topk",
             "similarity_pq_topk",
+            "similarity_ivfpq_topk",
         ):
             got = {r["vec_id"] for r in REGISTRY[name].builder(spark, SF_DIR).collect()}
             ann_recall[name] = round(len(got & truth) / max(len(truth), 1), 4)

@@ -1094,3 +1094,160 @@ def pq_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    n_list: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 16,
+    n_codes: int = 16,
+    rerank: int = 100,
+    sample_size: int = 1024,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF+PQ composite ANN (the FAISS IVFPQ shape): a coarse spherical
+    k-means quantizer prunes the search to ``n_probe``/``n_list`` inverted
+    lists, and within the probed lists RESIDUAL vectors (v - centroid) are
+    PQ-coded and scored by ADC — so the scan touches n_probe/n_list of the
+    rows AND reads 8-byte codes instead of vectors. Residual coding is
+    what makes PQ sharp here: residuals have much smaller spread than raw
+    vectors, so the same codebook budget quantizes finer.
+
+    Shape: coarse fit + PQ fit on a bounded hash-ordered sample (driver);
+    assignment + encoding one Arrow-batched numpy pass; probe choice is
+    driver-side vs the n_list centroids; ADC tables are PER-PROBED-LIST
+    literals (the query residual differs per list) dispatched by a CASE on
+    list_id; shortlist re-ranks exactly. Rows-only (two k-means fits);
+    pytest pins recall and exact-score agreement.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    dim = sample.shape[1]
+    sub = dim // n_sub
+
+    cents = _kmeans_fit(sample, n_list, iters)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cu = cents / np.where(cn > 0, cn, 1.0)
+
+    # PQ fit on sample RESIDUALS under the coarse assignment
+    s_norm = np.linalg.norm(sample, axis=1, keepdims=True)
+    s_unit = sample / np.where(s_norm > 0, s_norm, 1.0)
+    s_assign = np.argmax(s_unit @ cu.T, axis=1)
+    residuals = sample - cents[s_assign]
+    books = _pq_fit(residuals, n_sub, n_codes, iters)
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def assign_encode(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        mu = m / np.where(nrm > 0, nrm, 1.0)
+        lists = np.argmax(mu @ cu.T, axis=1)
+        res = m - cents[lists]
+        codes = np.empty((m.shape[0], n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            x = res[:, s * sub : (s + 1) * sub]
+            d = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=-1)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {"list_id": lists.astype(np.int32), "codes": list(codes)}
+        )
+
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    coded = vecs.withColumn("_lc", assign_encode(F.col("_v"))).select(
+        id_col, "_v", F.col("_lc.list_id").alias("_list"), F.col("_lc.codes").alias("_codes")
+    )
+
+    qrow = vecs.filter(F.col(id_col) == query_id).select("_v").collect()
+    if not qrow:
+        return coded.select(
+            F.col(id_col).alias("vec_id"), F.lit(0.0).alias("cosine_sim")
+        ).limit(0)
+    qv = np.asarray(qrow[0]["_v"], dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    qu = qv / (qn if qn > 0 else 1.0)
+    probes = [int(c) for c in np.argsort(-(cu @ qu))[:n_probe]]
+
+    # per-probed-list ADC: approx dot(q, v) = dot(q, centroid_l) +
+    # sum_s dot(q_s, codeword); approx |v|^2 = |centroid_l + reconstructed
+    # residual|^2 expanded with cross terms folded into the tables:
+    # |c|^2 + 2*dot(c_s, w_s) + |w_s|^2 per subspace
+    sim_expr = None
+    for l in probes:
+        c = cents[l]
+        q_dot_c = float(qv @ c)
+        luts = [
+            [float(qv[s * sub : (s + 1) * sub] @ books[s][j]) for j in range(n_codes)]
+            for s in range(n_sub)
+        ]
+        cross = [
+            [float(c[s * sub : (s + 1) * sub] @ books[s][j]) for j in range(n_codes)]
+            for s in range(n_sub)
+        ]
+        n2s = [
+            [float(books[s][j] @ books[s][j]) for j in range(n_codes)]
+            for s in range(n_sub)
+        ]
+        dot_e = F.lit(q_dot_c)
+        norm2_e = F.lit(float(c @ c))
+        for s in range(n_sub):
+            code = F.col("_codes").getItem(s) + 1
+            dot_e = dot_e + F.element_at(F.array(*[F.lit(v) for v in luts[s]]), code)
+            norm2_e = (
+                norm2_e
+                + 2.0 * F.element_at(F.array(*[F.lit(v) for v in cross[s]]), code)
+                + F.element_at(F.array(*[F.lit(v) for v in n2s[s]]), code)
+            )
+        denom = F.lit(qn) * F.sqrt(F.greatest(norm2_e, F.lit(0.0)))
+        this = F.when(denom > 0, dot_e / denom)
+        sim_expr = (
+            F.when(F.col("_list") == l, this)
+            if sim_expr is None
+            else sim_expr.when(F.col("_list") == l, this)
+        )
+
+    shortlist = (
+        coded.filter(F.col("_list").isin(probes) & (F.col(id_col) != query_id))
+        .select(F.col(id_col), F.round(sim_expr, ROUND_DECIMALS).alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    q = (
+        vecs.filter(F.col(id_col) == query_id)
+        .select(F.col("_v").alias("_query_vec"))
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
+    return (
+        shortlist.join(vecs, id_col)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1764,3 +1764,21 @@ def neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("centrality"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "similarity_ivfpq_topk",
+    tags=("llm", "similarity", "ivf", "pq", "rows-only"),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN (FAISS IVFPQ shape): learned coarse quantizer
+    prunes to n_probe/n_list lists, residual-PQ codes score the survivors
+    by ADC (per-list lookup tables as plan literals), exact re-rank on the
+    shortlist. The tier that holds when neither the vectors nor a flat
+    code table fit: 2/8 of the rows touched, 8 bytes read per candidate.
+    Rows-only (two k-means fits); pytest pins recall >= 0.5 at n_probe=2,
+    exact scores, and probe monotonicity; bench reports recall."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10)

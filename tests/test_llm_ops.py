@@ -261,3 +261,36 @@ def test_pq_adc_shortlist_monotone_in_rerank(spark):
         for r in pq_topk(emb, "vec_id", "embedding", 0, k=10, rerank=200).collect()
     }
     assert len(big & truth) >= len(small & truth)
+
+
+def test_ivfpq_recall_and_exact_scores(spark):
+    """IVFPQ composite: recall@10 must clear 0.5 at n_probe=2 (the coarse
+    quantizer caps recall at the probed-lists ceiling), every returned
+    score must be the exact brute-force cosine, and probing MORE lists
+    can only help."""
+    from spark_streaming_project_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in brute_force_topk(
+            emb, "vec_id", "embedding", 0, k=10_000_000
+        ).collect()
+    }
+    truth = {
+        r["vec_id"]
+        for r in brute_force_topk(emb, "vec_id", "embedding", 0, k=10).collect()
+    }
+    got = ivfpq_topk(emb, "vec_id", "embedding", 0, k=10, n_probe=2).collect()
+    ids = {r["vec_id"] for r in got}
+    assert len(ids & truth) / 10 >= 0.5
+    for r in got:
+        assert exact[r["vec_id"]] == r["cosine_sim"]
+
+    all_probe = {
+        r["vec_id"]
+        for r in ivfpq_topk(
+            emb, "vec_id", "embedding", 0, k=10, n_probe=8
+        ).collect()
+    }
+    assert len(all_probe & truth) >= len(ids & truth)

@@ -1,0 +1,48 @@
+"""Partition-count invariance: every result must be a pure function of the
+DATA, not of spark.sql.shuffle.partitions — the hidden nondeterminism that
+bites top-k ties and FP aggregation order. A representative query from each
+family (window argmax, top-k ties, decimal aggregate, percentile, dedup
+pairs, funnel, retrieval ranking, Pareto deciles) runs under 3 and 8
+shuffle partitions and must return identical row multisets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_project_spark.plans import REGISTRY
+
+from .conftest import SF_CORRECT
+
+REPRESENTATIVES = [
+    "top_sugary_products_by_category",  # window argmax (flagship)
+    "top_categories_with_other",        # top-N + residual, tie-prone
+    "pricing_summary",                  # decimal-exact aggregates
+    "quantity_percentiles",             # interpolated percentiles
+    "dedup_minhash_pairs",              # banded candidate join
+    "funnel_conversion",                # conditional-min funnel
+    "bm25_search",                      # FP ranking with rounding
+    "revenue_concentration",            # global ntile deciles
+    "weighted_doc_sample",              # E-S top-k keys
+    "dq_core_violations",               # multi-table union report
+]
+
+
+def _rows(spark, name):
+    df = REGISTRY[name].builder(spark, SF_CORRECT)
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_invariant_under_shuffle_partitions(spark, name):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "8")
+        a = _rows(spark, name)
+        spark.conf.set(key, "3")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set(key, prev)
+    assert a == b, f"{name}: result depends on shuffle partition count"
