@@ -1125,54 +1125,12 @@ def ivfpq_topk(
     list_id; shortlist re-ranks exactly. Rows-only (two k-means fits);
     pytest pins recall and exact-score agreement.
     """
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    sample_rows = (
-        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(sample_size)
-        .select("_v")
-        .collect()
+    cents, cu, books = _ivfpq_fit(
+        df, id_col, vec_col, n_list, n_sub, n_codes, sample_size, iters
     )
-    sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
-    dim = sample.shape[1]
+    dim = cents.shape[1]
     sub = dim // n_sub
-
-    cents = _kmeans_fit(sample, n_list, iters)
-    cn = np.linalg.norm(cents, axis=1, keepdims=True)
-    cu = cents / np.where(cn > 0, cn, 1.0)
-
-    # PQ fit on sample RESIDUALS under the coarse assignment
-    s_norm = np.linalg.norm(sample, axis=1, keepdims=True)
-    s_unit = sample / np.where(s_norm > 0, s_norm, 1.0)
-    s_assign = np.argmax(s_unit @ cu.T, axis=1)
-    residuals = sample - cents[s_assign]
-    books = _pq_fit(residuals, n_sub, n_codes, iters)
-
-    @pandas_udf(
-        T.StructType(
-            [
-                T.StructField("list_id", T.IntegerType()),
-                T.StructField("codes", T.ArrayType(T.IntegerType())),
-            ]
-        )
-    )
-    def assign_encode(vecs: pd.Series) -> pd.DataFrame:
-        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
-        nrm = np.linalg.norm(m, axis=1, keepdims=True)
-        mu = m / np.where(nrm > 0, nrm, 1.0)
-        lists = np.argmax(mu @ cu.T, axis=1)
-        res = m - cents[lists]
-        codes = np.empty((m.shape[0], n_sub), dtype=np.int32)
-        for s in range(n_sub):
-            x = res[:, s * sub : (s + 1) * sub]
-            d = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=-1)
-            codes[:, s] = np.argmin(d, axis=1)
-        return pd.DataFrame(
-            {"list_id": lists.astype(np.int32), "codes": list(codes)}
-        )
+    assign_encode = _ivfpq_assign_encode_udf(cents, cu, books, n_sub, n_codes)
 
     vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
     coded = vecs.withColumn("_lc", assign_encode(F.col("_v"))).select(
@@ -1237,6 +1195,215 @@ def ivfpq_topk(
     q = (
         vecs.filter(F.col(id_col) == query_id)
         .select(F.col("_v").alias("_query_vec"))
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
+    return (
+        shortlist.join(vecs, id_col)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _ivfpq_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_list: int,
+    n_sub: int,
+    n_codes: int,
+    sample_size: int,
+    iters: int,
+):
+    """Shared IVFPQ model fit (coarse centroids + residual codebooks) from
+    the bounded hash-ordered sample — one implementation so the in-memory
+    operator and the storage layer produce IDENTICAL models."""
+    sample_rows = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .select("_v")
+        .collect()
+    )
+    sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_fit(sample, n_list, iters)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cu = cents / np.where(cn > 0, cn, 1.0)
+    s_norm = np.linalg.norm(sample, axis=1, keepdims=True)
+    s_unit = sample / np.where(s_norm > 0, s_norm, 1.0)
+    s_assign = np.argmax(s_unit @ cu.T, axis=1)
+    books = _pq_fit(sample - cents[s_assign], n_sub, n_codes, iters)
+    return cents, cu, books
+
+
+def _ivfpq_assign_encode_udf(cents, cu, books, n_sub: int, n_codes: int):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    dim = cents.shape[1]
+    sub = dim // n_sub
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def assign_encode(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        mu = m / np.where(nrm > 0, nrm, 1.0)
+        lists = np.argmax(mu @ cu.T, axis=1)
+        res = m - cents[lists]
+        codes = np.empty((m.shape[0], n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            x = res[:, s * sub : (s + 1) * sub]
+            d = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=-1)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {"list_id": lists.astype(np.int32), "codes": list(codes)}
+        )
+
+    return assign_encode
+
+
+def write_ivfpq_partitioned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_list: int = 8,
+    n_sub: int = 16,
+    n_codes: int = 16,
+    sample_size: int = 1024,
+    iters: int = 5,
+) -> None:
+    """Materialize the IVFPQ index: (id, codes) rows PARTITIONED by
+    ``list_id`` plus two underscore sidecars — ``_ivfpq_centroids``
+    (≤ n_list rows) and ``_ivfpq_codebooks`` (n_sub*n_codes rows of
+    subvector codewords). The stored index is 8 bytes of codes per vector;
+    the original vectors are NOT stored (re-ranking reads them from the
+    source table, the standard split between the ANN index and the vector
+    store). Probes prune at the partition-directory level
+    (:func:`ivfpq_partitioned_topk`)."""
+    cents, cu, books = _ivfpq_fit(
+        df, id_col, vec_col, n_list, n_sub, n_codes, sample_size, iters
+    )
+    enc = _ivfpq_assign_encode_udf(cents, cu, books, n_sub, n_codes)
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    (
+        vecs.withColumn("_lc", enc(F.col("_v")))
+        .select(
+            id_col,
+            F.col("_lc.list_id").alias("list_id"),
+            F.col("_lc.codes").alias("codes"),
+        )
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cid int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/_ivfpq_centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s][c]])
+            for s in range(n_sub)
+            for c in range(n_codes)
+        ],
+        "sub int, code int, word array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/_ivfpq_codebooks")
+
+
+def ivfpq_partitioned_topk(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 100,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a :func:`write_ivfpq_partitioned` index: probe lists chosen
+    driver-side against the ≤ n_list centroid sidecar; the code scan
+    filters ``list_id IN (probes)`` — a pure partition-directory prune
+    (PartitionFilters, asserted in tests) so non-probed directories are
+    never opened; ADC tables are per-probed-list literals; the shortlist
+    re-ranks EXACTLY against the caller's vector store (``vectors``).
+    Scoring matches :func:`ivfpq_topk` bit-for-bit given the same fit
+    parameters (shared `_ivfpq_fit`/encode implementation)."""
+    cent_rows = spark.read.parquet(f"{path}/_ivfpq_centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cents[r["cid"]] = np.asarray(r["centroid"], dtype=np.float64)
+    book_rows = spark.read.parquet(f"{path}/_ivfpq_codebooks").collect()
+    n_sub = max(r["sub"] for r in book_rows) + 1
+    n_codes = max(r["code"] for r in book_rows) + 1
+    sub = len(book_rows[0]["word"])
+    books = np.zeros((n_sub, n_codes, sub))
+    for r in book_rows:
+        books[r["sub"]][r["code"]] = np.asarray(r["word"], dtype=np.float64)
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cu = cents / np.where(cn > 0, cn, 1.0)
+    qu = qv / (qn if qn > 0 else 1.0)
+    probes = [int(c) for c in np.argsort(-(cu @ qu))[:n_probe]]
+
+    coded = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    if exclude_id is not None:
+        coded = coded.filter(F.col(id_col) != exclude_id)
+
+    sim_expr = None
+    for l in probes:
+        c = cents[l]
+        dot_e = F.lit(float(qv @ c))
+        norm2_e = F.lit(float(c @ c))
+        for s in range(n_sub):
+            code = F.col("codes").getItem(s) + 1
+            lut = [float(qv[s * sub : (s + 1) * sub] @ books[s][j]) for j in range(n_codes)]
+            cross = [float(c[s * sub : (s + 1) * sub] @ books[s][j]) for j in range(n_codes)]
+            n2 = [float(books[s][j] @ books[s][j]) for j in range(n_codes)]
+            dot_e = dot_e + F.element_at(F.array(*[F.lit(v) for v in lut]), code)
+            norm2_e = (
+                norm2_e
+                + 2.0 * F.element_at(F.array(*[F.lit(v) for v in cross]), code)
+                + F.element_at(F.array(*[F.lit(v) for v in n2]), code)
+            )
+        denom = F.lit(qn) * F.sqrt(F.greatest(norm2_e, F.lit(0.0)))
+        this = F.when(denom > 0, dot_e / denom)
+        sim_expr = (
+            F.when(F.col("list_id") == l, this)
+            if sim_expr is None
+            else sim_expr.when(F.col("list_id") == l, this)
+        )
+
+    shortlist = (
+        coded.select(F.col(id_col), F.round(sim_expr, ROUND_DECIMALS).alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    vecs = vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    q_arr = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = (
+        spark.range(1)
+        .select(as_double(q_arr).alias("_query_vec"))
         .withColumn("_qn", norm(F.col("_query_vec")))
     )
     return (

@@ -186,3 +186,55 @@ def test_streaming_ivf_append_matches_batch(spark, tmp_path):
         df.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert len(df.collect()) > 0
+
+
+def test_ivfpq_partitioned_matches_inmemory_and_prunes(spark, tmp_path):
+    """IVFPQ storage: list_id day... directory layout + both sidecars, a
+    probe plan that prunes at the partition level, and results
+    bit-identical to the in-memory ivfpq_topk (shared fit/encode)."""
+    import os
+
+    from spark_streaming_project_spark.operators.similarity import (
+        ivfpq_partitioned_topk,
+        ivfpq_topk,
+        write_ivfpq_partitioned,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_partitioned(emb, "vec_id", "embedding", path, n_list=N_LIST)
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("list_id="))
+    assert 1 <= len(dirs) <= N_LIST
+    assert os.path.isdir(os.path.join(path, "_ivfpq_centroids"))
+    assert os.path.isdir(os.path.join(path, "_ivfpq_codebooks"))
+
+    query_id = 0
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_id)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    probed = ivfpq_partitioned_topk(
+        spark, path, emb, "vec_id", "embedding", qvec,
+        k=10, n_probe=N_PROBE, exclude_id=query_id,
+    )
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    got = [(r["vec_id"], r["cosine_sim"]) for r in probed.collect()]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivfpq_topk(
+            emb, "vec_id", "embedding", query_id, k=10, n_probe=N_PROBE
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
