@@ -1418,3 +1418,40 @@ def ivfpq_partitioned_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_ivfpq_partitioned(
+    df: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Incremental IVFPQ maintenance: assign + encode NEW vectors against
+    the index's EXISTING sidecars (centroids + codebooks are never refit —
+    the ANN-index contract that keeps old codes valid) and append into the
+    ``list_id`` partition directories. An index grown batch-by-batch is
+    bit-identical to a single-pass build with the same model (parity-
+    tested); probes stay partition-pruned throughout."""
+    spark = df.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/_ivfpq_centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cents[r["cid"]] = np.asarray(r["centroid"], dtype=np.float64)
+    book_rows = spark.read.parquet(f"{path}/_ivfpq_codebooks").collect()
+    n_sub = max(r["sub"] for r in book_rows) + 1
+    n_codes = max(r["code"] for r in book_rows) + 1
+    books = np.zeros((n_sub, n_codes, len(book_rows[0]["word"])))
+    for r in book_rows:
+        books[r["sub"]][r["code"]] = np.asarray(r["word"], dtype=np.float64)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cu = cents / np.where(cn > 0, cn, 1.0)
+    enc = _ivfpq_assign_encode_udf(cents, cu, books, n_sub, n_codes)
+    (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_lc", enc(F.col("_v")))
+        .select(
+            id_col,
+            F.col("_lc.list_id").alias("list_id"),
+            F.col("_lc.codes").alias("codes"),
+        )
+        .write.partitionBy("list_id")
+        .mode("append")
+        .parquet(path)
+    )

@@ -238,3 +238,54 @@ def test_ivfpq_partitioned_matches_inmemory_and_prunes(spark, tmp_path):
         ).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_ivfpq_append_parity_with_single_pass(spark, tmp_path):
+    """An IVFPQ index built from half the vectors then grown with the
+    other half must answer queries identically to a single-pass build
+    USING THE SAME MODEL (sidecars copied, codes appended) — the
+    incremental-maintenance contract."""
+    import shutil
+
+    from spark_streaming_project_spark.operators.similarity import (
+        append_ivfpq_partitioned,
+        ivfpq_partitioned_topk,
+        write_ivfpq_partitioned,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    grown = str(tmp_path / "ivfpq_grown")
+    write_ivfpq_partitioned(first, "vec_id", "embedding", grown, n_list=N_LIST)
+    append_ivfpq_partitioned(second, "vec_id", "embedding", grown)
+
+    # single-pass twin with the SAME model: copy sidecars, append all rows
+    single = str(tmp_path / "ivfpq_single")
+    import os
+
+    os.makedirs(single, exist_ok=True)
+    shutil.copytree(f"{grown}/_ivfpq_centroids", f"{single}/_ivfpq_centroids")
+    shutil.copytree(f"{grown}/_ivfpq_codebooks", f"{single}/_ivfpq_codebooks")
+    append_ivfpq_partitioned(emb, "vec_id", "embedding", single)
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    a = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivfpq_partitioned_topk(
+            spark, grown, emb, "vec_id", "embedding", qvec,
+            k=10, n_probe=N_PROBE, exclude_id=0,
+        ).collect()
+    ]
+    b = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivfpq_partitioned_topk(
+            spark, single, emb, "vec_id", "embedding", qvec,
+            k=10, n_probe=N_PROBE, exclude_id=0,
+        ).collect()
+    ]
+    assert a == b and len(a) == 10
