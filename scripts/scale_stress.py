@@ -318,6 +318,11 @@ def main() -> None:
             return spark.createDataFrame([(len(m),)], "n int")
 
         run("bpe_train_6", scale, _bpe)
+        from spark_streaming_project_spark.operators.similarity import ivfpq_topk
+
+        qid_ = qid
+        run("ivfpq_topk", scale, lambda: ivfpq_topk(
+            emb, "vec_id", "embedding", qid_, k=10))
 
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;

@@ -498,7 +498,15 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     current row (a spike must not mask itself) and requires a full 24h
     history.
     """
-    dense = events_hourly_gapfill(spark, sf_dir)
+    return anomalies_over_dense(events_hourly_gapfill(spark, sf_dir))
+
+
+def anomalies_over_dense(dense: DataFrame) -> DataFrame:
+    """The detection core over ANY dense (hour_start, event_type,
+    event_count) frame — reused by the batch query above and by the
+    streaming composition (incrementally-maintained hourly state
+    densified per refresh; parity-tested in tests/test_streaming_llm.py).
+    """
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_start")
@@ -525,6 +533,34 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rolled.filter((F.col("n") == 24) & (var_num > 0) & (F.abs(z) > 3.0))
         .select("event_type", "hour_start", "event_count", F.round(z, 6).alias("z"))
+    )
+
+
+def densify_hourly(counts: DataFrame) -> DataFrame:
+    """Gap-fill a sparse (h, event_type, c) hourly-count frame into the
+    dense grid (zero rows for silent hours) — the state-table twin of
+    events_hourly_gapfill's internals, for counts maintained
+    incrementally rather than derived from raw events."""
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour_start")
+    )
+    types = counts.select(F.col("event_type").alias("_ty")).distinct()
+    return (
+        grid.join(F.broadcast(types))
+        .join(
+            counts,
+            (F.col("hour_start") == F.col("h"))
+            & (F.col("_ty") == counts["event_type"]),
+            "left",
+        )
+        .select(
+            "hour_start",
+            F.col("_ty").alias("event_type"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("event_count"),
+        )
     )
 
 

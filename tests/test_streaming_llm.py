@@ -336,3 +336,58 @@ def test_incremental_agg_maintenance_matches_batch(spark, tmp_path):
         r["event_type"]: (r["n"], r["total"]) for r in agg(ev).collect()
     }
     assert got == want and got
+
+
+def test_streaming_anomaly_over_incremental_state_matches_batch(spark, tmp_path):
+    """End-to-end streaming composition: per-batch hourly counts merged
+    into additive parquet state (incremental MV), then densify + rolling
+    z-score over the STATE must flag exactly the batch pipeline's
+    anomalies — alerting maintained in O(|batch|) per trigger."""
+    from spark_streaming_project_spark.plans.events import (
+        anomalies_over_dense,
+        densify_hourly,
+        hourly_anomalies,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    sf = "/root/testdata/sf0.01"  # enough hours for 24h trailing windows
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "an_src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def hourly(df):
+        return df.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("h"),
+            "event_type",
+        ).agg(F.count("*").alias("c"))
+
+    state = str(tmp_path / "hourly_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_anom"))
+    runner.add(
+        "anom_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, hourly, ["h", "event_type"], ["c"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        (r["event_type"], r["hour_start"], r["event_count"], r["z"])
+        for r in anomalies_over_dense(
+            densify_hourly(spark.read.parquet(state))
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["hour_start"], r["event_count"], r["z"])
+        for r in hourly_anomalies(spark, sf).collect()
+    }
+    assert got == want and got
