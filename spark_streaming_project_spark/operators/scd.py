@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply"]
+__all__ = ["scd1_apply", "scd2_apply"]
 
 
 def _differs(tracked: list[str]) -> Column:

@@ -798,6 +798,8 @@ def ivf_kmeans_topk(
         .collect()
     )
     sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    if sample.size == 0:
+        return _empty_scored(df, id_col)
     cents = _kmeans_fit(sample, n_list, iters)
     cn = np.linalg.norm(cents, axis=1, keepdims=True)
     cu = cents / np.where(cn > 0, cn, 1.0)
@@ -948,6 +950,15 @@ def semdedup_prune(
     )
 
 
+def _empty_scored(df: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (id, cosine_sim) frame matching every topk tier's schema —
+    returned when the fit sample collects empty (empty input table), where
+    ``sample.shape[1]`` would otherwise IndexError on a 1-d array."""
+    return df.select(
+        F.col(id_col), F.lit(0.0).cast("double").alias("cosine_sim")
+    ).limit(0)
+
+
 def _pq_fit(
     sample: np.ndarray, n_sub: int, n_codes: int, iters: int = 5
 ) -> np.ndarray:
@@ -1018,6 +1029,8 @@ def pq_topk(
         .collect()
     )
     sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    if sample.size == 0:
+        return _empty_scored(df, id_col)
     dim = sample.shape[1]
     sub = dim // n_sub
     books = _pq_fit(sample, n_sub, n_codes, iters)
@@ -1128,6 +1141,8 @@ def ivfpq_topk(
     cents, cu, books = _ivfpq_fit(
         df, id_col, vec_col, n_list, n_sub, n_codes, sample_size, iters
     )
+    if cents is None:
+        return _empty_scored(df, id_col)
     dim = cents.shape[1]
     sub = dim // n_sub
     assign_encode = _ivfpq_assign_encode_udf(cents, cu, books, n_sub, n_codes)
@@ -1233,6 +1248,8 @@ def _ivfpq_fit(
         .collect()
     )
     sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    if sample.size == 0:
+        return None, None, None  # empty input: callers return/write nothing
     cents = _kmeans_fit(sample, n_list, iters)
     cn = np.linalg.norm(cents, axis=1, keepdims=True)
     cu = cents / np.where(cn > 0, cn, 1.0)
@@ -1298,6 +1315,8 @@ def write_ivfpq_partitioned(
     cents, cu, books = _ivfpq_fit(
         df, id_col, vec_col, n_list, n_sub, n_codes, sample_size, iters
     )
+    if cents is None:
+        raise ValueError("cannot build an IVFPQ index from an empty table")
     enc = _ivfpq_assign_encode_udf(cents, cu, books, n_sub, n_codes)
     vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
     (

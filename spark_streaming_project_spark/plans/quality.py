@@ -588,7 +588,10 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "t")
         .agg(F.count("*").alias("c_s"))
     )
-    sources = docs.select("source").distinct()
+    # Source dimension from the UNFILTERED table: the oracle's grid uses
+    # SELECT DISTINCT source FROM documents, so a source whose documents
+    # are all NULL-text must still appear (with c_s=0 smoothing rows).
+    sources = load_table(spark, sf_dir, "documents").select("source").distinct()
     grid = (
         sources.join(F.broadcast(vocab))
         .join(sc, ["source", "t"], "left")

@@ -182,7 +182,19 @@ def foreach_batch_jdbc_idempotent_append(
                 )
                 .count()
             )
-        except Exception:
+        except Exception as exc:
+            # ONLY a missing ledger table means "first ever batch". Any
+            # other failure (transient outage, auth error) must propagate
+            # so Spark retries the trigger — treating it as seen=0 would
+            # re-append a replayed batch despite an intact ledger,
+            # defeating the exactly-once guarantee this sink provides.
+            msg = str(exc)
+            missing = ledger_table.strip('"').upper() in msg.upper() and any(
+                pat in msg.lower()
+                for pat in ("does not exist", "not found", "doesn't exist")
+            )
+            if not missing:
+                raise
             seen = 0  # ledger doesn't exist yet: first ever batch
         if seen:
             return
@@ -211,28 +223,60 @@ def foreach_batch_incremental_agg(
     the batch (``agg_fn``: rows -> additive partial aggregate) and merge
     it into the parquet state table with ``merge_agg_state`` — the view is
     maintained in O(|batch|) per trigger instead of per-batch full
-    recomputation (foreach_batch_reaggregate's shape). Publication is a
-    staging write + directory swap (same contract as compact_parquet:
-    atomic on POSIX renames, last-writer-wins)."""
+    recomputation (foreach_batch_reaggregate's shape).
+
+    Exactly-once under replay: foreachBatch is at-least-once, so the
+    last-applied ``batch_id`` is recorded INSIDE each published version
+    (``_last_batch_id`` sidecar — the underscore prefix keeps it invisible
+    to parquet readers) and a replayed batch with ``batch_id <= recorded``
+    is skipped instead of re-merged into the additive counters — the same
+    high-water-mark contract as ``foreach_batch_jdbc_idempotent_append``.
+
+    Atomic publication: state versions live in ``<path>__v<batch_id>``
+    directories and ``path`` itself is a SYMLINK swapped with one
+    ``os.rename`` — there is no instant where ``path`` is absent (the old
+    two-rename dance could crash between renames and leave no state at
+    all, silently restarting history from a single delta). A crash before
+    the swap leaves the previous version (and its recorded batch_id)
+    intact, so the replay re-merges from the OLD state — exactly once
+    either way. POSIX-only (symlink + atomic rename), like the rest of
+    the local-parquet sinks."""
     import os
     import shutil
 
     from ..operators.aggregates import merge_agg_state
 
+    marker = "_last_batch_id"
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        delta = agg_fn(batch_df)
-        if os.path.isdir(path):
+        prev_version: str | None = None
+        merged = None
+        if os.path.lexists(path):
+            prev_version = os.path.realpath(path)
+            mpath = os.path.join(prev_version, marker)
+            if os.path.isfile(mpath):
+                with open(mpath) as fh:
+                    if batch_id <= int(fh.read().strip()):
+                        return  # replayed micro-batch: already merged
             state = spark.read.parquet(path)
-            merged = merge_agg_state(state, delta, keys, counters)
+            merged = merge_agg_state(state, agg_fn(batch_df), keys, counters)
         else:
-            merged = delta
-        staging = f"{path}__staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        old = f"{path}__old_{batch_id}"
-        if os.path.isdir(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+            merged = agg_fn(batch_df)
+        version = f"{path}__v{batch_id}"
+        merged.write.mode("overwrite").parquet(version)
+        with open(os.path.join(version, marker), "w") as fh:
+            fh.write(str(batch_id))
+        tmp = f"{path}__ptr_{batch_id}"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(os.path.abspath(version), tmp)
+        if os.path.isdir(path) and not os.path.islink(path):
+            # legacy real-directory layout: one-time migration aside
+            os.rename(path, f"{path}__legacy_{batch_id}")
+            prev_version = f"{path}__legacy_{batch_id}"
+        os.rename(tmp, path)  # THE publish: atomic symlink replacement
+        if prev_version and os.path.isdir(prev_version):
+            shutil.rmtree(prev_version, ignore_errors=True)
 
     return write

@@ -134,3 +134,26 @@ def test_jdbc_idempotent_append_survives_replay(spark, derby_url, tmp_path):
         ).collect()
     )
     assert ledger == [("IDEM_T", 0), ("IDEM_T", 1)]
+
+
+def test_jdbc_idempotent_append_raises_on_non_missing_ledger_error(
+    spark, derby_url, tmp_path
+):
+    """A ledger-read failure that is NOT 'table does not exist' (outage,
+    auth) must propagate so Spark retries the trigger — swallowing it as
+    'first batch' would re-append a replayed batch despite an intact
+    ledger, silently breaking exactly-once."""
+    import pytest
+
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_jdbc_idempotent_append,
+    )
+
+    props = {"driver": DERBY_DRIVER}
+    bad_url = f"jdbc:derby:{tmp_path}/no_such_db"  # no ;create=true
+    sink = foreach_batch_jdbc_idempotent_append(bad_url, "IDEM_T2", props)
+    b0 = spark.createDataFrame([("a", 1)], SRC_SCHEMA)
+    with pytest.raises(Exception) as err:
+        sink(b0, 0)
+    # the failure is the unreachable DATABASE, not a missing ledger table
+    assert "batch_ledger" not in str(err.value).lower()

@@ -294,3 +294,27 @@ def test_ivfpq_recall_and_exact_scores(spark):
         ).collect()
     }
     assert len(all_probe & truth) >= len(ids & truth)
+
+
+def test_ann_fit_tiers_empty_input(spark):
+    """Empty input table: the sample-fit ANN tiers must return an empty
+    (id, cosine_sim) frame instead of IndexError-ing on sample.shape[1]
+    (ADVICE r4), and the IVFPQ index writer must refuse cleanly."""
+    import pytest
+
+    from spark_streaming_project_spark.operators.similarity import (
+        ivf_kmeans_topk,
+        ivfpq_topk,
+        pq_topk,
+        write_ivfpq_partitioned,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    for fn in (pq_topk, ivfpq_topk, ivf_kmeans_topk):
+        out = fn(empty, "vec_id", "embedding", 0, k=5)
+        assert out.columns == ["vec_id", "cosine_sim"]
+        assert out.count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        write_ivfpq_partitioned(empty, "vec_id", "embedding", "/tmp/nope")

@@ -391,3 +391,41 @@ def test_streaming_anomaly_over_incremental_state_matches_batch(spark, tmp_path)
         for r in hourly_anomalies(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_incremental_agg_replay_and_atomic_publish(spark, tmp_path):
+    """Exactly-once + crash-safe publish for the incremental MV sink:
+    re-invoking with an already-applied batch_id (a foreachBatch epoch
+    replay) must NOT double-count the additive state, and the published
+    path must be a symlink swapped atomically (never absent mid-publish)."""
+    import os
+
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    def agg(df):
+        return df.groupBy("k").agg(F.count("*").alias("n"))
+
+    state = str(tmp_path / "replay_state")
+    sink = foreach_batch_incremental_agg(state, agg, ["k"], ["n"])
+    b0 = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    b1 = spark.createDataFrame([("a",), ("c",)], "k string")
+
+    sink(b0, 0)
+    sink(b0, 0)  # replayed epoch: must be a no-op, not a re-merge
+    sink(b1, 1)
+    sink(b1, 1)  # replayed again
+    sink(b1, 0)  # late replay of an OLDER epoch: also a no-op
+
+    got = {r["k"]: r["n"] for r in spark.read.parquet(state).collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}
+    # atomic-publish layout: path is a symlink to the current version,
+    # which records its own high-water batch_id in an underscore sidecar
+    assert os.path.islink(state)
+    target = os.path.realpath(state)
+    assert target.endswith("__v1")
+    with open(os.path.join(target, "_last_batch_id")) as fh:
+        assert int(fh.read()) == 1
+    # superseded versions are cleaned up
+    assert not os.path.isdir(f"{state}__v0")
