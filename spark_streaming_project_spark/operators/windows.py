@@ -29,3 +29,82 @@ def top_per_group(
         .filter(F.col(rank_col) <= k)
         .drop(rank_col)
     )
+
+
+def range_partitioned_ntile(
+    df: DataFrame,
+    n: int,
+    order: list[Column],
+    partition_cols: list[str] | None = None,
+    out_col: str = "tile",
+) -> DataFrame:
+    """EXACT ``ntile(n)`` without a single-partition global sort.
+
+    ``Window.orderBy(...)`` with no partition key funnels every row through
+    ONE task (Spark warns ``No Partition Defined``) — the shape that turns a
+    10^9-row rank into a single-executor job. This operator computes the
+    identical bucket assignment scale-safely:
+
+    1. ``repartitionByRange`` on (partition_cols + order): each task holds a
+       contiguous slice of the global (or per-group) order.
+    2. One bounded aggregate counts rows per (group, slice); the counts —
+       at most ``P + groups_spanning_boundaries`` rows — come to the driver
+       to fold slice offsets and group totals (the same bounded-sidecar
+       coordination as the k-means/IVF fits).
+    3. Offsets broadcast-join back; ``row_number`` over the (group, slice)-
+       partitioned window + offset = the exact global rank; the standard
+       ntile arithmetic (first ``n_rows mod n`` buckets get the extra row)
+       maps rank -> bucket.
+
+    ``order`` must be a TOTAL order (include a tiebreaker): ties spanning a
+    range boundary would otherwise make ranks partition-dependent — the
+    same determinism contract as ``ntile`` itself needs for oracle parity.
+
+    Matches ``ntile`` bit-for-bit (property-tested vs ``Window.orderBy``
+    at every n/partitioning), so DuckDB ``ntile`` oracles stay valid.
+    """
+    parts = list(partition_cols or [])
+    sliced = df.repartitionByRange(*parts, *order).withColumn(
+        "_slice", F.spark_partition_id()
+    )
+    counts = (
+        sliced.groupBy(*parts, "_slice").count().collect()
+    )  # bounded: contiguous slices -> ~P + #groups rows
+    key = lambda r: tuple(r[c] for c in parts)
+    by_group: dict[tuple, list] = {}
+    for r in sorted(counts, key=lambda r: r["_slice"]):
+        by_group.setdefault(key(r), []).append(r)
+    lookup_rows = []
+    for rows in by_group.values():
+        total = sum(r["count"] for r in rows)
+        offset = 0
+        for r in rows:
+            lookup_rows.append(
+                tuple(r[c] for c in parts) + (r["_slice"], offset, total)
+            )
+            offset += r["count"]
+    from pyspark.sql import types as T
+
+    part_fields = [] if not parts else list(df.select(*parts).schema.fields)
+    schema = T.StructType(
+        part_fields
+        + [
+            T.StructField("_slice", T.IntegerType(), False),
+            T.StructField("_offset", T.LongType(), False),
+            T.StructField("_n_rows", T.LongType(), False),
+        ]
+    )
+    lookup = df.sparkSession.createDataFrame(lookup_rows, schema)
+    w = Window.partitionBy(*parts, "_slice").orderBy(*order)
+    rank = (F.row_number().over(w) + F.col("_offset")).cast("long")
+    q = (F.col("_n_rows") / n).cast("long")  # floor: both operands >= 0
+    rem = F.col("_n_rows") % n
+    threshold = rem * (q + 1)
+    tile = F.when(
+        rank <= threshold, ((rank - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(rem + ((rank - threshold - 1) / q).cast("long") + 1)
+    return (
+        sliced.join(F.broadcast(lookup), parts + ["_slice"])
+        .withColumn(out_col, tile.cast("int"))
+        .drop("_slice", "_offset", "_n_rows")
+    )

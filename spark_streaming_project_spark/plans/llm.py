@@ -811,6 +811,40 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "exact_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+           round(quantile_cont(n_chars, 0.95), 6) AS chars_p95,
+           count(*) AS doc_count
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "profiling"),
+)
+def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT twin of ``approx_stats``: per-language count(DISTINCT source)
+    and exact interpolated percentiles (percentile_cont semantics, which
+    DuckDB's quantile_cont replays bit-for-bit on integer inputs) — the
+    oracle-checked anchor for the distinct+percentile surface, while the
+    sketch tier above stays rows-only (HLL/KLL outputs are engine-specific
+    by construction).
+
+    Scale contrast with the sketch tier: count(DISTINCT) shuffles (lang,
+    source) pairs and exact percentiles shuffle the value column, both
+    fine at dimension-bounded cardinalities; at 100 TB raw-event scale the
+    approx_stats sketches (mergeable, constant-size state) are the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("chars_p50"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("chars_p95"),
+        F.count("*").alias("doc_count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs (the no-miss verifier tier; contrast
 # with dedup_minhash_pairs which is the LSH approximation of this set).

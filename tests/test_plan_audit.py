@@ -34,3 +34,21 @@ def test_no_forbidden_plan_nodes(spark, name):
     plan = buf.getvalue()
     for node in FORBIDDEN:
         assert node not in plan, f"{name}: {node} in physical plan"
+
+
+def test_decile_plans_have_no_unpartitioned_window(spark):
+    """VERDICT r4 perf-weak fix pinned: the decile family must not funnel
+    rows through a single-task ``Window.orderBy`` (WindowExec with an empty
+    partition spec). Other registry queries may keep global windows only
+    over ``limit(n)``-bounded frames; these two rank UNBOUNDED key sets."""
+    import re
+
+    for name in ("revenue_concentration", "nation_spend_deciles"):
+        df = REGISTRY[name].builder(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        unpart = [
+            m
+            for m in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+            if m.count(",") <= 2  # (order-col, frame) only: no partition cols
+        ]
+        assert not unpart, f"{name}: unpartitioned window {unpart}"

@@ -239,3 +239,66 @@ def test_top_per_group_sugariest(spark, pdf, fixture_products):
         if cur is None or (-sugar, main) < (-cur[1], cur[0]):
             best[cat] = (main, sugar)
     assert got == best
+
+
+def test_range_partitioned_ntile_matches_window_ntile(spark):
+    """range_partitioned_ntile must equal Window ntile BIT-FOR-BIT for
+    every n / grouping / partition-count combination — it exists so the
+    decile plans drop the single-task global sort without changing one
+    output row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_ntile,
+    )
+
+    rows = [(i % 7, (i * 37) % 101, i) for i in range(523)]
+    df = spark.createDataFrame(rows, "g int, v int, id int")
+    order = [F.desc("v"), F.asc("id")]
+    for n in (1, 2, 10, 523, 1000):
+        # global (no partition key)
+        want = {
+            (r["id"], r["t"])
+            for r in df.select(
+                "id", F.ntile(n).over(Window.orderBy(*order)).alias("t")
+            ).collect()
+        }
+        got = {
+            (r["id"], r["tile"])
+            for r in range_partitioned_ntile(df, n, order).collect()
+        }
+        assert got == want, f"global ntile({n})"
+        # per-group
+        want_g = {
+            (r["id"], r["t"])
+            for r in df.select(
+                "id",
+                F.ntile(n)
+                .over(Window.partitionBy("g").orderBy(*order))
+                .alias("t"),
+            ).collect()
+        }
+        got_g = {
+            (r["id"], r["tile"])
+            for r in range_partitioned_ntile(
+                df, n, order, partition_cols=["g"]
+            ).collect()
+        }
+        assert got_g == want_g, f"grouped ntile({n})"
+    # stability under a different shuffle-partition setting
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        got3 = {
+            (r["id"], r["tile"])
+            for r in range_partitioned_ntile(df, 10, order).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    want10 = {
+        (r["id"], r["t"])
+        for r in df.select(
+            "id", F.ntile(10).over(Window.orderBy(*order)).alias("t")
+        ).collect()
+    }
+    assert got3 == want10
