@@ -1816,3 +1816,258 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10)
+
+_PQ_DET_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    samp AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, v
+        FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    books AS (
+        SELECT g.s, p.cid - 1 AS code,
+               list_slice(p.v, g.s * 4 + 1, g.s * 4 + 4) AS cw
+        FROM (SELECT unnest(range(16)) AS s) g, samp p
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_VEC_ID}),
+    qn AS (SELECT sqrt({_duck_dot('qv', 'qv')}) AS qn_ FROM q),
+    diffs AS (
+        SELECT vv.vec_id, b.s, b.code,
+               vv.v[b.s * 4 + 1] - b.cw[1] AS d1,
+               vv.v[b.s * 4 + 2] - b.cw[2] AS d2,
+               vv.v[b.s * 4 + 3] - b.cw[3] AS d3,
+               vv.v[b.s * 4 + 4] - b.cw[4] AS d4
+        FROM vecs vv, books b
+    ),
+    codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code, row_number() OVER (
+                PARTITION BY vec_id, s
+                ORDER BY d1*d1 + d2*d2 + d3*d3 + d4*d4 ASC, code ASC) AS rn
+            FROM diffs
+        ) WHERE rn = 1
+    ),
+    luts AS (
+        SELECT b.s, b.code,
+               qv[b.s*4+1]*b.cw[1] + qv[b.s*4+2]*b.cw[2]
+                 + qv[b.s*4+3]*b.cw[3] + qv[b.s*4+4]*b.cw[4] AS lut,
+               b.cw[1]*b.cw[1] + b.cw[2]*b.cw[2]
+                 + b.cw[3]*b.cw[3] + b.cw[4]*b.cw[4] AS n2
+        FROM books b, q
+    ),
+    adc AS (
+        SELECT c.vec_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(l.lut ORDER BY c.s)), (a, x) -> a + x) AS adot,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(l.n2 ORDER BY c.s)), (a, x) -> a + x) AS an2
+        FROM codes c JOIN luts l ON l.s = c.s AND l.code = c.code
+        GROUP BY c.vec_id
+    ),
+    short AS (
+        SELECT vec_id FROM (
+            SELECT a.vec_id,
+                   round(CASE WHEN qn_ * sqrt(an2) > 0
+                         THEN adot / (qn_ * sqrt(an2)) END, 6) AS s_adc
+            FROM adc a, qn
+            WHERE a.vec_id <> {_QUERY_VEC_ID}
+        ) ORDER BY s_adc DESC, vec_id ASC LIMIT 100
+    )
+    SELECT v.vec_id,
+           round({_duck_dot('v.v', 'qv')}
+                 / (sqrt({_duck_dot('v.v', 'v.v')})
+                    * sqrt({_duck_dot('qv', 'qv')})), 6) AS cosine_sim
+    FROM short JOIN vecs v USING (vec_id), q
+    ORDER BY cosine_sim DESC, v.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_pq_det_topk",
+    oracle=_PQ_DET_ORACLE,
+    tags=("llm", "similarity", "pq"),
+)
+def similarity_pq_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC-codebook PQ twin (VERDICT r4 ask #4): ``iters=0`` makes
+    the codebooks the md5-hash-ordered first 16 sample vectors' subslices —
+    no Lloyd iterations — so code assignment, the ADC shortlist, and the
+    exact re-rank are all SQL-expressible and the oracle replays the ENTIRE
+    PQ pipeline (encode -> ADC -> rerank) in DuckDB. The learned tier
+    (``similarity_pq_topk``) keeps better recall and stays rows-only; this
+    twin pins the pipeline's plumbing with a green oracle row."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC_ID,
+        k=10, sample_size=16, iters=0,
+    )
+
+
+_IVFPQ_DET_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    samp AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, v
+        FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    cent1 AS (
+        SELECT cid - 1 AS l,
+               list_transform(v, x -> x / CASE WHEN nrm > 0
+                                          THEN nrm ELSE 1.0 END) AS c
+        FROM (SELECT cid, v, sqrt({_duck_dot('v', 'v')}) AS nrm
+              FROM samp WHERE cid <= 8)
+    ),
+    cu AS (
+        SELECT l, list_transform(c, x -> x / CASE WHEN nrm > 0
+                                           THEN nrm ELSE 1.0 END) AS cuv
+        FROM (SELECT l, c, sqrt({_duck_dot('c', 'c')}) AS nrm FROM cent1)
+    ),
+    s_unit AS (
+        SELECT cid, v, list_transform(v, x -> x / CASE WHEN nrm > 0
+                                              THEN nrm ELSE 1.0 END) AS su
+        FROM (SELECT cid, v, sqrt({_duck_dot('v', 'v')}) AS nrm FROM samp)
+    ),
+    s_assign AS (
+        SELECT cid, v, l FROM (
+            SELECT su.cid, su.v, cu.l, row_number() OVER (
+                PARTITION BY su.cid
+                ORDER BY {_duck_dot('su.su', 'cu.cuv')} DESC, cu.l ASC) AS rn
+            FROM s_unit su, cu
+        ) WHERE rn = 1
+    ),
+    books AS (
+        SELECT g.s, r.cid - 1 AS code,
+               list_slice(r.r, g.s * 4 + 1, g.s * 4 + 4) AS cw
+        FROM (SELECT unnest(range(16)) AS s) g,
+             (SELECT sa.cid,
+                     [sa.v[i] - c1.c[i] for i in range(1, 65)] AS r
+              FROM s_assign sa JOIN cent1 c1 USING (l)) r
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_VEC_ID}),
+    qn AS (SELECT sqrt({_duck_dot('qv', 'qv')}) AS qn_ FROM q),
+    qu AS (
+        SELECT list_transform(qv, x -> x / CASE WHEN qn_ > 0
+                                          THEN qn_ ELSE 1.0 END) AS quv
+        FROM q, qn
+    ),
+    probes AS (
+        SELECT l FROM (
+            SELECT cu.l, {_duck_dot('cu.cuv', 'quv')} AS sim FROM cu, qu
+        ) ORDER BY sim DESC, l ASC LIMIT 2
+    ),
+    v_unit AS (
+        SELECT vec_id, v, list_transform(v, x -> x / CASE WHEN nrm > 0
+                                                 THEN nrm ELSE 1.0 END) AS vu
+        FROM (SELECT vec_id, v, sqrt({_duck_dot('v', 'v')}) AS nrm FROM vecs)
+    ),
+    v_assign AS (
+        SELECT vec_id, v, l FROM (
+            SELECT vu.vec_id, vu.v, cu.l, row_number() OVER (
+                PARTITION BY vu.vec_id
+                ORDER BY {_duck_dot('vu.vu', 'cu.cuv')} DESC, cu.l ASC) AS rn
+            FROM v_unit vu, cu
+        ) WHERE rn = 1
+    ),
+    v_resid AS (
+        SELECT va.vec_id, va.l,
+               [va.v[i] - c1.c[i] for i in range(1, 65)] AS r
+        FROM v_assign va JOIN cent1 c1 USING (l)
+        JOIN probes USING (l)
+    ),
+    diffs AS (
+        SELECT vr.vec_id, b.s, b.code,
+               vr.r[b.s * 4 + 1] - b.cw[1] AS d1,
+               vr.r[b.s * 4 + 2] - b.cw[2] AS d2,
+               vr.r[b.s * 4 + 3] - b.cw[3] AS d3,
+               vr.r[b.s * 4 + 4] - b.cw[4] AS d4
+        FROM v_resid vr, books b
+    ),
+    codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code, row_number() OVER (
+                PARTITION BY vec_id, s
+                ORDER BY d1*d1 + d2*d2 + d3*d3 + d4*d4 ASC, code ASC) AS rn
+            FROM diffs
+        ) WHERE rn = 1
+    ),
+    luts AS (
+        SELECT b.s, b.code,
+               qv[b.s*4+1]*b.cw[1] + qv[b.s*4+2]*b.cw[2]
+                 + qv[b.s*4+3]*b.cw[3] + qv[b.s*4+4]*b.cw[4] AS lut,
+               b.cw[1]*b.cw[1] + b.cw[2]*b.cw[2]
+                 + b.cw[3]*b.cw[3] + b.cw[4]*b.cw[4] AS n2
+        FROM books b, q
+    ),
+    cross_t AS (
+        SELECT c1.l, b.s, b.code,
+               c1.c[b.s*4+1]*b.cw[1] + c1.c[b.s*4+2]*b.cw[2]
+                 + c1.c[b.s*4+3]*b.cw[3] + c1.c[b.s*4+4]*b.cw[4] AS cr
+        FROM cent1 c1 JOIN probes USING (l), books b
+    ),
+    cmeta AS (
+        SELECT c1.l, {_duck_dot('qv', 'c1.c')} AS qdc,
+               {_duck_dot('c1.c', 'c1.c')} AS c2
+        FROM cent1 c1 JOIN probes USING (l), q
+    ),
+    adc AS (
+        SELECT cd.vec_id,
+               list_reduce(list_prepend(any_value(m.qdc),
+                   list(l.lut ORDER BY cd.s)), (a, x) -> a + x) AS adot,
+               list_reduce(list_prepend(any_value(m.c2),
+                   flatten(list([2.0 * ct.cr, l.n2] ORDER BY cd.s))),
+                   (a, x) -> a + x) AS an2
+        FROM codes cd
+        JOIN v_assign va ON va.vec_id = cd.vec_id
+        JOIN luts l ON l.s = cd.s AND l.code = cd.code
+        JOIN cross_t ct ON ct.l = va.l AND ct.s = cd.s AND ct.code = cd.code
+        JOIN cmeta m ON m.l = va.l
+        GROUP BY cd.vec_id
+    ),
+    short AS (
+        SELECT vec_id FROM (
+            SELECT a.vec_id,
+                   round(CASE WHEN qn_ * sqrt(greatest(an2, 0)) > 0
+                         THEN adot / (qn_ * sqrt(greatest(an2, 0))) END,
+                         6) AS s_adc
+            FROM adc a, qn
+            WHERE a.vec_id <> {_QUERY_VEC_ID}
+        ) ORDER BY s_adc DESC, vec_id ASC LIMIT 100
+    )
+    SELECT v.vec_id,
+           round({_duck_dot('v.v', 'qv')}
+                 / (sqrt({_duck_dot('v.v', 'v.v')})
+                    * sqrt({_duck_dot('qv', 'qv')})), 6) AS cosine_sim
+    FROM short JOIN vecs v USING (vec_id), q
+    ORDER BY cosine_sim DESC, v.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "similarity_ivfpq_det_topk",
+    oracle=_IVFPQ_DET_ORACLE,
+    tags=("llm", "similarity", "ivf", "pq"),
+)
+def similarity_ivfpq_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC IVFPQ twin (VERDICT r4 ask #4): ``iters=0`` pins the
+    coarse centroids to the unit-normalized first 8 hash-ordered sample
+    vectors and the residual codebooks to the first 16 sample residuals,
+    so the oracle replays the FULL composite pipeline — coarse assignment,
+    probe choice, residual encoding, per-list ADC with cross terms, exact
+    re-rank — in SQL. Green-row anchor for the IVFPQ plumbing; the learned
+    tier stays rows-only with pytest-pinned recall."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC_ID,
+        k=10, sample_size=16, iters=0,
+    )
