@@ -561,3 +561,98 @@ def incremental_dedup_verdicts(
             .alias("verdict"),
         )
     )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 40,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """EXACT long-substring cross-document dedup — the ExactSubstr half of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"); the fixed-n token-gram tier (``cross_doc_gram_share``)
+    approximates what this computes exactly at character level.
+
+    For every document pair sharing a character substring of length >=
+    ``min_len``, returns (id_a, id_b, max_shared_len, shared_windows):
+    the exact length of the LONGEST shared substring and how many
+    ``min_len``-sized windows matched. No false positives, no misses
+    (md5-keyed window equality; collisions are 2^-64-level).
+
+    Distributed shape (the suffix-sort re-expressed as dataflow):
+      1. Every position emits one ``min_len``-char window, immediately
+         compressed to a 16-hex-char md5 key — the shuffle carries 16
+         bytes per position, never the text, and the window→key map stays
+         inside whole-stage codegen (one generator + projection, no UDF).
+      2. The equi-join on window keys IS the suffix sort's "equal prefix"
+         bucketing: range partitioning groups equal keys, and only
+         positions whose window actually matches meet — the candidate set
+         is output-bound, exactly like the banded-LSH joins.
+      3. Matched positions collapse to maximal runs per (pair, diagonal)
+         with the row_number-island trick: a run of r consecutive
+         positions on one diagonal == a shared substring of length
+         min_len + r - 1 — recovering EXACT maximal-match lengths without
+         ever comparing characters again.
+
+    Scale notes (100 TB): window emission is O(total_chars) rows of ~24
+    bytes — the honest cost of exactness (Lee et al. pay it as suffix
+    arrays over each shard). The join is output-bound EXCEPT for
+    boilerplate substrings shared by thousands of docs (license headers):
+    ``hot_cap`` drops window keys appearing in more than ``hot_cap``
+    documents (the same opt-in guard as decontamination's hot-gram cap) —
+    a capped run reports a LOWER BOUND on max_shared_len for the affected
+    pairs, which is the standard production trade.
+    """
+    L = int(min_len)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= L)
+    ).select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    wins = base.select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))).alias(
+            "pos"
+        ),
+        "_t",
+    ).select(
+        "_id",
+        "pos",
+        F.substring(F.md5(F.expr(f"substring(_t, pos, {L})")), 1, 16).alias(
+            "wk"
+        ),
+    )
+    if hot_cap is not None:
+        hot = (
+            wins.groupBy("wk")
+            .agg(F.count_distinct("_id").alias("_docs"))
+            .filter(F.col("_docs") > hot_cap)
+            .select("wk")
+        )
+        wins = wins.join(F.broadcast(hot), "wk", "left_anti")
+    a = wins.select(
+        F.col("_id").alias("id_a"), F.col("pos").alias("pa"), "wk"
+    )
+    b = wins.select(
+        F.col("_id").alias("id_b"), F.col("pos").alias("pb"), "wk"
+    )
+    m = a.join(b, "wk").filter(F.col("id_a") < F.col("id_b"))
+    isl = m.select(
+        "id_a",
+        "id_b",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        "pa",
+    ).withColumn(
+        "grp",
+        F.col("pa")
+        - F.row_number().over(
+            Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+        ),
+    )
+    runs = isl.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count("*").alias("run")
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        (F.max("run") + F.lit(L - 1)).cast("bigint").alias("max_shared_len"),
+        F.sum("run").cast("bigint").alias("shared_windows"),
+    )

@@ -784,6 +784,64 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_SUBSTR_LEN = 40
+
+_EXACT_SUBSTR_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND length(text) >= {_EXACT_SUBSTR_LEN}
+    ),
+    pos_t AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {_EXACT_SUBSTR_LEN} + 2)) AS pos
+        FROM base
+    ),
+    wins AS (
+        SELECT doc_id, pos,
+               substr(md5(substr(text, CAST(pos AS INTEGER),
+                                 {_EXACT_SUBSTR_LEN})), 1, 16) AS wk
+        FROM pos_t
+    ),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        FROM wins a JOIN wins b ON a.wk = b.wk AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, pa - pb AS diag, pa,
+               pa - row_number() OVER (
+                   PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+        FROM m
+    ),
+    runs AS (
+        SELECT id_a, id_b, diag, grp, count(*) AS run
+        FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(max(run) + {_EXACT_SUBSTR_LEN} - 1 AS BIGINT) AS max_shared_len,
+           CAST(sum(run) AS BIGINT) AS shared_windows
+    FROM runs GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_exact_substring_pairs",
+    oracle=_EXACT_SUBSTR_ORACLE,
+    tags=("llm", "dedup", "exact-substring"),
+)
+def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT character-level long-substring dedup (ExactSubstr, Lee et al.
+    2022): every doc pair sharing a >=40-char substring, with the exact
+    longest-shared-substring length recovered from maximal diagonal runs
+    of matched windows. The no-miss complement to the token-gram
+    approximation in ``cross_doc_gram_share`` — ROADMAP #10."""
+    from ..operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(
+        docs, "text", "doc_id", min_len=_EXACT_SUBSTR_LEN
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate aggregates (engine surface; algorithms are engine-specific so
 # the driver records a rows-only check — intentionally no oracle).

@@ -318,3 +318,59 @@ def test_ann_fit_tiers_empty_input(spark):
         assert out.count() == 0
     with pytest.raises(ValueError, match="empty"):
         write_ivfpq_partitioned(empty, "vec_id", "embedding", "/tmp/nope")
+
+
+def test_exact_substring_pairs_vs_bruteforce(spark):
+    """exact_substring_pairs must report EXACTLY the doc pairs sharing a
+    >= min_len substring, with the true longest-common-substring length —
+    verified against an O(n^2 * m^2) pure-Python LCS on a corpus with
+    engineered overlaps, plus the hot_cap guard's drop behavior."""
+    from spark_streaming_project_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 49 chars
+    boiler = "COMMON LICENSE HEADER " * 3  # 66 chars, in many docs
+    corpus = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "other start " + shared + " tail beta"),
+        (3, "unrelated document with no overlap at all here xyz"),
+        (4, boiler + " body four"),
+        (5, boiler + " body five"),
+        (6, "short"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    L = 20
+
+    def lcs_len(x, y):
+        best = 0
+        # O(m^2) DP-free scan is fine at this size
+        for i in range(len(x)):
+            for j in range(len(y)):
+                k = 0
+                while i + k < len(x) and j + k < len(y) and x[i + k] == y[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    want = {}
+    for i in range(len(corpus)):
+        for j in range(i + 1, len(corpus)):
+            l = lcs_len(corpus[i][1], corpus[j][1])
+            if l >= L:
+                want[(corpus[i][0], corpus[j][0])] = l
+
+    got = {
+        (r["id_a"], r["id_b"]): r["max_shared_len"]
+        for r in exact_substring_pairs(df, "text", "doc_id", min_len=L).collect()
+    }
+    assert got == want and (1, 2) in got and (4, 5) in got
+    # both docs flank the shared sentence with a space -> LCS includes them
+    assert got[(1, 2)] == len(shared) + 2
+
+    # hot_cap=1 drops windows present in >1 docs — every cross-doc match
+    # window is by definition in >= 2 docs, so all pairs disappear
+    capped = exact_substring_pairs(
+        df, "text", "doc_id", min_len=L, hot_cap=1
+    ).collect()
+    assert capped == []
