@@ -160,3 +160,68 @@ def doc_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & F.col("n_chars").isNotNull()
     )
     return paired_stats(docs, "source", F.col("n_chars"), token_count("text"))
+
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (DDSketch-style log-binned histogram): the
+# percentile state that merges by counter ADDITION, so streaming
+# maintenance is exact (operators/quantiles.py; ROADMAP #11).
+# ---------------------------------------------------------------------------
+
+_DD_ALPHA = 0.01
+_DD_GAMMA = 1.02020202020202
+
+
+@register(
+    "value_quantile_sketch",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN value > 0 THEN 1
+                    WHEN value < 0 THEN -1 ELSE 0 END AS sgn,
+               CASE WHEN value <> 0
+                    THEN CAST(ceil(ln(abs(value)) / ln({_DD_GAMMA})) AS BIGINT)
+                    ELSE 0 END AS bin
+        FROM events WHERE value IS NOT NULL
+    ),
+    sk AS (
+        SELECT event_type, sgn, bin, count(*) AS cnt
+        FROM binned GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT event_type, sgn, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type
+                              ORDER BY sgn, sgn * bin) AS _cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS _n
+        FROM sk
+    ),
+    qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+    hit AS (
+        SELECT event_type, q, sgn, bin, row_number() OVER (
+                   PARTITION BY event_type, q ORDER BY sgn, sgn * bin) AS rn
+        FROM cum, qs WHERE _cum > floor(q * (_n - 1))
+    )
+    SELECT event_type, q,
+           round(CASE WHEN sgn = 0 THEN 0.0
+                      ELSE sgn * 2.0 * pow({_DD_GAMMA}, bin)
+                           / ({_DD_GAMMA} + 1.0) END, 6) AS estimate
+    FROM hit WHERE rn = 1
+    """,
+    tags=("profiling", "sketch", "streaming-mergeable"),
+)
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 from the DDSketch-style log-binned
+    histogram (alpha=1%): bin membership is a pure function of the value,
+    so the sketch is an additive counter frame — the SAME frame a
+    foreachBatch build maintains incrementally (exact-parity-tested in
+    tests/test_streaming_llm.py) — and DuckDB replays build + walk
+    bit-for-bit. Relative error <= alpha by log-bin construction
+    (accuracy pinned vs exact percentiles in pytest)."""
+    from ..operators.quantiles import ddsketch_build, ddsketch_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = ddsketch_build(ev, "value", ["event_type"], alpha=_DD_ALPHA)
+    return ddsketch_quantiles(
+        sk, [0.5, 0.95, 0.99], ["event_type"], alpha=_DD_ALPHA
+    )

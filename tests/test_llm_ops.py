@@ -374,3 +374,44 @@ def test_exact_substring_pairs_vs_bruteforce(spark):
         df, "text", "doc_id", min_len=L, hot_cap=1
     ).collect()
     assert capped == []
+
+
+def test_ddsketch_accuracy_and_canonical_merge(spark):
+    """DDSketch quantiles must sit within the alpha relative-error bound of
+    exact percentiles, and the sketch must be CANONICAL: built whole, built
+    from parts then merged, or merged in any order — identical frames
+    (the property t-digest lacks that makes streaming parity exact)."""
+    import numpy as np
+
+    from spark_streaming_project_spark.operators.quantiles import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    rng = [((i * 2654435761) % 100003) / 97.0 + 0.01 for i in range(5000)]
+    rng += [0.0] * 37 + [-v for v in rng[:500]]  # zero + negative buckets
+    df = spark.createDataFrame([(v,) for v in rng], "v double")
+    alpha = 0.01
+
+    sk = ddsketch_build(df, "v", alpha=alpha)
+    got = {
+        r["q"]: r["estimate"]
+        for r in ddsketch_quantiles(sk, [0.05, 0.5, 0.95], alpha=alpha).collect()
+    }
+    arr = np.sort(np.array(rng))
+    for q, est in got.items():
+        exact = float(arr[int(q * (len(arr) - 1))])
+        assert abs(est - exact) <= alpha * abs(exact) + 1e-9, (q, est, exact)
+
+    # canonical merge: thirds merged in two different orders == whole
+    parts = [
+        df.filter(F.pmod((F.col("v") * 100).cast("long"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    sks = [ddsketch_build(p, "v", alpha=alpha) for p in parts]
+    m1 = ddsketch_merge(ddsketch_merge(sks[0], sks[1]), sks[2])
+    m2 = ddsketch_merge(sks[2], ddsketch_merge(sks[1], sks[0]))
+    whole = {(r["sgn"], r["bin"]): r["cnt"] for r in sk.collect()}
+    assert {(r["sgn"], r["bin"]): r["cnt"] for r in m1.collect()} == whole
+    assert {(r["sgn"], r["bin"]): r["cnt"] for r in m2.collect()} == whole
