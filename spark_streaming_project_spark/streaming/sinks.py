@@ -241,42 +241,104 @@ def foreach_batch_incremental_agg(
     intact, so the replay re-merges from the OLD state — exactly once
     either way. POSIX-only (symlink + atomic rename), like the rest of
     the local-parquet sinks."""
-    import os
-    import shutil
-
     from ..operators.aggregates import merge_agg_state
-
-    marker = "_last_batch_id"
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev_version: str | None = None
-        merged = None
-        if os.path.lexists(path):
-            prev_version = os.path.realpath(path)
-            mpath = os.path.join(prev_version, marker)
-            if os.path.isfile(mpath):
-                with open(mpath) as fh:
-                    if batch_id <= int(fh.read().strip()):
-                        return  # replayed micro-batch: already merged
+        if _already_applied(path, batch_id):
+            return  # replayed micro-batch: already merged
+        if _state_exists(path):
             state = spark.read.parquet(path)
             merged = merge_agg_state(state, agg_fn(batch_df), keys, counters)
         else:
             merged = agg_fn(batch_df)
-        version = f"{path}__v{batch_id}"
-        merged.write.mode("overwrite").parquet(version)
-        with open(os.path.join(version, marker), "w") as fh:
-            fh.write(str(batch_id))
-        tmp = f"{path}__ptr_{batch_id}"
-        if os.path.lexists(tmp):
-            os.remove(tmp)
-        os.symlink(os.path.abspath(version), tmp)
-        if os.path.isdir(path) and not os.path.islink(path):
-            # legacy real-directory layout: one-time migration aside
-            os.rename(path, f"{path}__legacy_{batch_id}")
-            prev_version = f"{path}__legacy_{batch_id}"
-        os.rename(tmp, path)  # THE publish: atomic symlink replacement
-        if prev_version and os.path.isdir(prev_version):
-            shutil.rmtree(prev_version, ignore_errors=True)
+        _publish_versioned(merged, path, batch_id)
+
+    return write
+
+
+_BATCH_MARKER = "_last_batch_id"
+
+
+def _state_exists(path: str) -> bool:
+    import os
+
+    return os.path.lexists(path)
+
+
+def _already_applied(path: str, batch_id: int) -> bool:
+    """High-water-mark replay guard: True iff the published state already
+    merged this (or a later) micro-batch."""
+    import os
+
+    if not os.path.lexists(path):
+        return False
+    mpath = os.path.join(os.path.realpath(path), _BATCH_MARKER)
+    if not os.path.isfile(mpath):
+        return False
+    with open(mpath) as fh:
+        return batch_id <= int(fh.read().strip())
+
+
+def _publish_versioned(df: DataFrame, path: str, batch_id: int) -> None:
+    """Write ``df`` as state version ``<path>__v<batch_id>`` (carrying its
+    own batch-id marker) and swap the ``path`` symlink to it with ONE
+    atomic rename — ``path`` is never absent, and a crash before the swap
+    leaves the previous version (and its high-water mark) intact."""
+    import os
+    import shutil
+
+    prev_version = os.path.realpath(path) if os.path.lexists(path) else None
+    version = f"{path}__v{batch_id}"
+    df.write.mode("overwrite").parquet(version)
+    with open(os.path.join(version, _BATCH_MARKER), "w") as fh:
+        fh.write(str(batch_id))
+    tmp = f"{path}__ptr_{batch_id}"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(os.path.abspath(version), tmp)
+    if os.path.isdir(path) and not os.path.islink(path):
+        # legacy real-directory layout: one-time migration aside
+        os.rename(path, f"{path}__legacy_{batch_id}")
+        prev_version = f"{path}__legacy_{batch_id}"
+    os.rename(tmp, path)  # THE publish: atomic symlink replacement
+    if prev_version and os.path.isdir(prev_version):
+        shutil.rmtree(prev_version, ignore_errors=True)
+
+
+def foreach_batch_cc_update(
+    path: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> Callable[[DataFrame, int], None]:
+    """Incremental connected-components maintenance (ROADMAP #12): each
+    micro-batch of EDGE INSERTS is unioned with the checkpointed label map
+    re-expressed as star edges (u -> component, self-edge for singletons)
+    and re-labeled. Because the map is already transitively flattened, the
+    combined graph is a forest of stars plus |batch| new edges — the CC
+    rounds touch O(|state nodes| + |batch|) rows and converge in 2-3
+    pointer-jumping rounds regardless of how many edges history held; the
+    RAW edge history is never stored or re-read. component = min reachable
+    node id is order-independent, so a drained stream equals the batch
+    labeling EXACTLY (parity-tested). Same exactly-once replay guard and
+    atomic versioned publish as the incremental-aggregate sink.
+    """
+    from ..operators.graph import connected_components
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _already_applied(path, batch_id):
+            return
+        new_edges = batch_df.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        )
+        if _state_exists(path):
+            state = spark.read.parquet(path)
+            star = state.select("u", F.col("component").alias("v"))
+            edges = star.union(new_edges)
+        else:
+            edges = new_edges
+        labels = connected_components(edges, "u", "v")
+        _publish_versioned(labels, path, batch_id)
 
     return write

@@ -482,3 +482,62 @@ def test_streaming_quantile_sketch_matches_batch_exactly(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 15
+
+
+def test_streaming_cc_maintenance_matches_batch(spark, tmp_path):
+    """ROADMAP #12: connected components maintained under foreachBatch
+    (label-map state re-expressed as star edges + batch edge inserts) must
+    equal the one-shot batch labeling EXACTLY after the drain — including
+    across components that only merge in a LATER batch — and the per-batch
+    input is O(state nodes + batch), never the raw edge history."""
+    from spark_streaming_project_spark.operators.graph import (
+        connected_components,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_cc_update,
+    )
+
+    # chain 0-1-2-...-9 delivered interleaved so early batches see
+    # DISJOINT fragments that only later batches connect, plus a clique
+    # and a late bridge between the two structures
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(100, 101), (101, 102), (100, 102)]
+    edges += [(9, 100)]  # the bridge arrives last
+    src = str(tmp_path / "cc_src")
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    batches = [
+        df.filter((F.col("id_a") % 3 == i) & (F.col("id_a") < 50))
+        for i in range(3)
+    ] + [df.filter(F.col("id_a") >= 50), df.filter(F.col("id_a") == 9)]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state = str(tmp_path / "cc_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_cc"))
+    runner.add(
+        "cc_maint", stream, foreach_batch=foreach_batch_cc_update(state)
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        (r["u"], r["component"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r["u"], r["component"])
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    assert got == want
+    # everything reachable -> single component rooted at the min node
+    assert {c for _, c in got} == {0}
+
+    # replaying the last batch id is a no-op (exactly-once guard shared
+    # with the incremental-agg sink)
+    sink = foreach_batch_cc_update(state)
+    sink(spark.createDataFrame([(999, 1000)], "id_a bigint, id_b bigint"), 0)
+    assert (999, 999) not in {
+        (r["u"], r["component"]) for r in spark.read.parquet(state).collect()
+    }
