@@ -306,3 +306,35 @@ def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
     assert sy > 0.8, sy
     # the z-curve's whole point: the trailing dimension becomes prunable
     assert zy < 0.6 * sy, (zy, sy)
+
+
+def test_driver_window_is_exactly_the_intended_fifty():
+    """VERDICT r4 ask #1: the recorded window must be COMPUTED, not prose —
+    the registry's first DRIVER_WINDOW names are exactly the intended
+    round-5 list (never-recorded queries front-loaded), every oracle-
+    bearing entry in it has an oracle, and the 6 declared rows-only tiers
+    are precisely the ones documented."""
+    from spark_streaming_project_spark.plans import (
+        DRIVER_WINDOW,
+        REGISTRY,
+        _R5_WINDOW,
+    )
+
+    head = list(REGISTRY)[:DRIVER_WINDOW]
+    assert head == _R5_WINDOW
+    assert len(_R5_WINDOW) == DRIVER_WINDOW == 50
+    rows_only_in_window = {n for n in head if REGISTRY[n].oracle is None}
+    assert rows_only_in_window == {
+        "approx_stats",
+        "bpe_merge_table",
+        "neardup_centrality",
+        "similarity_ivf_kmeans_topk",
+        "similarity_pq_topk",
+        "similarity_ivfpq_topk",
+    }
+    # everything outside the window still has its oracle (local gate runs
+    # the full registry every session regardless of the recorded window)
+    assert all(
+        REGISTRY[n].oracle is not None
+        for n in list(REGISTRY)[DRIVER_WINDOW:]
+    )
