@@ -606,9 +606,15 @@ def exact_substring_pairs(
     pairs, which is the standard production trade.
     """
     L = int(min_len)
-    base = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= L)
-    ).select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    base = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= L))
+        .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        # spread docs across the cluster BEFORE the ~length(text)-row
+        # generator: a handful of source files must not serialize the
+        # window emission (the explode multiplies rows ~300x, so the
+        # pre-shuffle is 1/300th the generated volume)
+        .repartition(F.col("_id"))
+    )
     wins = base.select(
         "_id",
         F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))).alias(
@@ -630,6 +636,11 @@ def exact_substring_pairs(
             .select("wk")
         )
         wins = wins.join(F.broadcast(hot), "wk", "left_anti")
+    # persist: the self-join would otherwise regenerate + re-md5 every
+    # window on BOTH sides (the generator sits below the join's exchanges,
+    # so no ReusedExchange) — the same shared-intermediate pattern as the
+    # persisted shingle pass in the n-gram tiers
+    wins = wins.persist()
     a = wins.select(
         F.col("_id").alias("id_a"), F.col("pos").alias("pa"), "wk"
     )
