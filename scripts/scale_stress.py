@@ -324,6 +324,23 @@ def main() -> None:
         run("ivfpq_topk", scale, lambda: ivfpq_topk(
             emb, "vec_id", "embedding", qid_, k=10))
 
+        # -- round-5 tiers: exact substring dedup + mergeable quantiles ---
+        # The 10x corpus is replication-with-perturbation, so every ~10-
+        # token unperturbed stretch (~60 chars) is shared across the 10
+        # variants of a doc: exact-substring output grows ~C(10,2)x per
+        # group — the output-bound regime (the honest cost shape), with
+        # the hot_cap comparator showing the boilerplate guard's effect.
+        run("exact_substring", scale, lambda: D.exact_substring_pairs(
+            docs, "text", "doc_id", min_len=40))
+        run("exact_substring_hotcap", scale, lambda: D.exact_substring_pairs(
+            docs, "text", "doc_id", min_len=40, hot_cap=12))
+        from spark_streaming_project_spark.operators.quantiles import (
+            ddsketch_build, ddsketch_quantiles)
+        ev_ = spark.read.parquet(os.path.join(ddir, "events.parquet"))
+        run("ddsketch_quantiles", scale, lambda: ddsketch_quantiles(
+            ddsketch_build(ev_, "value", ["event_type"]),
+            [0.5, 0.95, 0.99], ["event_type"]))
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter
