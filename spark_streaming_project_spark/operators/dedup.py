@@ -563,49 +563,16 @@ def incremental_dedup_verdicts(
     )
 
 
-def exact_substring_pairs(
+def _exact_substring_runs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    min_len: int = 40,
-    hot_cap: int | None = None,
+    L: int,
+    hot_cap: int | None,
 ) -> DataFrame:
-    """EXACT long-substring cross-document dedup — the ExactSubstr half of
-    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
-    Better"); the fixed-n token-gram tier (``cross_doc_gram_share``)
-    approximates what this computes exactly at character level.
-
-    For every document pair sharing a character substring of length >=
-    ``min_len``, returns (id_a, id_b, max_shared_len, shared_windows):
-    the exact length of the LONGEST shared substring and how many
-    ``min_len``-sized windows matched. No false positives, no misses
-    (md5-keyed window equality; collisions are 2^-64-level).
-
-    Distributed shape (the suffix-sort re-expressed as dataflow):
-      1. Every position emits one ``min_len``-char window, immediately
-         compressed to a 16-hex-char md5 key — the shuffle carries 16
-         bytes per position, never the text, and the window→key map stays
-         inside whole-stage codegen (one generator + projection, no UDF).
-      2. The equi-join on window keys IS the suffix sort's "equal prefix"
-         bucketing: range partitioning groups equal keys, and only
-         positions whose window actually matches meet — the candidate set
-         is output-bound, exactly like the banded-LSH joins.
-      3. Matched positions collapse to maximal runs per (pair, diagonal)
-         with the row_number-island trick: a run of r consecutive
-         positions on one diagonal == a shared substring of length
-         min_len + r - 1 — recovering EXACT maximal-match lengths without
-         ever comparing characters again.
-
-    Scale notes (100 TB): window emission is O(total_chars) rows of ~24
-    bytes — the honest cost of exactness (Lee et al. pay it as suffix
-    arrays over each shard). The join is output-bound EXCEPT for
-    boilerplate substrings shared by thousands of docs (license headers):
-    ``hot_cap`` drops window keys appearing in more than ``hot_cap``
-    documents (the same opt-in guard as decontamination's hot-gram cap) —
-    a capped run reports a LOWER BOUND on max_shared_len for the affected
-    pairs, which is the standard production trade.
-    """
-    L = int(min_len)
+    """Shared matched-run frame for the ExactSubstr tiers: one row per
+    maximal diagonal run of matching ``L``-char windows between a doc pair
+    (id_a < id_b): (id_a, id_b, diag, a_start, run)."""
     base = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= L))
         .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
@@ -660,10 +627,113 @@ def exact_substring_pairs(
             Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
         ),
     )
-    runs = isl.groupBy("id_a", "id_b", "diag", "grp").agg(
-        F.count("*").alias("run")
+    return isl.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count("*").alias("run"), F.min("pa").alias("a_start")
     )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 40,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """EXACT long-substring cross-document dedup — the ExactSubstr half of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"); the fixed-n token-gram tier (``cross_doc_gram_share``)
+    approximates what this computes exactly at character level.
+
+    For every document pair sharing a character substring of length >=
+    ``min_len``, returns (id_a, id_b, max_shared_len, shared_windows):
+    the exact length of the LONGEST shared substring and how many
+    ``min_len``-sized windows matched. No false positives, no misses
+    (md5-keyed window equality; collisions are 2^-64-level).
+
+    Distributed shape (the suffix-sort re-expressed as dataflow):
+      1. Every position emits one ``min_len``-char window, immediately
+         compressed to a 16-hex-char md5 key — the shuffle carries 16
+         bytes per position, never the text, and the window→key map stays
+         inside whole-stage codegen (one generator + projection, no UDF).
+      2. The equi-join on window keys IS the suffix sort's "equal prefix"
+         bucketing: range partitioning groups equal keys, and only
+         positions whose window actually matches meet — the candidate set
+         is output-bound, exactly like the banded-LSH joins.
+      3. Matched positions collapse to maximal runs per (pair, diagonal)
+         with the row_number-island trick: a run of r consecutive
+         positions on one diagonal == a shared substring of length
+         min_len + r - 1 — recovering EXACT maximal-match lengths without
+         ever comparing characters again.
+
+    Scale notes (100 TB): window emission is O(total_chars) rows of ~24
+    bytes — the honest cost of exactness (Lee et al. pay it as suffix
+    arrays over each shard). The join is output-bound EXCEPT for
+    boilerplate substrings shared by thousands of docs (license headers):
+    ``hot_cap`` drops window keys appearing in more than ``hot_cap``
+    documents (the same opt-in guard as decontamination's hot-gram cap) —
+    a capped run reports a LOWER BOUND on max_shared_len for the affected
+    pairs, which is the standard production trade.
+    """
+    L = int(min_len)
+    runs = _exact_substring_runs(df, text_col, id_col, L, hot_cap)
     return runs.groupBy("id_a", "id_b").agg(
         (F.max("run") + F.lit(L - 1)).cast("bigint").alias("max_shared_len"),
         F.sum("run").cast("bigint").alias("shared_windows"),
+    )
+
+
+def exact_substring_trim_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 40,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (Lee et al. 2022 cut the duplicated
+    span out of all-but-one copy): per document, the merged character
+    intervals to delete so that every cross-doc substring of length >=
+    ``min_len`` survives only in its LOWEST-id holder.
+
+    Built from the same matched-run frame as :func:`exact_substring_pairs`
+    (keep-lowest policy: a run between id_a < id_b marks the id_b side),
+    then per-doc interval union via the sorted running-max island trick —
+    overlapping/adjacent spans from DIFFERENT partners collapse to one
+    interval, so the trim plan never double-counts. Output: (doc_id,
+    trim_start, trim_end, span_len), 1-based inclusive character
+    positions.
+
+    Scale shape: identical to the pair tier through the window join; the
+    interval merge adds one shuffle keyed on doc_id with per-doc windows
+    (frames bounded by a doc's own span count).
+    """
+    L = int(min_len)
+    runs = _exact_substring_runs(df, text_col, id_col, L, hot_cap)
+    spans = runs.select(
+        F.col("id_b").alias("doc_id"),
+        (F.col("a_start") - F.col("diag")).alias("s"),
+        (F.col("a_start") - F.col("diag") + F.col("run") + F.lit(L - 2)).alias(
+            "e"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "_new_isl",
+        F.when(
+            prev_max.isNull() | (F.col("s") > prev_max + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("_isl", F.sum("_new_isl").over(w))
+    return (
+        flagged.groupBy("doc_id", "_isl")
+        .agg(F.min("s").alias("trim_start"), F.max("e").alias("trim_end"))
+        .select(
+            "doc_id",
+            F.col("trim_start").cast("bigint").alias("trim_start"),
+            F.col("trim_end").cast("bigint").alias("trim_end"),
+            (F.col("trim_end") - F.col("trim_start") + 1)
+            .cast("bigint")
+            .alias("span_len"),
+        )
     )

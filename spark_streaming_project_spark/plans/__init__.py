@@ -78,7 +78,9 @@ _R5_WINDOW = [
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
-    # -- 10 of the 47 r03-era rows (alphabetical; the rest queue for r06)
+    # -- the round-5 session-2 addition (zero artifact history).
+    "dedup_substring_trim_plan",
+    # -- 9 of the 47 r03-era rows (alphabetical; the rest queue for r06)
     #    so every green row's age stays bounded.
     "brand_counts",
     "category_counts",
@@ -89,7 +91,6 @@ _R5_WINDOW = [
     "dedup_exact_groups",
     "dedup_keep_list",
     "dedup_minhash_pairs",
-    "dedup_ngram_jaccard_pairs",
 ]
 
 

@@ -823,6 +823,86 @@ _EXACT_SUBSTR_ORACLE = f"""
 """
 
 
+_TRIM_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND length(text) >= {_EXACT_SUBSTR_LEN}
+    ),
+    pos_t AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {_EXACT_SUBSTR_LEN} + 2)) AS pos
+        FROM base
+    ),
+    wins AS (
+        SELECT doc_id, pos,
+               substr(md5(substr(text, CAST(pos AS INTEGER),
+                                 {_EXACT_SUBSTR_LEN})), 1, 16) AS wk
+        FROM pos_t
+    ),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        FROM wins a JOIN wins b ON a.wk = b.wk AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, pa - pb AS diag, pa,
+               pa - row_number() OVER (
+                   PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+        FROM m
+    ),
+    runs AS (
+        SELECT id_a, id_b, diag, grp, count(*) AS run, min(pa) AS a_start
+        FROM isl GROUP BY 1, 2, 3, 4
+    ),
+    spans AS (
+        SELECT id_b AS doc_id, a_start - diag AS s,
+               a_start - diag + run + {_EXACT_SUBSTR_LEN} - 2 AS e
+        FROM runs
+    ),
+    flg AS (
+        SELECT doc_id, s, e,
+               CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END AS ni
+        FROM (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM spans
+        )
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS isl
+        FROM flg
+    )
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS trim_start,
+           CAST(max(e) AS BIGINT) AS trim_end,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len
+    FROM isl2 GROUP BY doc_id, isl
+"""
+
+
+@register(
+    "dedup_substring_trim_plan",
+    oracle=_TRIM_ORACLE,
+    tags=("llm", "dedup", "exact-substring"),
+)
+def dedup_substring_trim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (Lee et al. 2022): per document,
+    the merged 1-based character intervals to delete so every >=40-char
+    cross-doc substring survives only in its lowest-id holder — spans
+    from different partners union into maximal intervals, so applying the
+    plan is a single per-doc pass."""
+    from ..operators.dedup import exact_substring_trim_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_trim_spans(
+        docs, "text", "doc_id", min_len=_EXACT_SUBSTR_LEN
+    )
+
+
 @register(
     "dedup_exact_substring_pairs",
     oracle=_EXACT_SUBSTR_ORACLE,

@@ -415,3 +415,50 @@ def test_ddsketch_accuracy_and_canonical_merge(spark):
     whole = {(r["sgn"], r["bin"]): r["cnt"] for r in sk.collect()}
     assert {(r["sgn"], r["bin"]): r["cnt"] for r in m1.collect()} == whole
     assert {(r["sgn"], r["bin"]): r["cnt"] for r in m2.collect()} == whole
+
+
+def test_exact_substring_trim_plan_eliminates_all_duplicates(spark):
+    """Applying the trim plan (masking each doc's spans, so cuts cannot
+    splice new matches) must leave NO cross-doc substring >= min_len —
+    the ExactSubstr removal guarantee — and spans from different partners
+    must arrive merged into disjoint maximal intervals."""
+    from spark_streaming_project_spark.operators.dedup import (
+        exact_substring_pairs,
+        exact_substring_trim_spans,
+    )
+
+    shared1 = "alpha bravo charlie delta echo foxtrot golf"
+    shared2 = "zero one two three four five six seven eight"
+    corpus = [
+        (1, f"A {shared1} mid {shared2} Z"),
+        (2, f"B {shared1} other tail"),          # overlaps doc 1
+        (3, f"C start {shared2} D {shared1} E"),  # overlaps docs 1 AND 2
+        (4, "totally unrelated content with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    L = 20
+
+    spans = exact_substring_trim_spans(df, "text", "doc_id", min_len=L).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans:
+        assert r["span_len"] == r["trim_end"] - r["trim_start"] + 1
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["trim_start"], r["trim_end"])
+        )
+    assert 1 not in by_doc  # lowest id keeps everything
+    assert set(by_doc) == {2, 3}
+    for ivs in by_doc.values():  # merged output: sorted, disjoint, gapped
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1 + 1
+
+    masked = []
+    for doc_id, text in corpus:
+        chars = list(text)
+        mask = chr(1 + doc_id)  # per-doc mask: masked runs must not match
+        for s, e in by_doc.get(doc_id, []):
+            for i in range(s - 1, e):  # 1-based inclusive
+                chars[i] = mask
+        masked.append((doc_id, "".join(chars)))
+    mdf = spark.createDataFrame(masked, "doc_id bigint, text string")
+    assert exact_substring_pairs(mdf, "text", "doc_id", min_len=L).count() == 0
