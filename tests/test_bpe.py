@@ -94,3 +94,25 @@ def test_bpe_encode_on_testdata_reassembles(spark):
         F.avg(F.length("word")).alias("c"),
     ).collect()[0]
     assert stats["s"] < stats["c"]
+
+
+def test_incremental_trainer_exact_parity(spark):
+    """bpe_train_merges_incremental must produce the IDENTICAL merge table
+    (pairs, counts, order, tie-breaks) as the full-recompute trainer and
+    the pure-Python reference — integer-exact count maintenance."""
+    from spark_streaming_project_spark.operators.bpe import (
+        bpe_reference,
+        bpe_train_merges,
+        bpe_train_merges_incremental,
+        word_freq_dict,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inc = bpe_train_merges_incremental(docs, "text", n_merges=12)
+    full = bpe_train_merges(docs, "text", n_merges=12)
+    assert inc == full
+    wc = {
+        r["word"]: r["cnt"]
+        for r in word_freq_dict(docs, "text").collect()
+    }
+    assert inc == bpe_reference(wc, n_merges=12)
