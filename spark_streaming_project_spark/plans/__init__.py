@@ -78,9 +78,10 @@ _R5_WINDOW = [
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
-    # -- the round-5 session-2 addition (zero artifact history).
+    # -- round-5 session-2 additions (zero artifact history).
     "dedup_substring_trim_plan",
-    # -- 9 of the 47 r03-era rows (alphabetical; the rest queue for r06)
+    "distinct_sketch",
+    # -- 8 of the 47 r03-era rows (alphabetical; the rest queue for r06)
     #    so every green row's age stays bounded.
     "brand_counts",
     "category_counts",
@@ -90,7 +91,6 @@ _R5_WINDOW = [
     "dedup_canonical_map",
     "dedup_exact_groups",
     "dedup_keep_list",
-    "dedup_minhash_pairs",
 ]
 
 

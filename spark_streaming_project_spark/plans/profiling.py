@@ -225,3 +225,61 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles(
         sk, [0.5, 0.95, 0.99], ["event_type"], alpha=_DD_ALPHA
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable distinct sketch (HyperLogLog registers): the
+# engine-portable COUNT(DISTINCT) state (operators/sketches.py).
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+
+
+@register(
+    "distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT lang,
+               CAST(concat('0x', substr(md5(concat('hll:', source)), 1, 4))
+                    AS BIGINT) % {_HLL_M} AS bucket,
+               CAST(concat('0x', substr(md5(concat('hll:', source)), 5, 8))
+                    AS BIGINT) AS v
+        FROM documents WHERE source IS NOT NULL
+    ),
+    reg AS (
+        SELECT lang, bucket,
+               max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END)
+                   AS max_rho
+        FROM hashed GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT lang, sum(pow(2.0, -max_rho)) AS ps,
+               {_HLL_M} - count(*) AS zeros
+        FROM reg GROUP BY 1
+    )
+    SELECT lang,
+           round(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                      THEN {float(_HLL_M)} * ln({float(_HLL_M)} / zeros)
+                      ELSE raw END, 4) AS distinct_estimate
+    FROM (SELECT lang, zeros,
+                 {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                     / (ps + CAST(zeros AS DOUBLE)) AS raw
+          FROM agg)
+    """,
+    tags=("profiling", "sketch", "streaming-mergeable"),
+)
+def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language approximate distinct sources from DETERMINISTIC
+    HyperLogLog registers (md5 bucketing, integer bit-length rho): unlike
+    approx_count_distinct's opaque sketch, the register frame is
+    engine-replayable (DuckDB rebuilds it bit-for-bit), MAX-monoid
+    mergeable (sketch(A) + sketch(B) == sketch(A∪B), pytest-pinned), and
+    maintainable under foreachBatch with exact batch parity. The exact
+    twin for accuracy comparison is ``exact_stats``' n_sources."""
+    from ..operators.sketches import hll_build, hll_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    reg = hll_build(docs, "source", ["lang"], m=_HLL_M)
+    return hll_estimate(reg, ["lang"], m=_HLL_M)

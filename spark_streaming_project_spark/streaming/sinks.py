@@ -218,12 +218,17 @@ def foreach_batch_incremental_agg(
     agg_fn: Callable[[DataFrame], DataFrame],
     keys: list[str],
     counters: list[str],
+    merge_fn: Callable[[DataFrame, DataFrame, list[str], list[str]], DataFrame]
+    | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Incremental materialized-view sink: per micro-batch, aggregate ONLY
     the batch (``agg_fn``: rows -> additive partial aggregate) and merge
     it into the parquet state table with ``merge_agg_state`` — the view is
     maintained in O(|batch|) per trigger instead of per-batch full
-    recomputation (foreach_batch_reaggregate's shape).
+    recomputation (foreach_batch_reaggregate's shape). ``merge_fn``
+    defaults to the additive ``merge_agg_state``; any monoid merge with
+    the same signature works (e.g. ``sketches.merge_max_state`` for HLL
+    registers).
 
     Exactly-once under replay: foreachBatch is at-least-once, so the
     last-applied ``batch_id`` is recorded INSIDE each published version
@@ -243,13 +248,15 @@ def foreach_batch_incremental_agg(
     the local-parquet sinks."""
     from ..operators.aggregates import merge_agg_state
 
+    combine = merge_fn or merge_agg_state
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if _already_applied(path, batch_id):
             return  # replayed micro-batch: already merged
         if _state_exists(path):
             state = spark.read.parquet(path)
-            merged = merge_agg_state(state, agg_fn(batch_df), keys, counters)
+            merged = combine(state, agg_fn(batch_df), keys, counters)
         else:
             merged = agg_fn(batch_df)
         _publish_versioned(merged, path, batch_id)

@@ -541,3 +541,61 @@ def test_streaming_cc_maintenance_matches_batch(spark, tmp_path):
     assert (999, 999) not in {
         (r["u"], r["component"]) for r in spark.read.parquet(state).collect()
     }
+
+
+def test_streaming_hll_registers_match_batch_exactly(spark, tmp_path):
+    """HLL registers maintained under foreachBatch (max-monoid merge_fn in
+    the incremental-MV sink) must equal the batch-built registers — and
+    therefore every estimate — exactly after the drain."""
+    from spark_streaming_project_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        merge_max_state,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "hll_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state = str(tmp_path / "hll_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_hll"))
+    runner.add(
+        "hll_sketch",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state,
+            lambda df: hll_build(df, "source", ["lang"]),
+            ["lang", "bucket"],
+            ["max_rho"],
+            merge_fn=merge_max_state,
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got_reg = {
+        (r["lang"], r["bucket"]): r["max_rho"]
+        for r in spark.read.parquet(state).collect()
+    }
+    want_reg = {
+        (r["lang"], r["bucket"]): r["max_rho"]
+        for r in hll_build(docs, "source", ["lang"]).collect()
+    }
+    assert got_reg == want_reg and got_reg
+    got = {
+        r["lang"]: r["distinct_estimate"]
+        for r in hll_estimate(spark.read.parquet(state), ["lang"]).collect()
+    }
+    want = {
+        r["lang"]: r["distinct_estimate"]
+        for r in hll_estimate(hll_build(docs, "source", ["lang"]), ["lang"]).collect()
+    }
+    assert got == want
