@@ -737,3 +737,87 @@ def exact_substring_trim_spans(
             .alias("span_len"),
         )
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """Entity-resolution near matches: all pairs within Levenshtein
+    distance ``max_dist`` — the Ed-Join / count-filter shape (Xiao et al.
+    2008) re-expressed as dataflow:
+
+      1. q-gram inverted equi-join (skinny (gram, id) keys — the same
+         bucketed-join discipline as every dedup tier; the raw strings
+         never enter the candidate shuffle);
+      2. COUNT FILTER: an edit destroys at most ``q`` grams, so a pair
+         within distance d shares >= max(la, lb) - q + 1 - d*q grams
+         (multiset intersection = sum of per-gram min counts). Plus the
+         length filter |la - lb| <= d;
+      3. exact ``levenshtein`` verification on the surviving candidates
+         only — zero false positives.
+
+    No-miss guarantee holds for strings longer than (d+1)*q - 1 chars
+    (shorter strings can lose every shared gram to the edits; the
+    registered query's 18-char keys clear this by 4x). Output: (id_a,
+    id_b, edit_distance), id_a < id_b.
+
+    Scale: candidate volume is sum over grams of df(g)^2 — bounded by the
+    count filter's pre-aggregation on (id_a, id_b); for corpora with hot
+    grams the decontamination-style cap composes upstream. Verification
+    cost is per-candidate, never per-pair-of-rows.
+    """
+    d = int(max_dist)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= q)
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+    )
+    grams = base.select(
+        "_id",
+        "_len",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, _len - {q - 1}),"
+                f" p -> substring(_t, p, {q}))"
+            )
+        ).alias("gram"),
+    ).groupBy("_id", "_len", "gram").agg(F.count("*").alias("c"))
+    a = grams.select(
+        F.col("_id").alias("id_a"), F.col("_len").alias("la"),
+        "gram", F.col("c").alias("ca"),
+    )
+    b = grams.select(
+        F.col("_id").alias("id_b"), F.col("_len").alias("lb"),
+        "gram", F.col("c").alias("cb"),
+    )
+    shared = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= d)
+        )
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(F.sum(F.least("ca", "cb")).alias("common"))
+    )
+    thresh = F.greatest(
+        F.greatest("la", "lb") - F.lit(q - 1) - F.lit(d * q), F.lit(1)
+    )
+    cand = shared.filter(F.col("common") >= thresh).select("id_a", "id_b")
+    s1 = base.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    s2 = base.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+    return (
+        cand.join(s1, "id_a")
+        .join(s2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= d)
+    )

@@ -135,6 +135,9 @@ def hll_estimate(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    return agg.select(
-        *keys, F.round(est, 4).alias("distinct_estimate")
+    return (
+        # a GLOBAL aggregate over an empty register frame yields one
+        # (count=0, sum=NULL) row — an empty sketch has no estimate
+        agg.filter(F.col("_present") > 0)
+        .select(*keys, F.round(est, 4).alias("distinct_estimate"))
     )

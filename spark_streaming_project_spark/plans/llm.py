@@ -823,6 +823,59 @@ _EXACT_SUBSTR_ORACLE = f"""
 """
 
 
+_FUZZY_ORACLE = """
+    WITH base AS (
+        SELECT s_suppkey AS id, s_name AS t, length(s_name) AS len
+        FROM supplier WHERE s_name IS NOT NULL AND length(s_name) >= 2
+    ),
+    grams AS (
+        SELECT id, len, substr(t, CAST(p AS INTEGER), 2) AS gram,
+               count(*) AS c
+        FROM (SELECT id, len, t,
+                     unnest(range(1, len)) AS p
+              FROM base)
+        GROUP BY 1, 2, 3
+    ),
+    shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.len AS la, b.len AS lb,
+               sum(least(a.c, b.c)) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+        WHERE abs(a.len - b.len) <= 1
+        GROUP BY 1, 2, 3, 4
+    ),
+    cand AS (
+        SELECT id_a, id_b FROM shared
+        WHERE common >= greatest(greatest(la, lb) - 1 - 2, 1)
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(x.t, y.t) AS INTEGER) AS edit_distance
+    FROM cand c JOIN base x ON x.id = c.id_a JOIN base y ON y.id = c.id_b
+    WHERE levenshtein(x.t, y.t) <= 1
+"""
+
+
+@register(
+    "supplier_name_near_matches",
+    oracle=_FUZZY_ORACLE,
+    tags=("llm", "dedup", "entity-resolution"),
+)
+def supplier_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over supplier names: every pair within Levenshtein
+    distance 1 (single-digit typos between zero-padded keys), via the
+    q-gram count-filter + exact-verify tier — the fuzzy twin of the exact
+    dedup family."""
+    from ..operators.dedup import fuzzy_match_pairs
+
+    supp = load_table(spark, sf_dir, "supplier")
+    return fuzzy_match_pairs(
+        supp.select(F.col("s_suppkey"), F.col("s_name")),
+        "s_name",
+        "s_suppkey",
+        max_dist=1,
+        q=2,
+    )
+
+
 _TRIM_ORACLE = f"""
     WITH base AS (
         SELECT doc_id, text FROM documents

@@ -496,3 +496,99 @@ def test_hll_sketch_accuracy_union_and_streaming_merge(spark):
     )
     whole = {(r["g"], r["bucket"]): r["max_rho"] for r in reg.collect()}
     assert {(r["g"], r["bucket"]): r["max_rho"] for r in merged.collect()} == whole
+
+
+def test_fuzzy_match_pairs_vs_bruteforce(spark):
+    """The count-filtered fuzzy matcher must return EXACTLY the pairs an
+    all-pairs Levenshtein scan finds — no misses from the gram filter, no
+    false positives past verification — across insert/delete/substitute
+    edits and d=1 vs d=2."""
+    from spark_streaming_project_spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                cur = min(
+                    dp[j] + 1,
+                    dp[j - 1] + 1,
+                    prev + (a[i - 1] != b[j - 1]),
+                )
+                prev, dp[j] = dp[j], cur
+        return dp[lb]
+
+    names = [
+        "warehouse-node-001", "warehouse-node-002", "warehouse-node-012",
+        "warehouse-nade-001", "warehouse-node-01", "warehouse-node-0012",
+        "completely different", "warehouse-mode-002", "tiny",
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    for d in (1, 2):
+        want = {
+            (i, j, lev(a, b))
+            for i, a in rows
+            for j, b in rows
+            if i < j and lev(a, b) <= d
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["edit_distance"])
+            for r in fuzzy_match_pairs(df, "name", "id", max_dist=d).collect()
+        }
+        assert got == want, (d, got ^ want)
+
+
+def test_round5_operators_empty_and_degenerate_inputs(spark):
+    """Round-5 operators must handle empty frames and degenerate shapes
+    (all-short docs, n > rows) without errors — the guard class ADVICE r4
+    flagged on the ANN fits."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.dedup import (
+        exact_substring_pairs,
+        exact_substring_trim_spans,
+        fuzzy_match_pairs,
+    )
+    from spark_streaming_project_spark.operators.quantiles import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+    from spark_streaming_project_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_ntile,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert exact_substring_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert exact_substring_trim_spans(empty_docs, "text", "doc_id").count() == 0
+    assert fuzzy_match_pairs(empty_docs, "text", "doc_id").count() == 0
+
+    short = spark.createDataFrame(
+        [(1, "tiny"), (2, None)], "doc_id bigint, text string"
+    )
+    assert exact_substring_pairs(short, "text", "doc_id", min_len=40).count() == 0
+
+    empty_vals = spark.createDataFrame([], "v double")
+    assert ddsketch_quantiles(
+        ddsketch_build(empty_vals, "v"), [0.5]
+    ).count() == 0
+    assert hll_estimate(hll_build(empty_vals, "v")).count() == 0
+
+    empty_keyed = spark.createDataFrame([], "g int, v int")
+    assert range_partitioned_ntile(
+        empty_keyed, 10, [F.desc("v")], partition_cols=["g"]
+    ).count() == 0
+    # n far larger than the row count: buckets degrade to size 1
+    few = spark.createDataFrame([(i,) for i in range(3)], "v int")
+    got = {
+        (r["v"], r["tile"])
+        for r in range_partitioned_ntile(few, 100, [F.asc("v")]).collect()
+    }
+    assert got == {(0, 1), (1, 2), (2, 3)}
