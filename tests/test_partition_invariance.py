@@ -25,6 +25,14 @@ REPRESENTATIVES = [
     "revenue_concentration",            # global ntile deciles
     "weighted_doc_sample",              # E-S top-k keys
     "dq_core_violations",               # multi-table union report
+    # round-5 families
+    "dedup_exact_substring_pairs",      # window join + diagonal runs
+    "dedup_substring_trim_plan",        # interval-merge islands
+    "value_quantile_sketch",            # DDSketch walk
+    "distinct_sketch",                  # HLL registers + estimator
+    "similarity_ivfpq_det_topk",        # det codebooks, ADC + rerank
+    "supplier_name_near_matches",       # gram count filter + verify
+    "nation_spend_deciles",             # range-partitioned ntile
 ]
 
 
