@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count, word_shingles
+from ..functions.text import token_count, tokens, word_shingles
 
 
 def _hex_threshold(rate: float) -> str:
@@ -237,4 +237,151 @@ def weighted_sample(
             F.col(weight_col),
             F.round("_raw_key", 6).alias("sample_key"),
         )
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023) over hashed
+    unigram features.
+
+    Fits two bucket multinomials — the target slice (``is_target`` boolean
+    Column, e.g. a curated-domain flag) and the whole corpus — with
+    add-``alpha`` smoothing, then scores every document with
+    ``logw(d) = sum_b n_db * (ln p_target[b] - ln p_corpus[b])``: how much
+    more target-like than corpus-like the document's token mass is.
+
+    Scale shape: one tokenize+explode scan; per-doc bucket counts are a
+    combinable (id, bucket)-keyed aggregate (<= n_buckets rows per doc out
+    of the map-side combine); the fitted model is a ``n_buckets``-row frame
+    broadcast back — no collect, no driver-side model state, and the big
+    shuffle is bounded by docs x n_buckets regardless of document length.
+    Hash-deterministic (md5 bucketing), so a DuckDB oracle replays it
+    bit-for-bit.
+
+    Returns (id_col, dsir_logw<double>) for every non-NULL-text document.
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(tokens(text_col)).alias("_term"),
+    )
+    bucketed = toks.select(
+        F.col(id_col),
+        F.col("_tgt"),
+        F.pmod(
+            F.conv(F.substring(F.md5("_term"), 1, 4), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("_b"),
+    )
+    doc_b = bucketed.groupBy(id_col, "_b").agg(F.count("*").alias("_n"))
+    corpus = bucketed.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("_ct"),
+        F.count("*").alias("_cr"),
+    )
+    totals = corpus.agg(
+        F.sum("_ct").cast("double").alias("_t_tot"),
+        F.sum("_cr").cast("double").alias("_r_tot"),
+    )
+    a, ab = float(alpha), float(alpha * n_buckets)
+    ratio = corpus.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        "_ct",
+        "_cr",
+        (
+            F.log((F.col("_ct") + F.lit(a)) / (F.col("_t_tot") + F.lit(ab)))
+            - F.log((F.col("_cr") + F.lit(a)) / (F.col("_r_tot") + F.lit(ab)))
+        ).alias("_lr"),
+    )
+    return (
+        doc_b.join(F.broadcast(ratio.select("_b", "_lr")), "_b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_n") * F.col("_lr")).alias("dsir_logw"))
+    )
+
+
+def dsir_bucket_model(
+    df: DataFrame,
+    text_col: str,
+    is_target,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The fitted DSIR bucket table itself (diagnostic view of
+    :func:`dsir_log_weights`): per hashed-unigram bucket, target-slice and
+    whole-corpus token counts plus the smoothed log-probability ratio.
+    ``n_buckets`` rows total — the 'model' a DSIR run would persist."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        is_target.alias("_tgt"), F.explode(tokens(text_col)).alias("_term")
+    )
+    corpus = toks.select(
+        F.col("_tgt"),
+        F.pmod(
+            F.conv(F.substring(F.md5("_term"), 1, 4), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    ).groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_target_tokens"),
+        F.count("*").alias("n_corpus_tokens"),
+    )
+    totals = corpus.agg(
+        F.sum("n_target_tokens").cast("double").alias("_t_tot"),
+        F.sum("n_corpus_tokens").cast("double").alias("_r_tot"),
+    )
+    a, ab = float(alpha), float(alpha * n_buckets)
+    return corpus.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_target_tokens",
+        "n_corpus_tokens",
+        F.round(
+            F.log(
+                (F.col("n_target_tokens") + F.lit(a)) / (F.col("_t_tot") + F.lit(ab))
+            )
+            - F.log(
+                (F.col("n_corpus_tokens") + F.lit(a)) / (F.col("_r_tot") + F.lit(ab))
+            ),
+            6,
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    logw_col: str = "dsir_logw",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-k resampling over DSIR log-weights: sampling WITHOUT
+    replacement proportional to ``exp(logw)`` reduces to taking the k
+    largest ``logw + Gumbel(0,1)`` keys. The Gumbel draw is deterministic —
+    ``u = (md5int(salt:id)+1) / (2^32+1)``, ``g = -ln(-ln u)`` — so the
+    selected set is reproducible across engines and reruns, like
+    :func:`weighted_sample`'s Efraimidis-Spirakis keys.
+
+    One scan + TakeOrderedAndProject(k): no shuffle beyond the top-k
+    reduction. Reported logw is rounded to 1e-6 to tolerate last-ulp libm
+    differences; selection uses the raw key (gumbel noise spreads keys, so
+    boundary flips need a ~1e-15 coincidence).
+    """
+    h = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}:', cast(`{id_col}` as string))), "
+        "1, 8), 16, 10) AS BIGINT)"
+    )
+    u = (h + F.lit(1.0)) / F.lit(float(2**32 + 1))
+    key = F.col(logw_col) + -F.log(-F.log(u))
+    return (
+        weights.select(F.col(id_col), F.col(logw_col), key.alias("_key"))
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(logw_col, 6).alias(logw_col))
     )

@@ -78,10 +78,12 @@ _R5_WINDOW = [
     "similarity_ivf_kmeans_topk",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
-    # -- round-5 session-2 additions (zero artifact history).
+    # -- round-5 session-2/3 additions (zero artifact history).
     "dedup_substring_trim_plan",
     "distinct_sketch",
-    # -- 8 of the 47 r03-era rows (alphabetical; the rest queue for r06)
+    "dsir_bucket_model",
+    "dsir_selected_sample",
+    # -- 6 of the 47 r03-era rows (alphabetical; the rest queue for r06)
     #    so every green row's age stays bounded.
     "brand_counts",
     "category_counts",
@@ -89,8 +91,6 @@ _R5_WINDOW = [
     "curated_corpus",
     "dedup_canonical_keep",
     "dedup_canonical_map",
-    "dedup_exact_groups",
-    "dedup_keep_list",
 ]
 
 

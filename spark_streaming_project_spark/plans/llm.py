@@ -2262,3 +2262,110 @@ def similarity_ivfpq_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", _QUERY_VEC_ID,
         k=10, sample_size=16, iters=0,
     )
+
+
+# --- DSIR importance resampling (Xie et al., NeurIPS 2023) -----------------
+#
+# Target slice: sources src0-src2 stand in for the curated target domain
+# (e.g. wiki+books); the raw pool is the whole corpus. 64 hashed-unigram
+# buckets, add-1 smoothing, Gumbel top-k selection — every stage
+# hash-deterministic so DuckDB replays it exactly.
+
+_DSIR_TARGETS = ("src0", "src1", "src2")
+_DSIR_BUCKETS = 64
+
+_DSIR_MODEL_CTE = rf"""
+toksrc AS (
+    SELECT doc_id,
+           source IN ({", ".join(repr(s) for s in _DSIR_TARGETS)}) AS tgt,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+    FROM documents WHERE text IS NOT NULL
+),
+tb AS (
+    SELECT doc_id, tgt,
+           CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS b
+    FROM (SELECT doc_id, tgt, unnest(words) AS term FROM toksrc)
+),
+corpus AS (
+    SELECT b,
+           CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           count(*) AS cr
+    FROM tb GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(ct) AS DOUBLE) AS t_tot, CAST(sum(cr) AS DOUBLE) AS r_tot
+    FROM corpus
+),
+ratio AS (
+    SELECT b, ct, cr,
+           ln((ct + 1.0) / (t_tot + {_DSIR_BUCKETS}.0))
+           - ln((cr + 1.0) / (r_tot + {_DSIR_BUCKETS}.0)) AS lr
+    FROM corpus CROSS JOIN tot
+)"""
+
+
+@register(
+    "dsir_bucket_model",
+    oracle=f"""
+    WITH {_DSIR_MODEL_CTE}
+    SELECT b AS bucket, ct AS n_target_tokens, cr AS n_corpus_tokens,
+           round(lr, 6) AS log_ratio
+    FROM ratio
+    """,
+    tags=("llm", "sampling", "dsir"),
+)
+def dsir_bucket_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted DSIR model table: per hashed-unigram bucket, target vs
+    corpus token counts and the smoothed log-probability ratio. 64 rows —
+    the artifact a DSIR selection run persists and audits. Engine
+    extension (reference has no selection tier); see
+    operators/sampling.dsir_bucket_model for the scale shape."""
+    from ..operators.sampling import dsir_bucket_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_bucket_model(
+        docs, "text", F.col("source").isin(*_DSIR_TARGETS),
+        n_buckets=_DSIR_BUCKETS,
+    )
+
+
+@register(
+    "dsir_selected_sample",
+    oracle=f"""
+    WITH {_DSIR_MODEL_CTE},
+    docb AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY 1, 2),
+    w AS (
+        SELECT doc_id, sum(n * lr) AS logw
+        FROM docb JOIN ratio USING (b) GROUP BY 1
+    ),
+    keyed AS (
+        SELECT doc_id, logw,
+               logw + -ln(-ln(
+                   (CAST(concat('0x', substr(md5(concat('dsir:',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1.0)
+                   / 4294967297.0)) AS skey
+        FROM w
+    )
+    SELECT doc_id, round(logw, 6) AS dsir_logw
+    FROM keyed
+    ORDER BY skey DESC, doc_id ASC
+    LIMIT 100
+    """,
+    tags=("llm", "sampling", "dsir"),
+)
+def dsir_selected_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling end-to-end: hashed-unigram importance
+    log-weights against the src0-src2 target slice, then deterministic
+    Gumbel top-100 (sampling without replacement proportional to
+    exp(logw)). THE published recipe for 'select web data that looks like
+    the target domain' at corpus scale; one explode scan + a broadcast
+    64-row model + a top-k — no collect, no RNG state."""
+    from ..operators.sampling import dsir_log_weights, dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        docs, "text", "doc_id", F.col("source").isin(*_DSIR_TARGETS),
+        n_buckets=_DSIR_BUCKETS,
+    )
+    return dsir_resample(w, "doc_id", k=100)

@@ -202,3 +202,84 @@ def test_weighted_sample_weight_monotone_in_expectation(spark):
     df = spark.createDataFrame(rows, "id bigint, w double")
     got = {r["id"] for r in weighted_sample(df, "id", "w", k=5).collect()}
     assert 999 in got
+
+
+def test_dsir_weights_match_pure_python(spark):
+    """dsir_log_weights on a crafted corpus == a direct NumPy-free Python
+    reference: same hashed buckets, same smoothed log-ratio, same per-doc
+    sums."""
+    import hashlib
+    import math
+
+    rows = [
+        (1, "alpha beta alpha", True),
+        (2, "beta gamma", True),
+        (3, "delta delta epsilon", False),
+        (4, "alpha delta", False),
+        (5, None, False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+    from spark_streaming_project_spark.operators.sampling import dsir_log_weights
+
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(
+            df, "text", "doc_id", F.col("tgt"), n_buckets=8
+        ).collect()
+    }
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 8
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    for doc_id, text, tgt in rows:
+        if text is None:
+            continue
+        for tok in text.split():
+            b = bucket(tok)
+            cr[b] = cr.get(b, 0) + 1
+            if tgt:
+                ct[b] = ct.get(b, 0) + 1
+            per_doc.setdefault(doc_id, {})[b] = per_doc.get(doc_id, {}).get(b, 0) + 1
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    lr = {
+        b: math.log((ct.get(b, 0) + 1.0) / (t_tot + 8.0))
+        - math.log((cr[b] + 1.0) / (r_tot + 8.0))
+        for b in cr
+    }
+    want = {
+        d: sum(n * lr[b] for b, n in bs.items()) for d, bs in per_doc.items()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    """End-to-end selection property at sf0.001: the Gumbel top-k over DSIR
+    weights is deterministic across reruns, and the mean selected weight
+    exceeds the corpus mean (importance resampling pulls toward the
+    target slice)."""
+    from spark_streaming_project_spark.operators.sampling import (
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    docs = _docs(spark)
+    w = dsir_log_weights(
+        docs, "text", "doc_id", F.col("source").isin("src0", "src1", "src2")
+    )
+    pick1 = {r["doc_id"] for r in dsir_resample(w, "doc_id", k=20).collect()}
+    pick2 = {r["doc_id"] for r in dsir_resample(w, "doc_id", k=20).collect()}
+    assert pick1 == pick2 and len(pick1) == 20
+
+    mean_all = w.agg(F.avg("dsir_logw")).first()[0]
+    mean_sel = (
+        w.join(dsir_resample(w, "doc_id", k=20).select("doc_id"), "doc_id")
+        .agg(F.avg("dsir_logw"))
+        .first()[0]
+    )
+    assert mean_sel > mean_all
