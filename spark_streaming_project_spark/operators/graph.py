@@ -232,3 +232,65 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def degree_counts(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-node degree of an undirected, deduplicated edge list (each edge
+    once, ``src < dst``). One union + one combinable groupBy — the exchange
+    is keyed by node, so skew follows the graph's own degree skew (bounded
+    here by LSH band sizes upstream). Returns (node, degree)."""
+    nodes = pairs.select(F.col(src).alias("node")).unionAll(
+        pairs.select(F.col(dst).alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def triangle_stats(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Global triangle census of an undirected edge list (edges stored once
+    with ``src < dst``): edge count, wedge count (sum of d*(d-1)/2), triangle
+    count, and the global clustering coefficient 3T/W.
+
+    Triangle enumeration uses the oriented a<b<c join (each triangle counted
+    exactly once, no orientation step needed because the input is already
+    min-max ordered). Scale shape: two self-joins keyed on node ids — the
+    classic MapReduce triangle join; at web scale you'd pre-bucket the edge
+    list by both endpoints so the joins co-locate (sources/bucketed.py
+    provides that), and the near-dup graphs this runs on are banded-LSH
+    outputs, orders of magnitude smaller than the corpus.
+
+    Returns a single row (n_edges, n_wedges, n_triangles, clustering).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = degree_counts(pairs, src, dst)
+    wedges = deg.agg(
+        F.sum(F.expr("degree * (degree - 1) div 2")).alias("n_wedges")
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = (
+        e.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        edges.crossJoin(wedges)
+        .crossJoin(tris)
+        .select(
+            "n_edges",
+            F.coalesce("n_wedges", F.lit(0)).cast("long").alias("n_wedges"),
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.coalesce("n_wedges", F.lit(0)) > 0,
+                    3.0
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

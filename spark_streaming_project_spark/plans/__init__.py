@@ -83,14 +83,14 @@ _R5_WINDOW = [
     "distinct_sketch",
     "dsir_bucket_model",
     "dsir_selected_sample",
-    # -- 6 of the 47 r03-era rows (alphabetical; the rest queue for r06)
+    "event_transition_matrix",
+    "source_capped_docs",
+    "neardup_degree_histogram",
+    "neardup_triangle_census",
+    # -- 2 of the 47 r03-era rows (alphabetical; the rest queue for r06)
     #    so every green row's age stays bounded.
     "brand_counts",
     "category_counts",
-    "corpus_split_counts",
-    "curated_corpus",
-    "dedup_canonical_keep",
-    "dedup_canonical_map",
 ]
 
 

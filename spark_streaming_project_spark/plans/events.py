@@ -626,3 +626,57 @@ def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    trans AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                        AS DOUBLE), 6) AS p
+    FROM trans
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current), the behavioral-model summary a product
+    pipeline derives from clickstreams. Scale shape: one user-keyed window
+    (same exchange sessionization uses), then a tiny (n_types^2)-row
+    aggregate; the normalizing window runs over that aggregate, not the
+    fact table. Ordering is total (ts, event_id), so lead() is
+    deterministic under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    trans = (
+        pairs.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double"),
+            6,
+        ).alias("p"),
+    )

@@ -2369,3 +2369,142 @@ def dsir_selected_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_DSIR_BUCKETS,
     )
     return dsir_resample(w, "doc_id", k=100)
+
+
+@register(
+    "source_capped_docs",
+    oracle="""
+    SELECT doc_id, source, cap_rank FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INTEGER) AS cap_rank
+        FROM documents
+    ) WHERE cap_rank <= 15
+    """,
+    tags=("llm", "sampling", "frequency-cap"),
+)
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping (anti-domination): keep at most 15
+    documents per source, chosen in deterministic md5(doc_id) order — the
+    'no single domain dominates the mixture' guard every web-scale corpus
+    applies. One source-keyed window (partitioned, combinable exchange);
+    the md5 shuffle order makes the kept set stable across reruns and
+    engines, and unbiased w.r.t. document content."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("int").alias("cap_rank"),
+        )
+        .filter(F.col("cap_rank") <= 15)
+    )
+
+
+# --- Near-dup graph analytics (degree census, triangle census) -------------
+#
+# Same edge set dedup_canonical_map clusters over: exact trigram-Jaccard
+# pairs at threshold 0.5 (adaptive inverted-index/prefix plan). The graph
+# queries summarize its topology — degree histogram for "how clustered is
+# the corpus", triangle census / clustering coefficient for "are near-dup
+# groups cliques or chains" (cliques: true duplicates; chains: drifting
+# templates — the distinction drives keep-one vs keep-none policy).
+
+_J05_PAIRS_CTE = f"""{_SHINGLES_CTE},
+g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+)"""
+
+
+@register(
+    "neardup_degree_histogram",
+    oracle=f"""
+    WITH {_J05_PAIRS_CTE},
+    nodes AS (
+        SELECT id_a AS u FROM jpairs
+        UNION ALL SELECT id_b AS u FROM jpairs
+    ),
+    deg AS (
+        SELECT d.doc_id, count(n.u) AS degree
+        FROM documents d LEFT JOIN nodes n ON n.u = d.doc_id
+        GROUP BY 1
+    )
+    SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph (degree-0 singletons
+    included): the first topology check a dedup report runs — a heavy tail
+    here means template farms, not isolated duplicates. Composes the pair
+    generator with one node-keyed count and one tiny histogram aggregate."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import degree_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(docs, "text", "doc_id", n=3, threshold=0.5)
+    deg = degree_counts(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(deg.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "neardup_triangle_census",
+    oracle=f"""
+    WITH {_J05_PAIRS_CTE},
+    deg AS (
+        SELECT u, count(*) AS d FROM (
+            SELECT id_a AS u FROM jpairs
+            UNION ALL SELECT id_b AS u FROM jpairs
+        ) GROUP BY 1
+    ),
+    m AS (SELECT count(*) AS n_edges FROM jpairs),
+    w AS (SELECT coalesce(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0) AS n_wedges FROM deg),
+    t AS (
+        SELECT count(*) AS n_triangles
+        FROM jpairs e1
+        JOIN jpairs e2 ON e2.id_a = e1.id_b
+        JOIN jpairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           round(CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+               AS clustering
+    FROM m, w, t
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the near-dup
+    graph via the oriented a<b<c self-join (each triangle counted once).
+    High clustering = near-dup components are cliques (true duplicate
+    groups, safe to keep one); low = chains (template drift, needs the
+    exact-substring tier instead). See operators/graph.triangle_stats for
+    the 100 TB join shape."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(docs, "text", "doc_id", n=3, threshold=0.5)
+    return triangle_stats(pairs, "id_a", "id_b")

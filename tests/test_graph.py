@@ -143,3 +143,35 @@ def test_pagerank_directed_dangling_mass(spark):
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
     assert got[3] > got[2] > got[1]  # rank accumulates down the chain
+
+
+def test_triangle_stats_known_graph(spark):
+    """Crafted graph: a 4-clique (4 triangles) plus a pendant chain —
+    counts verified by hand against the census definitions."""
+    from spark_streaming_project_spark.operators.graph import (
+        degree_counts,
+        triangle_stats,
+    )
+
+    # 4-clique on 1..4, chain 4-5-6
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    deg = {r["node"]: r["degree"] for r in degree_counts(pairs, "id_a", "id_b").collect()}
+    assert deg == {1: 3, 2: 3, 3: 3, 4: 4, 5: 2, 6: 1}
+
+    row = triangle_stats(pairs, "id_a", "id_b").first()
+    assert row["n_edges"] == 8
+    # wedges: 3+3+3+6+1+0 = 16
+    assert row["n_wedges"] == 16
+    assert row["n_triangles"] == 4
+    assert abs(row["clustering"] - 3.0 * 4 / 16) < 1e-9
+
+
+def test_triangle_stats_empty_graph(spark):
+    from spark_streaming_project_spark.operators.graph import triangle_stats
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    row = triangle_stats(pairs, "id_a", "id_b").first()
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (0, 0, 0)
+    assert row["clustering"] == 0.0
