@@ -341,6 +341,30 @@ def main() -> None:
             ddsketch_build(ev_, "value", ["event_type"]),
             [0.5, 0.95, 0.99], ["event_type"]))
 
+        # -- round-5 session-3 tiers: DSIR, graph census, MMR --------------
+        # DSIR: one explode scan + 64-row broadcast model + top-k — should
+        # track corpus token count (~1x growth per 10x rows at fixed work
+        # per token). Triangle census runs on the 0.5-Jaccard pair graph:
+        # the derived corpus makes every variant group a 10-clique, so the
+        # edge/triangle OUTPUT grows ~45x/~120x per group — output-bound,
+        # like exact-substring; the harness records both runtime and rows.
+        from spark_streaming_project_spark.operators.sampling import (
+            dsir_log_weights, dsir_resample)
+        from spark_streaming_project_spark.operators.graph import triangle_stats
+
+        docs_ = docs
+        run("dsir_select", scale, lambda: dsir_resample(
+            dsir_log_weights(
+                docs_, "text", "doc_id",
+                _F.col("source").isin("src0", "src1", "src2")),
+            "doc_id", k=100))
+        run("neardup_triangles", scale, lambda: triangle_stats(
+            D.ngram_jaccard_pairs_adaptive(
+                docs_, "text", "doc_id", n=3, threshold=0.5),
+            "id_a", "id_b"))
+        run("mmr_topk", scale, lambda: S.mmr_topk(
+            emb, "vec_id", "embedding", qid_, k=10, shortlist=50))
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

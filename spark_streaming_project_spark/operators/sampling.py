@@ -307,6 +307,40 @@ def dsir_log_weights(
     )
 
 
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    is_target,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Raw DSIR bucket counters (bucket, n_target_tokens, n_corpus_tokens):
+    one tokenize+explode scan into a combinable ``n_buckets``-row
+    aggregate. This is the ADDITIVE state of the DSIR model — counts over
+    a union of corpora are the sum of per-corpus counts — so the model can
+    be maintained incrementally under streaming ingest with the generic
+    ``foreach_batch_incremental_agg`` sink (the log-ratio is a pure
+    function of the merged counters, recomputed on read)."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        is_target.alias("_tgt"), F.explode(tokens(text_col)).alias("_term")
+    )
+    return (
+        toks.select(
+            F.col("_tgt"),
+            F.pmod(
+                F.conv(F.substring(F.md5("_term"), 1, 4), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_target_tokens"),
+            F.count("*").alias("n_corpus_tokens"),
+        )
+    )
+
+
 def dsir_bucket_model(
     df: DataFrame,
     text_col: str,
@@ -318,21 +352,7 @@ def dsir_bucket_model(
     :func:`dsir_log_weights`): per hashed-unigram bucket, target-slice and
     whole-corpus token counts plus the smoothed log-probability ratio.
     ``n_buckets`` rows total — the 'model' a DSIR run would persist."""
-    toks = df.filter(F.col(text_col).isNotNull()).select(
-        is_target.alias("_tgt"), F.explode(tokens(text_col)).alias("_term")
-    )
-    corpus = toks.select(
-        F.col("_tgt"),
-        F.pmod(
-            F.conv(F.substring(F.md5("_term"), 1, 4), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        ).alias("bucket"),
-    ).groupBy("bucket").agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_target_tokens"),
-        F.count("*").alias("n_corpus_tokens"),
-    )
+    corpus = dsir_bucket_counts(df, text_col, is_target, n_buckets)
     totals = corpus.agg(
         F.sum("n_target_tokens").cast("double").alias("_t_tot"),
         F.sum("n_corpus_tokens").cast("double").alias("_r_tot"),

@@ -1474,3 +1474,80 @@ def append_ivfpq_partitioned(
         .mode("append")
         .parquet(path)
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    lam: float = 0.7,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick the item maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_picked`` — the
+    de-redundancy re-rank every retrieval/data-selection funnel applies
+    after a plain cosine top-k (near-identical neighbors waste the slate).
+
+    Scale shape: the DISTRIBUTED stage is the relevance scan + shortlist
+    TakeOrderedAndProject(shortlist) — identical to brute_force_topk. The
+    greedy re-rank is inherently sequential, so it runs driver-side over
+    the bounded shortlist (<= ``shortlist`` rows x dim doubles — same class
+    of bounded sidecar collect as the IVF centroid tables), NOT over the
+    corpus. At 100 TB only the scan grows; the re-rank stays O(shortlist^2).
+
+    Float parity: relevance and unit vectors are computed JVM-side with the
+    left-fold ``dot`` (bit-identical to the DuckDB oracle's list_reduce
+    fold), and the greedy's pairwise dots use the same left-to-right
+    accumulation in pure Python — so selection, not just reported scores,
+    replays exactly across engines.
+
+    Returns (id_col, mmr_rank, relevance, mmr_score) — rank 1..k, scores
+    rounded to 1e-6 for reporting.
+    """
+    q = _query_vector(df, id_col, vec_col, query_id)
+    v = as_double(vec_col)
+    nrm = norm(v)
+    cand = (
+        df.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            _cosine_vs_query(v).alias("_r"),
+            F.transform(v, lambda x: x / nrm).alias("_u"),
+        )
+        .orderBy(F.desc("_r"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    rows = cand.collect()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    remaining = {r[id_col]: (r["_r"], r["_u"]) for r in rows}
+    picked: list[tuple] = []
+    chosen_vecs: list[list] = []
+    while remaining and len(picked) < k:
+        best = None
+        for vid in sorted(remaining):
+            r, u = remaining[vid]
+            msim = max((fold_dot(u, cu) for cu in chosen_vecs), default=0.0)
+            score = lam * r - (1.0 - lam) * msim
+            # strict > keeps the smallest id on ties (ids scanned ascending)
+            if best is None or score > best[1]:
+                best = (vid, score)
+        vid, score = best
+        r, u = remaining.pop(vid)
+        picked.append((vid, len(picked) + 1, round(r, 6), round(score, 6)))
+        chosen_vecs.append(u)
+
+    spark = df.sparkSession
+    out_schema = (
+        f"{id_col} long, mmr_rank int, relevance double, mmr_score double"
+    )
+    return spark.createDataFrame(picked, out_schema)

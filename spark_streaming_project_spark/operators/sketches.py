@@ -33,7 +33,15 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_build", "hll_merge", "hll_estimate", "merge_max_state"]
+__all__ = [
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
+    "merge_max_state",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+]
 
 _BITS = 32  # rho slice width: keeps every 2^-rho sum term dyadic-exact
 
@@ -140,4 +148,109 @@ def hll_estimate(
         # (count=0, sum=NULL) row — an empty sketch has no estimate
         agg.filter(F.col("_present") > 0)
         .select(*keys, F.round(est, 4).alias("distinct_estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): the FREQUENCY member of
+# the mergeable-sketch family (DDSketch = quantiles, HLL = distinct, CMS =
+# counts). Counters are a (row, bucket) -> SUM frame: an additive monoid
+# merged by merge_agg_state, so the same incremental-agg sink maintains it
+# under streaming ingest, and sketch(A) (+) sketch(B) == sketch(A ++ B)
+# exactly. Estimates are biased UP only (min over d rows bounds the
+# overcount by eps*N with prob 1-delta; never an undercount) — the property
+# heavy-hitter triage relies on. md5 bucketing keeps every cell
+# engine-replayable.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(value: Column, row: int, width: int, salt: str) -> Column:
+    h = F.md5(F.concat(F.lit(f"{salt}{row}:"), value.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % width
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Counter frame (keys..., row, bucket, cnt) for frequency estimation
+    of ``value_col`` (NULLs excluded). One combinable aggregate; the
+    shuffle carries <= depth*width rows per key regardless of input size
+    — the whole point at 100 TB, where an exact per-value count would
+    shuffle the full value domain. ``weight_col`` generalizes to weighted
+    counts (e.g. token counts instead of row counts)."""
+    keys = list(keys or [])
+    v = F.col(value_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_bucket(v, r, width, salt).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*keys, F.explode(rows).alias("_rb"), w.alias("_w"))
+        .select(*keys, F.col("_rb.row").alias("row"),
+                F.col("_rb.bucket").alias("bucket"), "_w")
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(
+    state: DataFrame, delta: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """sketch(A) (+) sketch(B) == sketch(A ++ B): cell-wise sum (the
+    additive merge_agg_state monoid)."""
+    from .aggregates import merge_agg_state
+
+    return merge_agg_state(
+        state, delta, list(keys or []) + ["row", "bucket"], ["cnt"]
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``queries``: min over
+    the d counters each value hashes to. The sketch is <= depth*width rows
+    — broadcast it; the join is then map-side against any number of query
+    values. Missing cells count 0 (value never seen). Returns queries +
+    ``cms_est``; guarantees cms_est >= true count."""
+    v = F.col(value_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_bucket(v, r, width, salt).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = queries.select(
+        value_col, F.explode(rows).alias("_rb")
+    ).select(
+        value_col,
+        F.col("_rb.row").alias("row"),
+        F.col("_rb.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+        .join(queries, value_col)
     )

@@ -58,8 +58,9 @@ _R5_WINDOW = [
     #    KL source-dimension fix) -> need fresh rows to supersede r4's.
     "revenue_concentration",
     "source_drift_kl",
-    # -- 9 TPC-H rows whose newest green predates the r3 testdata
-    #    regeneration (VERDICT r4 ask #8).
+    # -- 8 TPC-H rows whose newest green predates the r3 testdata
+    #    regeneration (VERDICT r4 ask #8; simple_revenue queues for r06 —
+    #    zero-history queries outrank stale-but-green refreshes).
     "customer_order_history",
     "large_volume_orders",
     "late_shipment_priority",
@@ -67,7 +68,6 @@ _R5_WINDOW = [
     "priority_shipment_counts",
     "promo_revenue_ratio",
     "quantity_percentiles",
-    "simple_revenue",
     "valuable_parts",
     # -- the 6 declared rows-only tiers, never inside any recorded window
     #    (VERDICT r4 "What's missing #1"): the artifact shows their
@@ -87,10 +87,9 @@ _R5_WINDOW = [
     "source_capped_docs",
     "neardup_degree_histogram",
     "neardup_triangle_census",
-    # -- 2 of the 47 r03-era rows (alphabetical; the rest queue for r06)
-    #    so every green row's age stays bounded.
-    "brand_counts",
-    "category_counts",
+    "similarity_mmr_topk",
+    "tokenizer_compression",
+    "heavy_hitters_cms",
 ]
 
 

@@ -2508,3 +2508,90 @@ def neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_adaptive(docs, "text", "doc_id", n=3, threshold=0.5)
     return triangle_stats(pairs, "id_a", "id_b")
+
+
+# --- MMR diversified top-k --------------------------------------------------
+#
+# The greedy is unrolled into k chained CTEs (pick-1 per step), so the
+# WHOLE iterative algorithm is SQL-expressible — same trick as the
+# deterministic PQ twins. Unit vectors + left-fold dots keep every float
+# op bit-identical between Spark (F.aggregate fold), the driver-side
+# greedy (pure-Python left fold), and DuckDB (list_reduce fold).
+
+_MMR_K = 10
+_MMR_LAM = 0.7
+_MMR_SHORTLIST = 50
+
+
+def _mmr_oracle(
+    k: int = _MMR_K,
+    m: int = _MMR_SHORTLIST,
+    lam: float = _MMR_LAM,
+    qid: int = _QUERY_VEC_ID,
+) -> str:
+    parts = [
+        f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = {qid}),
+    rel AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt({_duck_dot('v', 'v')})) AS u,
+               {_duck_dot('v', 'qv')}
+                   / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})) AS r
+        FROM vecs, q WHERE vec_id <> {qid}
+        ORDER BY r DESC, vec_id ASC LIMIT {m}
+    ),
+    chosen1 AS MATERIALIZED (
+        SELECT vec_id, u, r, {lam!r} * r AS mmr, 1 AS mmr_rank
+        FROM rel ORDER BY r DESC, vec_id ASC LIMIT 1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+    score{i} AS (
+        SELECT c.vec_id, c.r,
+               {lam!r} * c.r - {1.0 - lam!r} * max({_duck_dot('c.u', 's.u')}) AS mmr
+        FROM rel c, chosen{i - 1} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM chosen{i - 1})
+        GROUP BY c.vec_id, c.r
+    ),
+    pick{i} AS (SELECT vec_id, mmr FROM score{i} ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+    chosen{i} AS MATERIALIZED (
+        SELECT * FROM chosen{i - 1}
+        UNION ALL
+        SELECT rl.vec_id, rl.u, rl.r, p.mmr, {i} AS mmr_rank
+        FROM rel rl JOIN pick{i} p USING (vec_id)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+           round(r, 6) AS relevance, round(mmr, 6) AS mmr_score
+    FROM chosen{k}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "similarity_mmr_topk",
+    oracle=_mmr_oracle(),
+    tags=("llm", "similarity", "diversity"),
+)
+def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 neighbors (lambda=0.7, 50-candidate
+    shortlist): the de-redundancy re-rank a retrieval funnel or few-shot
+    selector applies after cosine top-k, so the slate isn't k copies of
+    the same near-duplicate. Distributed relevance scan + bounded
+    driver-side greedy; the oracle replays the greedy exactly via k
+    unrolled pick-1 CTEs. See operators/similarity.mmr_topk."""
+    from ..operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC_ID,
+        k=_MMR_K, lam=_MMR_LAM, shortlist=_MMR_SHORTLIST,
+    )

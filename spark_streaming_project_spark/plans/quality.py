@@ -640,3 +640,115 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "merge_rank int, left string, right string, merged string, pair_count bigint",
     )
+
+
+@register(
+    "tokenizer_compression",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text),
+                                           '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+                AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(length(text)) AS DOUBLE)
+                 / CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> ''))) AS DOUBLE), 6)
+               AS chars_per_ws_token,
+           round(CAST(sum(length(text)) AS DOUBLE)
+                 / CAST(sum(len(regexp_extract_all(lower(text),
+                                '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE), 6)
+               AS chars_per_bpe_token
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY lang
+    """,
+    tags=("llm", "tokenize", "profiling"),
+)
+def tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression audit per language: characters per
+    whitespace token and per BPE-ish regex token — the fertility /
+    bytes-per-token number a tokenizer change is judged by, and the
+    denominator for token-budget planning. Pure built-in expressions over
+    one scan (two tokenizations fused into the same aggregate); exact
+    integer sums with a single final division keep floats
+    order-independent."""
+    from ..functions.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    chars = F.sum(F.length("text")).cast("long")
+    ws = F.sum(token_count("text")).cast("long")
+    bpe = F.sum(bpe_token_count("text")).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        chars.alias("n_chars"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(chars.cast("double") / ws.cast("double"), 6).alias(
+            "chars_per_ws_token"
+        ),
+        F.round(chars.cast("double") / bpe.cast("double"), 6).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT unnest(words) AS token FROM toks),
+    exact AS (
+        SELECT token, count(*) AS exact_cnt FROM tok GROUP BY 1
+        ORDER BY exact_cnt DESC, token ASC LIMIT 20
+    ),
+    cells AS (
+        SELECT r AS row,
+               CAST(concat('0x', substr(md5('cms' || CAST(r AS VARCHAR)
+                    || ':' || token), 1, 4)) AS BIGINT) % 256 AS bucket,
+               count(*) AS cnt
+        FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT token, exact_cnt, r AS row,
+               CAST(concat('0x', substr(md5('cms' || CAST(r AS VARCHAR)
+                    || ':' || token), 1, 4)) AS BIGINT) % 256 AS bucket
+        FROM exact CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+    )
+    SELECT token, exact_cnt,
+           CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes LEFT JOIN cells USING (row, bucket)
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "sketch", "streaming-mergeable"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter audit through a count-min sketch (Cormode &
+    Muthukrishnan 2005; depth 4 x width 256): the exact top-20 corpus
+    tokens with their CMS point estimates side by side — cms_est >=
+    exact_cnt always (one-sided error), and the gap measures collision
+    pressure at this width. The sketch is the FREQUENCY member of the
+    mergeable family (DDSketch quantiles / HLL distinct): a <=1024-row
+    additive counter frame a 100 TB pipeline maintains incrementally
+    instead of shuffling the full token domain. md5 cells make every
+    counter engine-replayable. See operators/sketches.cms_build."""
+    from ..functions.text import tokens as _tokens
+    from ..operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(_tokens("text")).alias("token")
+    )
+    sketch = cms_build(tok, "token")
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    return cms_estimate(sketch, exact, "token")

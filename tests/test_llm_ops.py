@@ -592,3 +592,140 @@ def test_round5_operators_empty_and_degenerate_inputs(spark):
         for r in range_partitioned_ntile(few, 100, [F.asc("v")]).collect()
     }
     assert got == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_mmr_topk_matches_numpy_reference(spark):
+    """mmr_topk == an independent numpy greedy (different accumulation
+    order, so agreement is algorithmic, not copy-paste): same selected
+    ids, same ranks, scores within float tolerance."""
+    import numpy as np
+
+    from spark_streaming_project_spark.operators.similarity import mmr_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    k, lam, m, qid = 6, 0.7, 20, 0
+    got = [
+        (r["vec_id"], r["mmr_rank"], r["relevance"], r["mmr_score"])
+        for r in mmr_topk(
+            df, "vec_id", "embedding", qid, k=k, lam=lam, shortlist=m
+        ).orderBy("mmr_rank").collect()
+    ]
+
+    v = vecs.astype(np.float64)
+    q = v[qid]
+    rel = {
+        i: float(v[i] @ q / (np.linalg.norm(v[i]) * np.linalg.norm(q)))
+        for i in range(60)
+        if i != qid
+    }
+    short = sorted(rel, key=lambda i: (-rel[i], i))[:m]
+    unit = {i: v[i] / np.linalg.norm(v[i]) for i in short}
+    chosen: list[int] = []
+    want = []
+    while len(chosen) < k:
+        best = None
+        for i in short:
+            if i in chosen:
+                continue
+            msim = max((float(unit[i] @ unit[c]) for c in chosen), default=0.0)
+            s = lam * rel[i] - (1 - lam) * msim
+            if best is None or s > best[1]:
+                best = (i, s)
+        chosen.append(best[0])
+        want.append((best[0], len(chosen), best[1], rel[best[0]]))
+
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert [g[1] for g in got] == [w[1] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[2]) < 1e-6 and abs(g[2] - w[3]) < 1e-6
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """On a corpus with a tight duplicate cluster near the query, plain
+    top-k fills with the cluster; MMR (small lambda) admits at most a
+    couple of its members."""
+    import numpy as np
+
+    from spark_streaming_project_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=16)
+    cluster = [q + rng.normal(scale=0.01, size=16) for _ in range(8)]
+    spread = [rng.normal(size=16) + 0.3 * q for _ in range(40)]
+    rows = [(0, [float(x) for x in q])] + [
+        (i + 1, [float(x) for x in v]) for i, v in enumerate(cluster + spread)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cluster_ids = set(range(1, 9))
+
+    plain = {
+        r["vec_id"]
+        for r in brute_force_topk(df, "vec_id", "embedding", 0, k=5).collect()
+    }
+    diverse = {
+        r["vec_id"]
+        for r in mmr_topk(
+            df, "vec_id", "embedding", 0, k=5, lam=0.3, shortlist=20
+        ).collect()
+    }
+    assert len(plain & cluster_ids) == 5
+    assert len(diverse & cluster_ids) <= 2
+
+
+def test_cms_never_underestimates_and_merge_is_union(spark):
+    """CMS one-sided error bound: est >= exact for EVERY value (tight
+    width forces collisions, so some estimates strictly exceed); and the
+    cell-wise sum of two half-corpus sketches equals the whole-corpus
+    sketch exactly (mergeable monoid)."""
+    from spark_streaming_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(i, f"v{i % 37}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, val string")
+
+    sketch = cms_build(df, "val", width=16, depth=3)  # 48 cells << 37 vals
+    exact = df.groupBy("val").agg(F.count("*").alias("exact_cnt"))
+    est = {
+        r["val"]: (r["cms_est"], r["exact_cnt"])
+        for r in cms_estimate(sketch, exact, "val", width=16, depth=3).collect()
+    }
+    assert len(est) == 37
+    assert all(e >= x for e, x in est.values())
+    assert any(e > x for e, x in est.values())  # collisions exist at w=16
+
+    halves = [df.filter(F.col("id") % 2 == i) for i in (0, 1)]
+    merged = cms_merge(
+        cms_build(halves[0], "val", width=16, depth=3),
+        cms_build(halves[1], "val", width=16, depth=3),
+    )
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, "val", width=16, depth=3).collect()
+    }
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_cms_unseen_value_estimates_depend_only_on_collisions(spark):
+    """A value never inserted gets the min of whatever collides into its
+    cells — 0 when the sketch is wide enough to leave an empty cell."""
+    from spark_streaming_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    sketch = cms_build(df, "val", width=256, depth=4)
+    q = spark.createDataFrame([("zebra",)], "val string")
+    est = cms_estimate(sketch, q, "val").first()
+    assert est["cms_est"] == 0

@@ -33,6 +33,12 @@ REPRESENTATIVES = [
     "similarity_ivfpq_det_topk",        # det codebooks, ADC + rerank
     "supplier_name_near_matches",       # gram count filter + verify
     "nation_spend_deciles",             # range-partitioned ntile
+    # round-5 session-3 families
+    "dsir_selected_sample",             # Gumbel top-k over fold-summed logw
+    "similarity_mmr_topk",              # driver greedy over shortlist
+    "event_transition_matrix",          # lead() over total order
+    "neardup_triangle_census",          # oriented self-joins
+    "heavy_hitters_cms",                # sketch min-estimates + exact top-k
 ]
 
 

@@ -599,3 +599,120 @@ def test_streaming_hll_registers_match_batch_exactly(spark, tmp_path):
         for r in hll_estimate(hll_build(docs, "source", ["lang"]), ["lang"]).collect()
     }
     assert got == want
+
+
+def test_streaming_dsir_model_matches_batch_exactly(spark, tmp_path):
+    """DSIR model maintenance under streaming ingest: per-batch hashed-
+    unigram bucket counters merged additively into parquet state must
+    equal the one-shot batch model bit-for-bit — counts exactly, and the
+    derived log-ratios exactly too, because the fit is a pure function of
+    the counters. The selection model stays current while the corpus
+    streams in, at O(|batch|) per trigger."""
+    from spark_streaming_project_spark.operators.sampling import (
+        dsir_bucket_counts,
+        dsir_bucket_model,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    tgt = F.col("source").isin("src0", "src1", "src2")
+    src = str(tmp_path / "dsir_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def agg(df):
+        return dsir_bucket_counts(df, "text", tgt, n_buckets=16)
+
+    state = str(tmp_path / "dsir_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_dsir"))
+    runner.add(
+        "dsir_model",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, agg, ["bucket"], ["n_target_tokens", "n_corpus_tokens"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got_counts = {
+        r["bucket"]: (r["n_target_tokens"], r["n_corpus_tokens"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want_counts = {
+        r["bucket"]: (r["n_target_tokens"], r["n_corpus_tokens"])
+        for r in dsir_bucket_counts(docs, "text", tgt, n_buckets=16).collect()
+    }
+    assert got_counts == want_counts and got_counts
+
+    # derived model (smoothed log-ratios) from the streamed state == batch
+    streamed = spark.read.parquet(state)
+    t_tot = sum(c[0] for c in got_counts.values())
+    r_tot = sum(c[1] for c in got_counts.values())
+    import math
+
+    derived = {
+        b: round(
+            math.log((ct + 1.0) / (t_tot + 16.0))
+            - math.log((cr + 1.0) / (r_tot + 16.0)),
+            6,
+        )
+        for b, (ct, cr) in got_counts.items()
+    }
+    want_model = {
+        r["bucket"]: r["log_ratio"]
+        for r in dsir_bucket_model(docs, "text", tgt, n_buckets=16).collect()
+    }
+    assert derived == want_model
+
+
+def test_streaming_cms_cells_match_batch_exactly(spark, tmp_path):
+    """CMS counters maintained under foreachBatch (default additive
+    merge in the incremental-MV sink) must equal the batch-built sketch
+    cell-for-cell after the drain — the frequency member of the mergeable
+    family, next to the HLL and DDSketch parity tests."""
+    from spark_streaming_project_spark.functions.text import tokens as _tokens
+    from spark_streaming_project_spark.operators.sketches import cms_build
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "cms_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def agg(df):
+        tok = df.filter(F.col("text").isNotNull()).select(
+            F.explode(_tokens("text")).alias("token")
+        )
+        return cms_build(tok, "token", width=64, depth=4)
+
+    state = str(tmp_path / "cms_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_cms"))
+    runner.add(
+        "cms_sketch",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, agg, ["row", "bucket"], ["cnt"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {(r["row"], r["bucket"]): r["cnt"] for r in agg(docs).collect()}
+    assert got == want and got
