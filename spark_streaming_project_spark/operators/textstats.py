@@ -4,7 +4,7 @@ narrow pass over the corpus, no shuffle until the caller aggregates."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -13,6 +13,7 @@ from ..functions.text import (
     rolling_fingerprint,
     token_count,
     tokens,
+    word_ngrams,
 )
 
 
@@ -87,3 +88,69 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         token_count(text_col).alias("ws_tokens"),
         bpe_token_count(text_col).alias("bpe_tokens"),
     )
+
+
+#: Winnowing position-encoding radix: positions are packed into the low 20
+#: bits of the selection key, so per-document gram counts must stay below
+#: 2^20 (a ~1M-token document; far above any chunked training doc).
+_WINNOW_POS_RADIX = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    ``w``-wide window over consecutive positions, and in each window select
+    the minimum hash, breaking ties toward the RIGHTMOST position. The
+    selected (position, hash) set is the document's fingerprint: any two
+    documents sharing a run of at least ``w + k - 1`` tokens are GUARANTEED
+    to share a fingerprint, while only ~2/(w+1) of all grams are kept.
+
+    Engine-replayable selection without a nested argmin: each row packs
+    ``hash * 2^20 + (2^20 - 1 - pos)`` into one BIGINT key, so a plain
+    ``min()`` over the ``[current, w-1 following]`` frame IS min-hash with
+    rightmost tie-break; the winner is decoded back with integer div/mod.
+    One shuffle (the per-document window sort); everything stays JVM-side.
+
+    Returns distinct (id_col, pos, fp) — fp in [0, 65535] (md5-derived),
+    pos the 1-based gram position. Documents with fewer than ``w + k - 1``
+    tokens produce no fingerprints (below the guarantee threshold).
+    """
+    grams = word_ngrams(text_col, n=k)
+    g = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.size(grams).alias("_n"),
+                F.posexplode(grams).alias("_p0", "_gram"))
+        .select(
+            F.col(id_col),
+            "_n",
+            (F.col("_p0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("_gram"), 1, 4), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+    )
+    key = (
+        F.col("_h") * _WINNOW_POS_RADIX
+        + (F.lit(_WINNOW_POS_RADIX - 1) - F.col("pos"))
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        g.select(id_col, "_n", "pos", F.min(key).over(frame).alias("_sel"))
+        # only full windows: starts past n - w + 1 see a truncated frame
+        .filter(F.col("pos") <= F.col("_n") - (w - 1))
+        .select(
+            F.col(id_col),
+            (F.col("_sel") / _WINNOW_POS_RADIX).cast("long").alias("_fp"),
+            (F.lit(_WINNOW_POS_RADIX - 1) - F.col("_sel") % _WINNOW_POS_RADIX)
+            .alias("pos"),
+        )
+    )
+    return sel.select(id_col, "pos", F.col("_fp").alias("fp")).distinct()

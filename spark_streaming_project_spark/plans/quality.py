@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import word_ngrams
 from ..operators.quality import (
     cross_doc_gram_stats,
     repetition_stats,
@@ -752,3 +753,136 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(sketch, exact, "token")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003).
+# The packed-key trick (hash * 2^20 + inverted position) makes min-hash-
+# with-rightmost-tie-break a plain windowed min in BOTH engines — see
+# operators/textstats.winnow_fingerprints.
+# ---------------------------------------------------------------------------
+
+_WINNOW_FP_CTE = (
+    _TOKS_CTE
+    + r""",
+    gl AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 3
+                    THEN [array_to_string(words[i:i+2], ' ')
+                          for i in range(1, len(words) - 1)]
+                    ELSE [] END AS grams
+        FROM toks
+    ),
+    g AS (
+        SELECT doc_id, len(grams) AS n,
+               unnest(range(1, len(grams) + 1)) AS pos, grams
+        FROM gl WHERE len(grams) >= 1
+    ),
+    h AS (
+        SELECT doc_id, n, pos,
+               CAST(concat('0x', substr(md5(grams[pos]), 1, 4)) AS BIGINT)
+                   AS hv
+        FROM g
+    ),
+    sel AS (
+        SELECT doc_id, n, pos,
+               min(hv * 1048576 + (1048575 - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+        FROM h
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               CAST(selkey // 1048576 AS BIGINT) AS fp,
+               CAST(1048575 - (selkey % 1048576) AS BIGINT) AS sel_pos
+        FROM sel WHERE pos <= n - 3
+    )"""
+)
+
+
+@register(
+    "winnowing_profile",
+    oracle=f"""
+    WITH {_WINNOW_FP_CTE}
+    SELECT f.doc_id,
+           CAST(any_value(len(gl.grams)) AS BIGINT) AS n_grams,
+           count(*) AS n_selected,
+           CAST(sum(f.fp) AS BIGINT) AS fp_sum,
+           CAST(min(f.fp) AS BIGINT) AS fp_min,
+           CAST(max(f.fp) AS BIGINT) AS fp_max,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(any_value(len(gl.grams)) AS DOUBLE), 6) AS density
+    FROM fps f JOIN gl USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+    tags=("llm", "fingerprint", "dedup"),
+)
+def winnowing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile: selected-set size,
+    exact-integer digest (sum/min/max of the 16-bit fingerprint values)
+    and selection density. Winnowing theory pins expected density near
+    2/(w+1) = 0.4 at w=4 — the storage-vs-guarantee trade every
+    plagiarism/near-dup fingerprint index is sized by. All-integer
+    outputs except the single final density division."""
+    from ..operators.textstats import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    grams = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(word_ngrams("text", n=3)).alias("n_grams")
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum("fp").cast("long").alias("fp_sum"),
+            F.min("fp").cast("long").alias("fp_min"),
+            F.max("fp").cast("long").alias("fp_max"),
+        )
+        .join(grams, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "n_selected",
+            "fp_sum",
+            "fp_min",
+            "fp_max",
+            F.round(
+                F.col("n_selected").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("density"),
+        )
+    )
+
+
+@register(
+    "winnowing_hot_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_FP_CTE}
+    SELECT fp, count(DISTINCT doc_id) AS doc_freq
+    FROM fps
+    GROUP BY fp
+    ORDER BY doc_freq DESC, fp ASC
+    LIMIT 20
+    """,
+    tags=("llm", "fingerprint", "dedup"),
+)
+def winnowing_hot_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 winnowed fingerprints selected by the most documents — the
+    hot keys a fingerprint inverted index must cap or stop-list before
+    the candidate self-join (the same hot-gram pressure the n-gram dedup
+    chooser measures). Bounded output; total order by (doc_freq desc,
+    fp asc)."""
+    from ..operators.textstats import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    return (
+        fps.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("fp"))
+        .limit(20)
+    )

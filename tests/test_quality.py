@@ -304,3 +304,85 @@ def test_source_drift_kl_flags_divergent_source(spark):
     got = {r["source"]: r["kl_divergence"] for r in source_drift_kl(spark, d).collect()}
     assert set(got) == {"normal", "weird"}
     assert got["weird"] > got["normal"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee: two documents sharing a token run of
+    length >= w + k - 1 (= 6 at k=3, w=4) MUST share at least one
+    fingerprint value, whatever surrounds the run."""
+    from spark_streaming_project_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    docs = _toy_docs(
+        spark,
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven {shared} eight nine ten eleven twelve"),
+        ],
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in fps.select("doc_id").distinct().collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+
+
+def test_winnowing_coverage_and_density(spark):
+    """Every full w-window of gram positions contains a selected
+    position (the window-coverage invariant selection correctness reduces
+    to), selected hashes equal the gram hash at the selected position,
+    and density lands in (0, 1]."""
+    import hashlib
+
+    from spark_streaming_project_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(40)
+    k, w = 3, 4
+    fps = {
+        (r["doc_id"], r["pos"]): r["fp"]
+        for r in winnow_fingerprints(docs, "text", "doc_id", k=k, w=w).collect()
+    }
+    assert fps
+    for row in docs.filter(F.col("text").isNotNull()).collect():
+        toks = [t for t in row["text"].split() if t]
+        grams = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ]
+        sel = {p for (d, p) in fps if d == row["doc_id"]}
+        if len(grams) < w:
+            assert not sel
+            continue
+        for start in range(1, len(grams) - w + 2):
+            assert sel & set(range(start, start + w)), (row["doc_id"], start)
+        for p in sel:
+            want = int(hashlib.md5(grams[p - 1].encode()).hexdigest()[:4], 16)
+            assert fps[(row["doc_id"], p)] == want
+
+
+def test_winnowing_rightmost_min_tiebreak(spark):
+    """A document whose grams all hash identically (same gram repeated)
+    must select the RIGHTMOST position of each window — i.e. positions
+    w, w+1, ..., P (every window's last slot), not position 1."""
+    from spark_streaming_project_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = _toy_docs(spark, [(1, "x x x x x x x x x x")])  # 8 identical grams
+    got = sorted(
+        r["pos"]
+        for r in winnow_fingerprints(docs, "text", "doc_id", k=3, w=4).collect()
+    )
+    # windows start at 1..5; rightmost min of window j is j + 3
+    assert got == [4, 5, 6, 7, 8]
