@@ -174,3 +174,53 @@ def cross_doc_gram_stats(
             ).alias("shared_frac"),
         )
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean bigram log-probability (and perplexity) under the
+    corpus's own add-1-smoothed bigram LM — the next step up from
+    :func:`unigram_logprob` toward the KenLM-style fluency filters used by
+    CCNet/LLaMA data pipelines: unigram scoring rewards any stopword soup,
+    while a bigram model demands locally-plausible ORDER.
+
+    ``P(w2 | w1) = (c(w1 w2) + 1) / (c1(w1) + V)`` with c over corpus
+    bigrams, c1 the context total derived FROM the bigram table (bounded by
+    |bigram vocab|, not corpus size), and V the corpus unigram vocabulary.
+
+    Scale shape: everything is pre-aggregated before any join — (doc,
+    bigram) counts join the bigram model on the bigram key (skew at
+    stopword pairs -> AQE split; both sides partially aggregated so
+    shuffled volume is ~|doc grams| + |model|), the model's context join is
+    model-sized, and V folds in as a broadcast single-row aggregate.
+    """
+    from ..functions.text import word_ngrams
+
+    live = df.filter(F.col(text_col).isNotNull())
+    bg = live.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n=2)).alias("bg")
+    )
+    doc_bg = bg.groupBy(id_col, "bg").agg(F.count("*").alias("k"))
+    model = bg.groupBy("bg").agg(F.count("*").alias("cnt"))
+    ctx = (
+        model.select(F.split("bg", " ").getItem(0).alias("w1"), "cnt")
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("c1"))
+    )
+    vocab = live.select(F.explode(tokens(text_col)).alias("token")).agg(
+        F.countDistinct("token").alias("v")
+    )
+    scored = (
+        doc_bg.join(F.broadcast(model), "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.col("cnt") + 1).cast("double") / (F.col("c1") + F.col("v"))
+    )
+    avg = F.sum(logp * F.col("k")) / F.sum("k")
+    return scored.groupBy(id_col).agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("perplexity"),
+    )

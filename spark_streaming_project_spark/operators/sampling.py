@@ -405,3 +405,97 @@ def dsir_resample(
         .limit(k)
         .select(F.col(id_col), F.round(logw_col, 6).alias(logw_col))
     )
+
+
+def temperature_targets(
+    sizes: DataFrame,
+    key_col: str,
+    size_col: str,
+    k_total: int,
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture apportionment (the multilingual/multi-
+    source sampling rule of XLM/mT5: draw probability proportional to
+    ``size^alpha``, flattening the head so small sources are not drowned):
+    given per-key integer sizes, allocate exactly ``k_total`` draws via
+    LARGEST-REMAINDER rounding over integer weights.
+
+    Engine-exact by construction: ``weight = round(size^alpha * scale)``
+    is one exactly-rounded IEEE op chain per key (sqrt at alpha=0.5), and
+    everything downstream — total, quota ``(k*w) // W``, remainders, the
+    leftover ranking — is pure integer arithmetic, so targets replay
+    bit-for-bit in any engine and under any partitioning. The ranking
+    window is global but runs over the KEY dimension (sources/languages —
+    bounded by definition, like the limit(n) frames elsewhere).
+
+    Overflow bound: needs ``k_total * weight < 2^63`` — holds through
+    k_total ~ 1e6 slots against 1e12-token sources at the default scale.
+
+    Returns (key_col, size_col, weight, target_k).
+    """
+    w = (
+        F.round(F.pow(F.col(size_col).cast("double"), F.lit(alpha)) * scale)
+        if alpha != 0.5
+        else F.round(F.sqrt(F.col(size_col).cast("double")) * scale)
+    )
+    weighted = sizes.select(
+        key_col, size_col, w.cast("long").alias("weight")
+    )
+    tot = weighted.agg(
+        F.sum("weight").alias("_w_tot"),
+    )
+    quota = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            size_col,
+            "weight",
+            # true integral division (not double-divide-then-truncate):
+            # keeps the quota arithmetic exact at any magnitude
+            F.expr(f"({k_total} * weight) div _w_tot").alias("_base"),
+            ((F.lit(k_total) * F.col("weight")) % F.col("_w_tot"))
+            .alias("_rem"),
+        )
+    )
+    base_tot = quota.agg(F.sum("_base").alias("_b_tot"))
+    ranked = quota.crossJoin(F.broadcast(base_tot)).withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("_rem"), F.asc(key_col))
+        ),
+    )
+    return ranked.select(
+        key_col,
+        size_col,
+        "weight",
+        (
+            F.col("_base")
+            + F.when(
+                F.col("_rank") <= F.lit(k_total) - F.col("_b_tot"), 1
+            ).otherwise(0)
+        ).alias("target_k"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    targets: DataFrame,
+    id_col: str,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Draw each key's ``target_k`` rows deterministically: md5(seed, id)
+    ranks rows within their key; the first ``target_k`` survive (all rows
+    when the key is smaller than its quota). Broadcast the (tiny) target
+    table; one per-key window, no global sort."""
+    order = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(order, F.col(id_col))
+    )
+    return (
+        df.join(F.broadcast(targets.select(key_col, "target_k")), key_col)
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.col("target_k"))
+        .select(id_col, key_col)
+    )

@@ -2595,3 +2595,102 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", _QUERY_VEC_ID,
         k=_MMR_K, lam=_MMR_LAM, shortlist=_MMR_SHORTLIST,
     )
+
+
+# --- temperature-based mixture apportionment --------------------------------
+
+_TMIX_K = 200
+
+_TMIX_TARGETS_CTE = r"""
+    sizes AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY source
+    ),
+    wts AS (
+        SELECT source, n_tokens,
+               CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS weight
+        FROM sizes
+    ),
+    tot AS (SELECT sum(weight) AS w_tot FROM wts),
+    quota AS (
+        SELECT source, n_tokens, weight,
+               (200 * weight) // w_tot AS base,
+               (200 * weight) % w_tot AS rem
+        FROM wts, tot
+    ),
+    bt AS (SELECT sum(base) AS b_tot FROM quota),
+    tk AS (
+        SELECT source, n_tokens, weight,
+               CAST(base + CASE WHEN row_number() OVER (
+                               ORDER BY rem DESC, source ASC)
+                               <= 200 - b_tot THEN 1 ELSE 0 END
+                    AS BIGINT) AS target_k
+        FROM quota, bt
+    )"""
+
+
+@register(
+    "temperature_mixture_targets",
+    oracle=f"""
+    WITH {_TMIX_TARGETS_CTE}
+    SELECT * FROM tk
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def temperature_mixture_targets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture apportionment over per-source TOKEN
+    totals: exactly 200 slots split by largest-remainder over integer
+    sqrt-weights — the XLM/mT5 sampling rule that keeps big sources from
+    drowning small ones. Integer arithmetic end-to-end after one exactly-
+    rounded sqrt per source; see operators/sampling.temperature_targets."""
+    from ..functions.text import token_count
+    from ..operators.sampling import temperature_targets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(token_count("text")).cast("long").alias("n_tokens"))
+    )
+    return temperature_targets(sizes, "source", "n_tokens", _TMIX_K)
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH {_TMIX_TARGETS_CTE},
+    sel AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('tmix:' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id) AS rn
+        FROM documents d
+    )
+    SELECT s.doc_id, s.source
+    FROM sel s JOIN tk USING (source)
+    WHERE rn <= target_k
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drawn mixture itself: each source's temperature quota filled by
+    md5-ranked deterministic selection (reproducible under repartition;
+    sources smaller than their quota contribute everything they have)."""
+    from ..functions.text import token_count
+    from ..operators.sampling import (
+        temperature_mixture_sample,
+        temperature_targets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(token_count("text")).cast("long").alias("n_tokens"))
+    )
+    targets = temperature_targets(sizes, "source", "n_tokens", _TMIX_K)
+    return temperature_mixture_sample(docs, "source", targets, "doc_id")

@@ -886,3 +886,50 @@ def winnowing_hot_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("fp"))
         .limit(20)
     )
+
+
+@register(
+    "bigram_perplexity",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    bg AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 2
+                      THEN [array_to_string(words[i:i+1], ' ')
+                            for i in range(1, len(words))]
+                      ELSE [] END) AS bg
+        FROM toks
+    ),
+    doc_bg AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY 1, 2),
+    model AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+    ctx AS (
+        SELECT string_split(bg, ' ')[1] AS w1, sum(cnt) AS c1
+        FROM model GROUP BY 1
+    ),
+    voc AS (
+        SELECT count(DISTINCT t) AS v
+        FROM (SELECT unnest(words) AS t FROM toks)
+    ),
+    scored AS (
+        SELECT d.doc_id, d.k,
+               ln((m.cnt + 1) / CAST(c.c1 + voc.v AS DOUBLE)) AS logp
+        FROM doc_bg d
+        JOIN model m USING (bg)
+        JOIN ctx c ON string_split(d.bg, ' ')[1] = c.w1, voc
+    )
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           round(sum(logp * k) / sum(k), 6) AS avg_logprob,
+           round(exp(-sum(logp * k) / sum(k)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "lm"),
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-1 bigram LM —
+    the fluency filter tier above unigram_quality: rewards locally
+    plausible token ORDER, not just common tokens. See
+    operators/quality.bigram_logprob for the pre-aggregated join shape."""
+    from ..operators.quality import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "text", "doc_id")

@@ -283,3 +283,84 @@ def test_dsir_resample_prefers_target_like_docs(spark):
         .first()[0]
     )
     assert mean_sel > mean_all
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture apportionment
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_targets_exact_total_and_flattening(spark):
+    """Largest-remainder apportionment hands out EXACTLY k_total slots,
+    and alpha=0.5 flattens the head: the small source's share exceeds its
+    proportional share, the big source's falls below it."""
+    from spark_streaming_project_spark.operators.sampling import (
+        temperature_targets,
+    )
+
+    sizes = spark.createDataFrame(
+        [("big", 90000), ("mid", 9000), ("small", 1000)],
+        "source string, n long",
+    )
+    got = {
+        r["source"]: r["target_k"]
+        for r in temperature_targets(sizes, "source", "n", 100).collect()
+    }
+    assert sum(got.values()) == 100
+    assert got["small"] > 100 * 1000 / 100000     # over proportional
+    assert got["big"] < 100 * 90000 / 100000      # under proportional
+    # sqrt weights 300.0M/94.87M/31.62M of 426.49M -> bases 70/22/7,
+    # one leftover slot to the largest remainder (small)
+    assert got == {"big": 70, "mid": 22, "small": 8}
+
+
+def test_temperature_targets_ties_and_tiny_quotas(spark):
+    """Equal sizes split a non-divisible k_total by the deterministic
+    (remainder desc, key asc) rule — first keys in name order absorb the
+    leftover; every run and partitioning agrees."""
+    from spark_streaming_project_spark.operators.sampling import (
+        temperature_targets,
+    )
+
+    sizes = spark.createDataFrame(
+        [(f"s{i}", 100) for i in range(6)], "source string, n long"
+    )
+    got = {
+        r["source"]: r["target_k"]
+        for r in temperature_targets(sizes, "source", "n", 10).collect()
+    }
+    assert sum(got.values()) == 10
+    # 10/6 -> base 1 each, 4 leftover to s0..s3 by key order
+    assert got == {"s0": 2, "s1": 2, "s2": 2, "s3": 2, "s4": 1, "s5": 1}
+
+
+def test_temperature_mixture_sample_respects_quotas_and_small_sources(spark):
+    """The drawn sample holds every key at min(target_k, key size) and is
+    repartition-invariant."""
+    from spark_streaming_project_spark.operators.sampling import (
+        temperature_mixture_sample,
+        temperature_targets,
+    )
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    sizes = df.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    targets = temperature_targets(sizes, "source", "n", 20)
+    tk = {r["source"]: r["target_k"] for r in targets.collect()}
+    sel = temperature_mixture_sample(df, "source", targets, "doc_id")
+    got = {r["source"]: 0 for r in sel.collect()}
+    for r in sel.collect():
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    counts = (
+        sel.groupBy("source").agg(F.count("*").alias("c")).collect()
+    )
+    by_src = {r["source"]: r["c"] for r in counts}
+    assert by_src["big"] == tk["big"]
+    assert by_src["tiny"] == min(tk["tiny"], 2)
+    again = set(
+        (r["doc_id"], r["source"])
+        for r in temperature_mixture_sample(
+            df.repartition(13), "source", targets, "doc_id"
+        ).collect()
+    )
+    assert again == {(r["doc_id"], r["source"]) for r in sel.collect()}
