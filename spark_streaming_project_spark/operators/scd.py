@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd1_apply", "scd2_apply"]
+__all__ = ["scd1_apply", "scd2_apply", "snapshot_diff"]
 
 
 def _differs(tracked: list[str]) -> Column:
@@ -120,3 +120,49 @@ def scd1_apply(
     """
     survivors = dim.join(updates.select(key), key, "left_anti")
     return survivors.unionByName(updates.select(*dim.columns))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: classify every
+    business key as ``insert`` (new only), ``delete`` (old only), or
+    ``update`` (present in both, any compared attribute NULL-safely
+    different); unchanged keys are dropped. The batch complement to the
+    SCD merges above — the op that turns periodic full snapshots into a
+    change feed when the source system exposes no log.
+
+    Scale shape: ONE full-outer equi-join on the business key (both
+    sides pruned to key + compared columns before the shuffle), column
+    comparison via null-safe predicates — no hashing, no window, no
+    driver state; AQE handles key skew. Returns key_cols + change_type.
+    """
+    o = old.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    joined = o.join(n, [f"k_{c}" for c in key_cols], "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[F.col(f"k_{c}").alias(c) for c in key_cols], "change_type"
+        )
+    )

@@ -375,3 +375,74 @@ def bloom_pruned_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC between snapshots: full-outer key diff (operators/scd.snapshot_diff).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_snapshot_cdc",
+    oracle="""
+    WITH snap_old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+    ),
+    snap_new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 131 <> 0
+    ),
+    d AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                      OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 'update' END AS change_type
+        FROM snap_old o FULL OUTER JOIN snap_new n
+          ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+    FROM d WHERE change_type IS NOT NULL
+    GROUP BY change_type
+    """,
+    tags=("warehouse", "cdc"),
+)
+def order_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two order snapshots (six months apart;
+    the newer one carries simulated corrections and purges): every key
+    classified insert / update / delete by one full-outer key join with
+    NULL-safe column compares — the op that turns periodic full snapshots
+    into a change feed when the source exposes no log. Counts + exact
+    key-sum digest per change class."""
+    from ..operators.scd import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    compare = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    snap_old = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    ).select("o_orderkey", *compare)
+    snap_new = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 131 != 0)
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select("o_orderkey", *compare)
+    )
+    diff = snapshot_diff(snap_old, snap_new, ["o_orderkey"], compare)
+    return diff.groupBy("change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

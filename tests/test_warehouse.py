@@ -197,3 +197,39 @@ if _HYP:
             chain = closed + opens
             for a, b in zip(chain, chain[1:]):
                 assert a["valid_to"] == b["valid_from"], f"key {k} gap"
+
+
+def test_snapshot_diff_classifies_and_is_null_safe(spark):
+    """insert/update/delete classification on a crafted pair, including
+    NULL transitions (NULL->value and value->NULL are updates; NULL->NULL
+    is unchanged)."""
+    from spark_streaming_project_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "A", 10.0),   # unchanged
+            (2, "B", 20.0),   # value update
+            (3, None, 30.0),  # NULL -> value update
+            (4, "D", None),   # value -> NULL update
+            (5, "E", 50.0),   # deleted
+            (6, None, None),  # NULL == NULL -> unchanged
+        ],
+        "k long, status string, price double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B2", 20.0),
+            (3, "C", 30.0),
+            (4, "D", 40.0),
+            (6, None, None),
+            (7, "G", 70.0),   # inserted
+        ],
+        "k long, status string, price double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["status", "price"]).collect()
+    }
+    assert got == {2: "update", 3: "update", 4: "update",
+                   5: "delete", 7: "insert"}
