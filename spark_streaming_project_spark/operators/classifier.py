@@ -1,0 +1,161 @@
+"""Trained quality classifier: distributed logistic regression over hashed
+unigram features, engineered so TRAINING ITSELF replays bit-for-bit in any
+engine (the same exactness contract the deterministic PQ/IVF twins give the
+ANN tier, extended to an iterative, gradient-trained model).
+
+This is the fastText-style binary quality/domain classifier every
+pretraining pipeline runs (GPT-3/LLaMA "quality filtering": label a target
+slice positive, score the whole corpus). The distributed shape per
+iteration is two aggregates over a skinny exploded frame:
+
+1. score pass — per-doc dot product as an ORDERED left fold over the
+   (n_buckets+1)-long dense feature array (bias first), so float addition
+   order is pinned — no shuffle-order dependence;
+2. gradient pass — residuals are QUANTIZED to integer millionths, so the
+   per-bucket gradient is an exact BIGINT sum (order-free), and the weight
+   update is one fixed-order double expression per bucket.
+
+Cross-engine float determinism demands only IEEE-correctly-rounded
++ - * / and abs: the squashing function is the RATIONAL sigmoid
+``s(z) = 0.5 * (1 + z / (1 + |z|))`` (a standard fast-sigmoid surrogate)
+rather than 1/(1+e^-z), whose libm exp() differs across engines in the
+last ulp and would compound over iterations.
+
+Driver-side state is the (n_buckets+1)-float weight vector per iteration —
+the same bounded-sidecar collect class as the IVF centroid tables and the
+BPE argmax (never corpus-sized).
+
+Scale notes (100 TB): the feature build is one explode + groupBy on
+(doc, bucket) — token-linear, partially aggregated before its only
+shuffle; each training iteration shuffles |docs| * (n_buckets+1) skinny
+integer rows; iterations are a handful because the model is tiny. Scoring
+is embarrassingly parallel (weights broadcast as literals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "hashed_bucket_features",
+    "logreg_train_quantized",
+    "logreg_score",
+    "rational_sigmoid",
+]
+
+#: residual quantum: residuals are rounded to integer multiples of 1e-6
+_QUANTUM = 1_000_000
+
+
+def rational_sigmoid(z):
+    """``0.5 * (1 + z / (1 + |z|))`` — monotone squash onto (0, 1) using
+    only correctly-rounded IEEE ops, identical in every engine."""
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def hashed_bucket_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(id, y, x): integer label from the ``label`` boolean column
+    expression and a dense length-``n_buckets + 1`` BIGINT feature array —
+    a constant 1 bias slot followed by per-bucket token counts
+    (md5-hashed unigrams, the same bucket function as the DSIR model).
+    Zero-token documents keep an all-zero count vector (bias only)."""
+    live = df.filter(F.col(text_col).isNotNull())
+    tok = live.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    ).select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(F.md5("_t"), 1, 4), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    counts = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("b") == j, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_x{j}")
+            for j in range(n_buckets)
+        ]
+    )
+    dense = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.array(
+            *[
+                F.coalesce(F.col(f"_x{j}"), F.lit(0).cast("long"))
+                for j in range(n_buckets)
+            ]
+        ),
+    )
+    return (
+        live.select(F.col(id_col), label.cast("int").alias("y"))
+        .join(counts, id_col, "left")
+        .select(id_col, "y", dense.alias("x"))
+    )
+
+
+def _fold_dot(x_col, weights: list[float]):
+    """Ordered left fold of sum_j w_j * x_j (bias first) — float addition
+    order pinned left-to-right, matching DuckDB's list_reduce."""
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    terms = F.zip_with(warr, x_col, lambda w, x: w * x.cast("double"))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def logreg_train_quantized(
+    feats: DataFrame,
+    n_buckets: int = 32,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> list[float]:
+    """Batch-gradient logistic regression with integer-quantized
+    residuals; returns the trained (n_buckets + 1)-float weight vector
+    (bias first). Per iteration: one distributed gradient aggregate (exact
+    BIGINT — summation-order free), one bounded (n_buckets + 1)-row
+    collect, one fixed-order driver-side float update per weight.
+    """
+    d = n_buckets + 1
+    n = feats.count()
+    if n == 0:
+        return [0.0] * d
+    w = [0.0] * d
+    for _ in range(iters):
+        z = _fold_dot(F.col("x"), w)
+        rq = F.round((F.col("y") - rational_sigmoid(z)) * _QUANTUM).cast(
+            "long"
+        )
+        grad_rows = (
+            feats.select(rq.alias("_rq"), F.posexplode("x").alias("j", "_xj"))
+            .groupBy("j")
+            .agg(F.sum(F.col("_rq") * F.col("_xj")).alias("g"))
+            .collect()
+        )
+        g = {r["j"]: r["g"] for r in grad_rows}
+        w = [
+            w[j] + lr * (float(g.get(j, 0)) / (n * float(_QUANTUM)))
+            for j in range(d)
+        ]
+    return w
+
+
+def logreg_score(
+    feats: DataFrame, weights: list[float], id_col: str
+) -> DataFrame:
+    """Score every row under a trained weight vector: (id, y, score,
+    prob) with prob = rational_sigmoid(score). Weights enter as literals
+    (broadcast by construction); the scan is embarrassingly parallel."""
+    z = _fold_dot(F.col("x"), weights)
+    return feats.select(
+        F.col(id_col),
+        "y",
+        z.alias("score"),
+        rational_sigmoid(z).alias("prob"),
+    )

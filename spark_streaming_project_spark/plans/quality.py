@@ -933,3 +933,175 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Trained logistic-regression quality classifier — TRAINING replays exactly
+# in SQL: integer-quantized residuals (order-free BIGINT gradients),
+# rational sigmoid (no libm), ordered-fold dot products, and the gradient
+# loop unrolled into per-iteration CTEs (the MMR/PQ unrolling pattern
+# applied to gradient descent). See operators/classifier.py.
+# ---------------------------------------------------------------------------
+
+_LR_BUCKETS = 32
+_LR_ITERS = 3
+_LR_TARGETS = ("src0", "src1", "src2")
+
+
+def _logreg_cte(iters: int = _LR_ITERS) -> str:
+    b = _LR_BUCKETS
+    d = b + 1
+    targets = ", ".join(repr(s) for s in _LR_TARGETS)
+    parts = [
+        rf"""
+    lrtok AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT) % {b} AS bkt
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS t
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    lrbc AS (SELECT doc_id, bkt, count(*) AS k FROM lrtok GROUP BY 1, 2),
+    lrgrid AS (
+        SELECT d.doc_id, g.j
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d,
+             (SELECT unnest(range({b})) AS j) g
+    ),
+    lrdense AS (
+        SELECT g.doc_id, g.j, CAST(coalesce(c.k, 0) AS BIGINT) AS k
+        FROM lrgrid g LEFT JOIN lrbc c
+          ON g.doc_id = c.doc_id AND g.j = c.bkt
+    ),
+    lrx AS (
+        SELECT doc_id, [CAST(1 AS BIGINT)] || list(k ORDER BY j) AS x
+        FROM lrdense GROUP BY doc_id
+    ),
+    feats AS (
+        SELECT x.doc_id,
+               CASE WHEN dd.source IN ({targets}) THEN 1 ELSE 0 END AS y,
+               x.x
+        FROM lrx x JOIN documents dd USING (doc_id)
+    ),
+    nn AS (SELECT count(*) AS n FROM feats),
+    r1 AS (
+        SELECT doc_id, y, x,
+               CAST(round((y - 0.5) * 1000000.0) AS BIGINT) AS rq
+        FROM feats
+    ),
+    g1 AS (
+        SELECT j, sum(rq * x[j]) AS g
+        FROM r1, (SELECT unnest(range(1, {d + 1})) AS j) GROUP BY j
+    ),
+    w1 AS (
+        SELECT j, 0.0 + 0.5 * (CAST(g AS DOUBLE) / (n * 1000000.0)) AS w
+        FROM g1, nn
+    )"""
+    ]
+    for i in range(2, iters + 1):
+        parts.append(
+            f""",
+    wl{i - 1} AS (SELECT list(w ORDER BY j) AS wl FROM w{i - 1}),
+    s{i} AS (
+        SELECT f.doc_id, f.y, f.x,
+               list_reduce([l.wl[j] * f.x[j] for j in range(1, {d + 1})],
+                           (a, bb) -> a + bb) AS z
+        FROM feats f, wl{i - 1} l
+    ),
+    r{i} AS (
+        SELECT doc_id, y, x,
+               CAST(round((y - 0.5 * (1.0 + z / (1.0 + abs(z))))
+                          * 1000000.0) AS BIGINT) AS rq
+        FROM s{i}
+    ),
+    g{i} AS (
+        SELECT j, sum(rq * x[j]) AS g
+        FROM r{i}, (SELECT unnest(range(1, {d + 1})) AS j) GROUP BY j
+    ),
+    w{i} AS (
+        SELECT w.j, w.w + 0.5 * (CAST(g.g AS DOUBLE) / (n * 1000000.0)) AS w
+        FROM w{i - 1} w JOIN g{i} g USING (j), nn
+    )"""
+        )
+    parts.append(
+        f""",
+    wlF AS (SELECT list(w ORDER BY j) AS wl FROM w{iters}),
+    scored AS (
+        SELECT f.doc_id, f.y,
+               list_reduce([l.wl[j] * f.x[j] for j in range(1, {d + 1})],
+                           (a, bb) -> a + bb) AS z
+        FROM feats f, wlF l
+    )"""
+    )
+    return "".join(parts)
+
+
+def _lr_feats(spark: SparkSession, sf_dir: str):
+    from ..operators.classifier import hashed_bucket_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_bucket_features(
+        docs, "text", "doc_id",
+        F.col("source").isin(*_LR_TARGETS), n_buckets=_LR_BUCKETS,
+    )
+
+
+@register(
+    "quality_logreg_weights",
+    oracle=f"""
+    WITH {_logreg_cte()}
+    SELECT CAST(j AS INTEGER) AS pos, w
+    FROM w{_LR_ITERS}
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained classifier itself: 33 weights (bias + 32 hashed-unigram
+    buckets) after 3 quantized-gradient iterations at lr=0.5 — emitted
+    UNROUNDED because training is engine-exact by construction (integer
+    gradients, rational sigmoid, ordered folds). The model sidecar a
+    100 TB scoring pass would broadcast."""
+    from ..operators.classifier import logreg_train_quantized
+
+    feats = _lr_feats(spark, sf_dir)
+    w = logreg_train_quantized(
+        feats, n_buckets=_LR_BUCKETS, iters=_LR_ITERS, lr=0.5
+    )
+    return spark.createDataFrame(
+        [(j + 1, float(w[j])) for j in range(len(w))], "pos int, w double"
+    )
+
+
+@register(
+    "quality_logreg_scores",
+    oracle=f"""
+    WITH {_logreg_cte()}
+    SELECT doc_id, y,
+           round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS prob,
+           CAST(CASE WHEN 0.5 * (1.0 + z / (1.0 + abs(z))) > 0.5
+                     THEN 1 ELSE 0 END AS INTEGER) AS predicted
+    FROM scored
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document scored under the trained quality classifier:
+    rational-sigmoid probability of belonging to the target slice plus
+    the hard prediction — the corpus-wide filter pass (weights broadcast
+    as literals; embarrassingly parallel scan)."""
+    from ..operators.classifier import (
+        logreg_score,
+        logreg_train_quantized,
+    )
+
+    feats = _lr_feats(spark, sf_dir)
+    w = logreg_train_quantized(
+        feats, n_buckets=_LR_BUCKETS, iters=_LR_ITERS, lr=0.5
+    )
+    scored = logreg_score(feats, w, "doc_id")
+    return scored.select(
+        "doc_id",
+        "y",
+        F.round("prob", 6).alias("prob"),
+        (F.col("prob") > 0.5).cast("int").alias("predicted"),
+    )

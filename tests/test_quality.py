@@ -386,3 +386,111 @@ def test_winnowing_rightmost_min_tiebreak(spark):
     )
     # windows start at 1..5; rightmost min of window j is j + 3
     assert got == [4, 5, 6, 7, 8]
+
+
+# ---------------------------------------------------------------------------
+# Trained logistic-regression quality classifier (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_matches_independent_numpy_reference(spark):
+    """Training parity against an independent numpy implementation (batch
+    matrix ops, different accumulation order): same quantized-gradient
+    algorithm must land within float tolerance — agreement is algorithmic,
+    not copy-paste."""
+    import numpy as np
+
+    from spark_streaming_project_spark.operators.classifier import (
+        hashed_bucket_features,
+        logreg_train_quantized,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    feats = hashed_bucket_features(
+        docs, "text", "doc_id",
+        F.col("source").isin("src0", "src1", "src2"), n_buckets=16,
+    )
+    got = logreg_train_quantized(feats, n_buckets=16, iters=3, lr=0.5)
+
+    rows = feats.collect()
+    X = np.array([r["x"] for r in rows], dtype=np.float64)
+    y = np.array([r["y"] for r in rows], dtype=np.float64)
+    w = np.zeros(17)
+    for _ in range(3):
+        z = X @ w
+        s = 0.5 * (1.0 + z / (1.0 + np.abs(z)))
+        rq = np.round((y - s) * 1e6)
+        g = rq @ X
+        w = w + 0.5 * (g / (len(rows) * 1e6))
+    assert np.max(np.abs(np.array(got) - w)) < 1e-9
+
+
+def test_logreg_learns_to_separate_target_slice(spark):
+    """On a corpus where the target class uses disjoint vocabulary, 3
+    iterations must already rank targets above non-targets (AUC-style
+    check: min target prob > max background prob)."""
+    from spark_streaming_project_spark.operators.classifier import (
+        hashed_bucket_features,
+        logreg_score,
+        logreg_train_quantized,
+    )
+
+    rows = [(i, "alpha beta gamma delta " * 3, 1) for i in range(20)] + [
+        (100 + i, "omega psi chi phi " * 3, 0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab int")
+    feats = hashed_bucket_features(
+        df, "text", "doc_id", F.col("lab") == 1, n_buckets=16
+    )
+    w = logreg_train_quantized(feats, n_buckets=16, iters=3, lr=0.5)
+    scored = logreg_score(feats, w, "doc_id").collect()
+    tgt = [r["prob"] for r in scored if r["y"] == 1]
+    bg = [r["prob"] for r in scored if r["y"] == 0]
+    assert min(tgt) > max(bg)
+
+
+def test_logreg_exact_partition_invariance_and_empty(spark):
+    """Quantized integer gradients make training EXACTLY partitioning-
+    independent (bit-equal weights under repartition); empty input yields
+    the zero model."""
+    from spark_streaming_project_spark.operators.classifier import (
+        hashed_bucket_features,
+        logreg_train_quantized,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    lab = F.col("source").isin("src0", "src1", "src2")
+    f1 = hashed_bucket_features(docs, "text", "doc_id", lab, n_buckets=16)
+    f2 = hashed_bucket_features(
+        docs.repartition(17), "text", "doc_id", lab, n_buckets=16
+    )
+    w1 = logreg_train_quantized(f1, n_buckets=16, iters=2)
+    w2 = logreg_train_quantized(f2, n_buckets=16, iters=2)
+    assert w1 == w2
+
+    empty = hashed_bucket_features(
+        docs.filter(F.lit(False)), "text", "doc_id", lab, n_buckets=16
+    )
+    assert logreg_train_quantized(empty, n_buckets=16) == [0.0] * 17
+
+
+def test_logreg_features_dense_bias_and_zero_token_docs(spark):
+    """Feature vectors are dense length n_buckets+1 with bias slot 1;
+    a doc whose text has no tokens keeps an all-zero count vector."""
+    from spark_streaming_project_spark.operators.classifier import (
+        hashed_bucket_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in hashed_bucket_features(
+            df, "text", "doc_id", F.lit(True), n_buckets=8
+        ).collect()
+    }
+    assert set(rows) == {1, 2}  # NULL text excluded
+    assert rows[1]["x"][0] == 1 and sum(rows[1]["x"][1:]) == 3
+    assert rows[2]["x"][0] == 1 and sum(rows[2]["x"][1:]) == 0
+    assert len(rows[1]["x"]) == 9
