@@ -365,6 +365,34 @@ def main() -> None:
         run("mmr_topk", scale, lambda: S.mmr_topk(
             emb, "vec_id", "embedding", qid_, k=10, shortlist=50))
 
+        # -- round-5 session-4 tiers: winnowing, bigram LM, logreg ---------
+        # Winnowing: explode + one per-doc window sort — token-linear, no
+        # cross-doc interaction. Bigram LM: model-keyed join; model size
+        # grows sub-linearly (Heaps), scan linearly. Logreg: per iteration
+        # one integer-gradient aggregate over |docs|*(B+1) skinny rows —
+        # token-linear feature build + doc-linear iterations.
+        from spark_streaming_project_spark.operators.classifier import (
+            hashed_bucket_features, logreg_train_quantized)
+        from spark_streaming_project_spark.operators.quality import (
+            bigram_logprob)
+        from spark_streaming_project_spark.operators.textstats import (
+            winnow_fingerprints)
+
+        run("winnowing", scale, lambda: winnow_fingerprints(
+            docs_, "text", "doc_id", k=3, w=4))
+        run("bigram_lm", scale, lambda: bigram_logprob(
+            docs_, "text", "doc_id"))
+
+        def _logreg():
+            feats = hashed_bucket_features(
+                docs_, "text", "doc_id",
+                _F.col("source").isin("src0", "src1", "src2"), n_buckets=32)
+            w = logreg_train_quantized(feats, n_buckets=32, iters=3)
+            # count as the action; weights themselves are driver-side
+            return feats.limit(1)
+
+        run("logreg_train3", scale, _logreg)
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

@@ -224,3 +224,43 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.round(avg, 6).alias("avg_logprob"),
         F.round(F.exp(-avg), 6).alias("perplexity"),
     )
+
+
+def gram_novelty_by_doc(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Directional novelty: for each document, the fraction of its
+    distinct word n-grams whose FIRST corpus occurrence (minimum id) is
+    this document — i.e. content nobody earlier in the ingest order
+    already contributed. The marginal-value curve of a crawl: dataset
+    curation reads it to decide when another snapshot stops adding
+    content (cross_doc_gram_stats's symmetric cousin, made directional).
+
+    Inverted-index shape: distinct (id, gram) -> gram-min aggregate ->
+    join back; volume ~|grams| both sides, no pair expansion. Returns
+    (id, n_grams, novel_grams, novelty_frac).
+    """
+    from ..functions.text import word_shingles
+
+    g = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    first = g.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    return (
+        g.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.round(
+                F.col("novel_grams").cast("double") / F.col("n_grams"), 6
+            ),
+        )
+    )

@@ -102,6 +102,7 @@ def winnow_fingerprints(
     id_col: str,
     k: int = 3,
     w: int = 4,
+    hash_hex: int = 4,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide a
@@ -117,9 +118,12 @@ def winnow_fingerprints(
     rightmost tie-break; the winner is decoded back with integer div/mod.
     One shuffle (the per-document window sort); everything stays JVM-side.
 
-    Returns distinct (id_col, pos, fp) — fp in [0, 65535] (md5-derived),
-    pos the 1-based gram position. Documents with fewer than ``w + k - 1``
-    tokens produce no fingerprints (below the guarantee threshold).
+    Returns distinct (id_col, pos, fp) — fp an md5-derived ``4 * hash_hex``
+    -bit value (16-bit default: compact per-doc digests; pass
+    ``hash_hex=8`` for 32-bit fingerprints when MATCHING across documents,
+    where 16-bit collisions would fabricate candidates), pos the 1-based
+    gram position. Documents with fewer than ``w + k - 1`` tokens produce
+    no fingerprints (below the guarantee threshold).
     """
     grams = word_ngrams(text_col, n=k)
     g = (
@@ -130,7 +134,7 @@ def winnow_fingerprints(
             F.col(id_col),
             "_n",
             (F.col("_p0") + 1).alias("pos"),
-            F.conv(F.substring(F.md5("_gram"), 1, 4), 16, 10)
+            F.conv(F.substring(F.md5("_gram"), 1, hash_hex), 16, 10)
             .cast("long")
             .alias("_h"),
         )
@@ -148,9 +152,49 @@ def winnow_fingerprints(
         .filter(F.col("pos") <= F.col("_n") - (w - 1))
         .select(
             F.col(id_col),
-            (F.col("_sel") / _WINNOW_POS_RADIX).cast("long").alias("_fp"),
+            # integral div: exact whatever the hash width (double division
+            # would lose bits past 2^53)
+            F.expr(f"_sel div {_WINNOW_POS_RADIX}").alias("_fp"),
             (F.lit(_WINNOW_POS_RADIX - 1) - F.col("_sel") % _WINNOW_POS_RADIX)
             .alias("pos"),
         )
     )
     return sel.select(id_col, "pos", F.col("_fp").alias("fp")).distinct()
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Winnowing-based near-dup candidates (the MOSS matching step):
+    documents sharing >= ``min_shared`` distinct 32-bit winnowed
+    fingerprints. Inverted-index shape — fingerprint -> doc list ->
+    within-bucket pairs — with the standard MOSS mitigation for common
+    content: fingerprints selected by more than ``max_df`` documents are
+    STOP-LISTED before pairing (they signal boilerplate, not copying, and
+    at 100 TB one hot fingerprint would otherwise emit df^2/2 pairs).
+    Returns (id_a, id_b, shared_fps), id_a < id_b.
+    """
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w, hash_hex=8)
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    live = fps.join(
+        F.broadcast(dfreq.filter(F.col("_df") <= max_df).select("fp")), "fp"
+    )
+    a = live.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = live.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -762,9 +762,12 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/textstats.winnow_fingerprints.
 # ---------------------------------------------------------------------------
 
-_WINNOW_FP_CTE = (
-    _TOKS_CTE
-    + r""",
+def _winnow_fp_cte(hash_hex: int = 4) -> str:
+    """Shared winnowing CTE: 4-hex (16-bit) fingerprints for per-doc
+    profiles, 8-hex (32-bit) for cross-document matching."""
+    return (
+        _TOKS_CTE
+        + r""",
     gl AS (
         SELECT doc_id,
                CASE WHEN len(words) >= 3
@@ -797,7 +800,10 @@ _WINNOW_FP_CTE = (
                CAST(1048575 - (selkey % 1048576) AS BIGINT) AS sel_pos
         FROM sel WHERE pos <= n - 3
     )"""
-)
+    ).replace("md5(grams[pos]), 1, 4", f"md5(grams[pos]), 1, {hash_hex}")
+
+
+_WINNOW_FP_CTE = _winnow_fp_cte(4)
 
 
 @register(
@@ -1105,3 +1111,67 @@ def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("prob", 6).alias("prob"),
         (F.col("prob") > 0.5).cast("int").alias("predicted"),
     )
+
+
+@register(
+    "winnowing_matches",
+    oracle=f"""
+    WITH {_winnow_fp_cte(8)},
+    u AS (SELECT DISTINCT doc_id, fp FROM fps),
+    dfreq AS (SELECT fp, count(*) AS dfc FROM u GROUP BY 1),
+    live AS (
+        SELECT u.doc_id, u.fp FROM u JOIN dfreq USING (fp) WHERE dfc <= 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    tags=("llm", "fingerprint", "dedup"),
+)
+def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS matching: document pairs sharing >= 2 distinct 32-bit winnowed
+    fingerprints, with fingerprints hotter than 50 documents stop-listed
+    before pairing (boilerplate, not copying — and the df^2 pair guard at
+    scale). See operators/textstats.winnow_match_pairs."""
+    from ..operators.textstats import winnow_match_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_match_pairs(
+        docs, "text", "doc_id", k=3, w=4, min_shared=2, max_df=50
+    )
+
+
+@register(
+    "gram_novelty_by_doc",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 5
+                    THEN list_distinct([array_to_string(words[i:i+4], ' ')
+                                        for i in range(1, len(words) - 3)])
+                    ELSE [] END AS shingles
+        FROM toks
+    ),
+    g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+    first_owner AS (SELECT gram, min(doc_id) AS f FROM g GROUP BY 1)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+           round(CAST(sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty_frac
+    FROM g JOIN first_owner USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "dedup"),
+)
+def gram_novelty_by_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional content novelty per document: the share of its distinct
+    5-grams first contributed BY it in ingest (id) order — the marginal-
+    value curve of a crawl. Inverted-index aggregate, no pair expansion."""
+    from ..operators.quality import gram_novelty_by_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gram_novelty_by_doc(docs, "text", "doc_id", n=5)

@@ -39,6 +39,12 @@ REPRESENTATIVES = [
     "event_transition_matrix",          # lead() over total order
     "neardup_triangle_census",          # oriented self-joins
     "heavy_hitters_cms",                # sketch min-estimates + exact top-k
+    # round-5 session-4 families
+    "winnowing_profile",                # packed-key windowed min selection
+    "bigram_perplexity",                # model-join + per-doc log means
+    "temperature_mixture_sample",       # integer apportionment + md5 draw
+    "order_snapshot_cdc",               # full-outer null-safe diff
+    "quality_logreg_scores",            # quantized-gradient training + fold
 ]
 
 

@@ -494,3 +494,47 @@ def test_logreg_features_dense_bias_and_zero_token_docs(spark):
     assert rows[1]["x"][0] == 1 and sum(rows[1]["x"][1:]) == 3
     assert rows[2]["x"][0] == 1 and sum(rows[2]["x"][1:]) == 0
     assert len(rows[1]["x"]) == 9
+
+
+def test_winnow_match_pairs_finds_copy_and_stoplists_boilerplate(spark):
+    """A doc pair sharing a long run is matched; boilerplate shared by
+    EVERY doc is stop-listed (max_df) and alone produces no pairs."""
+    from spark_streaming_project_spark.operators.textstats import (
+        winnow_match_pairs,
+    )
+
+    boiler = "terms of service apply to all users always"
+    copied = "quick brown fox jumps over the lazy dog today"
+    rows = [(i, f"{boiler} filler{i} pad{i} junk{i} noise{i}") for i in range(20)]
+    rows += [(100, f"{copied} alpha beta"), (101, f"gamma delta {copied}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_match_pairs(
+            df, "text", "doc_id", min_shared=2, max_df=5
+        ).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, b in pairs), pairs  # boilerplate suppressed
+
+
+def test_gram_novelty_directional_hand_case(spark):
+    """Doc 1 contributes everything it has; doc 2 repeats doc 1 verbatim
+    (novelty 0); doc 3 is half-new."""
+    from spark_streaming_project_spark.operators.quality import (
+        gram_novelty_by_doc,
+    )
+
+    t1 = "a b c d e f"           # 2 distinct 5-grams
+    t3 = "a b c d e k l m n o"   # 6 grams: 'a b c d e' seen? no -- 5-gram
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t3)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"])
+        for r in gram_novelty_by_doc(df, "text", "doc_id", n=5).collect()
+    }
+    assert got[1] == (2, 2)
+    assert got[2] == (2, 0)
+    # doc 3 grams: 'a b c d e' (owned by doc 1) + 5 new ones
+    assert got[3] == (6, 5)
