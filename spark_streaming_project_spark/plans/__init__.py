@@ -91,6 +91,13 @@ _R5_WINDOW = [
     "tokenizer_compression",
     "heavy_hitters_cms",
 ]
+# Round-5 session-4 additions (winnowing_*, bigram_perplexity,
+# temperature_mixture_*, order_snapshot_cdc, quality_logreg_*,
+# gram_novelty_by_doc) deliberately QUEUE FOR R06: the 50 slots above are
+# exactly the r4-verdict backlog (every never-recorded r4 query, the
+# rows-only markers, the changed-implementation supersedes, and 8 of the
+# 9 stale TPC-H refreshes). All session-4 queries are green in the local
+# oracle gate (tests/test_correctness.py) this session.
 
 
 def _reorder() -> None:

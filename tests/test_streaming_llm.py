@@ -716,3 +716,63 @@ def test_streaming_cms_cells_match_batch_exactly(spark, tmp_path):
     }
     want = {(r["row"], r["bucket"]): r["cnt"] for r in agg(docs).collect()}
     assert got == want and got
+
+
+def test_streaming_mixture_targets_match_batch_exactly(spark, tmp_path):
+    """Temperature-mixture model maintenance under streaming ingest:
+    per-source token totals are additive counters merged by the generic
+    incremental-agg sink; the apportionment (an exact-integer pure
+    function of the totals) recomputed from the streamed state must equal
+    the one-shot batch targets EXACTLY — quotas stay current while the
+    corpus streams in."""
+    from spark_streaming_project_spark.functions.text import token_count
+    from spark_streaming_project_spark.operators.sampling import (
+        temperature_targets,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "tmix_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def agg(df):
+        return (
+            df.filter(F.col("text").isNotNull())
+            .groupBy("source")
+            .agg(F.sum(token_count("text")).cast("long").alias("n_tokens"))
+        )
+
+    state = str(tmp_path / "tmix_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_tmix"))
+    runner.add(
+        "tmix_sizes",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, agg, ["source"], ["n_tokens"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    streamed_sizes = spark.read.parquet(state)
+    got = {
+        r["source"]: (r["n_tokens"], r["weight"], r["target_k"])
+        for r in temperature_targets(
+            streamed_sizes, "source", "n_tokens", 100
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n_tokens"], r["weight"], r["target_k"])
+        for r in temperature_targets(
+            agg(docs), "source", "n_tokens", 100
+        ).collect()
+    }
+    assert got == want and got
+    assert sum(v[2] for v in got.values()) == 100
