@@ -294,3 +294,50 @@ def triangle_stats(pairs: DataFrame, src: str, dst: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def kcore_subgraph(
+    pairs: DataFrame, src: str, dst: str, k: int = 3, rounds: int = 8
+) -> DataFrame:
+    """``k``-core of the (undirected) pair graph by FIXED-ROUND peeling:
+    repeatedly drop nodes with degree < k and the edges touching them.
+    After enough rounds the subgraph is stable and equals the true k-core;
+    pinning ``rounds`` (instead of a data-dependent convergence loop)
+    keeps the whole computation a static dataflow, so it unrolls into SQL
+    CTEs and replays exactly in any engine — callers assert convergence
+    separately (one extra round changing nothing). Dedup reading: k-core
+    members sit in densely duplicated regions (template farms), while
+    chains and stars peel away — the signal that separates "crawled the
+    same boilerplate" from "copied this specific document".
+
+    Scale shape per round: one degree aggregate + two semi-join prunes,
+    all keyed on node ids — the same join family as the census above; the
+    edge set only SHRINKS, so later rounds cost less. Returns
+    (node_id, core_degree) for surviving nodes.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # each round references the previous edge set THREE times (degree agg
+    # + two semi-joins), so an un-truncated unroll grows the logical plan
+    # 3^rounds — checkpoint per round (same discipline as
+    # connected_components; previous blocks freed as we go)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = sym.groupBy("a").agg(F.count("*").alias("_dg"))
+        keep = deg.filter(F.col("_dg") >= k).select("a")
+        nxt = sym.join(keep, "a").join(
+            keep.select(F.col("a").alias("b")), "b"
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(sym)
+        sym = nxt
+    return (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("a").alias("node_id"), "core_degree")
+    )

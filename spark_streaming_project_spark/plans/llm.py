@@ -2694,3 +2694,67 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     targets = temperature_targets(sizes, "source", "n_tokens", _TMIX_K)
     return temperature_mixture_sample(docs, "source", targets, "doc_id")
+
+
+# --- k-core of the near-dup graph -------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _kcore_cte(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    # every round references the previous edge set three times; DuckDB
+    # inlines plain CTEs, so an un-MATERIALIZED unroll re-evaluates the
+    # whole pair generator 3^rounds times (the SQL twin of the Spark-side
+    # lineage blowup this operator checkpoints away)
+    parts = [
+        """,
+    e0 AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM jpairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM jpairs
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    k{r} AS MATERIALIZED (
+        SELECT a FROM (SELECT a, count(*) AS dg FROM e{r - 1} GROUP BY a)
+        WHERE dg >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r - 1} e
+        JOIN k{r} x ON e.a = x.a
+        JOIN k{r} y ON e.b = y.a
+    )"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "neardup_kcore",
+    oracle=f"""
+    WITH {_J05_PAIRS_CTE}{_kcore_cte()}
+    SELECT a AS node_id, count(*) AS core_degree
+    FROM e{_KCORE_ROUNDS}
+    GROUP BY a
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-core of the 0.5-Jaccard near-dup graph (fixed 8-round
+    peeling, convergence pytest-pinned): the cyclically-duplicated region
+    a template-farm report drills into — trees, chains and stars peel
+    away entirely, so what survives is mutual near-duplication, not
+    one-off overlap. Static unrolled dataflow: same rounds, same answer,
+    any engine."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import kcore_subgraph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    )
+    return kcore_subgraph(
+        pairs, "id_a", "id_b", k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )

@@ -175,3 +175,58 @@ def test_triangle_stats_empty_graph(spark):
     row = triangle_stats(pairs, "id_a", "id_b").first()
     assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (0, 0, 0)
     assert row["clustering"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (operators/graph.kcore_subgraph)
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """4-clique + pendant chain: the 2-core is exactly the clique (each
+    member with core degree 3); the chain peels away entirely. A
+    triangle is a 2-core but NOT a 3-core."""
+    from spark_streaming_project_spark.operators.graph import kcore_subgraph
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(clique + chain, "id_a long, id_b long")
+    got = {
+        r["node_id"]: r["core_degree"]
+        for r in kcore_subgraph(pairs, "id_a", "id_b", k=2).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    assert kcore_subgraph(tri, "id_a", "id_b", k=2).count() == 3
+    assert kcore_subgraph(tri, "id_a", "id_b", k=3).count() == 0
+
+
+def test_kcore_fixed_rounds_converged_on_testdata(spark):
+    """The pinned 8-round peel has CONVERGED on the registered graph:
+    one extra round changes nothing (so the fixed-round output equals
+    the true k-core), and an empty graph survives the loop."""
+    from spark_streaming_project_spark.operators.dedup import (
+        ngram_jaccard_pairs_adaptive,
+    )
+    from spark_streaming_project_spark.operators.graph import kcore_subgraph
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    )
+    r8 = {
+        (r["node_id"], r["core_degree"])
+        for r in kcore_subgraph(pairs, "id_a", "id_b", k=2, rounds=8).collect()
+    }
+    r9 = {
+        (r["node_id"], r["core_degree"])
+        for r in kcore_subgraph(pairs, "id_a", "id_b", k=2, rounds=9).collect()
+    }
+    assert r8 == r9
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert kcore_subgraph(empty, "id_a", "id_b", k=2).count() == 0
