@@ -378,8 +378,13 @@ def main() -> None:
         from spark_streaming_project_spark.operators.textstats import (
             winnow_fingerprints)
 
+        # winnowing is per-doc array work with NO shuffle, so its
+        # parallelism equals scan parallelism; the derived corpus is 1-2
+        # parquet files, which would serialize the measurement in a way a
+        # real many-file scan never does. repartition models the scan
+        # fan-out (its shuffle cost is INCLUDED in the recorded time).
         run("winnowing", scale, lambda: winnow_fingerprints(
-            docs_, "text", "doc_id", k=3, w=4))
+            docs_.repartition(32), "text", "doc_id", k=3, w=4))
         run("bigram_lm", scale, lambda: bigram_logprob(
             docs_, "text", "doc_id"))
 

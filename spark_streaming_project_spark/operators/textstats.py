@@ -4,7 +4,7 @@ narrow pass over the corpus, no shuffle until the caller aggregates."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -112,11 +112,17 @@ def winnow_fingerprints(
     documents sharing a run of at least ``w + k - 1`` tokens are GUARANTEED
     to share a fingerprint, while only ~2/(w+1) of all grams are kept.
 
-    Engine-replayable selection without a nested argmin: each row packs
-    ``hash * 2^20 + (2^20 - 1 - pos)`` into one BIGINT key, so a plain
-    ``min()`` over the ``[current, w-1 following]`` frame IS min-hash with
-    rightmost tie-break; the winner is decoded back with integer div/mod.
-    One shuffle (the per-document window sort); everything stays JVM-side.
+    Engine-replayable selection without a nested argmin: each position
+    packs ``hash * 2^20 + (2^20 - 1 - pos)`` into one BIGINT key, so a
+    plain ``array_min`` over each w-slice IS min-hash with rightmost
+    tie-break; the winner is decoded back with integer div/mod. The whole
+    selection is ARRAY-LEVEL per document — no window, NO SHUFFLE at all
+    (winnowing never crosses documents), which also makes the operator
+    streaming-composable (see ``streaming.stateful.
+    streaming_winnow_candidates``); the only generate is the final
+    explode of the selected set. The DuckDB oracle states the same math
+    as a windowed min over exploded positions — two formulations, one
+    selection.
 
     Returns distinct (id_col, pos, fp) — fp an md5-derived ``4 * hash_hex``
     -bit value (16-bit default: compact per-doc digests; pass
@@ -125,47 +131,57 @@ def winnow_fingerprints(
     gram position. Documents with fewer than ``w + k - 1`` tokens produce
     no fingerprints (below the guarantee threshold).
     """
-    # Materialize the gram ARRAY as a named column before the generate:
-    # referencing the raw word_ngrams expression both in size() and in
-    # posexplode() makes Catalyst re-evaluate the (interpreted zip_with)
-    # array build PER EXPLODED ROW — O(tokens^2) per document, measured
-    # 26x slower at sf0.1.
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), word_ngrams(text_col, n=k).alias("_grams")
-    )
-    g = (
-        base.select(F.col(id_col), F.size("_grams").alias("_n"),
-                    F.posexplode("_grams").alias("_p0", "_gram"))
-        .select(
-            F.col(id_col),
-            "_n",
-            (F.col("_p0") + 1).alias("pos"),
-            F.conv(F.substring(F.md5("_gram"), 1, hash_hex), 16, 10)
+    R = _WINNOW_POS_RADIX
+
+    def _keys(grams):
+        return F.transform(
+            grams,
+            lambda g, i: F.conv(F.substring(F.md5(g), 1, hash_hex), 16, 10)
             .cast("long")
-            .alias("_h"),
+            * R
+            + (F.lit(R - 1) - (i + 1)),
         )
+
+    # sliding minima as a least-fold over w shifted views of the key
+    # array (word_ngrams' shift-and-zip trick): w-1 zip_with passes, no
+    # per-position slice allocation. The distinct window minima ARE the
+    # selected packed keys.
+    def _mins(ks):
+        width = F.greatest(F.size(ks) - (w - 1), F.lit(0))
+        m = F.slice(ks, 1, width)
+        for t in range(1, w):
+            m = F.zip_with(
+                m, F.slice(ks, t + 1, width), lambda a, b: F.least(a, b)
+            )
+        return F.array_distinct(m)
+
+    # The min-fold references the key array w+1 times and the key build
+    # references the gram array twice; with plain chained selects Catalyst
+    # COLLAPSES the projections and re-evaluates the interpreted HOF
+    # chains once per reference (measured 10x at 10x scale). Binding each
+    # intermediate as a transform-over-singleton LAMBDA VARIABLE forces
+    # single evaluation — expression-level let-binding.
+    sel = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.get(
+            F.transform(
+                F.array(word_ngrams(text_col, n=k)),
+                lambda grams: F.get(
+                    F.transform(F.array(_keys(grams)), _mins), 0
+                ),
+            ),
+            0,
+        ).alias("_sel"),
     )
-    key = (
-        F.col("_h") * _WINNOW_POS_RADIX
-        + (F.lit(_WINNOW_POS_RADIX - 1) - F.col("pos"))
+    return sel.select(
+        F.col(id_col), F.explode("_sel").alias("_s")
+    ).select(
+        id_col,
+        # integral div: exact whatever the hash width (double division
+        # would lose bits past 2^53)
+        (F.lit(R - 1) - F.col("_s") % R).alias("pos"),
+        F.expr(f"_s div {R}").alias("fp"),
     )
-    frame = (
-        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    )
-    sel = (
-        g.select(id_col, "_n", "pos", F.min(key).over(frame).alias("_sel"))
-        # only full windows: starts past n - w + 1 see a truncated frame
-        .filter(F.col("pos") <= F.col("_n") - (w - 1))
-        .select(
-            F.col(id_col),
-            # integral div: exact whatever the hash width (double division
-            # would lose bits past 2^53)
-            F.expr(f"_sel div {_WINNOW_POS_RADIX}").alias("_fp"),
-            (F.lit(_WINNOW_POS_RADIX - 1) - F.col("_sel") % _WINNOW_POS_RADIX)
-            .alias("pos"),
-        )
-    )
-    return sel.select(id_col, "pos", F.col("_fp").alias("fp")).distinct()
 
 
 def winnow_match_pairs(

@@ -129,3 +129,69 @@ def streaming_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_winnow_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_fp_members: int = 64,
+) -> DataFrame:
+    """Incremental MOSS: new documents matched against the full stream
+    history through winnowed-fingerprint postings — the positional-
+    fingerprint sibling of ``streaming_minhash_candidates``.
+
+    The stateless prefix (gram hash -> packed-key windowed min -> distinct
+    32-bit fingerprints) is the SAME code path as the batch operator
+    (``operators/textstats.winnow_fingerprints``), so a document winnows to
+    identical fingerprints in both modes, and the drained append output's
+    per-pair row counts equal the batch ``winnow_match_pairs`` shared-
+    fingerprint counts. State per fingerprint is the posting list of doc
+    ids seen so far; ``max_fp_members`` caps degenerate hot fingerprints
+    (boilerplate) exactly like the minhash band cap, bounding state at
+    O(fingerprints x cap) for any stream length; replayed ids are dropped
+    by the membership check.
+
+    Emits (fp, id_a, id_b) per shared fingerprint; callers aggregate to
+    shared counts and threshold.
+    """
+    from ..operators.textstats import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w, hash_hex=8)
+        .select(F.col(id_col).alias("doc_id"), "fp")
+        .distinct()
+    )
+
+    def emit(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        members = list(state.get[0]) if state.exists else []
+        known = set(members)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for d in sorted(int(x) for x in pdf["doc_id"]):
+                if d in known:
+                    continue
+                for m in members:
+                    out_a.append(min(m, d))
+                    out_b.append(max(m, d))
+                known.add(d)
+                if len(members) < max_fp_members:
+                    members.append(d)
+        state.update((members,))
+        if out_a:
+            yield pd.DataFrame(
+                {"fp": [key[0]] * len(out_a), "id_a": out_a, "id_b": out_b}
+            )
+
+    return fps.groupBy("fp").applyInPandasWithState(
+        emit,
+        outputStructType="fp long, id_a long, id_b long",
+        stateStructType="members array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -776,3 +776,48 @@ def test_streaming_mixture_targets_match_batch_exactly(spark, tmp_path):
     }
     assert got == want and got
     assert sum(v[2] for v in got.values()) == 100
+
+
+def test_streaming_winnow_candidates_match_batch_pairs(spark, tmp_path):
+    """Incremental MOSS: drain the document stream through fingerprint-
+    posting state; per-pair emitted-row counts must equal the batch
+    winnow_match_pairs shared-fingerprint counts (no caps binding), with
+    each pair discovered exactly once per shared fingerprint — when its
+    second member arrives."""
+    from collections import Counter
+
+    from spark_streaming_project_spark.operators.textstats import (
+        winnow_match_pairs,
+    )
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_winnow_candidates,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "winnow_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    cand = streaming_winnow_candidates(
+        stream, "text", "doc_id", max_fp_members=10_000
+    )
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_winnow"))
+    runner.add("winnow_cand", cand, output_mode="append", memory_sink=True)
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = Counter(
+        (r["id_a"], r["id_b"])
+        for r in spark.table("winnow_cand").collect()
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow_match_pairs(
+            docs, "text", "doc_id", min_shared=1, max_df=10_000_000
+        ).collect()
+    }
+    assert dict(got) == want and want
