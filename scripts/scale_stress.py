@@ -388,6 +388,14 @@ def main() -> None:
         run("bigram_lm", scale, lambda: bigram_logprob(
             docs_, "text", "doc_id"))
 
+        from spark_streaming_project_spark.operators.graph import (
+            kcore_subgraph)
+
+        run("neardup_kcore", scale, lambda: kcore_subgraph(
+            D.ngram_jaccard_pairs_adaptive(
+                docs_, "text", "doc_id", n=3, threshold=0.5),
+            "id_a", "id_b", k=2, rounds=8))
+
         def _logreg():
             feats = hashed_bucket_features(
                 docs_, "text", "doc_id",

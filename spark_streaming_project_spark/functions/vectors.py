@@ -33,3 +33,21 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     n = norm(a) * norm(b)
     return F.when(n > 0, d / n)
+
+
+def let(value, body):
+    """Expression-level let-binding: evaluate ``value`` ONCE per row and
+    let ``body`` (a lambda receiving the bound Column) reference it any
+    number of times.
+
+    Implemented as transform-over-a-singleton-array: the lambda variable
+    is bound to the evaluated element, so downstream references are
+    cheap reads. This matters because Catalyst's CollapseProject inlines
+    chained select expressions — an expensive interpreted HOF chain
+    (n-gram builds, hash arrays) referenced k times downstream is
+    re-evaluated k times; measured 6-10x blowups in the winnowing
+    operator before binding (operators/textstats.py).
+    """
+    from pyspark.sql import functions as F
+
+    return F.get(F.transform(F.array(value), body), 0)

@@ -158,19 +158,16 @@ def winnow_fingerprints(
     # The min-fold references the key array w+1 times and the key build
     # references the gram array twice; with plain chained selects Catalyst
     # COLLAPSES the projections and re-evaluates the interpreted HOF
-    # chains once per reference (measured 10x at 10x scale). Binding each
-    # intermediate as a transform-over-singleton LAMBDA VARIABLE forces
-    # single evaluation — expression-level let-binding.
+    # chains once per reference (measured 10x at 10x scale). let() binds
+    # each intermediate once — expression-level let-binding
+    # (functions/vectors.let).
+    from ..functions.vectors import let
+
     sel = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.get(
-            F.transform(
-                F.array(word_ngrams(text_col, n=k)),
-                lambda grams: F.get(
-                    F.transform(F.array(_keys(grams)), _mins), 0
-                ),
-            ),
-            0,
+        let(
+            word_ngrams(text_col, n=k),
+            lambda grams: let(_keys(grams), _mins),
         ).alias("_sel"),
     )
     return sel.select(

@@ -45,6 +45,8 @@ REPRESENTATIVES = [
     "temperature_mixture_sample",       # integer apportionment + md5 draw
     "order_snapshot_cdc",               # full-outer null-safe diff
     "quality_logreg_scores",            # quantized-gradient training + fold
+    "winnowing_matches",                # shuffle-free selection + posting join
+    "neardup_kcore",                    # fixed-round peeling, checkpointed
 ]
 
 
