@@ -123,8 +123,13 @@ def logreg_train_quantized(
     collect, one fixed-order driver-side float update per weight.
     """
     d = n_buckets + 1
+    # every iteration runs one action over feats (plus the count below);
+    # without pinning, the explode+groupBy feature build re-executes
+    # iters+1 times
+    feats = feats.persist()
     n = feats.count()
     if n == 0:
+        feats.unpersist()
         return [0.0] * d
     w = [0.0] * d
     for _ in range(iters):
@@ -143,6 +148,7 @@ def logreg_train_quantized(
             w[j] + lr * (float(g.get(j, 0)) / (n * float(_QUANTUM)))
             for j in range(d)
         ]
+    feats.unpersist()
     return w
 
 

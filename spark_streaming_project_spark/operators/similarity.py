@@ -1551,3 +1551,39 @@ def mmr_topk(
         f"{id_col} long, mmr_rank int, relevance double, mmr_score double"
     )
     return spark.createDataFrame(picked, out_schema)
+
+
+def filtered_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    predicate,
+    k: int = 10,
+) -> DataFrame:
+    """Filtered vector search: exact top-k cosine neighbors among rows
+    satisfying ``predicate`` (a boolean Column over the table's metadata
+    columns). The query vector is looked up in the UNFILTERED table, so a
+    query row outside the filtered slice can still search it.
+
+    Scale shape: metadata predicates are plain Catalyst filters, so they
+    PUSH DOWN to the scan (parquet row-group pruning / partition pruning
+    when the predicate hits a partition column) — the selective-filter
+    regime where pre-filtering beats post-filtering an ANN shortlist
+    (recall of post-filtered ANN collapses when the filter is selective).
+    Composes with the IVF/IVFPQ partitioned indexes by conjoining
+    ``predicate`` with the probe-list partition filter.
+    """
+    q = _query_vector(df, id_col, vec_col, query_id)
+    scored = (
+        df.filter(predicate)
+        .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(
+                _cosine_vs_query(as_double(vec_col)), ROUND_DECIMALS
+            ).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

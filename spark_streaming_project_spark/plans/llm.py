@@ -2758,3 +2758,37 @@ def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_subgraph(
         pairs, "id_a", "id_b", k=_KCORE_K, rounds=_KCORE_ROUNDS
     )
+
+
+@register(
+    "similarity_filtered_topk",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id,
+           round({_duck_dot('v', 'qv')}
+                 / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})),
+                 6) AS cosine_sim
+    FROM vecs, q
+    WHERE vec_id <> {_QUERY_VEC_ID} AND label = 3
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-10 restricted to label=3
+    rows (query vector looked up unfiltered). The metadata predicate is a
+    plain Catalyst filter, so it reaches the parquet scan — pre-filtering,
+    the regime where post-filtered ANN recall collapses. See
+    operators/similarity.filtered_topk."""
+    from ..operators.similarity import filtered_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return filtered_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC_ID, F.col("label") == 3, k=10
+    )

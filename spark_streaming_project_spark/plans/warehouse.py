@@ -446,3 +446,47 @@ def order_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_groups,
+           CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS exposed_rows,
+           CAST(min(group_size) AS BIGINT) AS min_group_size,
+           round(CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                      AS DOUBLE) / sum(group_size), 6) AS exposed_frac
+    FROM g
+    """,
+    tags=("warehouse", "privacy"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier: how many equivalence classes fall below k=5, and what
+    fraction of customers sit in them — the re-identification exposure
+    check a privacy review runs before any data release. One group-by,
+    one scalar summary; the quasi-identifier grid is bounded, never
+    row-scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_size")
+    )
+    small = F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0)
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("small_groups"),
+        F.sum(small).cast("long").alias("exposed_rows"),
+        F.min("group_size").cast("long").alias("min_group_size"),
+        F.round(
+            F.sum(small).cast("double") / F.sum("group_size"), 6
+        ).alias("exposed_frac"),
+    )

@@ -83,3 +83,49 @@ def register_views(
     """Register each table as a temp view so plans can be written in SQL."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    quarantine_path: str | None = None,
+) -> DataFrame:
+    """JSONL document ingest with bad-record QUARANTINE instead of the
+    two failure modes ingestion pipelines actually hit: FAILFAST kills a
+    100 TB job on one mangled crawl line, and silent PERMISSIVE nulls
+    corrupt downstream stats invisibly.
+
+    Reads with an explicit schema (never inference — a schema-inference
+    pass is a full extra scan, and drifting inferred types break the
+    contract downstream) in PERMISSIVE mode with a ``_corrupt_record``
+    capture column. Clean rows come back typed; corrupt lines are
+    appended verbatim to ``quarantine_path`` (single text column — the
+    raw line, replayable after a parser fix) when given. Returns the
+    clean frame; callers needing counts aggregate the quarantine file.
+
+    Scale shape: one scan, narrow per-line parse, no shuffle; the
+    quarantine write is a second scan of only the corrupt subset
+    (PERMISSIVE keeps it lazily filterable).
+    """
+    full_schema = schema + ", _corrupt_record string"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark requires caching/materialization before filtering on the
+    # corrupt-record column alone (SPARK-21610); going through a
+    # persisted frame keeps both slices consistent from one parse.
+    raw = raw.persist()
+    raw.count()
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    if quarantine_path is not None:
+        bad.write.mode("append").text(quarantine_path)
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    return clean

@@ -79,3 +79,33 @@ def test_footer_cache_invalidated_on_rewrite(spark, tmp_path):
     second = load_table(spark, str(tmp_path), "events")
     us_max = second.select(F.max("ts")).collect()[0][0]
     assert us_max == ns_max  # a stale ns->us division would shift this by ~1000x
+
+
+def test_read_jsonl_with_quarantine_routes_bad_lines(spark, tmp_path):
+    """Clean lines come back typed, mangled lines land verbatim in the
+    quarantine file, and schema-violating-but-parseable lines stay
+    PERMISSIVE-clean (missing field -> NULL)."""
+    from spark_streaming_project_spark.sources.batch import (
+        read_jsonl_with_quarantine,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        "{not json at all\n"
+        '{"doc_id": 3}\n'
+        '{"doc_id": "4", "text": "typed wrong"}\n'
+    )
+    qdir = str(tmp_path / "quarantine")
+    clean = read_jsonl_with_quarantine(
+        spark, str(src), "doc_id long, text string", quarantine_path=qdir
+    )
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows[1] == "hello world" and rows[2] == "ok"
+    assert rows[3] is None  # missing field is permissive-clean
+    assert 4 not in rows  # type violation is corrupt
+    bad = [r["raw_line"] for r in spark.read.text(qdir).withColumnRenamed("value", "raw_line").collect()]
+    assert any("not json" in b for b in bad)
+    assert any('"4"' in b for b in bad)
+    assert len(bad) == 2
