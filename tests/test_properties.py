@@ -303,3 +303,111 @@ def test_winsorized_mean_is_bounded_by_raw_extremes(spark, vals):
     assert 0 <= row["clamped_low"] <= len(vals)
     assert 0 <= row["clamped_high"] <= len(vals)
     assert row["n"] == len(vals)
+
+
+sizes_rows = st.lists(
+    st.tuples(
+        st.sampled_from([f"s{i}" for i in range(8)]), st.integers(1, 10**9)
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(data=sizes_rows, k=st.integers(1, 500))
+@SETTINGS
+def test_temperature_targets_always_hand_out_exactly_k(spark, data, k):
+    """Largest-remainder apportionment: for ANY positive integer sizes
+    and ANY k, the targets sum to exactly k, every target is
+    non-negative, and a larger source never gets a smaller quota."""
+    from spark_streaming_project_spark.operators.sampling import (
+        temperature_targets,
+    )
+
+    df = spark.createDataFrame(data, "source string, n long")
+    got = {
+        r["source"]: r["target_k"]
+        for r in temperature_targets(df, "source", "n", k).collect()
+    }
+    assert sum(got.values()) == k
+    assert all(v >= 0 for v in got.values())
+    by_size = dict(data)
+    for a in by_size:
+        for b in by_size:
+            if by_size[a] > by_size[b]:
+                assert got[a] >= got[b] - 1  # ties/remainders move 1 slot
+
+
+word = st.sampled_from(["tok%d" % i for i in range(12)])
+docs_text = st.lists(
+    st.lists(word, min_size=0, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=docs_text)
+@SETTINGS
+def test_cms_estimate_never_undercounts(spark, texts):
+    """Count-min one-sided error: for ANY corpus, the sketch estimate of
+    every token is >= its true count."""
+    from spark_streaming_project_spark.functions.text import tokens
+    from spark_streaming_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tok = df.filter(F.col("text") != "").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    truth = {
+        r["token"]: r["c"]
+        for r in tok.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    if not truth:
+        return
+    queries = tok.select("token").distinct()
+    est = {
+        r["token"]: r["cms_est"]
+        for r in cms_estimate(
+            cms_build(tok, "token", width=16, depth=3),
+            queries,
+            "token",
+            width=16,
+            depth=3,
+        ).collect()
+    }
+    assert all(est[t] >= c for t, c in truth.items())
+
+
+@given(texts=docs_text)
+@SETTINGS
+def test_winnowing_selected_positions_cover_every_window(spark, texts):
+    """For ANY corpus: selection density never exceeds 1, every full
+    w-window of gram positions contains a selected position, and docs
+    below the guarantee threshold select nothing."""
+    from spark_streaming_project_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sel: dict = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect():
+        sel.setdefault(r["doc_id"], set()).add(r["pos"])
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split() if x]
+        n_grams = max(len(toks) - k + 1, 0)
+        got = sel.get(i, set())
+        if n_grams < w:
+            assert not got
+            continue
+        assert len(got) <= n_grams
+        for start in range(1, n_grams - w + 2):
+            assert got & set(range(start, start + w))
