@@ -1096,8 +1096,7 @@ def dedup_ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFr
 # ONE cluster). Oracle replays the closure with a recursive CTE.
 # ---------------------------------------------------------------------------
 
-_CANONICAL_ORACLE = f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
+_CANONICAL_CTE = f"""{_SHINGLES_CTE},
     g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
     sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
     inter AS (
@@ -1120,8 +1119,12 @@ _CANONICAL_ORACLE = f"""
         SELECT doc_id AS u, doc_id AS r FROM documents
         UNION
         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
-    )
-    SELECT u AS doc_id, min(r) AS canonical_id FROM reach GROUP BY u
+    ),
+    cmap AS (SELECT u AS doc_id, min(r) AS canonical_id FROM reach GROUP BY u)"""
+
+_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE {_CANONICAL_CTE}
+    SELECT doc_id, canonical_id FROM cmap
 """
 
 
@@ -2792,3 +2795,61 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_topk(
         emb, "vec_id", "embedding", _QUERY_VEC_ID, F.col("label") == 3, k=10
     )
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE {_CANONICAL_CTE}
+    SELECT canonical_id, doc_id AS keep_id, n_chars, cluster_size
+    FROM (
+        SELECT c.canonical_id, d.doc_id, d.n_chars,
+               count(*) OVER (PARTITION BY c.canonical_id) AS cluster_size,
+               row_number() OVER (
+                   PARTITION BY c.canonical_id
+                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        FROM cmap c JOIN documents d USING (doc_id)
+    )
+    WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-aware keep policy: within each TRANSITIVE near-dup cluster
+    keep the LONGEST document (n_chars desc, doc_id tiebreak) — the
+    RefinedWeb-style 'keep the most complete variant' rule, versus the
+    min-id policy of dedup_canonical_keep. Cluster argmax is a window
+    PARTITIONED by canonical id (never global); singleton docs keep
+    themselves with cluster_size 1."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    cmap = (
+        docs.select("doc_id", "n_chars")
+        .join(
+            cc.select(F.col("u").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    win = Window.partitionBy("canonical_id")
+    ranked = cmap.select(
+        "canonical_id",
+        F.col("doc_id").alias("keep_id"),
+        "n_chars",
+        F.count("*").over(win).alias("cluster_size"),
+        F.row_number()
+        .over(win.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("_rn"),
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
