@@ -47,6 +47,9 @@ REPRESENTATIVES = [
     "quality_logreg_scores",            # quantized-gradient training + fold
     "winnowing_matches",                # shuffle-free selection + posting join
     "neardup_kcore",                    # fixed-round peeling, checkpointed
+    "dedup_keep_longest",               # per-cluster argmax keep policy
+    "similarity_filtered_topk",         # predicate-pushdown vector search
+    "k_anonymity_audit",                # quasi-identifier class summary
 ]
 
 
