@@ -9,7 +9,7 @@ decide salting, partition counts, and bucket layouts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -168,3 +168,82 @@ def spearman_corr(
         "n_rows",
         F.col("corr_xy").alias("spearman_rho"),
     )
+
+
+def cusum_changepoints(
+    counts: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    threshold_sigmas: float = 4.0,
+) -> DataFrame:
+    """CUSUM changepoint location per key over an ordered integer series
+    (Page 1954): where did the level shift, and is the shift significant?
+
+    The classic recursion ``S_i = max(0, S_{i-1} + d_i)`` is not a plain
+    window aggregate, but it has an exact closed form over prefix sums:
+    ``S+_i = C_i - min_{j<=i} C_j`` (and the down-shift mirror with the
+    prefix max), with ``C`` the running sum of deviations. Deviations are
+    kept INTEGER by scaling with the per-key count — ``D_i = N * x_i -
+    SX`` — so every window aggregate (running sum, running min/max) is
+    exact and order-free; the N-division and the sigma comparison are
+    terminal FP ops, replayable cross-engine.
+
+    Scale shape: one per-key stats aggregate broadcast back, three
+    running windows PARTITIONED BY KEY (never global), one argmax row per
+    (key, direction). Returns (key, direction 'up'|'down', peak order
+    value, cusum — peak statistic in value units, sigma, flagged).
+    """
+    stats = counts.groupBy(key_col).agg(
+        F.count("*").alias("_n"),
+        F.sum(value_col).cast("long").alias("_sx"),
+        F.sum(F.col(value_col) * F.col(value_col)).cast("long").alias("_sxx"),
+    )
+    j = counts.join(F.broadcast(stats), key_col)
+    d = F.col("_n") * F.col(value_col) - F.col("_sx")
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = F.sum(d).over(run)
+    pref = j.select(
+        key_col, order_col, "_n", "_sx", "_sxx", c.alias("_c")
+    )
+    both = pref.select(
+        key_col,
+        order_col,
+        "_n",
+        "_sx",
+        "_sxx",
+        (F.col("_c") - F.min("_c").over(run)).alias("up"),
+        (F.max("_c").over(run) - F.col("_c")).alias("down"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("_n").cast("double") * F.col("_sxx")
+            - F.col("_sx").cast("double") * F.col("_sx")
+        )
+        / (F.col("_n").cast("double") * F.col("_n").cast("double"))
+    )
+    out = []
+    for direction in ("up", "down"):
+        rn = F.row_number().over(
+            Window.partitionBy(key_col).orderBy(
+                F.desc(direction), F.asc(order_col)
+            )
+        )
+        norm = F.col(direction).cast("double") / F.col("_n")
+        out.append(
+            both.withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(key_col),
+                F.lit(direction).alias("direction"),
+                F.col(order_col).alias("peak_at"),
+                F.round(norm, 6).alias("cusum"),
+                F.round(sigma, 6).alias("sigma"),
+                (norm > threshold_sigmas * sigma).alias("flagged"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -229,3 +229,34 @@ def zipf_profile(
         F.round(F.avg("_y") - slope * F.avg("_x"), 6).alias("zipf_intercept"),
         F.round(F.corr("_x", "_y"), 6).alias("fit_r"),
     )
+
+
+def phrase_search(
+    df: DataFrame, text_col: str, id_col: str, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase search: documents containing the tokens of ``phrase``
+    CONSECUTIVELY, with per-document occurrence counts — the step beyond
+    ``conjunctive_search``, which any positional index exists to answer
+    (AND-of-terms matches bags of words; a phrase demands adjacency).
+
+    For a fixed phrase the winning Spark plan is n-gram EQUALITY: build
+    each doc's order-preserving word n-grams (array-level, no shuffle)
+    and count matches against the joined phrase — one narrow scan, no
+    positional self-joins. (The positional-index form — explode (doc,
+    pos, term), filter to phrase terms, join pos+1 chains — generalizes
+    to slop/wildcard queries but costs len(phrase)-1 keyed joins; for
+    fixed phrases the n-gram count is strictly cheaper.) Returns
+    (id_col, n_matches > 0) rows ordered nowhere — callers sort.
+    """
+    from ..functions.text import word_ngrams
+
+    n = len(phrase)
+    target = " ".join(phrase)
+    grams = word_ngrams(text_col, n=n)
+    counted = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(
+            F.filter(grams, lambda g: g == F.lit(target))
+        ).alias("n_matches"),
+    )
+    return counted.filter(F.col("n_matches") > 0)

@@ -680,3 +680,110 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+@register(
+    "hourly_cusum_changepoints",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS h, event_type FROM events
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM base),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (SELECT h, event_type, count(*) AS c FROM base GROUP BY 1, 2),
+    dense AS (
+        SELECT g.hour_start, t.event_type,
+               coalesce(cnt.c, CAST(0 AS BIGINT)) AS event_count
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN cnt ON cnt.h = g.hour_start AND cnt.event_type = t.event_type
+    ),
+    stats AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(event_count) AS BIGINT) AS sx,
+               CAST(sum(event_count * event_count) AS BIGINT) AS sxx
+        FROM dense GROUP BY 1
+    ),
+    pref AS (
+        SELECT d.event_type, d.hour_start, s.n, s.sx, s.sxx,
+               sum(s.n * d.event_count - s.sx) OVER w AS c
+        FROM dense d JOIN stats s USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.hour_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sides AS (
+        SELECT event_type, hour_start, n, sx, sxx,
+               c - min(c) OVER w AS up,
+               max(c) OVER w - c AS down
+        FROM pref
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ranked AS (
+        SELECT event_type, 'up' AS direction, hour_start AS peak_at,
+               up AS s, n, sx, sxx,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY up DESC, hour_start ASC) AS rn
+        FROM sides
+        UNION ALL
+        SELECT event_type, 'down' AS direction, hour_start AS peak_at,
+               down AS s, n, sx, sxx,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY down DESC, hour_start ASC) AS rn
+        FROM sides
+    )
+    SELECT event_type, direction, peak_at,
+           round(CAST(s AS DOUBLE) / n, 6) AS cusum,
+           round(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS sigma,
+           CAST(s AS DOUBLE) / n
+               > 4.0 * sqrt((CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               AS flagged
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("events", "window", "anomaly"),
+)
+def hourly_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location per event type over the gap-filled
+    hourly series: where the level most likely SHIFTED (peak of the
+    reflected cumulative deviation, both directions) and whether the
+    shift clears 4 sigma — the sequential-detection complement to
+    hourly_anomalies' pointwise z-scores (a slow drift never trips a
+    3-sigma point test but accumulates in the CUSUM). Exact integer
+    prefix sums via the closed form S+ = C - running_min(C); see
+    operators/profiling.cusum_changepoints."""
+    from ..operators.profiling import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.window("ts", "1 hour").getField("start").alias("h"), "event_type"
+    )
+    counts = base.groupBy("h", "event_type").agg(F.count("*").alias("c"))
+    bounds = base.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(types))
+        .join(
+            counts.withColumnRenamed("h", "hour_start"),
+            ["hour_start", "event_type"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce("c", F.lit(0).cast("long")).alias("event_count"),
+        )
+    )
+    return cusum_changepoints(
+        dense, "event_type", "hour_start", "event_count"
+    )

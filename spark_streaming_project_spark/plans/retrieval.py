@@ -163,3 +163,37 @@ def zipf_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     A one-row corpus-health probe."""
     docs = load_table(spark, sf_dir, "documents")
     return zipf_profile(docs, "text", "doc_id", top_n=100)
+
+
+@register(
+    "phrase_search",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 3
+                      THEN [array_to_string(words[i:i+2], ' ')
+                            for i in range(1, len(words) - 1)]
+                      ELSE [] END) AS gram
+        FROM toks
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matches
+    FROM g WHERE gram = 'slow hash batch'
+    GROUP BY doc_id
+    """,
+    tags=("retrieval", "search"),
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ('slow hash batch'): documents containing the
+    three tokens consecutively, with occurrence counts — adjacency, not
+    bag-of-words (contrast conjunctive_search). Array-level n-gram
+    equality; no positional self-joins for a fixed phrase."""
+    from ..operators.retrieval import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "text", "doc_id", ["slow", "hash", "batch"])

@@ -61,3 +61,38 @@ def test_mixture_epochs_replication(spark):
     assert sorted(by_id[2]) == [1, 2, 3]
     assert 3 not in by_id  # 0 epochs -> dropped
     assert sorted(by_id[4]) == [1, 2]
+
+
+def test_cusum_locates_injected_level_shift(spark):
+    """A series that steps from 10 to 20 at t=50: the down-CUSUM peaks at
+    the last low point (t=49, where the prefix sum bottoms out) and the
+    up-CUSUM at the series end (maximum recovery from that minimum), both
+    flagged, with the peak statistic exactly 50 * |deviation| / 1; a flat
+    series is never flagged and its normalized peak is 0."""
+    from spark_streaming_project_spark.operators.profiling import (
+        cusum_changepoints,
+    )
+
+    shifted = [("k", t, 10) for t in range(50)] + [
+        ("k", t, 20) for t in range(50, 100)
+    ]
+    flat = [("f", t, 7) for t in range(100)]
+    df = spark.createDataFrame(
+        shifted + flat, "key string, t long, v long"
+    )
+    got = {
+        (r["key"], r["direction"]): r
+        for r in cusum_changepoints(df, "key", "t", "v").collect()
+    }
+    up = got[("k", "up")]
+    # mean is 15; deviations are -5 before, +5 after: the reflected
+    # up-CUSUM peaks at the LAST point (cumsum recovers from its minimum
+    # at t=49 and climbs to the end), and the down-CUSUM peaks at t=49
+    down = got[("k", "down")]
+    assert down["peak_at"] == 49
+    assert up["peak_at"] == 99
+    assert up["flagged"] and down["flagged"]
+    assert abs(up["cusum"] - 250.0) < 1e-6  # 50 * |±5|
+    assert got[("f", "up")]["cusum"] == 0.0
+    assert not got[("f", "up")]["flagged"]
+    assert not got[("f", "down")]["flagged"]
