@@ -821,3 +821,59 @@ def test_streaming_winnow_candidates_match_batch_pairs(spark, tmp_path):
         ).collect()
     }
     assert dict(got) == want and want
+
+
+def test_streaming_cusum_over_incremental_state_matches_batch(spark, tmp_path):
+    """Sequential-detection over streaming state: hourly counts maintained
+    additively per trigger; the CUSUM changepoint report recomputed from
+    the streamed state equals the batch query exactly (the statistic is a
+    pure function of the dense counts)."""
+    from spark_streaming_project_spark.operators.profiling import (
+        cusum_changepoints,
+    )
+    from spark_streaming_project_spark.plans.events import (
+        densify_hourly,
+        hourly_cusum_changepoints,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "cusum_src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def hourly(df):
+        return df.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("h"),
+            "event_type",
+        ).agg(F.count("*").alias("c"))
+
+    state = str(tmp_path / "cusum_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_cusum"))
+    runner.add(
+        "cusum_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, hourly, ["h", "event_type"], ["c"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    dense = densify_hourly(spark.read.parquet(state))
+    got = {
+        tuple(r) for r in cusum_changepoints(
+            dense, "event_type", "hour_start", "event_count"
+        ).collect()
+    }
+    want = {
+        tuple(r) for r in hourly_cusum_changepoints(spark, sf).collect()
+    }
+    assert got == want and got
