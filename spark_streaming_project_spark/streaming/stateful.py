@@ -195,3 +195,57 @@ def streaming_winnow_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_frequency_cap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int = 15,
+) -> DataFrame:
+    """Streaming per-key frequency cap (anti-domination admission
+    control): admit at most ``cap`` rows per key across the WHOLE stream,
+    first-arrival order. The streaming counterpart of the batch
+    ``source_capped_docs`` — same guarantee (no key exceeds ``cap``),
+    different selection policy by nature: batch picks a deterministic
+    md5-ordered subset of the full corpus; a stream must decide at
+    arrival time, so it admits the first ``cap`` arrivals.
+
+    State per key is the admitted id list — bounded at ``cap`` entries by
+    construction, so state never grows past keys x cap whatever the
+    stream length; the membership check also makes checkpoint-recovery
+    re-deliveries exactly-once. Emits (key, id, admit_rank 1..cap).
+    """
+
+    def emit(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        admitted = list(state.get[0]) if state.exists else []
+        known = set(admitted)
+        out_ids: list[int] = []
+        out_rank: list[int] = []
+        for pdf in pdfs:
+            for d in (int(x) for x in pdf[id_col]):
+                if d in known or len(admitted) >= cap:
+                    continue
+                admitted.append(d)
+                known.add(d)
+                out_ids.append(d)
+                out_rank.append(len(admitted))
+        state.update((admitted,))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_ids),
+                    id_col: out_ids,
+                    "admit_rank": out_rank,
+                }
+            )
+
+    return df.select(key_col, id_col).groupBy(key_col).applyInPandasWithState(
+        emit,
+        outputStructType=f"{key_col} string, {id_col} long, admit_rank int",
+        stateStructType="admitted array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

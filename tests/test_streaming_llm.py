@@ -877,3 +877,46 @@ def test_streaming_cusum_over_incremental_state_matches_batch(spark, tmp_path):
         tuple(r) for r in hourly_cusum_changepoints(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_streaming_frequency_cap_bounds_every_source(spark, tmp_path):
+    """Admission control over the stream: per-source admitted counts
+    equal min(cap, source size) — the same bound the batch
+    source_capped_docs guarantees — with dense per-key admit ranks and
+    no duplicates across triggers."""
+    from collections import Counter
+
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_frequency_cap,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    src = str(tmp_path / "cap_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    capped = streaming_frequency_cap(stream, "source", "doc_id", cap=15)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_cap"))
+    runner.add("capped", capped, output_mode="append", memory_sink=True)
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    rows = spark.table("capped").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # exactly-once admission
+    by_src = Counter(r["source"] for r in rows)
+    want = Counter(
+        r["source"]
+        for r in REGISTRY["source_capped_docs"].builder(spark, sf).collect()
+    )
+    assert by_src == want and by_src
+    ranks: dict = {}
+    for r in rows:
+        ranks.setdefault(r["source"], set()).add(r["admit_rank"])
+    assert all(v == set(range(1, len(v) + 1)) for v in ranks.values())
