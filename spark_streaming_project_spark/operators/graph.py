@@ -341,3 +341,63 @@ def kcore_subgraph(
         .agg(F.count("*").alias("core_degree"))
         .select(F.col("a").alias("node_id"), "core_degree")
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 4,
+    q: int = 1_000_000_000,
+) -> DataFrame:
+    """Integer-quantized PageRank: ranks live in fixed-point units of
+    ``1/q`` node-mass and every operation — the 0.85 damping, the
+    out-degree split, the teleport — is exact integer arithmetic
+    (``(85 * r) div (100 * deg)``), so the whole power iteration is
+    deterministic, summation-order-free, and replays bit-for-bit as
+    unrolled SQL CTEs (the logreg/k-core exactness recipe applied to the
+    one batch-graph tier that was still oracle-less; float
+    :func:`pagerank` remains the reference algorithm, pytest-pinned).
+
+    Semantics note: integral division drops sub-unit remainders, so total
+    mass decays by < 1 unit per node per round — a deterministic bias
+    orders of magnitude below rank gaps at any practical ``q``; node set
+    is the edge endpoints (symmetrized undirected graph: no dangling
+    nodes by construction). Per round: one join + one keyed integer sum,
+    lineage checkpoint-truncated. Returns (node, rank) in 1/q units.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = e.unionByName(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    ).distinct().persist()
+    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    ranks = deg.select(
+        F.col("_s").alias("node"), F.lit(q).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    base = (15 * q) // 100
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "_s")
+            .join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("(85 * rank) div (100 * _deg)").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        nxt = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("_in", F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(ranks)
+        ranks = nxt
+    e.unpersist()
+    return ranks

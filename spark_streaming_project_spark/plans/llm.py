@@ -2853,3 +2853,76 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_rn"),
     )
     return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
+# --- quantized PageRank: the centrality tier's exact-oracle twin -----------
+
+_QPR_ITERS = 4
+_QPR_Q = 1_000_000_000
+
+
+def _qpr_cte(iters: int = _QPR_ITERS, q: int = _QPR_Q) -> str:
+    base = (15 * q) // 100
+    parts = [
+        f""",
+    sym AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM jpairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM jpairs
+    ),
+    deg AS MATERIALIZED (SELECT s, count(*) AS dg FROM sym GROUP BY s),
+    r0 AS MATERIALIZED (SELECT s AS node, CAST({q} AS BIGINT) AS rank FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+        SELECT e.d AS node,
+               CAST(sum((85 * r.rank) // (100 * g.dg)) AS BIGINT) AS cin
+        FROM sym e JOIN deg g ON e.s = g.s
+        JOIN r{i - 1} r ON r.node = e.s
+        GROUP BY e.d
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST({base} + coalesce(c.cin, 0) AS BIGINT) AS rank
+        FROM r{i - 1} n LEFT JOIN c{i} c USING (node)
+    )"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "neardup_centrality_quantized",
+    oracle=f"""
+    WITH {_J05_PAIRS_CTE}{_qpr_cte()}
+    SELECT node AS doc_id, rank
+    FROM r{_QPR_ITERS}
+    ORDER BY rank DESC, node ASC
+    LIMIT 20
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_centrality_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank over the trigram-Jaccard near-dup graph:
+    the centrality tier's EXACT-ORACLE twin (float neardup_centrality
+    stays rows-only by nature; this variant does the damping and degree
+    split in fixed-point integer arithmetic, so 4 unrolled power
+    iterations replay bit-for-bit in SQL — the logreg/k-core exactness
+    recipe applied to the last oracle-less batch-graph family). Top-20
+    template anchors by rank (1e-9 node-mass units)."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import pagerank_quantized
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    )
+    pr = pagerank_quantized(
+        pairs, "id_a", "id_b", iters=_QPR_ITERS, q=_QPR_Q
+    )
+    return (
+        pr.select(F.col("node").alias("doc_id"), "rank")
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+    )

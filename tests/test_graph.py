@@ -230,3 +230,45 @@ def test_kcore_fixed_rounds_converged_on_testdata(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert kcore_subgraph(empty, "id_a", "id_b", k=2).count() == 0
+
+
+def test_pagerank_quantized_matches_integer_reference_and_float_ranking(spark):
+    """Quantized PageRank equals a pure-Python integer reference EXACTLY
+    (same fixed-point algorithm, independent implementation), and its
+    ranking agrees with float pagerank on a star graph (hub on top)."""
+    from spark_streaming_project_spark.operators.graph import (
+        pagerank,
+        pagerank_quantized,
+    )
+
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    q, iters = 1_000_000_000, 4
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_quantized(df, iters=iters, q=q).collect()
+    }
+
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b)); sym.add((b, a))
+    deg: dict = {}
+    for s, d in sym:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: q for n in deg}
+    base = (15 * q) // 100
+    for _ in range(iters):
+        nxt = {n: base for n in deg}
+        for s, d in sym:
+            nxt[d] += (85 * rank[s]) // (100 * deg[s])
+        rank = nxt
+    assert got == rank
+
+    fl = {
+        r["node"]: r["rank"] for r in pagerank(df, iters=iters).collect()
+    }
+    # hub 0 dominates its component in both arithmetics
+    assert max(got, key=got.get) == 0 and max(fl, key=fl.get) == 0
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank_quantized(empty).count() == 0
