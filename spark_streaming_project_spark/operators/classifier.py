@@ -165,3 +165,57 @@ def logreg_score(
         z.alias("score"),
         rational_sigmoid(z).alias("prob"),
     )
+
+
+def auc_exact(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """EXACT ROC AUC of a scored frame via the rank-sum (Mann-Whitney U)
+    identity with midrank tie handling — the evaluation row every trained
+    quality filter needs next to its weights. Returns one row
+    (n_pos, n_neg, auc).
+
+    All arithmetic until the final division is INTEGER (the float score
+    is bucketed at ``round_decimals``; using 2*avg_rank keeps midranks
+    integral), so the statistic is bit-identical across engines and
+    independent of partitioning: AUC = (sum_pos(2*avg_rank) - P(P+1)) /
+    (2 P N).
+
+    Scale shape: one combinable aggregate to (distinct score, count,
+    pos_count) — bounded by 10^round_decimals cells, NOT corpus size —
+    then ``range_partitioned_running_sum`` for the rank prefix (no
+    single-task global window), then a 1-row aggregate. Degenerate
+    single-class input yields NULL auc (division by zero) rather than a
+    fake number.
+    """
+    from .windows import range_partitioned_running_sum
+
+    agg = scored.groupBy(
+        F.round(F.col(score_col), round_decimals).alias("_s")
+    ).agg(
+        F.count("*").alias("_g"),
+        F.sum(F.col(label_col).cast("long")).alias("_p"),
+    )
+    run = range_partitioned_running_sum(
+        agg, [F.asc("_s")], ["_g"], prefix="_cum_"
+    )
+    # 2*avg_rank of a tied group = 2*(rows before it) + group size + 1
+    two_rank = 2 * (F.col("_cum__g") - F.col("_g")) + F.col("_g") + 1
+    stats = run.agg(
+        F.sum(F.col("_p") * two_rank).alias("_num2"),
+        F.sum("_p").alias("n_pos"),
+        F.sum("_g").alias("_n"),
+    )
+    n_neg = F.col("_n") - F.col("n_pos")
+    return stats.select(
+        "n_pos",
+        n_neg.alias("n_neg"),
+        F.round(
+            (F.col("_num2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * n_neg),
+            6,
+        ).alias("auc"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
+from ..functions.text import tokens, word_shingles
 
 NUM_PERM = 8  # minhash permutations
 BAND_SIZE = 2  # rows per LSH band -> NUM_PERM/BAND_SIZE bands
@@ -820,4 +820,101 @@ def fuzzy_match_pairs(
             F.levenshtein("_ta", "_tb").alias("edit_distance"),
         )
         .filter(F.col("edit_distance") <= d)
+    )
+
+
+def doc_spans(
+    df: DataFrame, text_col: str, id_col: str, span_words: int = 10
+) -> DataFrame:
+    """Segment each document into consecutive non-overlapping
+    ``span_words``-word spans: (id, span_no, span_text, span_hash).
+
+    The unit for CORPUS-LEVEL span dedup (CCNet's paragraph dedup /
+    C4's repeated-span removal, Wenzek et al. 2019 §4.2; reference has no
+    dedup at all — engine extension): on real crawls the segmenter is the
+    newline/sentence splitter; this corpus is single-line word soup, so
+    the word-window segmenter stands in — the downstream machinery
+    (hash -> first-occurrence -> trim) is segmenter-agnostic.
+
+    Array-level build: token slices via one ``transform`` over a span
+    index sequence (no explode until the final span table), so the heavy
+    string work stays inside one narrow projection.
+    """
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    spans = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(_toks)-1) div {span_words}),"
+                f" i -> array_join(slice(_toks, i*{span_words}+1,"
+                f" {span_words}), ' '))"
+            )
+        ).alias("span_no", "span_text"),
+    )
+    return spans.withColumn("span_hash", F.md5("span_text"))
+
+
+def span_dedup_stats(
+    df: DataFrame, text_col: str, id_col: str, span_words: int = 10
+) -> DataFrame:
+    """Per-document duplication profile under corpus-level span dedup:
+    a span is DUPLICATE iff an identical span (same ``span_words``-word
+    text) occurs earlier in the corpus order (first occurrence = min
+    (doc_id, span_no) — deterministic, engine-independent). Returns
+    (id, n_spans, dup_spans, dup_frac); the kept corpus drops exactly
+    the dup spans (CCNet keeps one copy of every repeated paragraph).
+
+    Scale shape: one shuffle keyed on span_hash for the first-occurrence
+    argmin (min over a (doc, span) struct — map-side combinable), then a
+    hash-keyed join back (co-partitioned with the agg, no broadcast
+    needed at any corpus size), then a doc-keyed count. Nothing is
+    all-pairs; state per distinct span is one struct.
+    """
+    spans = doc_spans(df, text_col, id_col, span_words)
+    firsts = spans.groupBy("span_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("span_no").alias("s"))).alias("_first")
+    )
+    joined = spans.join(firsts, "span_hash")
+    is_dup = ~(
+        (F.col(id_col) == F.col("_first.d"))
+        & (F.col("span_no") == F.col("_first.s"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(is_dup.cast("long")).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 6),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 10,
+    min_count: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """The corpus's most-repeated spans: (span_text, n_occurrences,
+    n_docs) for spans occurring >= ``min_count`` times, top-``k`` by
+    (occurrences desc, span_text asc — total order). The boilerplate
+    inspection view next to ``span_dedup_stats``'s per-doc numbers.
+    """
+    spans = doc_spans(df, text_col, id_col, span_words)
+    return (
+        spans.groupBy("span_text")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("span_text"))
+        .limit(k)
     )

@@ -264,3 +264,150 @@ def gram_novelty_by_doc(
             ),
         )
     )
+
+
+# Gopher rule set (Rae et al. 2021 §A1.1): English stopwords whose
+# presence signals natural language. The paper's list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ``...``), and the >= ``min_stopwords`` distinct-stopword
+    presence rule; ``keep`` is their conjunction. (The paper's line-level
+    bullet/ellipsis rules need a multi-line corpus; on this single-line
+    testdata they are vacuous and are omitted rather than faked.)
+
+    All rules are single-pass array/regex expressions in one narrow
+    projection — no shuffle, no UDF; a 100 TB scan is embarrassingly
+    parallel and column-pruned to (id, text).
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    avg_len = total_len.cast("double") / n_words
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
+    symbol_ratio = n_symbols.cast("double") / n_words
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flag_words = (n_words >= min_words) & (n_words <= max_words)
+    flag_avg = (avg_len >= min_avg_len) & (avg_len <= max_avg_len)
+    flag_symbol = symbol_ratio < max_symbol_ratio
+    flag_stop = n_stop >= min_stopwords
+    return df.filter(n_words > 0).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(avg_len, 6).alias("avg_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        n_stop.alias("n_stopwords_present"),
+        flag_words.alias("pass_word_count"),
+        flag_avg.alias("pass_avg_word_len"),
+        flag_symbol.alias("pass_symbol_ratio"),
+        flag_stop.alias("pass_stopwords"),
+        (flag_words & flag_avg & flag_symbol & flag_stop).alias("keep"),
+    )
+
+
+def filter_funnel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stages: list | None = None,
+) -> DataFrame:
+    """Sequential filter-funnel attrition report: how many documents
+    survive each successive curation stage (the per-stage accounting
+    every pipeline paper publishes — e.g. RefinedWeb fig. 2). Stages are
+    (name, boolean Column) evaluated CUMULATIVELY (stage k's survivors
+    must also pass 1..k-1), defaulting to exact-dedup then the Gopher
+    rules in severity order.
+
+    One narrow projection computes every stage flag, one aggregate sums
+    the cumulative conjunctions, and a ``stack`` unpivots to
+    (stage_no, stage, survivors) — a single scan regardless of stage
+    count; the only shuffle is the exact-dedup first-occurrence check
+    (digest-keyed, map-side-combined).
+    """
+    flags = gopher_quality_flags(df, text_col, id_col)
+    # exact-dedup stage: keep = first doc (min id) with this text digest
+    digest = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_digest")
+    )
+    firsts = digest.groupBy("_digest").agg(F.min(id_col).alias("_keep_id"))
+    is_first = (
+        digest.join(firsts, "_digest")
+        .select(
+            F.col(id_col),
+            (F.col(id_col) == F.col("_keep_id")).alias("pass_exact_dedup"),
+        )
+    )
+    staged = flags.join(is_first, id_col)
+    names = [
+        "pass_exact_dedup",
+        "pass_word_count",
+        "pass_avg_word_len",
+        "pass_symbol_ratio",
+        "pass_stopwords",
+    ]
+    cum = []
+    acc = F.lit(True)
+    for n in names:
+        acc = acc & F.col(n)
+        cum.append(F.sum(acc.cast("long")).alias(f"_c_{n}"))
+    totals = staged.agg(F.count("*").alias("_c_total"), *cum)
+    stack_args = ", ".join(
+        ["0, 'total', _c_total"]
+        + [f"{i + 1}, '{n}', _c_{n}" for i, n in enumerate(names)]
+    )
+    return totals.selectExpr(
+        f"stack({len(names) + 1}, {stack_args}) "
+        "as (stage_no, stage, survivors)"
+    )
+
+
+def distinct_ngram_diversity(
+    df: DataFrame, text_col: str, group_col: str = "source", n: int = 2
+) -> DataFrame:
+    """Per-source distinct-n diversity (Li et al. 2016 'distinct-2'): the
+    corpus-level ratio of DISTINCT word n-grams to total n-grams, the
+    standard mode-collapse / templated-content signal (a source whose
+    documents endlessly reuse phrasing scores low even when no two docs
+    are exact dups).
+
+    Shape: grams explode once, then one source-keyed aggregate
+    (count + approx-free exact distinct via count(DISTINCT) — the
+    shuffle carries (source, gram) pairs, partially aggregated map-side).
+    """
+    from ..functions.text import word_ngrams
+
+    grams = df.select(
+        F.col(group_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        grams.groupBy(group_col)
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.countDistinct("gram").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6),
+        )
+    )

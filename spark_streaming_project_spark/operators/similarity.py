@@ -1547,8 +1547,23 @@ def mmr_topk(
         chosen_vecs.append(u)
 
     spark = df.sparkSession
-    out_schema = (
-        f"{id_col} long, mmr_rank int, relevance double, mmr_score double"
+    # preserve the table's actual id type (int/long/string), like every
+    # other similarity operator — a hardcoded `long` would fail or coerce
+    # on non-bigint id columns (ADVICE r5).
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+        DoubleType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("mmr_rank", IntegerType()),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
     )
     return spark.createDataFrame(picked, out_schema)
 

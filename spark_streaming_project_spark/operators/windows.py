@@ -37,6 +37,7 @@ def range_partitioned_ntile(
     order: list[Column],
     partition_cols: list[str] | None = None,
     out_col: str = "tile",
+    max_sidecar_rows: int = 100_000,
 ) -> DataFrame:
     """EXACT ``ntile(n)`` without a single-partition global sort.
 
@@ -60,6 +61,17 @@ def range_partitioned_ntile(
     range boundary would otherwise make ranks partition-dependent — the
     same determinism contract as ``ntile`` itself needs for oracle parity.
 
+    CARDINALITY BOUND (VERDICT r5 #4): the slice-count sidecar is
+    O(partitions + distinct partition_cols groups) — fine for the current
+    uses (25 nations / global) and any dashboard-grade grouping, but a
+    HIGH-cardinality group column (millions of groups) would funnel one
+    sidecar row per group through the driver. The collect is therefore
+    capped at ``max_sidecar_rows`` and raises loudly past it; for such
+    shapes use a plain per-group ``Window.partitionBy(groups).orderBy``
+    ntile instead — with many small groups the per-group window is the
+    scale-safe plan (no group funnels one task), and this operator's
+    driver coordination buys nothing.
+
     Matches ``ntile`` bit-for-bit (property-tested vs ``Window.orderBy``
     at every n/partitioning), so DuckDB ``ntile`` oracles stay valid.
     """
@@ -68,8 +80,19 @@ def range_partitioned_ntile(
         "_slice", F.spark_partition_id()
     )
     counts = (
-        sliced.groupBy(*parts, "_slice").count().collect()
+        sliced.groupBy(*parts, "_slice")
+        .count()
+        .limit(max_sidecar_rows + 1)
+        .collect()
     )  # bounded: contiguous slices -> ~P + #groups rows
+    if len(counts) > max_sidecar_rows:
+        raise ValueError(
+            f"range_partitioned_ntile sidecar exceeds {max_sidecar_rows} "
+            "(group, slice) rows — partition_cols cardinality is too high "
+            "for driver-side offset folding; use "
+            "Window.partitionBy(*partition_cols).orderBy(*order) with "
+            "ntile directly (scale-safe when groups are many and small)"
+        )
     key = lambda r: tuple(r[c] for c in parts)
     by_group: dict[tuple, list] = {}
     for r in sorted(counts, key=lambda r: r["_slice"]):
@@ -108,3 +131,89 @@ def range_partitioned_ntile(
         .withColumn(out_col, tile.cast("int"))
         .drop("_slice", "_offset", "_n_rows")
     )
+
+
+def range_partitioned_running_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_cols: list[str],
+    partition_cols: list[str] | None = None,
+    prefix: str = "running_",
+    max_sidecar_rows: int = 100_000,
+) -> DataFrame:
+    """EXACT inclusive running sums of ``value_cols`` in ``order`` without
+    a single-partition global window — the generalization of
+    ``range_partitioned_ntile``'s rework (VERDICT r4) to arbitrary
+    prefix aggregation (cumulative counts, Pareto curves, rank sums,
+    CDF-style statistics).
+
+    Same coordination recipe: (1) ``repartitionByRange`` on
+    (partition_cols + order) so each task holds a contiguous slice of the
+    (per-group) order; (2) ONE bounded aggregate sums each value column
+    per (group, slice) — O(partitions + groups) sidecar rows fold to
+    per-slice offsets driver-side (the same bounded-sidecar pattern and
+    the same ``max_sidecar_rows`` loud-failure guard); (3) offsets
+    broadcast back and an intra-slice window (partitioned by slice —
+    never global) adds the local prefix.
+
+    ``order`` must be a TOTAL order (include a tiebreaker): the running
+    value at a tie would otherwise be partition-dependent. Output adds
+    ``{prefix}{col}`` per value column; input columns pass through.
+    """
+    parts = list(partition_cols or [])
+    sliced = df.repartitionByRange(*parts, *order).withColumn(
+        "_slice", F.spark_partition_id()
+    )
+    counts = (
+        sliced.groupBy(*parts, "_slice")
+        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .limit(max_sidecar_rows + 1)
+        .collect()
+    )
+    if len(counts) > max_sidecar_rows:
+        raise ValueError(
+            f"range_partitioned_running_sum sidecar exceeds "
+            f"{max_sidecar_rows} (group, slice) rows — partition_cols "
+            "cardinality is too high for driver-side offset folding; use "
+            "a Window.partitionBy(*partition_cols) running sum directly "
+            "(scale-safe when groups are many and small)"
+        )
+    key = lambda r: tuple(r[c] for c in parts)
+    by_group: dict[tuple, list] = {}
+    for r in sorted(counts, key=lambda r: r["_slice"]):
+        by_group.setdefault(key(r), []).append(r)
+    lookup_rows = []
+    for rows in by_group.values():
+        offsets = [0] * len(value_cols)
+        for r in rows:
+            lookup_rows.append(
+                tuple(r[c] for c in parts)
+                + (r["_slice"],)
+                + tuple(offsets)
+            )
+            for i, c in enumerate(value_cols):
+                offsets[i] += r[c] or 0
+    from pyspark.sql import types as T
+
+    part_fields = [] if not parts else list(df.select(*parts).schema.fields)
+    schema = T.StructType(
+        part_fields
+        + [T.StructField("_slice", T.IntegerType(), False)]
+        + [
+            T.StructField(f"_off_{c}", T.LongType(), False)
+            for c in value_cols
+        ]
+    )
+    lookup = df.sparkSession.createDataFrame(lookup_rows, schema)
+    w = (
+        Window.partitionBy(*parts, "_slice")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = sliced.join(F.broadcast(lookup), parts + ["_slice"])
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            (F.sum(c).over(w) + F.col(f"_off_{c}")).cast("long"),
+        )
+    return out.drop("_slice", *[f"_off_{c}" for c in value_cols])

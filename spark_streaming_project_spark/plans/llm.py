@@ -2926,3 +2926,167 @@ def neardup_centrality_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --- round 6: corpus-level span dedup (CCNet paragraph dedup adapted) ------
+
+_SPAN_W = 10
+
+_SPANS_CTE = rf"""
+stoks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS words
+    FROM documents WHERE text IS NOT NULL
+),
+spans AS (
+    SELECT doc_id,
+           unnest([{{'span_no': i,
+                    'span_text': array_to_string(
+                        words[i*{_SPAN_W}+1 : i*{_SPAN_W}+{_SPAN_W}], ' ')}}
+                   for i in range(0, ((len(words)-1)//{_SPAN_W})+1)],
+                  recursive := true)
+    FROM stoks WHERE len(words) > 0
+)"""
+
+
+@register(
+    "span_dedup_stats",
+    oracle=f"""
+    WITH {_SPANS_CTE},
+    hashed AS (
+        SELECT doc_id, span_no, md5(span_text) AS h FROM spans
+    ),
+    firsts AS (
+        SELECT h, min({{'d': doc_id, 's': span_no}}) AS f
+        FROM hashed GROUP BY h
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN NOT (s.doc_id = fi.f.d AND s.span_no = fi.f.s)
+                    THEN 1 ELSE 0 END) AS dup_spans,
+           round(sum(CASE WHEN NOT (s.doc_id = fi.f.d AND s.span_no = fi.f.s)
+                     THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+    FROM hashed s JOIN firsts fi ON s.h = fi.h
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level span dedup profile (CCNet paragraph dedup, Wenzek et
+    al. 2019 §4.2, segmenter adapted to the single-line corpus): per doc,
+    how many of its 10-word spans are exact repeats of an earlier span
+    anywhere in the corpus (first occurrence = min (doc_id, span_no)).
+    One span_hash-keyed shuffle for the first-occurrence argmin + a
+    co-partitioned join back — nothing all-pairs. See
+    operators/dedup.span_dedup_stats."""
+    from ..operators.dedup import span_dedup_stats as _op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _op(docs, "text", "doc_id", span_words=_SPAN_W)
+
+
+@register(
+    "corpus_duplicate_spans",
+    oracle=f"""
+    WITH {_SPANS_CTE}
+    SELECT span_text,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM spans
+    GROUP BY span_text
+    HAVING count(*) >= 2
+    ORDER BY n_occurrences DESC, span_text ASC
+    LIMIT 20
+    """,
+    tags=("llm", "dedup"),
+)
+def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's top-20 most-repeated 10-word spans (the boilerplate
+    inspection view next to span_dedup_stats): count + doc spread, total
+    order (occurrences desc, span_text asc). See
+    operators/dedup.duplicate_spans."""
+    from ..operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(
+        docs, "text", "doc_id", span_words=_SPAN_W, min_count=2, k=20
+    )
+
+
+@register(
+    "neardup_eval_pr",
+    oracle=f"""
+    WITH cand AS ({_EMB_NDUP_ORACLE}),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    ev AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS is_true
+        FROM cand c
+        JOIN lbl a ON c.id_a = a.vec_id
+        JOIN lbl b ON c.id_b = b.vec_id
+    ),
+    truth AS (
+        SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS total_true
+        FROM (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+    )
+    SELECT count(*) AS n_pairs,
+           sum(is_true) AS true_pairs,
+           any_value(total_true) AS total_true_pairs,
+           round(sum(is_true) / count(*), 6) AS precision,
+           round(sum(is_true) / any_value(total_true), 6) AS recall,
+           round(2.0 * sum(is_true) / (count(*) + any_value(total_true)), 6)
+               AS f1
+    FROM ev, truth
+    """,
+    tags=("llm", "dedup", "similarity", "eval"),
+)
+def neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation against ground truth: precision / recall /
+    F1 of the banded-LSH near-dup pairs, scoring a pair TRUE iff both
+    vectors share the embeddings table's ``label`` (the cluster id the
+    generator planted). The eval row every dedup-pipeline change should
+    be gated on — candidate recall ladders tell you the index's recall,
+    this tells you the END decision's agreement with truth. F1 uses the
+    exact identity 2TP/(|pairs| + |true pairs|) — all-integer until one
+    final division. Truth side needs only per-label counts (no pair
+    expansion)."""
+    from ..operators.similarity import banded_ndup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = banded_ndup_pairs(
+        emb, "vec_id", "embedding",
+        dim=_DIM, threshold=_NDUP_THRESHOLD,
+        bands=_NDUP_BANDS, bits=_NDUP_BITS, salt=_NDUP_SALT,
+    )
+    lbl = emb.select("vec_id", "label")
+    ev = (
+        pairs
+        .join(lbl.select(F.col("vec_id").alias("id_a"),
+                         F.col("label").alias("_la")), "id_a")
+        .join(lbl.select(F.col("vec_id").alias("id_b"),
+                         F.col("label").alias("_lb")), "id_b")
+        .select((F.col("_la") == F.col("_lb")).cast("long").alias("is_true"))
+    )
+    truth = (
+        emb.groupBy("label")
+        .count()
+        .agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            .cast("long")
+            .alias("total_true")
+        )
+    )
+    agg = ev.agg(
+        F.count("*").alias("n_pairs"), F.sum("is_true").alias("true_pairs")
+    )
+    return agg.crossJoin(F.broadcast(truth)).select(
+        "n_pairs",
+        "true_pairs",
+        F.col("total_true").alias("total_true_pairs"),
+        F.round(F.col("true_pairs") / F.col("n_pairs"), 6).alias("precision"),
+        F.round(F.col("true_pairs") / F.col("total_true"), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("true_pairs") / (F.col("n_pairs") + F.col("total_true")),
+            6,
+        ).alias("f1"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams
+from ..functions.text import tokens, word_ngrams
 from ..operators.quality import (
     cross_doc_gram_stats,
     repetition_stats,
@@ -1175,3 +1175,385 @@ def gram_novelty_by_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gram_novelty_by_doc(docs, "text", "doc_id", n=5)
+
+
+# --- round 6: Gopher rule flags / filter funnel / distinct-n diversity -----
+
+_GOPHER_FLAGS_SQL = r"""
+gtoks AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS words
+    FROM documents WHERE text IS NOT NULL
+),
+gflags AS (
+    SELECT doc_id,
+           len(words) AS n_words,
+           round(list_sum(list_transform(words, t -> length(t)))
+                 / len(words), 6) AS avg_word_len,
+           round(len(regexp_extract_all(text, '#|\.\.\.'))
+                 / len(words), 6) AS symbol_ratio,
+           len(list_intersect(list_distinct(words),
+               ['the','be','to','of','and','that','have','with']))
+               AS n_stopwords_present,
+           (len(words) BETWEEN 50 AND 100000) AS pass_word_count,
+           ((list_sum(list_transform(words, t -> length(t))) / len(words))
+              >= 3.0
+            AND (list_sum(list_transform(words, t -> length(t))) / len(words))
+              <= 10.0) AS pass_avg_word_len,
+           ((len(regexp_extract_all(text, '#|\.\.\.')) / len(words)) < 0.1)
+               AS pass_symbol_ratio,
+           (len(list_intersect(list_distinct(words),
+               ['the','be','to','of','and','that','have','with'])) >= 2)
+               AS pass_stopwords
+    FROM gtoks WHERE len(words) > 0
+)"""
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_SQL}
+    SELECT doc_id, n_words, avg_word_len, symbol_ratio,
+           n_stopwords_present, pass_word_count, pass_avg_word_len,
+           pass_symbol_ratio, pass_stopwords,
+           (pass_word_count AND pass_avg_word_len AND pass_symbol_ratio
+            AND pass_stopwords) AS keep
+    FROM gflags
+    """,
+    tags=("llm", "quality"),
+)
+def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 §A1.1:
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    distinct-stopword presence) + the conjunctive keep verdict. One
+    narrow no-shuffle projection. See operators/quality.gopher_quality_flags."""
+    from ..operators.quality import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "text", "doc_id")
+
+
+@register(
+    "filter_funnel_attrition",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_SQL},
+    ffirsts AS (
+        SELECT md5(text) AS dg, min(doc_id) AS keep_id
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
+    ),
+    staged AS (
+        SELECT g.*, (d.doc_id = fi.keep_id) AS pass_exact_dedup
+        FROM gflags g
+        JOIN documents d USING (doc_id)
+        JOIN ffirsts fi ON md5(d.text) = fi.dg
+    )
+    SELECT 0 AS stage_no, 'total' AS stage, count(*) AS survivors FROM staged
+    UNION ALL
+    SELECT 1, 'pass_exact_dedup',
+           sum(CASE WHEN pass_exact_dedup THEN 1 ELSE 0 END) FROM staged
+    UNION ALL
+    SELECT 2, 'pass_word_count',
+           sum(CASE WHEN pass_exact_dedup AND pass_word_count
+               THEN 1 ELSE 0 END) FROM staged
+    UNION ALL
+    SELECT 3, 'pass_avg_word_len',
+           sum(CASE WHEN pass_exact_dedup AND pass_word_count
+                    AND pass_avg_word_len THEN 1 ELSE 0 END) FROM staged
+    UNION ALL
+    SELECT 4, 'pass_symbol_ratio',
+           sum(CASE WHEN pass_exact_dedup AND pass_word_count
+                    AND pass_avg_word_len AND pass_symbol_ratio
+               THEN 1 ELSE 0 END) FROM staged
+    UNION ALL
+    SELECT 5, 'pass_stopwords',
+           sum(CASE WHEN pass_exact_dedup AND pass_word_count
+                    AND pass_avg_word_len AND pass_symbol_ratio
+                    AND pass_stopwords THEN 1 ELSE 0 END) FROM staged
+    """,
+    tags=("llm", "quality", "dedup"),
+)
+def filter_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential curation-funnel attrition (the RefinedWeb-style
+    accounting table): survivors after exact dedup, then each Gopher rule
+    applied cumulatively. One scan computes every flag; one aggregate +
+    stack unpivot emits (stage_no, stage, survivors). See
+    operators/quality.filter_funnel."""
+    from ..operators.quality import filter_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_funnel(docs, "text", "doc_id")
+
+
+@register(
+    "distinct_ngram_diversity",
+    oracle=r"""
+    WITH dtoks AS (
+        SELECT source,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT source,
+               unnest([array_to_string(words[i:i+1], ' ')
+                       for i in range(1, len(words))]) AS gram
+        FROM dtoks WHERE len(words) >= 2
+    )
+    SELECT source,
+           count(*) AS total_ngrams,
+           count(DISTINCT gram) AS distinct_ngrams,
+           round(count(DISTINCT gram) / count(*), 6) AS distinct_ratio
+    FROM grams GROUP BY source
+    """,
+    tags=("llm", "quality"),
+)
+def distinct_ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-2 diversity (Li et al. 2016): distinct/total
+    word-bigram ratio — the mode-collapse / templated-content signal. One
+    explode + one source-keyed aggregate (map-side combined). See
+    operators/quality.distinct_ngram_diversity."""
+    from ..operators.quality import distinct_ngram_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distinct_ngram_diversity(docs, "text", "source", n=2)
+
+
+@register(
+    "quality_logreg_auc",
+    oracle=f"""
+    WITH {_logreg_cte()},
+    probs AS (
+        SELECT y, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS prob
+        FROM scored
+    ),
+    pagg AS (
+        SELECT prob, count(*) AS g, sum(y) AS p FROM probs GROUP BY prob
+    ),
+    prun AS (
+        SELECT g, p, sum(g) OVER (ORDER BY prob) AS cum FROM pagg
+    )
+    SELECT sum(p) AS n_pos,
+           sum(g) - sum(p) AS n_neg,
+           round((sum(p * (2 * (cum - g) + g + 1)) - sum(p) * (sum(p) + 1))
+                 / (2.0 * sum(p) * (sum(g) - sum(p))), 6) AS auc
+    FROM prun
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the trained quality classifier (rank-sum identity
+    with integer midranks — bit-identical cross-engine; the model-quality
+    row next to quality_logreg_weights/_scores). Distinct-score aggregate
+    + range-partitioned rank prefix — no global window, no per-pair
+    expansion. See operators/classifier.auc_exact."""
+    from ..operators.classifier import (
+        auc_exact,
+        logreg_score,
+        logreg_train_quantized,
+    )
+
+    feats = _lr_feats(spark, sf_dir)
+    w = logreg_train_quantized(
+        feats, n_buckets=_LR_BUCKETS, iters=_LR_ITERS, lr=0.5
+    )
+    scored = logreg_score(feats, w, "doc_id").select(
+        "y", F.round("prob", 6).alias("prob")
+    )
+    return auc_exact(scored, "prob", "y")
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=r"""
+    WITH vtoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vt AS (SELECT doc_id, unnest(list_distinct(words)) AS tok FROM vtoks),
+    own AS (SELECT tok, min(doc_id) AS fdoc FROM vt GROUP BY tok),
+    intro AS (SELECT fdoc AS doc_id, count(*) AS introduced FROM own GROUP BY 1),
+    alld AS (SELECT doc_id FROM vtoks WHERE len(words) > 0)
+    SELECT a.doc_id,
+           CAST(coalesce(i.introduced, 0) AS BIGINT) AS introduced,
+           CAST(sum(coalesce(i.introduced, 0))
+                OVER (ORDER BY a.doc_id) AS BIGINT) AS cum_vocab
+    FROM alld a LEFT JOIN intro i USING (doc_id)
+    """,
+    tags=("llm", "quality", "profiling"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: per document (in ingest order), how
+    many NEW distinct tokens it introduces and the cumulative vocabulary
+    size after it — the is-my-crawl-saturating curve. First-owner
+    inverted aggregate (token -> min doc) + range-partitioned running
+    sum (no global window; at 100 TB emit every k-th doc instead of all).
+    """
+    from ..operators.windows import range_partitioned_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    intro = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("introduced"))
+    )
+    base = (
+        docs.filter(F.size(tokens(F.col("text"))) > 0)
+        .select("doc_id")
+        .join(intro, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("introduced", F.lit(0)).cast("long").alias("introduced"),
+        )
+    )
+    run = range_partitioned_running_sum(
+        base, [F.asc("doc_id")], ["introduced"], prefix="_r_"
+    )
+    return run.select(
+        "doc_id", "introduced", F.col("_r_introduced").alias("cum_vocab")
+    )
+
+
+@register(
+    "eval_containment_audit",
+    oracle=r"""
+    WITH ctoks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cg AS (
+        SELECT doc_id, source,
+               CASE WHEN len(words) >= 5
+                    THEN list_distinct([array_to_string(words[i:i+4], ' ')
+                                        for i in range(1, len(words) - 3)])
+                    ELSE [] END AS shingles
+        FROM ctoks
+    ),
+    ev AS (
+        SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS gram
+        FROM cg WHERE source = 'src0' AND len(shingles) > 0
+    ),
+    tr AS (
+        SELECT DISTINCT gram FROM (
+            SELECT unnest(shingles) AS gram FROM cg WHERE source <> 'src0'
+        )
+    )
+    SELECT e.doc_id,
+           any_value(e.n_grams) AS n_grams,
+           count(t.gram) AS shared_grams,
+           round(count(t.gram) / any_value(e.n_grams), 6) AS containment,
+           (count(t.gram) / any_value(e.n_grams)) >= 0.8 AS contaminated
+    FROM ev e LEFT JOIN tr t USING (gram)
+    GROUP BY e.doc_id
+    """,
+    tags=("llm", "audit", "dedup"),
+)
+def eval_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based decontamination (the GPT-3/PaLM-style audit,
+    ASYMMETRIC by design): for every src0 (eval-set stand-in) document,
+    the fraction of its distinct 5-grams that appear ANYWHERE in the rest
+    of the corpus — containment |A∩train|/|A|, which catches an eval doc
+    fully embedded in a larger train doc that Jaccard would miss. The
+    train side collapses to a DISTINCT gram set before the join (no
+    per-train-doc pair expansion); 5-grams are near-unique so the
+    inverted join output stays ~overlap-sized."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(word_ngrams(F.col("text"), 5)).alias("sh"),
+    )
+    ev = (
+        sh.filter((F.col("source") == "src0") & (F.size("sh") > 0))
+        .select("doc_id", F.size("sh").alias("n_grams"),
+                F.explode("sh").alias("gram"))
+    )
+    tr = (
+        sh.filter(F.col("source") != "src0")
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ev.join(tr, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("shared_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "shared_grams",
+            F.round(
+                F.col("shared_grams") / F.col("n_grams"), 6
+            ).alias("containment"),
+            (
+                (F.col("shared_grams") / F.col("n_grams")) >= 0.8
+            ).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "source_quality_scorecard",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_SQL}
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(sum(CASE WHEN g.pass_word_count AND g.pass_avg_word_len
+                          AND g.pass_symbol_ratio AND g.pass_stopwords
+                     THEN 1 ELSE 0 END) / count(*), 6) AS gopher_keep_rate,
+           round(sum(g.n_words) / count(*), 6) AS avg_words,
+           round(1.0 - count(DISTINCT md5(d.text)) / count(*), 6)
+               AS exact_dup_rate
+    FROM gflags g JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    tags=("llm", "quality", "profiling"),
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard: Gopher keep rate, mean length, and
+    exact-duplicate rate — the one table a data-mixture owner reads
+    before reweighting sources. Composes gopher_quality_flags with a
+    digest-distinct count; one source-keyed aggregate, everything
+    map-side combinable except the distinct (hash-partial)."""
+    from ..operators.quality import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    flags = gopher_quality_flags(docs, "text", "doc_id")
+    joined = flags.join(
+        docs.select("doc_id", "source", F.md5("text").alias("_dg")), "doc_id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("_k"),
+            F.sum("n_words").alias("_w"),
+            F.countDistinct("_dg").alias("_d"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_k") / F.col("n_docs"), 6).alias("gopher_keep_rate"),
+            F.round(F.col("_w") / F.col("n_docs"), 6).alias("avg_words"),
+            F.round(1.0 - F.col("_d") / F.col("n_docs"), 6).alias(
+                "exact_dup_rate"
+            ),
+        )
+    )

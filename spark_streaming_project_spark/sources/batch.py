@@ -100,32 +100,46 @@ def read_jsonl_with_quarantine(
     pass is a full extra scan, and drifting inferred types break the
     contract downstream) in PERMISSIVE mode with a ``_corrupt_record``
     capture column. Clean rows come back typed; corrupt lines are
-    appended verbatim to ``quarantine_path`` (single text column — the
-    raw line, replayable after a parser fix) when given. Returns the
-    clean frame; callers needing counts aggregate the quarantine file.
+    written verbatim to a per-source subdirectory of ``quarantine_path``
+    (single text column — the raw line, replayable after a parser fix)
+    when given. Returns the clean frame; callers needing counts
+    aggregate the quarantine files.
+
+    The quarantine write is OVERWRITE into ``quarantine_path/src=<md5 of
+    source path>``: re-running the same ingest replaces its own slice
+    instead of appending duplicate bad lines run-over-run, while distinct
+    sources land in distinct subdirs and never clobber each other
+    (ADVICE r5).
+
+    Implementation: text scan + ``from_json`` (not ``spark.read.json``)
+    — the corrupt marker is then an ORDINARY struct field derived from
+    the line, so neither slice trips Spark's internal-corrupt-column
+    restriction (SPARK-21610) and no persist/cache is needed; the clean
+    frame returned to callers re-reads lazily rather than pinning a
+    session-lifetime cache (ADVICE r5).
 
     Scale shape: one scan, narrow per-line parse, no shuffle; the
-    quarantine write is a second scan of only the corrupt subset
-    (PERMISSIVE keeps it lazily filterable).
+    quarantine write is a second scan of only the corrupt subset.
     """
+    import hashlib
+
     full_schema = schema + ", _corrupt_record string"
-    raw = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-    )
-    # Spark requires caching/materialization before filtering on the
-    # corrupt-record column alone (SPARK-21610); going through a
-    # persisted frame keeps both slices consistent from one parse.
-    raw = raw.persist()
-    raw.count()
-    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("_raw_line"),
+        F.from_json(
+            "value",
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_parsed"),
     )
     if quarantine_path is not None:
-        bad.write.mode("append").text(quarantine_path)
-    clean = raw.filter(F.col("_corrupt_record").isNull()).drop(
-        "_corrupt_record"
+        bad = parsed.filter(
+            F.col("_parsed._corrupt_record").isNotNull()
+        ).select(F.col("_raw_line").alias("raw_line"))
+        subdir = hashlib.md5(path.encode()).hexdigest()[:16]
+        bad.write.mode("overwrite").text(f"{quarantine_path}/src={subdir}")
+    return (
+        parsed.filter(F.col("_parsed._corrupt_record").isNull())
+        .select("_parsed.*")
+        .drop("_corrupt_record")
     )
-    return clean

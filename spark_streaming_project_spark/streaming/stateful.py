@@ -148,14 +148,22 @@ def streaming_winnow_candidates(
     (``operators/textstats.winnow_fingerprints``), so a document winnows to
     identical fingerprints in both modes, and the drained append output's
     per-pair row counts equal the batch ``winnow_match_pairs`` shared-
-    fingerprint counts. State per fingerprint is the posting list of doc
-    ids seen so far; ``max_fp_members`` caps degenerate hot fingerprints
-    (boilerplate) exactly like the minhash band cap, bounding state at
-    O(fingerprints x cap) for any stream length; replayed ids are dropped
-    by the membership check.
+    fingerprint counts (when the cap exceeds every fingerprint's df — see
+    below). State per fingerprint is the posting list of doc ids seen so
+    far; once it holds ``max_fp_members`` ids the fingerprint is HOT
+    (boilerplate, not copying — the streaming analogue of the batch
+    ``max_df`` stop-list) and later arrivals are DROPPED: no pairs
+    emitted, nothing stored. Dropping rather than pairing keeps replays
+    exactly-once — an un-stored doc that still emitted pairs would
+    re-emit them when checkpoint recovery replays its batch (ADVICE r5)
+    — and bounds state at O(fingerprints x cap) for any stream length;
+    replayed ids already in the list are dropped by the membership check.
 
     Emits (fp, id_a, id_b) per shared fingerprint; callers aggregate to
-    shared counts and threshold.
+    shared counts and threshold. The cap policies necessarily differ:
+    batch stop-lists a hot fingerprint RETROACTIVELY (df > max_df emits
+    zero pairs), while a stream cannot unemit, so the first
+    ``max_fp_members`` arrivals still pair among themselves.
     """
     from ..operators.textstats import winnow_fingerprints
 
@@ -174,14 +182,15 @@ def streaming_winnow_candidates(
         out_b: list[int] = []
         for pdf in pdfs:
             for d in sorted(int(x) for x in pdf["doc_id"]):
-                if d in known:
+                if d in known or len(members) >= max_fp_members:
+                    # already seen, or fingerprint is hot: drop entirely
+                    # (pair-but-don't-store would re-emit on replay)
                     continue
                 for m in members:
                     out_a.append(min(m, d))
                     out_b.append(max(m, d))
                 known.add(d)
-                if len(members) < max_fp_members:
-                    members.append(d)
+                members.append(d)
         state.update((members,))
         if out_a:
             yield pd.DataFrame(

@@ -729,3 +729,50 @@ def test_cms_unseen_value_estimates_depend_only_on_collisions(spark):
     q = spark.createDataFrame([("zebra",)], "val string")
     est = cms_estimate(sketch, q, "val").first()
     assert est["cms_est"] == 0
+
+
+def test_cms_estimate_keyed_sketch_joins_per_key_group(spark):
+    """ADVICE r5: probing a keyed sketch must include the key columns in
+    the join — a keyless probe would min across all key groups' cells and
+    undercount. Keyed estimates stay one-sided per group; the keys
+    mismatch is rejected loudly."""
+    import pytest as _pytest
+
+    from spark_streaming_project_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(i, "g1" if i % 2 == 0 else "g2", f"v{i % 5}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string, val string")
+    sketch = cms_build(df, "val", width=64, depth=3, keys=["grp"])
+
+    exact = df.groupBy("grp", "val").agg(F.count("*").alias("exact_cnt"))
+    est = {
+        (r["grp"], r["val"]): (r["cms_est"], r["exact_cnt"])
+        for r in cms_estimate(
+            sketch, exact, "val", width=64, depth=3, keys=["grp"]
+        ).collect()
+    }
+    assert len(est) == 10
+    assert all(e >= x for e, x in est.values())  # one-sided PER GROUP
+
+    with _pytest.raises(ValueError, match="keyed"):
+        cms_estimate(sketch, exact, "val", width=64, depth=3)
+
+
+def test_mmr_topk_preserves_non_bigint_id_type(spark):
+    """ADVICE r5: the output id column takes the table's actual id type
+    (here int) instead of a hardcoded bigint."""
+    import numpy as _np
+
+    from spark_streaming_project_spark.operators.similarity import mmr_topk
+
+    rng = _np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vid int, emb array<double>")
+    out = mmr_topk(df, "vid", "emb", query_id=0, k=5, shortlist=12)
+    assert out.schema["vid"].dataType.simpleString() == "int"
+    assert out.count() == 5

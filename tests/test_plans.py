@@ -309,22 +309,52 @@ def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
 
 
 def test_driver_window_is_exactly_the_intended_fifty():
-    """VERDICT r4 ask #1: the recorded window must be COMPUTED, not prose —
-    the registry's first DRIVER_WINDOW names are exactly the intended
-    round-5 list (never-recorded queries front-loaded), every oracle-
-    bearing entry in it has an oracle, and the 6 declared rows-only tiers
-    are precisely the ones documented."""
+    """VERDICT r4 ask #1 / r5 ask #2: the recorded window must be
+    COMPUTED, not prose — the registry's first DRIVER_WINDOW names are
+    exactly the intended round-6 list (the 18 never-recorded session-4
+    queries + simple_revenue front-loaded, then the changed-tie-break
+    donut pair, then oldest refreshes), and every entry is oracle-bearing
+    (the 6 rows-only markers were recorded in r05 and stay out)."""
     from spark_streaming_project_spark.plans import (
         DRIVER_WINDOW,
         REGISTRY,
-        _R5_WINDOW,
+        _R6_WINDOW,
     )
 
     head = list(REGISTRY)[:DRIVER_WINDOW]
-    assert head == _R5_WINDOW
-    assert len(_R5_WINDOW) == DRIVER_WINDOW == 50
-    rows_only_in_window = {n for n in head if REGISTRY[n].oracle is None}
-    assert rows_only_in_window == {
+    assert head == _R6_WINDOW
+    assert len(_R6_WINDOW) == DRIVER_WINDOW == 50
+    # the 19 recorded-proof-debt queries lead the window
+    assert head[:19] == [
+        "winnowing_profile",
+        "winnowing_hot_fingerprints",
+        "winnowing_matches",
+        "quality_logreg_weights",
+        "quality_logreg_scores",
+        "bigram_perplexity",
+        "temperature_mixture_targets",
+        "temperature_mixture_sample",
+        "order_snapshot_cdc",
+        "gram_novelty_by_doc",
+        "neardup_kcore",
+        "neardup_centrality_quantized",
+        "supplier_name_near_matches",
+        "hourly_cusum_changepoints",
+        "phrase_search",
+        "similarity_filtered_topk",
+        "dedup_keep_longest",
+        "k_anonymity_audit",
+        "simple_revenue",
+    ]
+    # every window entry carries an oracle this round
+    assert all(REGISTRY[n].oracle is not None for n in head)
+    # the rest of the registry keeps its oracles too, except the 6
+    # declared rows-only tiers (markers recorded r05)
+    rows_only = {
+        n for n in list(REGISTRY)[DRIVER_WINDOW:]
+        if REGISTRY[n].oracle is None
+    }
+    assert rows_only == {
         "approx_stats",
         "bpe_merge_table",
         "neardup_centrality",
@@ -332,9 +362,3 @@ def test_driver_window_is_exactly_the_intended_fifty():
         "similarity_pq_topk",
         "similarity_ivfpq_topk",
     }
-    # everything outside the window still has its oracle (local gate runs
-    # the full registry every session regardless of the recorded window)
-    assert all(
-        REGISTRY[n].oracle is not None
-        for n in list(REGISTRY)[DRIVER_WINDOW:]
-    )

@@ -11,15 +11,20 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from spark_streaming_project_spark.operators.graph import connected_components
 from spark_streaming_project_spark.operators.topk import top_n_with_other
 
+# derandomize=True: property findings must be reproducible run-to-run
+# (VERDICT r5 #1c — the NULL tie-break red was drawn probabilistically, so
+# the suite was flaky by construction; every falsifying example found that
+# way is also pinned below as an explicit @example).
 SETTINGS = settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -28,6 +33,9 @@ rows = st.lists(st.tuples(keys, st.integers(0, 1000)), min_size=1, max_size=30)
 
 
 @given(data=rows, n=st.integers(1, 5))
+# r5's Hypothesis-found red: on a count tie a NULL key must NOT beat a real
+# key (operator now uses asc_nulls_last, matching DuckDB's ASC default).
+@example(data=[(None, 0), ("a", 0)], n=1)
 @SETTINGS
 def test_top_n_with_other_conserves_totals(spark, data, n):
     df = spark.createDataFrame(data, "k string, cnt long")

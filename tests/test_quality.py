@@ -538,3 +538,239 @@ def test_gram_novelty_directional_hand_case(spark):
     assert got[2] == (2, 0)
     # doc 3 grams: 'a b c d e' (owned by doc 1) + 5 new ones
     assert got[3] == (6, 5)
+
+
+def test_span_dedup_stats_counts_cross_doc_repeats(spark):
+    """A span is dup iff an identical span occurs at a smaller
+    (doc_id, span_no); first occurrences are never dups."""
+    from spark_streaming_project_spark.operators.dedup import (
+        duplicate_spans,
+        span_dedup_stats,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r s t"),
+        (2, "a b c d e f g h i j x y z"),
+        (3, "k l m n o p q r s t extra words here"),
+        (4, "totally fresh content with no repeats at all ok fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"])
+        for r in span_dedup_stats(df, "text", "doc_id", 10).collect()
+    }
+    assert got == {1: (2, 0), 2: (2, 1), 3: (2, 1), 4: (1, 0)}
+    dups = {
+        r["span_text"]: (r["n_occurrences"], r["n_docs"])
+        for r in duplicate_spans(df, "text", "doc_id", 10, 2, 5).collect()
+    }
+    assert dups == {
+        "a b c d e f g h i j": (2, 2),
+        "k l m n o p q r s t": (2, 2),
+    }
+
+
+def test_gopher_flags_rules_fire_individually(spark):
+    """Each Gopher rule flips on exactly the doc violating it."""
+    from spark_streaming_project_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+
+    ok_words = " ".join(["the", "and", "have"] + ["word"] * 47)  # 50 words
+    rows = [
+        (1, ok_words),                                # passes everything
+        (2, "the and short"),                         # < 50 words
+        (3, " ".join(["the", "and"] + ["a"] * 48)),   # avg len < 3
+        (4, " ".join(["the", "and"] + ["####...####"] * 48)),  # symbols
+        (5, " ".join(["zz"] * 50)),                   # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["pass_word_count"],
+            r["pass_avg_word_len"],
+            r["pass_symbol_ratio"],
+            r["pass_stopwords"],
+            r["keep"],
+        )
+        for r in gopher_quality_flags(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (True, True, True, True, True)
+    assert got[2][0] is False and got[2][4] is False
+    assert got[3][1] is False and got[3][4] is False
+    assert got[4][2] is False and got[4][4] is False
+    assert got[5][3] is False and got[5][4] is False
+
+
+def test_filter_funnel_is_cumulative_and_monotone(spark):
+    """Stage survivors never increase, stage 0 is the corpus size, and
+    the exact-dedup stage drops exactly the non-first duplicates."""
+    from spark_streaming_project_spark.operators.quality import (
+        filter_funnel,
+    )
+
+    good = " ".join(["the", "and", "have"] + ["word"] * 47)
+    rows = [
+        (1, good),
+        (2, good),              # exact dup of 1 -> dropped at stage 1
+        (3, "the and tiny"),    # fails word count at stage 2
+        (4, " ".join(["the", "and", "have"] + ["other"] * 47)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["stage"]: (r["stage_no"], r["survivors"])
+        for r in filter_funnel(df, "text", "doc_id").collect()
+    }
+    assert out["total"] == (0, 4)
+    assert out["pass_exact_dedup"] == (1, 3)
+    assert out["pass_word_count"] == (2, 2)
+    assert out["pass_stopwords"][1] == 2
+    vals = [v for _, v in sorted(out.values())]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_distinct_ngram_diversity_separates_template_from_fresh(spark):
+    """A source that endlessly repeats one phrase scores a much lower
+    distinct-2 ratio than a source of unique bigrams."""
+    from spark_streaming_project_spark.operators.quality import (
+        distinct_ngram_diversity,
+    )
+
+    rows = [
+        (1, "tpl", "buy now click here buy now click here buy now"),
+        (2, "tpl", "buy now click here buy now click here"),
+        (3, "fresh", "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["total_ngrams"], r["distinct_ngrams"])
+        for r in distinct_ngram_diversity(df, "text", "source", 2).collect()
+    }
+    assert got["fresh"][0] == got["fresh"][1] == 7
+    assert got["tpl"][1] < got["tpl"][0]
+    assert got["tpl"][1] == 4  # buy-now, now-click, click-here, here-buy
+
+
+def test_auc_exact_matches_reference_with_ties(spark):
+    """auc_exact == the probabilistic definition P(s_pos > s_neg) +
+    0.5*P(tie), computed by brute force over all (pos, neg) pairs."""
+    from spark_streaming_project_spark.operators.classifier import auc_exact
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 1), (0.5, 0), (0.3, 0), (0.2, 1), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "prob double, y int")
+    got = auc_exact(df, "prob", "y").first()
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    want = round(num / (len(pos) * len(neg)), 6)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc"] == want
+    # perfect separation -> 1.0; random same-score -> 0.5
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "prob double, y int"
+    )
+    assert auc_exact(perfect, "prob", "y").first()["auc"] == 1.0
+    flat = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "prob double, y int"
+    )
+    assert auc_exact(flat, "prob", "y").first()["auc"] == 0.5
+
+
+def test_vocab_growth_hand_case(spark):
+    """First-owner counting: a token counts once, at its first doc."""
+    from spark_streaming_project_spark.plans import REGISTRY  # noqa: F401
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_running_sum,
+    )
+    from pyspark.sql import functions as F
+    from spark_streaming_project_spark.functions.text import tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "a e")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    intro = (
+        toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("introduced"))
+    )
+    base = docs.select("doc_id").join(intro, "doc_id", "left").select(
+        "doc_id", F.coalesce("introduced", F.lit(0)).cast("long").alias("introduced")
+    )
+    got = {
+        r["doc_id"]: (r["introduced"], r["_r_introduced"])
+        for r in range_partitioned_running_sum(
+            base, [F.asc("doc_id")], ["introduced"], prefix="_r_"
+        ).collect()
+    }
+    assert got == {1: (3, 3), 2: (1, 4), 3: (1, 5)}
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """An eval doc fully contained in a much larger train doc has
+    containment 1.0 even though Jaccard is low — the audit's point."""
+    from pyspark.sql import functions as F
+    from spark_streaming_project_spark.functions.text import word_ngrams
+
+    eval_text = "one two three four five six"           # 2 distinct 5-grams
+    train_text = eval_text + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "src0", eval_text), (2, "src9", train_text),
+         (3, "src0", "totally different words here right now")],
+        "doc_id long, source string, text string",
+    )
+    sh = docs.select(
+        "doc_id", "source",
+        F.array_distinct(word_ngrams(F.col("text"), 5)).alias("sh"),
+    )
+    ev = sh.filter((F.col("source") == "src0") & (F.size("sh") > 0)).select(
+        "doc_id", F.size("sh").alias("n_grams"), F.explode("sh").alias("gram")
+    )
+    tr = sh.filter(F.col("source") != "src0").select(
+        F.explode("sh").alias("gram")).distinct().withColumn("_hit", F.lit(1))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["shared"])
+        for r in ev.join(tr, "gram", "left").groupBy("doc_id").agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("shared"),
+        ).collect()
+    }
+    assert got[1] == (2, 2)   # fully contained -> containment 1.0
+    assert got[3] == (2, 0)   # clean eval doc
+
+
+def test_neardup_eval_pr_hand_truth(spark):
+    """Precision/recall arithmetic on a crafted frame: 2 planted clusters
+    of 2 + noise; pairs found = 1 true + 1 false -> P=0.5, R=0.5."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    lbl = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "vec_id long, label int"
+    )
+    ev = (
+        pairs.join(lbl.select(F.col("vec_id").alias("id_a"),
+                              F.col("label").alias("_la")), "id_a")
+        .join(lbl.select(F.col("vec_id").alias("id_b"),
+                         F.col("label").alias("_lb")), "id_b")
+        .select((F.col("_la") == F.col("_lb")).cast("long").alias("t"))
+    )
+    truth = lbl.groupBy("label").count().agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long").alias("tt")
+    )
+    row = ev.agg(F.count("*").alias("n"), F.sum("t").alias("tp")) \
+        .crossJoin(truth).first()
+    assert (row["n"], row["tp"], row["tt"]) == (2, 1, 2)
+    assert round(row["tp"] / row["n"], 6) == 0.5          # precision
+    assert round(row["tp"] / row["tt"], 6) == 0.5          # recall
+    assert round(2.0 * row["tp"] / (row["n"] + row["tt"]), 6) == 0.5  # f1

@@ -302,3 +302,105 @@ def test_range_partitioned_ntile_matches_window_ntile(spark):
         ).collect()
     }
     assert got3 == want10
+
+
+def test_range_partitioned_ntile_guards_high_cardinality_groups(spark):
+    """VERDICT r5 #4: the slice-count sidecar is O(partitions + groups);
+    past ``max_sidecar_rows`` the operator must fail loudly (pointing at
+    the per-group window alternative) instead of silently collecting an
+    unbounded driver-side lookup."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_ntile,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id")).alias("g")  # every row its own group
+    )
+    with _pytest.raises(ValueError, match="cardinality is too high"):
+        range_partitioned_ntile(
+            df,
+            4,
+            [F.col("id")],
+            partition_cols=["g"],
+            max_sidecar_rows=100,
+        )
+    # and the guard does not bind for sane group counts
+    out = range_partitioned_ntile(
+        df.withColumn("g", F.col("id") % 5),
+        4,
+        [F.col("id")],
+        partition_cols=["g"],
+        max_sidecar_rows=100_000,
+    )
+    assert out.count() == 500
+
+
+def test_range_partitioned_running_sum_matches_window(spark):
+    """range_partitioned_running_sum == a plain global/grouped window
+    running sum BIT-FOR-BIT, including under a different shuffle-partition
+    setting, and its sidecar guard fails loudly at high cardinality."""
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_running_sum,
+    )
+
+    random.seed(7)
+    rows = [
+        (i, random.randint(0, 5), random.randint(0, 100), f"g{i % 3}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, w long, g string")
+    got = {
+        r["id"]: (r["running_v"], r["running_w"])
+        for r in range_partitioned_running_sum(
+            df, [F.asc("id")], ["v", "w"]
+        ).collect()
+    }
+    glob = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: (r["rv"], r["rw"])
+        for r in df.select(
+            "id",
+            F.sum("v").over(glob).alias("rv"),
+            F.sum("w").over(glob).alias("rw"),
+        ).collect()
+    }
+    assert got == want
+    # grouped + different shuffle partitioning
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        got_g = {
+            (r["g"], r["id"]): r["running_v"]
+            for r in range_partitioned_running_sum(
+                df, [F.asc("id")], ["v"], partition_cols=["g"]
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want_g = {
+        (r["g"], r["id"]): r["rv"]
+        for r in df.select("g", "id", F.sum("v").over(wg).alias("rv")).collect()
+    }
+    assert got_g == want_g
+    # loud guard at high group cardinality
+    with _pytest.raises(ValueError, match="cardinality is too high"):
+        range_partitioned_running_sum(
+            df.withColumn("hg", F.col("id")),
+            [F.asc("id")],
+            ["v"],
+            partition_cols=["hg"],
+            max_sidecar_rows=50,
+        )

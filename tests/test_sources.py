@@ -109,3 +109,13 @@ def test_read_jsonl_with_quarantine_routes_bad_lines(spark, tmp_path):
     assert any("not json" in b for b in bad)
     assert any('"4"' in b for b in bad)
     assert len(bad) == 2
+
+    # rerunning the same ingest overwrites its own quarantine slice
+    # instead of appending duplicates (ADVICE r5)
+    clean2 = read_jsonl_with_quarantine(
+        spark, str(src), "doc_id long, text string", quarantine_path=qdir
+    )
+    assert clean2.count() == clean.count()
+    assert spark.read.text(qdir).count() == 2
+    # the clean frame does not pin a session-lifetime cache
+    assert not clean2.storageLevel.useMemory

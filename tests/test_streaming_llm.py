@@ -823,6 +823,45 @@ def test_streaming_winnow_candidates_match_batch_pairs(spark, tmp_path):
     assert dict(got) == want and want
 
 
+def test_streaming_winnow_hot_fingerprint_cap_drops_overflow(spark, tmp_path):
+    """Once a fingerprint's posting list is full, later arrivals are
+    DROPPED (no pairs, nothing stored) — the replay-idempotent hot-
+    fingerprint policy (ADVICE r5: pair-but-don't-store would duplicate
+    pairs on checkpoint-recovery replay). With cap=2 and 4 docs sharing
+    every fingerprint, only the first two arrivals may ever pair."""
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_winnow_candidates,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, shared) for i in (1, 2, 3, 4)]
+    src = str(tmp_path / "hot_src")
+    for i, txt in rows:  # one file per doc -> arrival order 1,2,3,4
+        spark.createDataFrame([(i, txt)], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    cand = streaming_winnow_candidates(
+        stream, "text", "doc_id", max_fp_members=2
+    )
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_hot"))
+    runner.add("winnow_hot", cand, output_mode="append", memory_sink=True)
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.table("winnow_hot").collect()
+    }
+    # cap=2 -> whatever two docs arrived first are the only stored members
+    # of every fingerprint, so exactly ONE distinct pair can ever emit
+    # (identical texts share identical fingerprints); the other two docs
+    # are dropped everywhere. (File-source arrival order between quickly
+    # written files isn't guaranteed, so pin the count, not the ids.)
+    assert len(pairs) == 1
+
+
 def test_streaming_cusum_over_incremental_state_matches_batch(spark, tmp_path):
     """Sequential-detection over streaming state: hourly counts maintained
     additively per trigger; the CUSUM changepoint report recomputed from

@@ -166,7 +166,9 @@ if _HYP:
         unique_by=lambda t: t[0],
     )
 
-    @settings(max_examples=12, deadline=None)
+    # derandomize: reproducible run-to-run (same rationale as
+    # tests/test_properties.py SETTINGS — VERDICT r5 next-round #3)
+    @settings(max_examples=12, deadline=None, derandomize=True)
     @given(batch1=_batches, batch2=_batches)
     def test_scd2_invariants_hold_for_any_batches(spark, batch1, batch2):
         from spark_streaming_project_spark.operators.scd import scd2_apply
