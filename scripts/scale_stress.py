@@ -406,6 +406,49 @@ def main() -> None:
 
         run("logreg_train3", scale, _logreg)
 
+        # -- round-6 tiers: span dedup, containment audit, exact AUC -------
+        # Span dedup: one span_hash-keyed shuffle + co-partitioned join
+        # back — token-linear. Containment: src0 grams join the DISTINCT
+        # train gram set — output bounded by eval-side grams. AUC: scoring
+        # scan + distinct-score aggregate + range-partitioned rank prefix;
+        # weights held FIXED so the row isolates evaluation (training has
+        # its own logreg_train3 row).
+        from spark_streaming_project_spark.operators.classifier import (
+            auc_exact, logreg_score)
+        from spark_streaming_project_spark.operators.dedup import (
+            span_dedup_stats)
+        from spark_streaming_project_spark.functions.text import word_ngrams
+
+        run("span_dedup", scale, lambda: span_dedup_stats(
+            docs_.repartition(32), "text", "doc_id", span_words=10))
+
+        def _containment():
+            sh = docs_.select(
+                "doc_id", "source",
+                _F.array_distinct(word_ngrams(_F.col("text"), 5)).alias("sh"),
+            )
+            ev = sh.filter(
+                (_F.col("source") == "src0") & (_F.size("sh") > 0)
+            ).select("doc_id", _F.size("sh").alias("n"),
+                     _F.explode("sh").alias("gram"))
+            tr = sh.filter(_F.col("source") != "src0").select(
+                _F.explode("sh").alias("gram")).distinct() \
+                .withColumn("_hit", _F.lit(1))
+            return ev.join(tr, "gram", "left").groupBy("doc_id").agg(
+                _F.first("n").alias("n"),
+                _F.sum(_F.coalesce("_hit", _F.lit(0))).alias("shared"))
+
+        run("containment_audit", scale, _containment)
+
+        def _auc():
+            feats = hashed_bucket_features(
+                docs_, "text", "doc_id",
+                _F.col("source").isin("src0", "src1", "src2"), n_buckets=32)
+            scored = logreg_score(feats, [0.01] * 33, "doc_id")
+            return auc_exact(scored, "prob", "y")
+
+        run("auc_exact", scale, _auc)
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

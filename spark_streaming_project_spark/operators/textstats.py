@@ -217,3 +217,72 @@ def winnow_match_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def text_hash_embeddings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    salt: str = "temb",
+) -> DataFrame:
+    """Deterministic text embeddings via FEATURE HASHING (the hashing
+    trick, Weinberger et al. 2009): every token maps to one of ``dim``
+    buckets (md5 mod) with an md5-derived ±1 sign; a document's vector is
+    the signed token-count sum per bucket, L2-normalized. No model, no
+    vocabulary table, no driver state — the text->vector leg of the
+    similarity stack when no learned embeddings exist, and (because every
+    coordinate is an md5-replayable integer sum divided by one norm) a
+    vector the DuckDB oracle reproduces bit-for-bit.
+
+    Scale shape: one explode + one (id, bucket)-keyed combinable sum,
+    then an array build per doc — the same shuffle budget as a word
+    count. Signs make bucket collisions cancel in expectation, keeping
+    hashed cosines unbiased (the property the hashing-trick paper
+    proves).
+
+    Returns (id, embedding array<double> — unit length; all-zero vectors
+    of empty docs are dropped).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("_t")))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % dim)
+    sign = F.when(
+        F.conv(F.substring(h, 5, 4), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    sums = (
+        toks.select(
+            F.col(id_col),
+            bucket.alias("_b"),
+            sign.cast("long").alias("_s"),
+        )
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    dense = sums.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(
+            F.element_at(F.col("_m"), j.cast("bigint")), F.lit(0)
+        ).cast("double"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        dense.select(F.col(id_col), arr.alias("_x"), nrm.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_x"), lambda x: x / F.col("_n")).alias(
+                "embedding"
+            ),
+        )
+    )

@@ -69,6 +69,13 @@ _R6_WINDOW = [
     "eval_containment_audit",
     "neardup_eval_pr",
     "source_quality_scorecard",
+    "entropy_profile",
+    "quality_logreg_roc",
+    "quality_logreg_calibration",
+    "dedup_method_agreement",
+    "source_vocab_overlap_sketch",
+    "nearest_duplicate_per_doc",
+    "text_embedding_topk",
     # -- refreshes: oldest-recorded (r03-artifact) families, flagship
     #    first. Displaced by new round-6 queries as they land.
     "top_sugary_products_by_category",
@@ -83,13 +90,6 @@ _R6_WINDOW = [
     "top_packaging",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
-    "dedup_keep_list",
-    "simhash_fingerprints",
-    "dedup_simhash_pairs",
-    "dedup_embedding_pairs",
-    "dedup_canonical_map",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_ngram_jaccard_pairs_prefix",
 ]
 # The 6 declared rows-only tiers (approx_stats, bpe_merge_table,
 # neardup_centrality, similarity_ivf_kmeans_topk, similarity_pq_topk,

@@ -3090,3 +3090,227 @@ def neardup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=f"""
+    WITH ja AS ({_NGRAM_JACCARD_ORACLE}),
+    sp AS ({_SIMHASH_PAIRS_ORACLE})
+    SELECT (SELECT count(*) FROM ja) AS jaccard_pairs,
+           (SELECT count(*) FROM sp) AS simhash_pairs,
+           (SELECT count(*) FROM ja JOIN sp USING (id_a, id_b))
+               AS both_pairs,
+           round((SELECT count(*) FROM ja JOIN sp USING (id_a, id_b))
+                 / ((SELECT count(*) FROM ja) + (SELECT count(*) FROM sp)
+                    - (SELECT count(*) FROM ja JOIN sp USING (id_a, id_b))),
+                 6) AS pair_set_jaccard
+    FROM (SELECT 1)
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method cross-check the dedup tier ships with: do the exact
+    3-gram-Jaccard (>= 0.5) and SimHash (hamming <= 1) near-dup families
+    agree? One row: each method's pair count, the intersection, and the
+    Jaccard of the two PAIR SETS — the drift alarm to watch when tuning
+    either family's thresholds. Both pair sets are the already-oracled
+    operators; the comparison adds one (id_a, id_b)-keyed join of two
+    candidate-sized frames."""
+    from ..operators.dedup import (
+        ngram_jaccard_pairs_adaptive,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ja = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    sp = simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=_SIMHASH_BITS, max_hamming=1
+    ).select("id_a", "id_b")
+    nj = ja.agg(F.count("*").alias("jaccard_pairs"))
+    ns = sp.agg(F.count("*").alias("simhash_pairs"))
+    nb = ja.join(sp, ["id_a", "id_b"]).agg(
+        F.count("*").alias("both_pairs")
+    )
+    return (
+        nj.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "jaccard_pairs",
+            "simhash_pairs",
+            "both_pairs",
+            F.round(
+                F.col("both_pairs")
+                / (
+                    F.col("jaccard_pairs")
+                    + F.col("simhash_pairs")
+                    - F.col("both_pairs")
+                ),
+                6,
+            ).alias("pair_set_jaccard"),
+        )
+    )
+
+
+@register(
+    "nearest_duplicate_per_doc",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+    ),
+    sym AS (
+        SELECT id_a AS doc_id, id_b AS nearest_id, jaccard FROM scored
+        UNION ALL
+        SELECT id_b, id_a, jaccard FROM scored
+    )
+    SELECT doc_id, nearest_id, jaccard
+    FROM (
+        SELECT doc_id, nearest_id, jaccard,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY jaccard DESC, nearest_id ASC) AS rn
+        FROM sym
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "dedup"),
+)
+def nearest_duplicate_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-similar sibling per document (3-gram Jaccard >= 0.3, both
+    directions of each pair): the inspection view a curation UI shows
+    next to a keep/drop verdict. Window is PARTITIONED by doc (never
+    global); ties pinned by (jaccard desc, nearest_id asc)."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.3
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("nearest_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("nearest_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("nearest_id")
+    )
+    return (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+_TEMB_DIM = 64
+
+_TEMB_CTE = rf"""
+ttok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+               AS t
+    FROM documents WHERE text IS NOT NULL
+),
+tb AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat('temb:', t)), 1, 4))
+                AS BIGINT) % {_TEMB_DIM} AS b,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('temb:', t)), 5, 4))
+                     AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+    FROM ttok
+),
+tsum AS (SELECT doc_id, b, sum(s) AS v FROM tb GROUP BY 1, 2),
+tgrid AS (
+    SELECT d.doc_id, g.j
+    FROM (SELECT DISTINCT doc_id FROM tsum) d,
+         (SELECT unnest(range({_TEMB_DIM})) AS j) g
+),
+tdense AS (
+    SELECT g.doc_id, g.j, CAST(coalesce(t.v, 0) AS DOUBLE) AS v
+    FROM tgrid g LEFT JOIN tsum t ON t.doc_id = g.doc_id AND t.b = g.j
+),
+tx AS (SELECT doc_id, list(v ORDER BY j) AS x FROM tdense GROUP BY doc_id),
+tn AS (
+    SELECT doc_id, x,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(x, e -> e * e)), (acc, e) -> acc + e)) AS n
+    FROM tx
+),
+temb AS (
+    SELECT doc_id, list_transform(x, e -> e / n) AS v
+    FROM tn WHERE n > 0
+)"""
+
+
+@register(
+    "text_embedding_topk",
+    oracle=f"""
+    WITH {_TEMB_CTE},
+    anchor AS (
+        SELECT v AS qv FROM temb
+        WHERE doc_id = (SELECT min(doc_id) FROM temb)
+    )
+    SELECT doc_id,
+           round({_duck_dot('v', 'qv', _TEMB_DIM)}, 6) AS cosine_sim
+    FROM temb, anchor
+    WHERE doc_id <> (SELECT min(doc_id) FROM temb)
+    ORDER BY cosine_sim DESC, doc_id ASC
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "text"),
+)
+def text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text->vector->top-k with NO external model: documents
+    embedded by deterministic feature hashing (±1 md5 signs, unit-
+    normalized — operators/textstats.text_hash_embeddings), then exact
+    cosine top-10 for the smallest doc_id. Every coordinate is an integer
+    sum over one normalization, so the DuckDB twin replays the vectors
+    bit-for-bit. Composes with the whole ANN ladder (the embedding
+    column is an ordinary array<double>)."""
+    from ..functions.vectors import dot
+    from ..operators.textstats import text_hash_embeddings
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    emb = text_hash_embeddings(docs, "text", "doc_id", dim=_TEMB_DIM)
+    anchor_id = emb.agg(F.min("doc_id").alias("_aid"))
+    q = (
+        emb.join(
+            F.broadcast(anchor_id), emb["doc_id"] == F.col("_aid")
+        )
+        .select(F.col("embedding").alias("_qv"))
+    )
+    return (
+        emb.join(F.broadcast(anchor_id), emb["doc_id"] != F.col("_aid"))
+        .join(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(dot(F.col("embedding"), F.col("_qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+        .limit(10)
+    )

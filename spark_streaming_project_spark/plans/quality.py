@@ -1557,3 +1557,184 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "entropy_profile",
+    oracle=r"""
+    WITH etoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ecnt AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(words) AS tok FROM etoks)
+        GROUP BY doc_id, tok
+    ),
+    eagg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               sum(c * CAST(round(ln(c) * 1000000000) AS BIGINT)) AS sq
+        FROM ecnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(ln(n_tokens) - sq / (n_tokens * 1000000000.0), 6)
+               AS token_entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN (ln(n_tokens) - sq / (n_tokens * 1000000000.0))
+                           / ln(n_distinct)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM eagg
+    """,
+    tags=("llm", "quality", "profiling"),
+)
+def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token (Shannon) entropy + entropy normalized by
+    ln(distinct tokens) — the low-entropy junk / gibberish signal
+    complementing the repetition fractions. Per-ln values are quantized
+    to 1e-9 INTEGERS before summation (the repo's order-free float-sum
+    rule: a plain double sum is partition-order-dependent and breaks
+    cross-engine hashing); entropy via H = ln(n) - (1/n)·Σ c·ln(c).
+    One (doc, token) count + one doc aggregate, both map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    cnt = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    qln = F.round(F.log("c") * 1_000_000_000).cast("long")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * qln).alias("sq"),
+    )
+    h = F.log("n_tokens") - F.col("sq") / (F.col("n_tokens") * 1e9)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(h, 6).alias("token_entropy"),
+        F.round(
+            F.when(F.col("n_distinct") > 1, h / F.log("n_distinct"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+@register(
+    "quality_logreg_roc",
+    oracle=f"""
+    WITH {_logreg_cte()},
+    probs AS (
+        SELECT y, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS prob
+        FROM scored
+    ),
+    pagg AS (
+        SELECT prob, count(*) AS g, sum(y) AS p FROM probs GROUP BY prob
+    ),
+    tot AS (
+        SELECT sum(p) AS pos, sum(g) - sum(p) AS neg FROM pagg
+    ),
+    prun AS (
+        SELECT prob,
+               sum(p) OVER (ORDER BY prob DESC) AS cpos,
+               sum(g - p) OVER (ORDER BY prob DESC) AS cneg
+        FROM pagg
+    )
+    SELECT prob AS threshold,
+           CAST(cpos AS BIGINT) AS tp,
+           CAST(cneg AS BIGINT) AS fp,
+           round(cpos / pos, 6) AS tpr,
+           round(cneg / neg, 6) AS fpr
+    FROM prun, tot
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def quality_logreg_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ROC curve of the trained quality classifier: one point per
+    distinct score (threshold = score, classified positive when
+    prob >= threshold), with exact integer TP/FP via the same
+    range-partitioned running sum the AUC uses (descending order) — at
+    100 TB the row count is bounded by distinct rounded scores, not
+    corpus size, and no global window is planned."""
+    from ..operators.classifier import logreg_score, logreg_train_quantized
+    from ..operators.windows import range_partitioned_running_sum
+
+    feats = _lr_feats(spark, sf_dir)
+    w = logreg_train_quantized(
+        feats, n_buckets=_LR_BUCKETS, iters=_LR_ITERS, lr=0.5
+    )
+    scored = logreg_score(feats, w, "doc_id").select(
+        "y", F.round("prob", 6).alias("prob")
+    )
+    pagg = scored.groupBy("prob").agg(
+        F.count("*").alias("_g"), F.sum("y").alias("_p")
+    ).withColumn("_n", F.col("_g") - F.col("_p"))
+    run = range_partitioned_running_sum(
+        pagg, [F.desc("prob")], ["_p", "_n"], prefix="_c"
+    )
+    tot = pagg.agg(
+        F.sum("_p").alias("_pos"), F.sum("_n").alias("_neg")
+    )
+    return run.crossJoin(F.broadcast(tot)).select(
+        F.col("prob").alias("threshold"),
+        F.col("_c_p").alias("tp"),
+        F.col("_c_n").alias("fp"),
+        F.round(F.col("_c_p") / F.col("_pos"), 6).alias("tpr"),
+        F.round(F.col("_c_n") / F.col("_neg"), 6).alias("fpr"),
+    )
+
+
+@register(
+    "quality_logreg_calibration",
+    oracle=f"""
+    WITH {_logreg_cte()},
+    probs AS (
+        SELECT y, round(0.5 * (1.0 + z / (1.0 + abs(z))), 6) AS prob
+        FROM scored
+    ),
+    binned AS (
+        SELECT least(CAST(floor(prob * 10) AS INTEGER), 9) AS bin, y, prob
+        FROM probs
+    )
+    SELECT bin,
+           count(*) AS n_docs,
+           round(sum(prob) / count(*), 6) AS mean_prob,
+           round(sum(y) / count(*), 6) AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained classifier: 10 equal-width
+    probability bins, mean predicted probability vs empirical positive
+    rate per bin — the is-the-score-a-probability check run before using
+    scores as sampling weights. mean_prob sums 1e-6-rounded probs (exact
+    rationals of quantized weights -> order-free); one tiny aggregate."""
+    from ..operators.classifier import logreg_score, logreg_train_quantized
+
+    feats = _lr_feats(spark, sf_dir)
+    w = logreg_train_quantized(
+        feats, n_buckets=_LR_BUCKETS, iters=_LR_ITERS, lr=0.5
+    )
+    scored = logreg_score(feats, w, "doc_id").select(
+        "y", F.round("prob", 6).alias("prob")
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "y",
+        "prob",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("prob") / F.count("*"), 6).alias("mean_prob"),
+        F.round(F.sum("y") / F.count("*"), 6).alias("pos_rate"),
+    )

@@ -76,13 +76,15 @@ def streaming_minhash_candidates(
 
     Scale shape: bands are selective by construction, so per-key state is a
     handful of ids; ``max_band_members`` (default 64) hard-caps degenerate
-    hot bands (e.g. boilerplate) — members beyond the cap still emit pairs
-    against the capped list but are not stored, bounding state at
-    O(bands x cap) for any stream length. Replayed ids (checkpoint recovery
-    re-delivery) are dropped by the membership check, keeping the output
-    exactly-once per (band, pair) for all stored members (ids past the cap
-    lose the replay guard along with storage). RocksDB state store recommended at 100 TB
-    keyspaces (see ``StreamRunner``).
+    hot bands (e.g. boilerplate) — once a band's member list is full,
+    later arrivals are DROPPED entirely (no pairs, nothing stored), the
+    same replay-idempotent hot-key policy as
+    ``streaming_winnow_candidates`` (ADVICE r5: pair-but-don't-store
+    would re-emit those pairs when checkpoint recovery replays the
+    batch). State is bounded at O(bands x cap) for any stream length;
+    replayed ids are dropped by the membership check, keeping the output
+    exactly-once per (band, pair). RocksDB state store recommended at
+    100 TB keyspaces (see ``StreamRunner``).
     """
     from ..operators.dedup import (
         BAND_SIZE,
@@ -108,14 +110,15 @@ def streaming_minhash_candidates(
         out_b: list[int] = []
         for pdf in pdfs:
             for d in sorted(int(x) for x in pdf["doc_id"]):
-                if d in known:
+                if d in known or len(members) >= max_band_members:
+                    # seen, or band is hot: drop entirely (pair-but-
+                    # don't-store would re-emit on replay — ADVICE r5)
                     continue
                 for m in members:
                     out_a.append(min(m, d))
                     out_b.append(max(m, d))
                 known.add(d)
-                if len(members) < max_band_members:
-                    members.append(d)
+                members.append(d)
         state.update((members,))
         if out_a:
             yield pd.DataFrame(
@@ -255,6 +258,66 @@ def streaming_frequency_cap(
         emit,
         outputStructType=f"{key_col} string, {id_col} long, admit_rank int",
         stateStructType="admitted array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_span_keep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 10,
+) -> DataFrame:
+    """Incremental corpus-level span dedup (the streaming twin of
+    ``operators/dedup.span_dedup_stats``): emit each distinct span's KEPT
+    (first-arrival) occurrence exactly once; every later arrival of the
+    same span is a duplicate and emits nothing.
+
+    The stateless prefix (tokenize -> non-overlapping ``span_words``-word
+    spans -> md5) is the SAME code path as the batch operator
+    (``operators/dedup.doc_spans``), so a document yields identical
+    (span_no, span_hash) rows in both modes. State per span hash is ONE
+    (doc_id, span_no) struct — the batch op's argmin state, maintained
+    incrementally; emission happens only on the transition from
+    no-state to state, and the state store commits atomically with the
+    batch, so checkpoint-recovery replays re-emit consistently
+    (exactly-once drained output).
+
+    Ordering semantics differ from batch BY NATURE: batch keeps the
+    global-min (doc_id, span_no); a stream keeps the first ARRIVAL
+    (within one batch, ties resolve to the smallest (doc_id, span_no),
+    so ascending-ordered ingest reproduces the batch keep-set exactly).
+    Emits (span_hash, doc_id, span_no).
+    """
+    from ..operators.dedup import doc_spans
+
+    spans = doc_spans(df, text_col, id_col, span_words).select(
+        F.col(id_col).alias("doc_id"), "span_no", "span_hash"
+    )
+
+    def emit(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            for d, s in zip(pdf["doc_id"], pdf["span_no"]):
+                cand = (int(d), int(s))
+                if best is None or cand < best:
+                    best = cand
+        if best is None:
+            return
+        state.update(best)
+        yield pd.DataFrame(
+            {"span_hash": [key[0]], "doc_id": [best[0]], "span_no": [best[1]]}
+        )
+
+    return spans.groupBy("span_hash").applyInPandasWithState(
+        emit,
+        outputStructType="span_hash string, doc_id long, span_no int",
+        stateStructType="doc_id long, span_no int",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

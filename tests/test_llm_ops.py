@@ -776,3 +776,32 @@ def test_mmr_topk_preserves_non_bigint_id_type(spark):
     out = mmr_topk(df, "vid", "emb", query_id=0, k=5, shortlist=12)
     assert out.schema["vid"].dataType.simpleString() == "int"
     assert out.count() == 5
+
+
+def test_text_hash_embeddings_properties(spark):
+    """Hashing-trick embeddings: identical texts embed identically
+    (cosine 1), unit norm holds, token-disjoint texts stay far from 1,
+    and empty docs are dropped."""
+    from spark_streaming_project_spark.functions.vectors import dot
+    from spark_streaming_project_spark.operators.textstats import (
+        text_hash_embeddings,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "zeta eta theta iota kappa lambda"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = text_hash_embeddings(df, "text", "doc_id", dim=64)
+    vecs = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert set(vecs) == {1, 2, 3}  # empty doc dropped
+    import math
+
+    for v in vecs.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    cos12 = sum(a * b for a, b in zip(vecs[1], vecs[2]))
+    cos13 = sum(a * b for a, b in zip(vecs[1], vecs[3]))
+    assert abs(cos12 - 1.0) < 1e-9
+    assert cos13 < 0.9  # disjoint vocab -> only collision-level similarity

@@ -50,6 +50,16 @@ REPRESENTATIVES = [
     "dedup_keep_longest",               # per-cluster argmax keep policy
     "similarity_filtered_topk",         # predicate-pushdown vector search
     "k_anonymity_audit",                # quasi-identifier class summary
+    # round-6 families
+    "span_dedup_stats",                 # span-hash argmin first occurrence
+    "filter_funnel_attrition",          # cumulative flag sums + stack
+    "quality_logreg_auc",               # rank-sum over running offsets
+    "quality_logreg_roc",               # descending running sums
+    "vocab_growth_curve",               # first-owner + running sum
+    "eval_containment_audit",           # distinct-gram semi-join counts
+    "neardup_eval_pr",                  # pair eval + per-label truth
+    "entropy_profile",                  # quantized-integer ln sums
+    "source_quality_scorecard",         # keyed distinct + flag rates
 ]
 
 

@@ -96,3 +96,36 @@ def test_cusum_locates_injected_level_shift(spark):
     assert got[("f", "up")]["cusum"] == 0.0
     assert not got[("f", "up")]["flagged"]
     assert not got[("f", "down")]["flagged"]
+
+
+def test_hll_union_overlap_inclusion_exclusion_sanity(spark):
+    """Union register max == sketch of concatenation (monoid), so the
+    union estimate equals the estimate of the concatenated values, and
+    inclusion-exclusion overlap is bounded by the single-set estimates."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    a = spark.createDataFrame(
+        [(f"v{i}",) for i in range(200)], "val string"
+    )
+    b = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100, 300)], "val string"
+    )
+    ra, rb = hll_build(a, "val"), hll_build(b, "val")
+    merged = hll_merge(ra, rb, [])
+    est_union = hll_estimate(merged).first()["distinct_estimate"]
+    est_concat = hll_estimate(
+        hll_build(a.unionByName(b), "val")
+    ).first()["distinct_estimate"]
+    assert est_union == est_concat  # exact monoid merge, not approximate
+    ea = hll_estimate(ra).first()["distinct_estimate"]
+    eb = hll_estimate(rb).first()["distinct_estimate"]
+    overlap = max(0.0, ea + eb - est_union)
+    # true overlap is 100 of 300; sketch overlap must be positive and
+    # below each single-set estimate
+    assert 0 < overlap < min(ea, eb)

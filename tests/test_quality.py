@@ -774,3 +774,75 @@ def test_neardup_eval_pr_hand_truth(spark):
     assert round(row["tp"] / row["n"], 6) == 0.5          # precision
     assert round(row["tp"] / row["tt"], 6) == 0.5          # recall
     assert round(2.0 * row["tp"] / (row["n"] + row["tt"]), 6) == 0.5  # f1
+
+
+def test_entropy_profile_hand_values(spark):
+    """Token entropy: uniform tokens -> ln(k); constant doc -> 0."""
+    import math
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("_entropy_toy")
+    from spark_streaming_project_spark.functions.text import tokens
+    from pyspark.sql import functions as F
+
+    cnt = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")) \
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    qln = F.round(F.log("c") * 1_000_000_000).cast("long")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * qln).alias("sq"))
+    got = {
+        r["doc_id"]: round(
+            math.log(r["n"]) - r["sq"] / (r["n"] * 1e9), 6
+        )
+        for r in agg.collect()
+    }
+    assert got[1] == round(math.log(4), 6)   # 4 uniform tokens
+    assert got[2] == 0.0                     # constant doc
+    assert got[3] == round(math.log(2), 6)   # two tokens, 2 each
+
+
+def test_roc_is_monotone_and_trapezoid_matches_auc(spark):
+    """ROC invariants on a crafted frame: tpr/fpr monotone along
+    descending thresholds, terminal point (1,1), and the trapezoid
+    integral over the exact points equals auc_exact."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.classifier import auc_exact
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_running_sum,
+    )
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 1), (0.3, 0), (0.2, 1), (0.1, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "prob double, y int")
+    pagg = df.groupBy("prob").agg(
+        F.count("*").alias("_g"), F.sum("y").alias("_p")
+    ).withColumn("_n", F.col("_g") - F.col("_p"))
+    run = range_partitioned_running_sum(
+        pagg, [F.desc("prob")], ["_p", "_n"], prefix="_c"
+    )
+    P = sum(y for _, y in rows)
+    N = len(rows) - P
+    pts = sorted(
+        ((r["prob"], r["_c_p"] / P, r["_c_n"] / N) for r in run.collect()),
+        key=lambda t: -t[0],
+    )
+    tprs = [t for _, t, _ in pts]
+    fprs = [f for _, _, f in pts]
+    assert tprs == sorted(tprs) and fprs == sorted(fprs)  # monotone
+    assert tprs[-1] == 1.0 and fprs[-1] == 1.0
+    # trapezoid over (0,0) + points == exact AUC (midrank identity)
+    xs = [0.0] + fprs
+    ys = [0.0] + tprs
+    trap = sum(
+        (xs[i + 1] - xs[i]) * (ys[i + 1] + ys[i]) / 2 for i in range(len(xs) - 1)
+    )
+    want = auc_exact(df, "prob", "y").first()["auc"]
+    assert round(trap, 6) == want

@@ -565,3 +565,43 @@ def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
     assert nulls_got, "no NULL-padded outer rows emitted"
     # and every emitted NULL row is a true non-match
     assert nulls_got <= {p for p, c in want if c is None}
+
+
+def test_observed_metrics_ride_each_micro_batch(spark, tmp_path):
+    """StreamRunner observe= records per-batch counters via df.observe
+    (no extra scan): summed over the drain they equal the batch totals,
+    and each micro-batch contributes one row."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "obs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_obs"))
+    runner.add(
+        "obs_stream",
+        stream.select("doc_id", "text", "lang"),
+        output_mode="append",
+        observe={
+            "dq": [
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+                F.sum(F.length("text")).alias("total_chars"),
+            ]
+        },
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    metrics = runner.observed_metrics("obs_stream", "dq")
+    assert len(metrics) >= 2  # one row per non-empty micro-batch
+    n = docs.count()
+    total_chars = docs.select(F.sum(F.length("text"))).collect()[0][0]
+    assert sum(m["rows"] for m in metrics) == n
+    assert sum(m["null_texts"] for m in metrics) == 0
+    assert sum(m["total_chars"] for m in metrics) == total_chars

@@ -959,3 +959,131 @@ def test_streaming_frequency_cap_bounds_every_source(spark, tmp_path):
     for r in rows:
         ranks.setdefault(r["source"], set()).add(r["admit_rank"])
     assert all(v == set(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_streaming_span_keep_matches_batch_first_occurrences(spark, tmp_path):
+    """Incremental span dedup: with ascending-ordered ingest, the drained
+    keep-set equals the batch first-occurrence set exactly (same stateless
+    span/hash prefix, argmin state maintained incrementally), and every
+    distinct span is kept exactly once."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.dedup import doc_spans
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_span_keep,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "span_src")
+    # ascending doc_id ranges, mtime-separated so file-source order is
+    # deterministic (first-arrival == global min doc_id)
+    n = docs.count()
+    docs_sorted = docs.orderBy("doc_id").collect()
+    thirds = [docs_sorted[: n // 3], docs_sorted[n // 3 : 2 * n // 3],
+              docs_sorted[2 * n // 3 :]]
+    for chunk in thirds:
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    keep = streaming_span_keep(stream, "text", "doc_id", span_words=10)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_span"))
+    runner.add("span_keep", keep, output_mode="append", memory_sink=True)
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = {
+        (r["span_hash"], r["doc_id"], r["span_no"])
+        for r in spark.table("span_keep").collect()
+    }
+    spans = doc_spans(docs, "text", "doc_id", 10)
+    want = {
+        (r["span_hash"], r["_f"]["d"], r["_f"]["s"])
+        for r in spans.groupBy("span_hash").agg(
+            F.min(
+                F.struct(F.col("doc_id").alias("d"), F.col("span_no").alias("s"))
+            ).alias("_f")
+        ).collect()
+    }
+    assert got == want and got
+    # one keep per distinct span hash
+    assert len({h for h, _, _ in got}) == len(got)
+
+
+def test_streaming_auc_state_matches_batch(spark, tmp_path):
+    """Streaming model evaluation: the AUC's sufficient statistic — the
+    (score-bucket, count, positives) table — is ADDITIVE, so it streams
+    through the incremental-agg sink; the AUC recomputed from drained
+    state equals batch auc_exact on the full corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.classifier import (
+        auc_exact,
+        hashed_bucket_features,
+        logreg_score,
+    )
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_running_sum,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    w = [0.01 * (i % 7 - 3) for i in range(33)]  # fixed eval weights
+
+    def scored_frame(df):
+        feats = hashed_bucket_features(
+            df, "text", "doc_id",
+            F.col("source").isin("src0", "src1", "src2"), n_buckets=32,
+        )
+        return logreg_score(feats, w, "doc_id").select(
+            "y", F.round("prob", 6).alias("prob")
+        )
+
+    src = str(tmp_path / "auc_src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state = str(tmp_path / "auc_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_auc"))
+    runner.add(
+        "auc_stream",
+        stream.select("doc_id", "text", "source"),
+        output_mode="append",
+        sink_format=None,
+        foreach_batch=foreach_batch_incremental_agg(
+            state,
+            lambda df: scored_frame(df).groupBy("prob").agg(
+                F.count("*").alias("g"),
+                F.sum("y").alias("p"),
+            ),
+            keys=["prob"],
+            counters=["g", "p"],
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    pagg = spark.read.parquet(state).select("prob", "g", "p")
+    run = range_partitioned_running_sum(pagg, [F.asc("prob")], ["g"], prefix="c_")
+    two_rank = 2 * (F.col("c_g") - F.col("g")) + F.col("g") + 1
+    row = run.agg(
+        F.sum(F.col("p") * two_rank).alias("num2"),
+        F.sum("p").alias("P"),
+        F.sum("g").alias("n"),
+    ).first()
+    got = round(
+        (row["num2"] - row["P"] * (row["P"] + 1))
+        / (2.0 * row["P"] * (row["n"] - row["P"])),
+        6,
+    )
+    want = auc_exact(scored_frame(docs), "prob", "y").first()["auc"]
+    assert got == want
