@@ -281,13 +281,17 @@ def gopher_quality_flags(
     max_avg_len: float = 10.0,
     max_symbol_ratio: float = 0.1,
     min_stopwords: int = 2,
+    stopwords: tuple = GOPHER_STOPWORDS,
 ) -> DataFrame:
     """Per-document Gopher quality-rule flags (Rae et al. 2021 §A1.1):
     word-count bounds, mean-word-length bounds, symbol-to-word ratio
     (``#`` and ``...``), and the >= ``min_stopwords`` distinct-stopword
     presence rule; ``keep`` is their conjunction. (The paper's line-level
     bullet/ellipsis rules need a multi-line corpus; on this single-line
-    testdata they are vacuous and are omitted rather than faked.)
+    testdata they are vacuous and are omitted rather than faked.
+    ``stopwords`` defaults to the paper's list; corpus-facing plans may
+    extend it when the corpus vocabulary doesn't contain the paper's
+    function words — the same adaptation stance as the span segmenter.)
 
     All rules are single-pass array/regex expressions in one narrow
     projection — no shuffle, no UDF; a 100 TB scan is embarrassingly
@@ -304,7 +308,7 @@ def gopher_quality_flags(
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(toks),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            F.array(*[F.lit(s) for s in stopwords]),
         )
     )
     flag_words = (n_words >= min_words) & (n_words <= max_words)
@@ -330,6 +334,7 @@ def filter_funnel(
     text_col: str,
     id_col: str,
     stages: list | None = None,
+    stopwords: tuple = GOPHER_STOPWORDS,
 ) -> DataFrame:
     """Sequential filter-funnel attrition report: how many documents
     survive each successive curation stage (the per-stage accounting
@@ -344,7 +349,7 @@ def filter_funnel(
     count; the only shuffle is the exact-dedup first-occurrence check
     (digest-keyed, map-side-combined).
     """
-    flags = gopher_quality_flags(df, text_col, id_col)
+    flags = gopher_quality_flags(df, text_col, id_col, stopwords=stopwords)
     # exact-dedup stage: keep = first doc (min id) with this text digest
     digest = df.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("_digest")

@@ -76,6 +76,7 @@ _R6_WINDOW = [
     "source_vocab_overlap_sketch",
     "nearest_duplicate_per_doc",
     "text_embedding_topk",
+    "curation_verdicts",
     # -- refreshes: oldest-recorded (r03-artifact) families, flagship
     #    first. Displaced by new round-6 queries as they land.
     "top_sugary_products_by_category",
@@ -89,7 +90,6 @@ _R6_WINDOW = [
     "top_brands",
     "top_packaging",
     "dedup_exact_groups",
-    "dedup_minhash_pairs",
 ]
 # The 6 declared rows-only tiers (approx_stats, bpe_merge_table,
 # neardup_centrality, similarity_ivf_kmeans_topk, similarity_pq_topk,

@@ -1179,6 +1179,15 @@ def gram_novelty_by_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- round 6: Gopher rule flags / filter funnel / distinct-n diversity -----
 
+# The Gopher paper's stopword list extended with 'a': this synthetic
+# corpus's vocabulary contains only 'the' and 'a' from English
+# function-word space, so the paper's exact >=2-distinct rule would be
+# vacuously false on every document. Extending the LIST (not the rule)
+# keeps the semantics and makes the flag informative — the same
+# corpus-adaptation stance as the span-dedup segmenter. The operator's
+# default remains the unmodified paper list.
+_GOPHER_SW = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
 _GOPHER_FLAGS_SQL = r"""
 gtoks AS (
     SELECT doc_id, text,
@@ -1193,7 +1202,7 @@ gflags AS (
            round(len(regexp_extract_all(text, '#|\.\.\.'))
                  / len(words), 6) AS symbol_ratio,
            len(list_intersect(list_distinct(words),
-               ['the','be','to','of','and','that','have','with']))
+               ['the','be','to','of','and','that','have','with','a']))
                AS n_stopwords_present,
            (len(words) BETWEEN 50 AND 100000) AS pass_word_count,
            ((list_sum(list_transform(words, t -> length(t))) / len(words))
@@ -1203,7 +1212,7 @@ gflags AS (
            ((len(regexp_extract_all(text, '#|\.\.\.')) / len(words)) < 0.1)
                AS pass_symbol_ratio,
            (len(list_intersect(list_distinct(words),
-               ['the','be','to','of','and','that','have','with'])) >= 2)
+               ['the','be','to','of','and','that','have','with','a'])) >= 2)
                AS pass_stopwords
     FROM gtoks WHERE len(words) > 0
 )"""
@@ -1230,7 +1239,7 @@ def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import gopher_quality_flags
 
     docs = load_table(spark, sf_dir, "documents")
-    return gopher_quality_flags(docs, "text", "doc_id")
+    return gopher_quality_flags(docs, "text", "doc_id", stopwords=_GOPHER_SW)
 
 
 @register(
@@ -1281,7 +1290,7 @@ def filter_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import filter_funnel
 
     docs = load_table(spark, sf_dir, "documents")
-    return filter_funnel(docs, "text", "doc_id")
+    return filter_funnel(docs, "text", "doc_id", stopwords=_GOPHER_SW)
 
 
 @register(
@@ -1535,7 +1544,7 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    flags = gopher_quality_flags(docs, "text", "doc_id")
+    flags = gopher_quality_flags(docs, "text", "doc_id", stopwords=_GOPHER_SW)
     joined = flags.join(
         docs.select("doc_id", "source", F.md5("text").alias("_dg")), "doc_id"
     )
@@ -1737,4 +1746,159 @@ def quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.sum("prob") / F.count("*"), 6).alias("mean_prob"),
         F.round(F.sum("y") / F.count("*"), 6).alias("pos_rate"),
+    )
+
+
+@register(
+    "curation_verdicts",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_SQL},
+    cstoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cspans AS (
+        SELECT doc_id,
+               unnest([{{'span_no': i,
+                        'span_text': array_to_string(
+                            words[i*10+1 : i*10+10], ' ')}}
+                       for i in range(0, ((len(words)-1)//10)+1)],
+                      recursive := true)
+        FROM cstoks WHERE len(words) > 0
+    ),
+    chash AS (SELECT doc_id, span_no, md5(span_text) AS h FROM cspans),
+    cfirst AS (
+        SELECT h, min({{'d': doc_id, 's': span_no}}) AS f
+        FROM chash GROUP BY h
+    ),
+    spanstats AS (
+        SELECT s.doc_id,
+               count(*) AS n_spans,
+               sum(CASE WHEN NOT (s.doc_id = fi.f.d AND s.span_no = fi.f.s)
+                        THEN 1 ELSE 0 END) AS dup_spans
+        FROM chash s JOIN cfirst fi ON s.h = fi.h
+        GROUP BY 1
+    ),
+    cdg AS (
+        SELECT doc_id, md5(text) AS dg
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cdgf AS (SELECT dg, min(doc_id) AS keep_id FROM cdg GROUP BY dg),
+    cg5 AS (
+        SELECT doc_id, source,
+               CASE WHEN len(words) >= 5
+                    THEN list_distinct([array_to_string(words[i:i+4], ' ')
+                                        for i in range(1, len(words) - 3)])
+                    ELSE [] END AS shingles
+        FROM (SELECT c.doc_id, d.source, c.words
+              FROM cstoks c JOIN documents d USING (doc_id))
+    ),
+    cev AS (
+        SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS gram
+        FROM cg5 WHERE source = 'src0' AND len(shingles) > 0
+    ),
+    ctr AS (
+        SELECT DISTINCT gram FROM (
+            SELECT unnest(shingles) AS gram FROM cg5 WHERE source <> 'src0'
+        )
+    ),
+    ccont AS (
+        SELECT e.doc_id,
+               (count(t.gram) >= 0.8 * any_value(e.n_grams)) AS contaminated
+        FROM cev e LEFT JOIN ctr t USING (gram)
+        GROUP BY e.doc_id
+    )
+    SELECT g.doc_id,
+           (d.doc_id = f.keep_id) AS pass_exact_dedup,
+           (g.pass_word_count AND g.pass_avg_word_len
+            AND g.pass_symbol_ratio AND g.pass_stopwords) AS pass_gopher,
+           round(sp.dup_spans / sp.n_spans, 6) AS span_dup_frac,
+           (sp.dup_spans * 2 <= sp.n_spans) AS pass_span,
+           coalesce(c.contaminated, FALSE) AS contaminated,
+           ((d.doc_id = f.keep_id)
+            AND (g.pass_word_count AND g.pass_avg_word_len
+                 AND g.pass_symbol_ratio AND g.pass_stopwords)
+            AND (sp.dup_spans * 2 <= sp.n_spans)
+            AND NOT coalesce(c.contaminated, FALSE)) AS keep
+    FROM gflags g
+    JOIN cdg d USING (doc_id)
+    JOIN cdgf f ON d.dg = f.dg
+    JOIN spanstats sp USING (doc_id)
+    LEFT JOIN ccont c USING (doc_id)
+    """,
+    tags=("llm", "quality", "dedup", "pipeline"),
+)
+def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed curation pipeline as one declarative plan: per
+    document, exact-dedup first-occurrence, the Gopher rule conjunction,
+    the corpus span-duplication fraction (pass when <= 50%, compared in
+    integers), eval-set contamination (src0 docs with >= 80% 5-gram
+    containment in the rest of the corpus), and the final keep verdict.
+    Every stage is an already-oracled round-6 operator; composing them
+    costs three doc_id-keyed joins — Catalyst pipelines the whole thing
+    without materializing any intermediate."""
+    from ..operators.dedup import span_dedup_stats as _span_op
+    from ..operators.quality import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    flags = gopher_quality_flags(docs, "text", "doc_id", stopwords=_GOPHER_SW)
+    digest = docs.select("doc_id", F.md5("text").alias("_dg"))
+    firsts = digest.groupBy("_dg").agg(F.min("doc_id").alias("_keep_id"))
+    exact = digest.join(firsts, "_dg").select(
+        "doc_id", (F.col("doc_id") == F.col("_keep_id")).alias("pass_exact_dedup")
+    )
+    spans = _span_op(docs, "text", "doc_id", span_words=10).select(
+        "doc_id",
+        F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("span_dup_frac"),
+        (F.col("dup_spans") * 2 <= F.col("n_spans")).alias("pass_span"),
+    )
+    sh = docs.select(
+        "doc_id", "source",
+        F.array_distinct(word_ngrams(F.col("text"), 5)).alias("_sh"),
+    )
+    ev = sh.filter((F.col("source") == "src0") & (F.size("_sh") > 0)).select(
+        "doc_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("gram")
+    )
+    tr = (
+        sh.filter(F.col("source") != "src0")
+        .select(F.explode("_sh").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cont = (
+        ev.join(tr, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("_n").alias("_n"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("_shared"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_shared") >= 0.8 * F.col("_n")).alias("contaminated"),
+        )
+    )
+    pass_gopher = F.col("keep").alias("pass_gopher")
+    return (
+        flags.select("doc_id", pass_gopher)
+        .join(exact, "doc_id")
+        .join(spans, "doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pass_exact_dedup",
+            "pass_gopher",
+            "span_dup_frac",
+            "pass_span",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            (
+                F.col("pass_exact_dedup")
+                & F.col("pass_gopher")
+                & F.col("pass_span")
+                & ~F.coalesce("contaminated", F.lit(False))
+            ).alias("keep"),
+        )
     )

@@ -846,3 +846,29 @@ def test_roc_is_monotone_and_trapezoid_matches_auc(spark):
     )
     want = auc_exact(df, "prob", "y").first()["auc"]
     assert round(trap, 6) == want
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """scripts/curate.py: kept corpus on disk == verdicts' keep set, and
+    the report's attrition numbers are internally consistent."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [sys.executable, "scripts/curate.py",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    kept = spark.read.parquet(f"{out}/kept")
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert kept.count() == report["kept_docs"]
+    assert verdicts.count() == report["total_docs"]
+    keep_ids = {r["doc_id"] for r in verdicts.filter("keep").collect()}
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == keep_ids
+    assert report["kept_docs"] <= report["total_docs"]
+    with open(f"{out}/report.json") as fh:
+        assert json.load(fh) == report
