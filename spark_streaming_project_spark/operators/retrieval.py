@@ -260,3 +260,29 @@ def phrase_search(
         ).alias("n_matches"),
     )
     return counted.filter(F.col("n_matches") > 0)
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    rank_a: str,
+    rank_b: str,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of two ranked lists:
+    score(d) = sum over lists containing d of 1/(k + rank). Inputs are
+    (id, rank) frames (rank 1-based); a document absent from one list
+    keeps a NULL rank there and contributes 0 for that list.
+
+    Scale shape: the inputs are top-N shortlists (bounded), so the full
+    outer join broadcasts; the fuse is pure projection. k=60 is the
+    paper's constant.
+    """
+    fused = a.join(b, id_col, "full_outer")
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (k + F.col(rank_a)), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (k + F.col(rank_b)), F.lit(0.0)),
+        6,
+    )
+    return fused.select(id_col, rank_a, rank_b, score.alias("rrf_score"))

@@ -1902,3 +1902,186 @@ def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction audit (operators/pii.py). The synthetic corpus
+# contains no organic PII, so both queries scan a DETERMINISTIC AUGMENTED
+# view — doc_id-derived emails/phones/IPs appended to a fixed subset of
+# documents — which the oracle rebuilds from the same arithmetic. The
+# operator itself is generic (pattern dict in, counts/redaction out).
+# ---------------------------------------------------------------------------
+
+from ..operators.pii import PII_PATTERNS, pii_redact, pii_scan  # noqa: E402
+
+_P_EMAIL = PII_PATTERNS["email"]
+_P_PHONE = PII_PATTERNS["phone"]
+_P_IPV4 = PII_PATTERNS["ipv4"]
+
+# DuckDB twin of the injection below (same doc_id arithmetic, bit-equal).
+_PII_AUG_SQL = """
+aug AS (
+    SELECT doc_id, source,
+           concat(text,
+               CASE WHEN doc_id % 7 = 0
+                    THEN concat(' contact u', CAST(doc_id AS VARCHAR),
+                                '@example.com')
+                    ELSE '' END,
+               CASE WHEN doc_id % 11 = 0
+                    THEN concat(' call 555-',
+                                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                                '-',
+                                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                    ELSE '' END,
+               CASE WHEN doc_id % 13 = 0
+                    THEN concat(' from 10.0.',
+                                CAST(doc_id % 256 AS VARCHAR), '.',
+                                CAST((doc_id * 7) % 256 AS VARCHAR))
+                    ELSE '' END
+           ) AS text
+    FROM documents WHERE text IS NOT NULL
+)"""
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic doc_id-derived PII appended to every
+    7th/11th/13th document (emails/phones/IPs respectively)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", txt.alias("text"))
+
+
+@register(
+    "pii_audit",
+    oracle=f"""
+    WITH {_PII_AUG_SQL},
+    scan AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_P_EMAIL}')) AS e,
+               len(regexp_extract_all(text, '{_P_PHONE}')) AS p,
+               len(regexp_extract_all(text, '{_P_IPV4}')) AS i
+        FROM aug
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
+           sum(e) AS emails, sum(p) AS phones, sum(i) AS ipv4s,
+           round(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS pii_rate
+    FROM scan GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "quality", "pii"),
+)
+def pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit: match counts per category and the
+    fraction of documents carrying any PII — the table a curation owner
+    reads before deciding redact-vs-drop per source. Pure projection +
+    one source-keyed aggregate; no shuffle before the group-by."""
+    aug = _pii_augmented(spark, sf_dir)
+    scan = pii_scan(aug, "text")
+    return (
+        scan.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("pii_total_n") > 0).cast("long")).alias(
+                "docs_with_pii"
+            ),
+            F.sum("pii_email_n").alias("emails"),
+            F.sum("pii_phone_n").alias("phones"),
+            F.sum("pii_ipv4_n").alias("ipv4s"),
+            F.round(
+                F.sum((F.col("pii_total_n") > 0).cast("long"))
+                / F.count("*"),
+                6,
+            ).alias("pii_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pii_redaction_audit",
+    oracle=f"""
+    WITH {_PII_AUG_SQL},
+    red AS (
+        SELECT source, text,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_P_EMAIL}', '<EMAIL>', 'g'),
+                       '{_P_PHONE}', '<PHONE>', 'g'),
+                   '{_P_IPV4}', '<IPV4>', 'g') AS redacted
+        FROM aug
+    )
+    SELECT source,
+           sum(CASE WHEN text <> redacted THEN 1 ELSE 0 END)
+               AS docs_redacted,
+           sum(len(text) - len(redacted)) AS chars_delta,
+           sum(len(regexp_extract_all(redacted, '{_P_EMAIL}'))
+               + len(regexp_extract_all(redacted, '{_P_PHONE}'))
+               + len(regexp_extract_all(redacted, '{_P_IPV4}')))
+               AS residual_matches
+    FROM red GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "quality", "pii"),
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction round-trip proof: per source, how many documents changed,
+    the net character delta, and — the invariant that matters — ZERO
+    residual matches after one redaction pass. Both legs are projections
+    over the same scan; Catalyst collapses them into one stage."""
+    aug = _pii_augmented(spark, sf_dir)
+    red = pii_redact(aug, "text", out_col="redacted")
+    rescan = red.select(
+        "source",
+        "text",
+        "redacted",
+        sum(
+            [
+                F.regexp_count(F.col("redacted"), F.lit(p))
+                for p in PII_PATTERNS.values()
+            ],
+            F.lit(0),
+        ).alias("_residual"),
+    )
+    return (
+        rescan.groupBy("source")
+        .agg(
+            F.sum(
+                (F.col("text") != F.col("redacted")).cast("long")
+            ).alias("docs_redacted"),
+            F.sum(
+                F.length("text") - F.length("redacted")
+            ).alias("chars_delta"),
+            F.sum("_residual").alias("residual_matches"),
+        )
+        .orderBy("source")
+    )

@@ -197,3 +197,164 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, "text", "doc_id", ["slow", "hash", "batch"])
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + hashed-embedding cosine fused by Reciprocal Rank
+# Fusion (Cormack et al. 2009: score = sum over lists of 1/(k + rank)).
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+_QUERY_TEXT = " ".join(_QUERY_TERMS)
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=None,  # assembled below (needs llm._TEMB_CTE); see _rrf_oracle()
+    tags=("llm", "retrieval", "similarity", "topk"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: top-20 BM25 (lexical) and top-20 hashed-embedding
+    cosine (dense, deterministic feature hashing — no external model)
+    fused with RRF k=60; top-10 by fused score. The standard two-tower
+    retrieval pattern, fully oracle-replayable because BOTH towers are
+    md5-deterministic.
+
+    Scale shape: each tower ends in TakeOrderedAndProject (bounded 20
+    rows); ranks come from windows over those LIMIT-bounded frames (the
+    documented global-window-over-limit exception); the fuse is a
+    broadcast-able 20x20 full outer join. The dense tower's query vector
+    is a one-row broadcast (nested-loop against one row)."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+    from ..operators.textstats import text_hash_embeddings
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    lex = bm25_scores(
+        docs, "text", "doc_id", _QUERY_TERMS,
+        k1=_BM25_K1, b=_BM25_B, k=_RRF_DEPTH,
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    emb = text_hash_embeddings(docs, "text", "doc_id", dim=64)
+    qdf = spark.createDataFrame([(0, _QUERY_TEXT)], ["doc_id", "text"])
+    qv = text_hash_embeddings(qdf, "text", "doc_id", dim=64).select(
+        F.col("embedding").alias("_qv")
+    )
+    dense = (
+        emb.join(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(dot(F.col("embedding"), F.col("_qv")), 6).alias("_cos"),
+        )
+        .orderBy(F.desc("_cos"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    w_dense = Window.orderBy(F.desc("_cos"), F.asc("doc_id"))
+    dense_r = dense.select(
+        "doc_id", F.row_number().over(w_dense).alias("dense_rank")
+    )
+
+    from ..operators.retrieval import rrf_fuse
+
+    return (
+        rrf_fuse(lex_r, dense_r, "doc_id", "lex_rank", "dense_rank", k=_RRF_K)
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _rrf_oracle() -> str:
+    from .llm import _TEMB_CTE, _TEMB_DIM, _duck_dot
+
+    terms = ", ".join(repr(t) for t in _QUERY_TERMS)
+    return f"""
+    WITH {_TOKS_CTE},
+    tfc AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(words) AS term FROM toks)
+        WHERE term IN ({terms})
+        GROUP BY 1, 2
+    ),
+    dfc AS (SELECT term, count(*) AS _df FROM tfc GROUP BY 1),
+    dl AS (SELECT doc_id, len(words) AS _len FROM toks),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(words)) AS DOUBLE) / count(*) AS _avgdl
+        FROM toks
+    ),
+    bm AS (
+        SELECT doc_id, round(sum(
+            ln(1.0 + (n_docs - _df + 0.5) / (_df + 0.5))
+            * (tf * {_BM25_K1 + 1.0!r})
+            / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * _len / _avgdl))
+        ), 6) AS bm25
+        FROM tfc JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {_RRF_DEPTH}
+    ),
+    lexr AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS lex_rank
+        FROM bm
+    ),
+    {_TEMB_CTE.lstrip()},
+    qtok AS (SELECT unnest([{terms}]) AS t),
+    qb AS (
+        SELECT CAST(concat('0x', substr(md5(concat('temb:', t)), 1, 4))
+                    AS BIGINT) % {_TEMB_DIM} AS b,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('temb:', t)), 5, 4))
+                         AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM qtok
+    ),
+    qsum AS (SELECT b, sum(s) AS v FROM qb GROUP BY 1),
+    qdense AS (
+        SELECT g.j, CAST(coalesce(q.v, 0) AS DOUBLE) AS v
+        FROM (SELECT unnest(range({_TEMB_DIM})) AS j) g
+        LEFT JOIN qsum q ON q.b = g.j
+    ),
+    qx AS (SELECT list(v ORDER BY j) AS x FROM qdense),
+    qn AS (
+        SELECT x, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(x, e -> e * e)), (acc, e) -> acc + e)) AS n
+        FROM qx
+    ),
+    qv AS (SELECT list_transform(x, e -> e / n) AS qvec FROM qn WHERE n > 0),
+    cos AS (
+        SELECT doc_id,
+               round({_duck_dot('v', 'qvec', _TEMB_DIM)}, 6) AS _cos
+        FROM temb, qv
+        ORDER BY _cos DESC, doc_id ASC
+        LIMIT {_RRF_DEPTH}
+    ),
+    denser AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY _cos DESC, doc_id ASC) AS INTEGER) AS dense_rank
+        FROM cos
+    )
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+           l.lex_rank, d.dense_rank,
+           round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + d.dense_rank), 0.0), 6)
+               AS rrf_score
+    FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+import dataclasses  # noqa: E402
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["hybrid_rrf_search"] = dataclasses.replace(
+    _REG["hybrid_rrf_search"], oracle=_rrf_oracle()
+)

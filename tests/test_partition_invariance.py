@@ -60,6 +60,9 @@ REPRESENTATIVES = [
     "neardup_eval_pr",                  # pair eval + per-label truth
     "entropy_profile",                  # quantized-integer ln sums
     "source_quality_scorecard",         # keyed distinct + flag rates
+    # round-6 session-2 families
+    "pii_audit",                        # regex counts + keyed aggregate
+    "hybrid_rrf_search",                # two-tower ranks + RRF fuse
 ]
 
 

@@ -309,3 +309,29 @@ def test_hourly_anomaly_flags_spike_and_silence(spark):
     assert 30 in hours
     for r in flagged:
         assert abs(r["z"]) > 3
+
+
+def test_rrf_fuse_both_lists_beat_single_list(spark):
+    from spark_streaming_project_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id bigint, r_a int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id bigint, r_b int"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse(a, b, "doc_id", "r_a", "r_b", k=60).collect()
+    }
+    # doc 2 appears in both lists -> highest fused score.
+    assert out[2]["rrf_score"] == max(r["rrf_score"] for r in out.values())
+    # exact formula: 1/(60+2) + 1/(60+1).
+    assert out[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    # single-list docs keep a NULL rank on the absent side, contribute 0.
+    assert out[1]["r_b"] is None
+    assert out[1]["rrf_score"] == round(1 / 61, 6)
+    assert out[4]["r_a"] is None
+    assert out[4]["rrf_score"] == round(1 / 62, 6)
+    # rank-1-in-one-list (doc 1, doc 4) loses to both-lists doc 2.
+    assert out[4]["rrf_score"] < out[2]["rrf_score"]
