@@ -3314,3 +3314,161 @@ def text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test splits: assign documents to splits by an
+# md5 bucket of their near-dup CLUSTER representative (not the doc itself),
+# so no near-duplicate pair ever straddles a split boundary — the
+# contamination mode a naive per-doc hash split cannot avoid.
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+def _split_expr(key):  # md5 bucket 0..99 -> named split
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), key.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return F.when(b < _SPLIT_TRAIN_PCT, F.lit("train")).otherwise(
+        F.when(b < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, F.lit("val")).otherwise(
+            F.lit("test")
+        )
+    )
+
+
+def _duck_split(key_sql: str) -> str:
+    return f"""CASE
+        WHEN CAST(concat('0x', substr(md5(concat('split:',
+                 CAST({key_sql} AS VARCHAR))), 1, 4)) AS BIGINT) % 100
+             < {_SPLIT_TRAIN_PCT} THEN 'train'
+        WHEN CAST(concat('0x', substr(md5(concat('split:',
+                 CAST({key_sql} AS VARCHAR))), 1, 4)) AS BIGINT) % 100
+             < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+        ELSE 'test' END"""
+
+
+@register(
+    "leakage_safe_splits",
+    oracle=f"""
+    WITH RECURSIVE {_CANONICAL_CTE},
+    tokc AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(list_filter(string_split_regex(text, '\\s+'),
+                                         t -> t <> '')) END AS n_tokens
+        FROM documents
+    ),
+    assigned AS (
+        SELECT c.doc_id, c.canonical_id,
+               {_duck_split('c.canonical_id')} AS split
+        FROM cmap c
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT canonical_id) AS n_clusters,
+           sum(n_tokens) AS n_tokens
+    FROM assigned JOIN tokc USING (doc_id)
+    GROUP BY split ORDER BY split
+    """,
+    tags=("llm", "dedup", "sampling"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split sizes (docs, clusters, tokens) under
+    CLUSTER-KEYED assignment: every document inherits the md5 split
+    bucket of its transitive near-dup cluster representative, so
+    near-duplicates can never land in different splits (the eval-set
+    contamination a per-doc hash split allows). One CC map join + one
+    keyed aggregate on top of the already-audited canonical-map plan."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cmap = dedup_canonical_map(spark, sf_dir)
+    ntok = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNull(), F.lit(0)
+        ).otherwise(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    return (
+        cmap.withColumn("split", _split_expr(F.col("canonical_id")))
+        .join(ntok, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "split_leakage_check",
+    oracle=f"""
+    WITH RECURSIVE {_CANONICAL_CTE},
+    asg AS (
+        SELECT c.doc_id,
+               {_duck_split('c.canonical_id')} AS cluster_split,
+               {_duck_split('c.doc_id')} AS naive_split
+        FROM cmap c
+    )
+    SELECT count(*) AS pairs_total,
+           sum(CASE WHEN a.cluster_split <> b.cluster_split
+                    THEN 1 ELSE 0 END) AS cross_cluster_split,
+           sum(CASE WHEN a.naive_split <> b.naive_split
+                    THEN 1 ELSE 0 END) AS cross_naive_split
+    FROM pairs p
+    JOIN asg a ON a.doc_id = p.id_a
+    JOIN asg b ON b.doc_id = p.id_b
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invariant, measured: over all near-dup pairs (Jaccard >= 0.5),
+    how many straddle a split boundary under (a) cluster-keyed assignment
+    — provably ZERO, the split is a function of the shared cluster id —
+    vs (b) the naive per-doc hash split, which leaks near-duplicates of
+    training documents into eval. One row; the pair frame and CC map are
+    the audited dedup plans."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    )
+    cmap = dedup_canonical_map(spark, sf_dir)
+    asg = cmap.select(
+        "doc_id",
+        _split_expr(F.col("canonical_id")).alias("cluster_split"),
+        _split_expr(F.col("doc_id")).alias("naive_split"),
+    )
+    a = asg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("cluster_split").alias("_ca"),
+        F.col("naive_split").alias("_na"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("cluster_split").alias("_cb"),
+        F.col("naive_split").alias("_nb"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.count("*").alias("pairs_total"),
+            F.sum(
+                (F.col("_ca") != F.col("_cb")).cast("long")
+            ).alias("cross_cluster_split"),
+            F.sum(
+                (F.col("_na") != F.col("_nb")).cast("long")
+            ).alias("cross_naive_split"),
+        )
+    )

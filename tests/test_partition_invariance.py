@@ -63,6 +63,7 @@ REPRESENTATIVES = [
     # round-6 session-2 families
     "pii_audit",                        # regex counts + keyed aggregate
     "hybrid_rrf_search",                # two-tower ranks + RRF fuse
+    "leakage_safe_splits",              # cluster-keyed split aggregate
 ]
 
 

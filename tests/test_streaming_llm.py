@@ -1087,3 +1087,51 @@ def test_streaming_auc_state_matches_batch(spark, tmp_path):
     )
     want = auc_exact(scored_frame(docs), "prob", "y").first()["auc"]
     assert got == want
+
+
+def test_streaming_pii_scan_redact_stateless_append(spark, tmp_path):
+    """pii_scan/pii_redact are pure projections, so they stream as
+    stateless append transforms: an availableNow drain over the doc files
+    must emit exactly the batch scan's rows (counts AND redacted text)."""
+    from spark_streaming_project_spark.operators.pii import (
+        pii_redact,
+        pii_scan,
+    )
+
+    def _scan(df):
+        red = pii_redact(
+            pii_scan(df.filter(F.col("text").isNotNull()), "text"),
+            "text",
+            out_col="redacted",
+        )
+        return red.select("doc_id", "pii_total_n", "redacted")
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" mail x@y.io ip 10.1.2.3")),
+        ).otherwise(F.col("text")),
+    )
+    src = str(tmp_path / "docs_pii_src")
+    docs.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_pii"))
+    runner.add("pii_stream", _scan(stream), output_mode="append")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = sorted(
+        (r["doc_id"], r["pii_total_n"], r["redacted"])
+        for r in spark.table("pii_stream").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["pii_total_n"], r["redacted"])
+        for r in _scan(docs).collect()
+    )
+    assert got == want and len(got) > 0
+    # the planted docs really carried (and lost) their PII
+    assert any(n == 2 for _, n, _ in got)
+    assert all("x@y.io" not in t and "10.1.2.3" not in t for _, _, t in got)
