@@ -449,6 +449,32 @@ def main() -> None:
 
         run("auc_exact", scale, _auc)
 
+        # -- round-6 session-2 tiers: PII scrub, hybrid RRF, cluster splits.
+        # PII: pure regexp projection — the aggregate forces evaluation of
+        # every count/redaction column (a bare count() would let Catalyst
+        # prune the regex work away). RRF / splits: the registered plan
+        # builders run against the derived dir (documents.parquet is the
+        # only table they read).
+        from spark_streaming_project_spark.operators.pii import (
+            pii_redact, pii_scan)
+        from spark_streaming_project_spark.plans import REGISTRY as _REG
+
+        ddir_ = ddir
+
+        def _pii():
+            scanned = pii_redact(
+                pii_scan(docs_.repartition(32), "text"),
+                "text", out_col="redacted")
+            return scanned.agg(
+                _F.sum("pii_total_n").alias("hits"),
+                _F.sum(_F.length("redacted")).alias("chars"))
+
+        run("pii_scrub", scale, _pii)
+        run("hybrid_rrf", scale,
+            lambda: _REG["hybrid_rrf_search"].builder(spark, ddir_))
+        run("leakage_splits", scale,
+            lambda: _REG["leakage_safe_splits"].builder(spark, ddir_))
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

@@ -273,16 +273,22 @@ def text_hash_embeddings(
             F.element_at(F.col("_m"), j.cast("bigint")), F.lit(0)
         ).cast("double"),
     )
-    nrm = F.sqrt(
-        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    # let-bind the dense array (and its norm) so CollapseProject cannot
+    # inline the 64-element map-lookup build into every downstream
+    # reference — unbound, the array was evaluated 3x per row (once for
+    # the norm fold, once per normalized output, once through the filter)
+    # and dominated the operator's runtime (measured ~7 s -> ~1 s at
+    # sf0.1). Same arithmetic and fold order, so values are bit-equal.
+    from ..functions.vectors import let
+
+    normed = let(
+        arr,
+        lambda a: let(
+            F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)),
+            lambda n: F.when(n > 0, F.transform(a, lambda x: x / n)),
+        ),
     )
     return (
-        dense.select(F.col(id_col), arr.alias("_x"), nrm.alias("_n"))
-        .filter(F.col("_n") > 0)
-        .select(
-            F.col(id_col),
-            F.transform(F.col("_x"), lambda x: x / F.col("_n")).alias(
-                "embedding"
-            ),
-        )
+        dense.select(F.col(id_col), normed.alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
     )
