@@ -9,7 +9,11 @@ kept corpus.
 Writes:
     <out>/kept/        parquet of surviving documents (all source columns)
     <out>/verdicts/    parquet of per-doc verdicts (audit trail)
-    <out>/report.json  one-line attrition summary
+    <out>/train_ready/ kept corpus, PII-redacted, partitioned by
+                       leakage-safe split (split bucket = md5 of the
+                       near-dup cluster representative, so no near-dup
+                       pair straddles train/val/test)
+    <out>/report.json  one-line attrition + redaction + split summary
 
 The pipeline is one declarative plan end-to-end: the verdicts join prunes
 to (doc_id + flags), the kept-corpus write joins verdicts back to the full
@@ -45,11 +49,43 @@ def main() -> None:
 
     vpath = os.path.join(args.out, "verdicts")
     kpath = os.path.join(args.out, "kept")
+    tpath = os.path.join(args.out, "train_ready")
     verdicts.write.mode("overwrite").parquet(vpath)
     v = spark.read.parquet(vpath)  # reuse the materialized verdicts
-    docs.join(v.filter(F.col("keep")).select("doc_id"), "doc_id").write.mode(
-        "overwrite"
-    ).parquet(kpath)
+    kept_docs = docs.join(v.filter(F.col("keep")).select("doc_id"), "doc_id")
+    kept_docs.write.mode("overwrite").parquet(kpath)
+
+    # Ship-ready tail: PII-redact the kept text, then assign every doc the
+    # md5 split bucket of its near-dup CLUSTER representative (leakage-safe
+    # — see plans/llm.leakage_safe_splits) and publish partitioned by split
+    # so a trainer reads one split via partition pruning.
+    from spark_streaming_project_spark.operators.pii import pii_redact, pii_scan
+    from spark_streaming_project_spark.plans.llm import (
+        _split_expr,
+        dedup_canonical_map,
+    )
+
+    kept = spark.read.parquet(kpath)  # reuse the materialized kept corpus
+    pii_hits = (
+        pii_scan(kept, "text")
+        .agg(F.sum("pii_total_n").alias("n"))
+        .collect()[0]["n"]
+    ) or 0
+    cmap = dedup_canonical_map(spark, args.sf_dir)
+    shipped = (
+        pii_redact(kept, "text")
+        .join(cmap, "doc_id")
+        .withColumn("split", _split_expr(F.col("canonical_id")))
+        .drop("canonical_id")
+    )
+    shipped.write.mode("overwrite").partitionBy("split").parquet(tpath)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(tpath)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
 
     stats = v.agg(
         F.count("*").alias("total"),
@@ -68,8 +104,11 @@ def main() -> None:
         "dropped_gopher": stats["gopher_fails"],
         "dropped_span_dup": stats["span_dup_fails"],
         "dropped_contaminated": stats["contaminated"],
+        "pii_matches_redacted": int(pii_hits),
+        "split_doc_counts": split_counts,
         "kept_path": kpath,
         "verdicts_path": vpath,
+        "train_ready_path": tpath,
     }
     with open(os.path.join(args.out, "report.json"), "w") as fh:
         json.dump(report, fh, indent=1)

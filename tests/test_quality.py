@@ -872,3 +872,18 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert report["kept_docs"] <= report["total_docs"]
     with open(f"{out}/report.json") as fh:
         assert json.load(fh) == report
+    # ship-ready tail: same doc set, split-partitioned, PII-free text
+    ready = spark.read.parquet(f"{out}/train_ready")
+    assert {r["doc_id"] for r in ready.select("doc_id").collect()} == keep_ids
+    assert sum(report["split_doc_counts"].values()) == report["kept_docs"]
+    assert set(report["split_doc_counts"]) <= {"train", "val", "test"}
+    from spark_streaming_project_spark.operators.pii import (
+        PII_PATTERNS,
+        pii_scan,
+    )
+    residual = (
+        pii_scan(ready, "text", PII_PATTERNS)
+        .agg(F.sum("pii_total_n").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert (residual or 0) == 0
