@@ -1135,3 +1135,122 @@ def test_streaming_pii_scan_redact_stateless_append(spark, tmp_path):
     # the planted docs really carried (and lost) their PII
     assert any(n == 2 for _, n, _ in got)
     assert all("x@y.io" not in t and "10.1.2.3" not in t for _, _, t in got)
+
+
+def test_streaming_composed_curation_matches_batch_verdicts(spark, tmp_path):
+    """The COMPOSED curation pipeline, maintained incrementally: exact
+    dedup and span dedup run as keyed-state streams, Gopher flags as a
+    stateless stream, contamination as a stream-static join against the
+    fixed train-gram reference — and the verdict table assembled from the
+    drained outputs equals batch `curation_verdicts` row-for-row.
+    Ingest is ascending-doc_id micro-batches, the ordering under which
+    first-arrival state reproduces the batch global-min keep-set."""
+    from spark_streaming_project_spark.operators.dedup import doc_spans
+    from spark_streaming_project_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.quality import _GOPHER_SW
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_exact_dedup,
+        streaming_span_keep,
+    )
+    from spark_streaming_project_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, SF, "documents").filter(F.col("text").isNotNull())
+    src = str(tmp_path / "docs_cur_src")
+    # ascending-doc_id batches: file order == arrival order
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    docs.filter(F.col("doc_id") <= half).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") > half).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+
+    # static train-gram reference (the corpus outside the eval source)
+    sh = docs.select(
+        "doc_id", "source",
+        F.array_distinct(word_ngrams(F.col("text"), 5)).alias("sh"),
+    )
+    train_grams = (
+        sh.filter(F.col("source") != "src0")
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    def _contamination(s):
+        ev = (
+            s.select(
+                "doc_id", "source",
+                F.array_distinct(word_ngrams(F.col("text"), 5)).alias("sh"),
+            )
+            .filter((F.col("source") == "src0") & (F.size("sh") > 0))
+            .select("doc_id", F.size("sh").alias("n"),
+                    F.explode("sh").alias("gram"))
+        )
+        return (
+            ev.join(train_grams, "gram", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.first("n").alias("n"),
+                F.sum(F.coalesce("_hit", F.lit(0))).alias("shared"),
+            )
+        )
+
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_cur"))
+    runner.add("cur_exact", streaming_exact_dedup(stream, "text", "doc_id"),
+               output_mode="append")
+    runner.add("cur_spans",
+               streaming_span_keep(stream, "text", "doc_id", span_words=10),
+               output_mode="append")
+    runner.add("cur_gopher",
+               gopher_quality_flags(stream, "text", "doc_id",
+                                    stopwords=_GOPHER_SW),
+               output_mode="append")
+    runner.add("cur_cont", _contamination(stream), output_mode="complete")
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=240)
+
+    keepers = {r["doc_id"] for r in spark.table("cur_exact").collect()}
+    kept_spans = (
+        spark.table("cur_spans").groupBy("doc_id")
+        .agg(F.count("*").alias("kept"))
+    )
+    totals = doc_spans(docs, "text", "doc_id").groupBy("doc_id").agg(
+        F.count("*").alias("n_spans")
+    )
+    span_stats = {
+        r["doc_id"]: (r["n_spans"], r["n_spans"] - (r["kept"] or 0))
+        for r in totals.join(kept_spans, "doc_id", "left").collect()
+    }
+    gopher = {
+        r["doc_id"]: bool(r["keep"])
+        for r in spark.table("cur_gopher").collect()
+    }
+    contaminated = {
+        r["doc_id"]: r["shared"] >= 0.8 * r["n"]
+        for r in spark.table("cur_cont").collect()
+    }
+
+    got = {}
+    for doc_id, (n_spans, dup_spans) in span_stats.items():
+        pe = doc_id in keepers
+        pg = gopher[doc_id]
+        ps = dup_spans * 2 <= n_spans
+        ct = contaminated.get(doc_id, False)
+        got[doc_id] = (
+            pe, pg, round(dup_spans / n_spans, 6), ps, ct,
+            pe and pg and ps and not ct,
+        )
+
+    want = {
+        r["doc_id"]: (
+            r["pass_exact_dedup"], r["pass_gopher"], r["span_dup_frac"],
+            r["pass_span"], r["contaminated"], r["keep"],
+        )
+        for r in REGISTRY["curation_verdicts"].builder(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
