@@ -414,3 +414,147 @@ def source_vocab_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct via sketch merge: the mergeability payoff. Build
+# ONE register frame per hour, answer every 3-hour sliding window by
+# bucket-wise max over the 3 contributing hourly sketches — no re-scan of
+# the raw events per window (at 100 TB: per-hour sketches are <= m rows
+# each, precomputed once; any window size is a merge over sketch rows).
+# The exact per-window distinct rides along as the accuracy column.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_distinct_sketch",
+    oracle=f"""
+    WITH hrs AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    ),
+    hashed AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(concat('0x', substr(md5(concat('hll:',
+                    CAST(user_id AS VARCHAR))), 1, 4)) AS BIGINT)
+                   % {_HLL_M} AS bucket,
+               CAST(concat('0x', substr(md5(concat('hll:',
+                    CAST(user_id AS VARCHAR))), 5, 8)) AS BIGINT) AS v
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    reg AS (
+        SELECT h, bucket,
+               max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END)
+                   AS max_rho
+        FROM hashed GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT unnest([h, h - INTERVAL 1 HOUR, h - INTERVAL 2 HOUR])
+                   AS window_start,
+               bucket, max_rho
+        FROM reg
+    ),
+    wreg AS (
+        SELECT c.window_start, c.bucket, max(c.max_rho) AS max_rho
+        FROM contrib c JOIN hrs ON c.window_start = hrs.h
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT window_start, sum(pow(2.0, -max_rho)) AS ps,
+               {_HLL_M} - count(*) AS zeros
+        FROM wreg GROUP BY 1
+    ),
+    est AS (
+        SELECT window_start,
+               round(CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+                          THEN {float(_HLL_M)} * ln({float(_HLL_M)} / zeros)
+                          ELSE raw END, 4) AS sketch_users
+        FROM (SELECT window_start, zeros,
+                     {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                         / (ps + CAST(zeros AS DOUBLE)) AS raw
+              FROM agg)
+    ),
+    exact AS (
+        SELECT window_start, count(DISTINCT user_id) AS exact_users
+        FROM (
+            SELECT unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                           date_trunc('hour', ts) - INTERVAL 2 HOUR])
+                       AS window_start,
+                   user_id
+            FROM events WHERE user_id IS NOT NULL
+        ) c JOIN hrs ON c.window_start = hrs.h
+        GROUP BY 1
+    )
+    SELECT e.window_start, e.exact_users, s.sketch_users,
+           round(abs(s.sketch_users - e.exact_users) / e.exact_users, 4)
+               AS rel_err
+    FROM exact e JOIN est s USING (window_start)
+    ORDER BY e.window_start
+    """,
+    tags=("profiling", "sketch", "events", "streaming-mergeable"),
+)
+def sliding_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 3-hour SLIDING window, answered two ways in one
+    query: exact COUNT(DISTINCT) (the accuracy reference) and a merge of
+    the three contributing per-hour HLL sketches (bucket-wise max —
+    sketch(A∪B∪C) == merge of the hourly sketches, so wider windows cost
+    sketch-row merges, never raw re-scans). Register contribution fans
+    out via a 3-element explode (sketch rows, not event rows); only
+    windows anchored at a real event hour are kept."""
+    from ..operators.sketches import hll_build, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    hrs = ev.select(hour.alias("h")).distinct()
+
+    reg = hll_build(ev.withColumn("h", hour), "user_id", ["h"], m=_HLL_M)
+    back = [
+        F.col("h"),
+        F.col("h") - F.expr("INTERVAL 1 HOUR"),
+        F.col("h") - F.expr("INTERVAL 2 HOUR"),
+    ]
+    contrib = reg.select(
+        F.explode(F.array(*back)).alias("window_start"), "bucket", "max_rho"
+    )
+    wreg = (
+        contrib.join(
+            F.broadcast(hrs), contrib["window_start"] == hrs["h"]
+        )
+        .groupBy("window_start", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = hll_estimate(wreg, ["window_start"], m=_HLL_M).withColumnRenamed(
+        "distinct_estimate", "sketch_users"
+    )
+
+    exact = (
+        ev.select(
+            F.explode(
+                F.array(
+                    hour,
+                    hour - F.expr("INTERVAL 1 HOUR"),
+                    hour - F.expr("INTERVAL 2 HOUR"),
+                )
+            ).alias("window_start"),
+            "user_id",
+        )
+        .join(F.broadcast(hrs), F.col("window_start") == F.col("h"))
+        .groupBy("window_start")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(est, "window_start")
+        .select(
+            "window_start",
+            "exact_users",
+            "sketch_users",
+            F.round(
+                F.abs(F.col("sketch_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("window_start")
+    )

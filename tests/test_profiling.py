@@ -129,3 +129,35 @@ def test_hll_union_overlap_inclusion_exclusion_sanity(spark):
     # true overlap is 100 of 300; sketch overlap must be positive and
     # below each single-set estimate
     assert 0 < overlap < min(ea, eb)
+
+
+def test_sliding_window_sketch_merge_equals_direct_build(spark):
+    """The sliding_distinct_sketch contract at register level: merging the
+    per-hour HLL register frames of hours [h, h+2] yields EXACTLY the
+    register frame of an hll_build over the raw 3-hour slice — so window
+    widening is a sketch merge, never a re-scan."""
+    from spark_streaming_project_spark.operators.sketches import hll_build
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("h", F.date_trunc("hour", F.col("ts")))
+    )
+    h0 = ev.agg(F.min("h")).collect()[0][0]
+    in_window = ev.filter(
+        (F.col("h") >= F.lit(h0))
+        & (F.col("h") < F.lit(h0) + F.expr("INTERVAL 3 HOUR"))
+    )
+    direct = {
+        (r["bucket"], r["max_rho"])
+        for r in hll_build(in_window, "user_id", m=64).collect()
+    }
+    hourly = hll_build(in_window, "user_id", ["h"], m=64)
+    merged = {
+        (r["bucket"], r["max_rho"])
+        for r in hourly.groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    assert merged == direct and len(direct) > 0
