@@ -2085,3 +2085,81 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "curriculum_order",
+    oracle=r"""
+    WITH nw AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> '')) AS n_words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    si AS (
+        SELECT source,
+               row_number() OVER (ORDER BY source) - 1 AS sidx
+        FROM (SELECT DISTINCT source FROM nw)
+    ),
+    ns AS (SELECT count(*) AS n_sources FROM si),
+    rk AS (
+        SELECT doc_id, source, n_words,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_words ASC, doc_id ASC
+               ) AS r
+        FROM nw
+    )
+    SELECT CAST(r - 1 AS BIGINT) * n_sources + sidx AS position,
+           doc_id, source, n_words
+    FROM rk JOIN si USING (source) CROSS JOIN ns
+    ORDER BY position LIMIT 100
+    """,
+    tags=("llm", "sampling", "quality"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: within each source, documents ranked
+    easy-to-hard (short-to-long, doc_id tie-break), then the per-source
+    streams interleaved round-robin — position = (rank-1)*n_sources +
+    source_index. The standard curriculum + source-mixing manifest, as
+    pure rank arithmetic: the only window is per-source (partitioned);
+    the source-index window runs over the DISTINCT source frame (dashboard
+    cardinality, ~10 rows — not a corpus-sized global sort). First 100
+    positions returned."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    nw = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_words")
+    )
+    si = (
+        nw.select("source")
+        .distinct()
+        .withColumn(
+            "sidx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+    )
+    ns = si.agg(F.count("*").alias("n_sources"))
+    w = Window.partitionBy("source").orderBy(
+        F.asc("n_words"), F.asc("doc_id")
+    )
+    rk = nw.withColumn("r", F.row_number().over(w))
+    return (
+        rk.join(F.broadcast(si), "source")
+        .join(F.broadcast(ns))
+        .select(
+            (
+                (F.col("r") - 1).cast("bigint") * F.col("n_sources")
+                + F.col("sidx")
+            ).alias("position"),
+            "doc_id",
+            "source",
+            "n_words",
+        )
+        .orderBy("position")
+        .limit(100)
+    )
