@@ -64,6 +64,8 @@ REPRESENTATIVES = [
     "pii_audit",                        # regex counts + keyed aggregate
     "hybrid_rrf_search",                # two-tower ranks + RRF fuse
     "leakage_safe_splits",              # cluster-keyed split aggregate
+    "sliding_distinct_sketch",          # hourly HLL registers + merge
+    "curriculum_order",                 # rank-arithmetic interleave
 ]
 
 
