@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for one flagship query
+per family, each with a short note on the scale-relevant shape to check
+(broadcasts, TakeOrderedAndProject, partial aggregation, no cartesian).
+
+    python scripts/explain_audit.py            # writes PLANS.md
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+# (query, what the plan should show)
+SHOWCASE = [
+    ("top_sugary_products_by_category",
+     "The flagship W1 window argmax: partitioned window (no global sort), "
+     "filter pushed to the parquet scan."),
+    ("pricing_summary",
+     "TPC-H Q1 shape: ONE exchange; everything else is partial_/merge_ "
+     "hash aggregation around it (map-side combine), decimal-exact sums."),
+    ("top_categories_with_other",
+     "Top-N + residual: TakeOrderedAndProject for the winner cut (per-"
+     "partition k, no global sort), broadcast of the bounded winner set."),
+    ("dedup_minhash_pairs",
+     "MinHash LSH banding: signatures computed per-row (no explode of "
+     "shingles through the shuffle), band-keyed equi-join — candidates, "
+     "never an all-pairs product."),
+    ("similarity_ivfpq_det_topk",
+     "IVFPQ ANN: centroid/codebook sidecars broadcast; probed lists only "
+     "(partition-prunable at scale); ADC shortlist then exact re-rank."),
+    ("hybrid_rrf_search",
+     "Two-tower hybrid retrieval: each tower ends in a bounded top-20 "
+     "(TakeOrderedAndProject); the RRF fuse is a broadcast-able 20x20 "
+     "full outer join; dense query vector is a one-row broadcast."),
+    ("leakage_safe_splits",
+     "Cluster-keyed split assignment: the near-dup CC map (banded join + "
+     "pointer jumping) feeds a pure md5 projection + one keyed aggregate."),
+    ("sliding_distinct_sketch",
+     "Sliding distinct via sketch merge: per-hour HLL registers (<= 64 "
+     "rows/hour) explode 3x and merge — window widening touches sketch "
+     "rows, never the raw events again; hours dim is broadcast."),
+]
+
+HEADER = """# PLANS — flagship physical plans (auto-generated)
+
+Regenerate with `python scripts/explain_audit.py`. One representative
+query per family; the note above each plan says what the scale-relevant
+shape is. Invariants enforced suite-wide by `tests/test_plan_audit.py`:
+no `CartesianProduct`, no `BatchEvalPython` (row-at-a-time Python) in any
+registered query's plan.
+"""
+
+
+def main() -> None:
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = [HEADER]
+    for name, note in SHOWCASE:
+        df = REGISTRY[name].builder(spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue().rstrip()
+        out.append(f"\n## {name}\n\n{note}\n\n```\n{plan}\n```\n")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as fh:
+        fh.write("".join(out))
+    print(f"PLANS.md written ({len(SHOWCASE)} plans)")
+
+
+if __name__ == "__main__":
+    main()
