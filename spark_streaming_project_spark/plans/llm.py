@@ -3472,3 +3472,106 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_naive_split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold tuning: precision/recall/F1 at a GRID of cosine
+# thresholds from ONE candidate generation — the curve an operator reads
+# before picking the near-dup cutoff (neardup_eval_pr is its single-point
+# anchor at the deployed threshold).
+# ---------------------------------------------------------------------------
+
+_SWEEP_GRID = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+
+
+@register(
+    "neardup_threshold_sweep",
+    oracle=f"""
+    WITH cand AS ({_EMB_NDUP_ORACLE}),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    ev AS (
+        SELECT c.cosine_sim,
+               CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS is_true
+        FROM cand c
+        JOIN lbl a ON c.id_a = a.vec_id
+        JOIN lbl b ON c.id_b = b.vec_id
+    ),
+    truth AS (
+        SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS total_true
+        FROM (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+    ),
+    grid AS (SELECT unnest([{", ".join(repr(t) for t in _SWEEP_GRID)}])
+                 AS threshold)
+    SELECT g.threshold,
+           count(*) AS n_pairs,
+           sum(e.is_true) AS true_pairs,
+           round(sum(e.is_true) / count(*), 6) AS precision,
+           round(sum(e.is_true) / any_value(t.total_true), 6) AS recall,
+           round(2.0 * sum(e.is_true)
+                 / (count(*) + any_value(t.total_true)), 6) AS f1
+    FROM grid g JOIN ev e ON e.cosine_sim >= g.threshold
+    CROSS JOIN truth t
+    GROUP BY g.threshold
+    ORDER BY g.threshold
+    """,
+    tags=("llm", "dedup", "similarity", "eval"),
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of embedding near-dup pairs at every
+    threshold in a 0.2-0.8 grid, from ONE banded-LSH candidate pass (the
+    grid fans out over the already-verified pair frame — |grid| x |pairs|
+    skinny rows, never a re-scan of the vectors). The table that answers
+    'where should the dedup cutoff sit' with ground-truth labels."""
+    from ..operators.similarity import banded_ndup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = banded_ndup_pairs(
+        emb, "vec_id", "embedding",
+        dim=_DIM, threshold=_NDUP_THRESHOLD,
+        bands=_NDUP_BANDS, bits=_NDUP_BITS, salt=_NDUP_SALT,
+    )
+    lbl = emb.select("vec_id", "label")
+    ev = (
+        pairs
+        .join(lbl.select(F.col("vec_id").alias("id_a"),
+                         F.col("label").alias("_la")), "id_a")
+        .join(lbl.select(F.col("vec_id").alias("id_b"),
+                         F.col("label").alias("_lb")), "id_b")
+        .select(
+            "cosine_sim",
+            (F.col("_la") == F.col("_lb")).cast("long").alias("is_true"),
+        )
+    )
+    truth = (
+        emb.groupBy("label")
+        .count()
+        .agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            .cast("bigint")
+            .alias("total_true")
+        )
+    )
+    grid = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_GRID])
+    ).alias("threshold")
+    swept = ev.select("*", grid).filter(
+        F.col("cosine_sim") >= F.col("threshold")
+    )
+    return (
+        swept.join(F.broadcast(truth))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("is_true").alias("true_pairs"),
+            F.round(F.sum("is_true") / F.count("*"), 6).alias("precision"),
+            F.round(
+                F.sum("is_true") / F.first("total_true"), 6
+            ).alias("recall"),
+            F.round(
+                2.0 * F.sum("is_true")
+                / (F.count("*") + F.first("total_true")),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )
