@@ -77,19 +77,22 @@ _R6_WINDOW = [
     "nearest_duplicate_per_doc",
     "text_embedding_topk",
     "curation_verdicts",
+    # -- round-6 session-2 additions (zero artifact history; these
+    #    displaced 8 of the r03-refresh slots — a never-recorded green
+    #    beats refreshing an already-recorded one):
+    "pii_audit",
+    "pii_redaction_audit",
+    "hybrid_rrf_search",
+    "leakage_safe_splits",
+    "split_leakage_check",
+    "sliding_distinct_sketch",
+    "curriculum_order",
+    "neardup_threshold_sweep",
     # -- refreshes: oldest-recorded (r03-artifact) families, flagship
-    #    first. Displaced by new round-6 queries as they land.
+    #    first.
     "top_sugary_products_by_category",
     "nutriscore_counts",
     "category_counts",
-    "brand_counts",
-    "packaging_distribution",
-    "nova_group_classification",
-    "top_token_docs",
-    "weighted_nova_average",
-    "top_brands",
-    "top_packaging",
-    "dedup_exact_groups",
 ]
 # The 6 declared rows-only tiers (approx_stats, bpe_merge_table,
 # neardup_centrality, similarity_ivf_kmeans_topk, similarity_pq_topk,
