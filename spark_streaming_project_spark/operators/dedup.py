@@ -918,3 +918,42 @@ def duplicate_spans(
         .orderBy(F.desc("n_occurrences"), F.asc("span_text"))
         .limit(k)
     )
+
+
+def normalized_dedup_groups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact dedup over NORMALIZED text (lowercase, punctuation -> space,
+    whitespace squeezed, trimmed): catches the trivial-variant duplicates
+    — casing, stray punctuation, spacing — that a raw digest misses
+    (the Dolma-style "normalized hash" dedup class between exact and
+    fuzzy). Returns one row per normalized group:
+    (norm_hash, keep_id, dup_count, raw_variants) where raw_variants is
+    the number of DISTINCT raw texts the group collapses (>1 means
+    normalization did work a raw digest could not).
+
+    Scale shape: identical to exact dedup — the normalization is a pure
+    codegen projection ahead of one digest-keyed aggregate."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.md5(norm).alias("norm_hash"),
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("_raw"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+            F.countDistinct("_raw").alias("raw_variants"),
+        )
+    )

@@ -3575,3 +3575,69 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalized-hash dedup (between exact and fuzzy): the corpus is already
+# clean lowercase, so the query scans an AUGMENTED view — every 23rd
+# document gets a deterministic casing/punctuation variant twin — which
+# the oracle rebuilds. The operator itself is generic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_normalized_groups",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               concat(upper(text), ' !!') AS text
+        FROM documents WHERE text IS NOT NULL AND doc_id % 23 = 0
+    ),
+    norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+               md5(text) AS raw
+        FROM aug
+    ),
+    grp AS (
+        SELECT norm_hash, min(doc_id) AS keep_id, count(*) AS dup_count,
+               count(DISTINCT raw) AS raw_variants
+        FROM norm GROUP BY 1
+    )
+    SELECT count(*) AS total_groups,
+           sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS dup_groups,
+           sum(CASE WHEN raw_variants > 1 THEN 1 ELSE 0 END)
+               AS norm_only_groups,
+           sum(dup_count) AS docs_total
+    FROM grp
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-hash dedup summary over a variant-augmented corpus:
+    norm_only_groups counts the groups a RAW digest cannot collapse
+    (casing/punctuation twins) — nonzero exactly for the injected
+    variants, proving the normalization leg does real work while plain
+    duplicates keep deduping as before."""
+    from ..operators.dedup import normalized_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    variants = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(variants)
+    grp = normalized_dedup_groups(aug, "text", "doc_id")
+    return grp.agg(
+        F.count("*").alias("total_groups"),
+        F.sum((F.col("dup_count") > 1).cast("long")).alias("dup_groups"),
+        F.sum((F.col("raw_variants") > 1).cast("long")).alias(
+            "norm_only_groups"
+        ),
+        F.sum("dup_count").alias("docs_total"),
+    )

@@ -805,3 +805,28 @@ def test_text_hash_embeddings_properties(spark):
     cos13 = sum(a * b for a, b in zip(vecs[1], vecs[3]))
     assert abs(cos12 - 1.0) < 1e-9
     assert cos13 < 0.9  # disjoint vocab -> only collision-level similarity
+
+
+def test_normalized_dedup_collapses_trivial_variants(spark):
+    from spark_streaming_project_spark.operators.dedup import (
+        normalized_dedup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "Hello,  WORLD!"),    # same text under normalization
+            (2, "hello world"),       # raw duplicate of 0
+            (3, "different text"),
+            (4, None),                # dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["norm_hash"]: r for r in normalized_dedup_groups(
+        df, "text", "doc_id").collect()}
+    assert len(rows) == 2
+    big = next(r for r in rows.values() if r["dup_count"] == 3)
+    assert big["keep_id"] == 0
+    assert big["raw_variants"] == 2  # "hello world" + the punct/case twin
+    other = next(r for r in rows.values() if r["dup_count"] == 1)
+    assert other["keep_id"] == 3 and other["raw_variants"] == 1
