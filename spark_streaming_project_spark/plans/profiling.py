@@ -558,3 +558,125 @@ def sliding_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "sliding_heavy_hitters_cms",
+    oracle=f"""
+    WITH hrs AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    ),
+    base AS (
+        SELECT date_trunc('hour', ts) AS h, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    ewin AS (
+        SELECT c.window_start, c.user_id
+        FROM (SELECT unnest([h, h - INTERVAL 1 HOUR, h - INTERVAL 2 HOUR])
+                  AS window_start, user_id
+              FROM base) c
+        JOIN hrs ON c.window_start = hrs.h
+    ),
+    exact AS (
+        SELECT window_start, user_id, count(*) AS exact_cnt
+        FROM ewin GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT window_start, user_id, exact_cnt FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY window_start
+                ORDER BY exact_cnt DESC, user_id ASC) AS rn
+            FROM exact
+        ) WHERE rn <= 5
+    ),
+    hcells AS (
+        SELECT h, r AS row,
+               CAST(concat('0x', substr(md5('cms' || CAST(r AS VARCHAR)
+                    || ':' || CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                   % 256 AS bucket,
+               count(*) AS cnt
+        FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+        GROUP BY 1, 2, 3
+    ),
+    wcells AS (
+        SELECT c.window_start, c.row, c.bucket, sum(c.cnt) AS cnt
+        FROM (SELECT unnest([h, h - INTERVAL 1 HOUR, h - INTERVAL 2 HOUR])
+                  AS window_start, row, bucket, cnt
+              FROM hcells) c
+        JOIN hrs ON c.window_start = hrs.h
+        GROUP BY 1, 2, 3
+    ),
+    probes AS (
+        SELECT window_start, user_id, exact_cnt, r AS row,
+               CAST(concat('0x', substr(md5('cms' || CAST(r AS VARCHAR)
+                    || ':' || CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                   % 256 AS bucket
+        FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+    )
+    SELECT p.window_start, p.user_id, p.exact_cnt,
+           CAST(min(coalesce(w.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p
+    LEFT JOIN wcells w
+      ON p.window_start = w.window_start
+     AND p.row = w.row AND p.bucket = w.bucket
+    GROUP BY 1, 2, 3
+    ORDER BY p.window_start, p.exact_cnt DESC, p.user_id
+    """,
+    tags=("profiling", "sketch", "events", "streaming-mergeable"),
+)
+def sliding_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users per 3-hour SLIDING window with count-min estimates
+    alongside the exact counts — the CMS member of the sliding-sketch
+    pattern (see sliding_distinct_sketch for the HLL member): per-hour
+    counter frames (<= 1024 rows each) merge ADDITIVELY into any window,
+    so window widening sums sketch cells instead of re-counting events.
+    cms_est >= exact_cnt always (one-sided error)."""
+    from pyspark.sql import Window
+
+    from ..operators.sketches import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    hrs = ev.select(hour.alias("h")).distinct()
+
+    def back3(col):
+        return F.explode(
+            F.array(
+                col,
+                col - F.expr("INTERVAL 1 HOUR"),
+                col - F.expr("INTERVAL 2 HOUR"),
+            )
+        )
+
+    ewin = (
+        ev.select(back3(hour).alias("window_start"), "user_id")
+        .join(F.broadcast(hrs), F.col("window_start") == F.col("h"))
+        .drop("h")
+    )
+    exact = ewin.groupBy("window_start", "user_id").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("exact_cnt"), F.asc("user_id")
+    )
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+    reg = cms_build(ev.withColumn("h", hour), "user_id", keys=["h"])
+    wcms = (
+        reg.select(
+            back3(F.col("h")).alias("window_start"), "row", "bucket", "cnt"
+        )
+        .join(F.broadcast(hrs), F.col("window_start") == F.col("h"))
+        .drop("h")
+        .groupBy("window_start", "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cms_estimate(
+        wcms, top, "user_id", keys=["window_start"]
+    ).orderBy("window_start", F.desc("exact_cnt"), F.asc("user_id"))
