@@ -680,3 +680,92 @@ def sliding_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(
         wcms, top, "user_id", keys=["window_start"]
     ).orderBy("window_start", F.desc("exact_cnt"), F.asc("user_id"))
+
+
+@register(
+    "sliding_value_quantiles",
+    oracle=f"""
+    WITH hrs AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h FROM events
+    ),
+    binned AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CASE WHEN value > 0 THEN 1
+                    WHEN value < 0 THEN -1 ELSE 0 END AS sgn,
+               CASE WHEN value <> 0
+                    THEN CAST(ceil(ln(abs(value)) / ln({_DD_GAMMA})) AS BIGINT)
+                    ELSE 0 END AS bin
+        FROM events WHERE value IS NOT NULL
+    ),
+    hsk AS (
+        SELECT h, sgn, bin, count(*) AS cnt
+        FROM binned GROUP BY 1, 2, 3
+    ),
+    wsk AS (
+        SELECT c.window_start, c.sgn, c.bin, sum(c.cnt) AS cnt
+        FROM (SELECT unnest([h, h - INTERVAL 1 HOUR, h - INTERVAL 2 HOUR])
+                  AS window_start, sgn, bin, cnt
+              FROM hsk) c
+        JOIN hrs ON c.window_start = hrs.h
+        GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT window_start, sgn, bin, cnt,
+               sum(cnt) OVER (PARTITION BY window_start
+                              ORDER BY sgn, sgn * bin) AS _cum,
+               sum(cnt) OVER (PARTITION BY window_start) AS _n
+        FROM wsk
+    ),
+    qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+    hit AS (
+        SELECT window_start, q, sgn, bin, row_number() OVER (
+                   PARTITION BY window_start, q ORDER BY sgn, sgn * bin) AS rn
+        FROM cum, qs WHERE _cum > floor(q * (_n - 1))
+    )
+    SELECT window_start, q,
+           round(CASE WHEN sgn = 0 THEN 0.0
+                      ELSE sgn * 2.0 * pow({_DD_GAMMA}, bin)
+                           / ({_DD_GAMMA} + 1.0) END, 6) AS estimate
+    FROM hit WHERE rn = 1
+    ORDER BY window_start, q
+    """,
+    tags=("profiling", "sketch", "events", "streaming-mergeable"),
+)
+def sliding_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of event value per 3-hour SLIDING window from merged
+    hourly DDSketch histograms — completing the sliding-sketch trilogy
+    (HLL distinct / CMS frequency / DDSketch quantiles): per-hour bin
+    frames sum cell-wise into any window, the walk runs over the bounded
+    per-window bin set, and raw events are scanned exactly once however
+    many windows are asked."""
+    from ..operators.quantiles import ddsketch_build, ddsketch_quantiles
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    hrs = ev.select(hour.alias("h")).distinct()
+    hsk = ddsketch_build(
+        ev.withColumn("h", hour), "value", ["h"], alpha=_DD_ALPHA
+    )
+    wsk = (
+        hsk.select(
+            F.explode(
+                F.array(
+                    F.col("h"),
+                    F.col("h") - F.expr("INTERVAL 1 HOUR"),
+                    F.col("h") - F.expr("INTERVAL 2 HOUR"),
+                )
+            ).alias("window_start"),
+            "sgn",
+            "bin",
+            "cnt",
+        )
+        .join(F.broadcast(hrs), F.col("window_start") == F.col("h"))
+        .drop("h")
+        .groupBy("window_start", "sgn", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return ddsketch_quantiles(
+        wsk, [0.5, 0.95, 0.99], ["window_start"], alpha=_DD_ALPHA
+    ).orderBy("window_start", "q")
