@@ -66,6 +66,10 @@ REPRESENTATIVES = [
     "leakage_safe_splits",              # cluster-keyed split aggregate
     "sliding_distinct_sketch",          # hourly HLL registers + merge
     "curriculum_order",                 # rank-arithmetic interleave
+    "sliding_heavy_hitters_cms",        # additive CMS window merge
+    "sliding_value_quantiles",          # DDSketch window merge + walk
+    "dedup_normalized_groups",          # normalized digest aggregate
+    "neardup_threshold_sweep",          # grid fan-out over pair frame
 ]
 
 
