@@ -475,6 +475,24 @@ def main() -> None:
         run("leakage_splits", scale,
             lambda: _REG["leakage_safe_splits"].builder(spark, ddir_))
 
+        # -- round-6 session-3 tier: bloom build+probe. Build is one
+        # digest scan collapsed to <=261 words; probe is a map-only scan
+        # against the broadcast word array (corpus never shuffles), so
+        # the tier should scale with scan cost alone.
+        from spark_streaming_project_spark.operators.bloom import (
+            bloom_build, bloom_probe)
+
+        def _bloom():
+            hist = docs_.select(_F.md5("text").alias("h"))
+            blm = bloom_build(hist, "h", num_bits=1 << 17)
+            probes = hist.unionByName(
+                docs_.select(
+                    _F.md5(_F.concat("text", _F.lit("#v2"))).alias("h")))
+            return bloom_probe(probes, "h", blm, num_bits=1 << 17).filter(
+                _F.col("probably_seen"))
+
+        run("bloom_dedup", scale, _bloom)
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

@@ -3641,3 +3641,131 @@ def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("dup_count").alias("docs_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter history dedup (operators/bloom.py): the constant-state
+# answer to "have we ingested this before?" — the filter words are
+# engine-portable state (bloom_filter_words hash-matches DuckDB's bit
+# array), and the verdict query measures the realized false-positive
+# rate against exact truth instead of quoting the formula.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 4
+
+
+def _bloom_pos_list(key_sql: str, num_bits: int, k: int = _BLOOM_K) -> str:
+    """DuckDB twin of operators.bloom.bloom_bit_positions."""
+    return (
+        f"[CAST(concat('0x', substr(md5(concat('bloom', '#', i, '#', "
+        f"{key_sql})), 1, 15)) AS BIGINT) % {num_bits} for i in range({k})]"
+    )
+
+
+@register(
+    "bloom_filter_words",
+    oracle=f"""
+    WITH keys AS (
+        SELECT md5(text) AS h FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT unnest({_bloom_pos_list('h', 1 << 14)}) AS p FROM keys
+    )
+    SELECT p // 63 AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+    FROM pos GROUP BY 1
+    """,
+    tags=("llm", "dedup", "bloom"),
+)
+def bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter OVER THE CORPUS ITSELF, as its (word_idx, word)
+    state frame — hash-matching the oracle proves the persisted state is
+    bit-for-bit engine-portable (the property that lets a filter built
+    by one system be probed by another). 261 rows regardless of corpus
+    size: the state does not grow with history."""
+    from ..operators.bloom import bloom_build
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return bloom_build(docs.select(F.md5("text").alias("h")), "h")
+
+
+@register(
+    "bloom_dedup_verdicts",
+    oracle=f"""
+    WITH hist AS (
+        SELECT md5(text) AS h FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT unnest({_bloom_pos_list('h', 1 << 11)}) AS p FROM hist
+    ),
+    words AS (
+        SELECT p // 63 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+        FROM pos GROUP BY 1
+    ),
+    newbatch AS (
+        SELECT doc_id, md5(text) AS h, TRUE AS truth_dup
+        FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, md5(concat(text, ' fresh')) AS h, FALSE AS truth_dup
+        FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 3
+    ),
+    probe AS (
+        SELECT doc_id, truth_dup, unnest({_bloom_pos_list('h', 1 << 11)}) AS p
+        FROM newbatch
+    ),
+    hits AS (
+        SELECT probe.doc_id, probe.truth_dup,
+               coalesce(((w.word >> CAST(probe.p % 63 AS INT)) & 1) = 1,
+                        FALSE) AS hit
+        FROM probe LEFT JOIN words w ON w.word_idx = probe.p // 63
+    ),
+    flags AS (
+        SELECT doc_id, truth_dup, bool_and(hit) AS probably_seen
+        FROM hits GROUP BY 1, 2
+    )
+    SELECT truth_dup, probably_seen, count(*) AS n_docs
+    FROM flags GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "dedup", "bloom"),
+)
+def bloom_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a new batch (100 known re-ingests + 71 genuinely fresh
+    variants) against a DELIBERATELY small filter (2048 bits for 500
+    keys, k=4 -> expected FP ~15%) and cross the verdict with exact
+    truth: the (truth_dup=TRUE, probably_seen=FALSE) cell is empty by
+    construction (no false negatives, the Bloom guarantee) while the
+    FP cell is nonzero and MEASURED — the honest cost of not joining
+    100 TB of history."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    small_bits = 1 << 11
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    bloom = bloom_build(
+        docs.select(F.md5("text").alias("h")), "h", num_bits=small_bits
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.lit(True).alias("truth_dup"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                "doc_id",
+                F.md5(F.concat("text", F.lit(" fresh"))).alias("h"),
+                F.lit(False).alias("truth_dup"),
+            )
+        )
+    )
+    probed = bloom_probe(new, "h", bloom, num_bits=small_bits)
+    return (
+        probed.groupBy("truth_dup", "probably_seen")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("truth_dup", "probably_seen")
+    )
