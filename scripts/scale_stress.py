@@ -493,6 +493,24 @@ def main() -> None:
 
         run("bloom_dedup", scale, _bloom)
 
+        # -- round-6 session-3 tier: sorted-neighborhood blocking over
+        # the doc corpus (sort by text prefix + reversed prefix). Cost
+        # per pass: one range shuffle + block equi-join — rank comes
+        # from the range-partitioned running count, never a global
+        # single-task window.
+        from spark_streaming_project_spark.operators.dedup import (
+            sorted_neighborhood_pairs)
+
+        def _snm():
+            base = docs_.select(
+                "doc_id", _F.substring("text", 1, 40).alias("pfx"))
+            return sorted_neighborhood_pairs(
+                base, "doc_id",
+                {"fwd": _F.col("pfx"), "rev": _F.reverse(_F.col("pfx"))},
+                window=5)
+
+        run("snm_blocking", scale, _snm)
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

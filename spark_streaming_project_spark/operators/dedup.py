@@ -957,3 +957,66 @@ def normalized_dedup_groups(
             F.countDistinct("_raw").alias("raw_variants"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_keys: dict[str, Column],
+    window: int,
+) -> DataFrame:
+    """Multi-pass Sorted Neighborhood (Hernandez & Stolfo 1995) candidate
+    generation: per pass, rank all records by that pass's sort key and
+    emit every pair at rank distance <= ``window``; union the passes and
+    de-duplicate. The complement of the q-gram blocking family
+    (``fuzzy_match_pairs``): SNM finds whatever the sort keys make
+    adjacent — recall depends on key design (hence multiple passes, e.g.
+    the string and its reverse), and the eval query MEASURES that recall
+    against the q-gram truth instead of assuming it.
+
+    Scale shape: the global rank comes from
+    ``windows.range_partitioned_running_sum`` over a constant-1 column —
+    repartitionByRange + bounded per-slice sidecar + intra-slice window,
+    NEVER a single-partition global window. Neighbor pairs are then a
+    BANDED equi-join: each record keys on block ``(rank-1) div window``;
+    the probe side carries a block-shifted copy so same-block and
+    adjacent-block pairs are both found by pure equi-joins (a pair at
+    rank distance <= window cannot span more than one block boundary).
+    Per pass: one range shuffle + one equi-join keyed on dense integer
+    blocks — no sort-merge over the whole corpus, no O(n*w) window
+    explode.
+
+    Output: (id_a, id_b) with id_a < id_b, distinct across passes.
+    """
+    from .windows import range_partitioned_running_sum
+
+    all_pairs: DataFrame | None = None
+    for pass_name, key in sort_keys.items():
+        ranked = range_partitioned_running_sum(
+            df.select(F.col(id_col).alias("_id"), key.alias("_k"))
+            .withColumn("_one", F.lit(1)),
+            order=[F.col("_k"), F.col("_id")],
+            value_cols=["_one"],
+        ).select(
+            F.col("_id"),
+            F.col("running__one").alias("_rnk"),
+            F.expr(f"(running__one - 1) div {window}").alias("_blk"),
+        )
+        probe = ranked.unionByName(
+            ranked.withColumn("_blk", F.col("_blk") - 1)
+        )
+        a, b = ranked.alias("a"), probe.alias("b")
+        pairs = (
+            a.join(b, F.col("a._blk") == F.col("b._blk"))
+            .filter(
+                (F.col("b._rnk") > F.col("a._rnk"))
+                & (F.col("b._rnk") <= F.col("a._rnk") + window)
+            )
+            .select(
+                F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+                F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+            )
+        )
+        all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
+    assert all_pairs is not None, "sort_keys must be non-empty"
+    return all_pairs.distinct()

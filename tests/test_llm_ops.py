@@ -830,3 +830,69 @@ def test_normalized_dedup_collapses_trivial_variants(spark):
     assert big["raw_variants"] == 2  # "hello world" + the punct/case twin
     other = next(r for r in rows.values() if r["dup_count"] == 1)
     assert other["keep_id"] == 3 and other["raw_variants"] == 1
+
+
+def test_snm_matches_python_model_and_multi_pass_union(spark):
+    """Sorted-neighborhood candidates on a hand corpus equal the
+    sort-rank model per pass; the union adds the reverse-key pairs."""
+    from spark_streaming_project_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(1, "apple"), (2, "apply"), (3, "banana"), (4, "zapple"),
+            (5, "cherry"), (6, "applf"), (7, "nanaba")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+
+    def model(keys, w):
+        order = sorted(rows, key=lambda r: (keys(r[1]), r[0]))
+        out = set()
+        for i, a in enumerate(order):
+            for b in order[i + 1 : i + 1 + w]:
+                out.add((min(a[0], b[0]), max(a[0], b[0])))
+        return out
+
+    w = 2
+    fwd = model(lambda t: t, w)
+    got_fwd = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", {"fwd": F.col("name")}, window=w
+        ).collect()
+    }
+    assert got_fwd == fwd
+    both = fwd | model(lambda t: t[::-1], w)
+    got_both = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df,
+            "id",
+            {"fwd": F.col("name"), "rev": F.reverse(F.col("name"))},
+            window=w,
+        ).collect()
+    }
+    assert got_both == both and len(both) > len(fwd)
+
+
+def test_snm_plan_has_no_unpartitioned_window(spark):
+    """The global rank must come from the range-partitioned machinery,
+    never a single-task Window.orderBy."""
+    import re
+
+    from spark_streaming_project_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    supp = load_table(spark, SF_CORRECT, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    cand = sorted_neighborhood_pairs(
+        supp, "s_suppkey", {"fwd": F.col("s_name")}, window=5
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    unpart = [
+        m
+        for m in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if m.count(",") <= 2
+    ]
+    assert not unpart, f"unpartitioned window: {unpart}"
