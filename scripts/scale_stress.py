@@ -511,6 +511,20 @@ def main() -> None:
 
         run("snm_blocking", scale, _snm)
 
+        # -- round-6 session-3 tier: one-pass NB train + score. Training
+        # is one (token,label) aggregate + vocab-linear dense grid;
+        # scoring joins the broadcast model and sums BIGINTs per
+        # (doc,label).
+        from spark_streaming_project_spark.operators.classifier import (
+            nb_predict, nb_train_quantized)
+
+        def _nb():
+            model, priors = nb_train_quantized(
+                docs_, "text", "doc_id", "source")
+            return nb_predict(docs_, model, priors, "text", "doc_id")
+
+        run("nb_train_score", scale, _nb)
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

@@ -219,3 +219,123 @@ def auc_exact(
             6,
         ).alias("auc"),
     )
+
+
+def nb_train_quantized(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    log_scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes trained in ONE aggregation pass — the
+    closed-form counterpart to ``logreg_train_quantized``'s iterative
+    descent (no driver round-trips at all: the "model" is two small
+    DataFrames of counts). Add-1 smoothing; every log-probability is
+    quantized to a BIGINT (``round(ln(p) * log_scale)``) at model-build
+    time, so scoring sums INTEGERS — order-free, partition-invariant,
+    and bit-identical in any engine (the entropy_profile / logreg
+    quantization discipline applied to NB).
+
+    Returns ``(model, priors)``:
+      - model: one row per (token, label) over the FULL vocab x label
+        grid — ``w_q = round(ln((n_tl + 1) / (n_l + V)) * log_scale)``;
+        dense so scoring never needs a per-miss fallback join.
+      - priors: one row per label — ``prior_q = round(ln(n_docs_l /
+        n_docs) * log_scale)``.
+
+    Scale shape: token counts are one (token, label)-keyed aggregate
+    with map-side combine; the dense grid is |V| x |labels| rows (labels
+    are few — the grid is vocab-linear); everything else is scalar
+    arithmetic on aggregates. No collect anywhere.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(label_col).alias("label"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+    )
+    tl = toks.groupBy("token", "label").agg(F.count("*").alias("n_tl"))
+    class_tokens = toks.groupBy("label").agg(F.count("*").alias("n_l"))
+    vocab = toks.select("token").distinct()
+    v = vocab.count()  # one scalar: vocab size (driver-side constant)
+    grid = vocab.crossJoin(F.broadcast(class_tokens))
+    model = (
+        grid.join(tl, ["token", "label"], "left")
+        .select(
+            "token",
+            "label",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n_tl"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_l") + v)
+                )
+                * log_scale
+            )
+            .cast("long")
+            .alias("w_q"),
+        )
+    )
+    docs_l = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").alias("n_docs_l"))
+    )
+    total = df.filter(F.col(text_col).isNotNull()).count()
+    priors = docs_l.select(
+        "label",
+        F.round(
+            F.log(F.col("n_docs_l").cast("double") / total) * log_scale
+        )
+        .cast("long")
+        .alias("prior_q"),
+    )
+    return model, priors
+
+
+def nb_predict(
+    df: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Score each document against every label and take the integer-score
+    argmax (ties broken by label ascending — a total order, so the
+    prediction is partition-invariant). Returns (id_col, predicted,
+    score_q).
+
+    The model join is broadcast (vocab x labels is dashboard-sized next
+    to the corpus); per-doc aggregation is one (doc, label)-keyed sum of
+    BIGINTs; the argmax window is partitioned by document — bounded by
+    the label count, never global."""
+    from pyspark.sql import Window
+
+    doc_tokens = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("k"))
+    )
+    scored = (
+        doc_tokens.join(F.broadcast(model), "token")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("k") * F.col("w_q")).alias("_lik_q"))
+        .join(F.broadcast(priors), "label")
+        .select(
+            id_col,
+            "label",
+            (F.col("_lik_q") + F.col("prior_q")).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_q"), F.asc("label")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col, F.col("label").alias("predicted"), "score_q"
+        )
+    )

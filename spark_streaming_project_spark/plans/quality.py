@@ -2163,3 +2163,128 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("position")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (operators/classifier.py
+# nb_train_quantized / nb_predict): the ONE-PASS trained classifier next
+# to the iterative logreg — closed-form from counts, no driver loop, and
+# every log-probability quantized to BIGINT at model-build time so
+# scoring sums integers (order-free, engine-exact).
+# ---------------------------------------------------------------------------
+
+_NB_SCALE = 1_000_000
+
+_NB_CTE = rf"""
+    nbdocs AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    nbtok AS (SELECT doc_id, lang, unnest(words) AS token FROM nbdocs),
+    nbtl AS (SELECT token, lang, count(*) AS n_tl FROM nbtok GROUP BY 1, 2),
+    nbcl AS (SELECT lang, count(*) AS n_l FROM nbtok GROUP BY 1),
+    nbvoc AS (SELECT count(DISTINCT token) AS v FROM nbtok),
+    nbmodel AS (
+        SELECT g.token, g.lang,
+               CAST(round(ln((coalesce(t.n_tl, 0) + 1)
+                             / CAST(g.n_l + nbvoc.v AS DOUBLE))
+                          * {_NB_SCALE}) AS BIGINT) AS w_q
+        FROM (SELECT tok.token, c.lang, c.n_l
+              FROM (SELECT DISTINCT token FROM nbtok) tok, nbcl c) g
+        LEFT JOIN nbtl t ON t.token = g.token AND t.lang = g.lang, nbvoc
+    ),
+    nbpri AS (
+        SELECT lang,
+               CAST(round(ln(count(*) /
+                             CAST((SELECT count(*) FROM nbdocs) AS DOUBLE))
+                          * {_NB_SCALE}) AS BIGINT) AS prior_q
+        FROM nbdocs GROUP BY 1
+    )
+"""
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH {_NB_CTE},
+    nbdt AS (
+        SELECT doc_id, token, count(*) AS k FROM nbtok GROUP BY 1, 2
+    ),
+    nbsc AS (
+        SELECT d.doc_id, m.lang, sum(d.k * m.w_q) AS lik_q
+        FROM nbdt d JOIN nbmodel m USING (token) GROUP BY 1, 2
+    ),
+    nbpred AS (
+        SELECT doc_id, lang AS predicted, lik_q + prior_q AS score_q,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY lik_q + prior_q DESC, lang ASC) AS rn
+        FROM nbsc JOIN nbpri USING (lang)
+    )
+    SELECT d.lang AS actual, p.predicted, count(*) AS n_docs
+    FROM nbpred p JOIN nbdocs d USING (doc_id)
+    WHERE p.rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the one-pass NB language model on the corpus's own (text,
+    lang) pairs and cross its argmax predictions with the actual labels
+    — the self-consistency confusion matrix (the trained twin of the
+    heuristic language_id tier). Integer scores make the argmax exact
+    and partition-invariant; ties break by label ascending."""
+    from ..operators.classifier import nb_predict, nb_train_quantized
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    model, priors = nb_train_quantized(docs, "text", "doc_id", "lang")
+    pred = nb_predict(docs, model, priors, "text", "doc_id")
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(
+            F.col("lang").alias("actual"),
+            F.col("predicted"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+@register(
+    "nb_lang_top_features",
+    oracle=f"""
+    WITH {_NB_CTE}
+    SELECT lang, token, w_q, CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT lang, token, w_q,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY w_q DESC, token ASC) AS rn
+        FROM nbmodel
+    ) WHERE rn <= 3 ORDER BY lang, rn
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def nb_lang_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3 highest-likelihood tokens per language from the quantized NB
+    model — model inspection as a query (what a reviewer reads before
+    trusting the classifier). The per-label window is bounded by vocab
+    size within each of a handful of label partitions; at extreme vocab
+    sizes swap in a two-phase per-shard top-k."""
+    from ..operators.classifier import nb_train_quantized
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    model, _ = nb_train_quantized(docs, "text", "doc_id", "lang")
+    w = Window.partitionBy("label").orderBy(
+        F.desc("w_q"), F.asc("token")
+    )
+    return (
+        model.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(F.col("label").alias("lang"), "token", "w_q", "rank")
+        .orderBy("lang", "rank")
+    )

@@ -70,6 +70,10 @@ REPRESENTATIVES = [
     "sliding_value_quantiles",          # DDSketch window merge + walk
     "dedup_normalized_groups",          # normalized digest aggregate
     "neardup_threshold_sweep",          # grid fan-out over pair frame
+    # round-6 session-3 families
+    "bloom_dedup_verdicts",             # bit_or words + broadcast probe
+    "snm_candidate_pairs",              # range-ranked neighbor join
+    "nb_lang_confusion",                # integer-score argmax predictions
 ]
 
 

@@ -887,3 +887,83 @@ def test_curate_cli_end_to_end(spark, tmp_path):
         .collect()[0]["n"]
     )
     assert (residual or 0) == 0
+
+
+def test_nb_quantized_matches_python_model(spark):
+    """Hand corpus: the quantized NB model and argmax predictions equal a
+    pure-python replay, integer for integer."""
+    import math
+
+    from spark_streaming_project_spark.operators.classifier import (
+        nb_predict,
+        nb_train_quantized,
+    )
+
+    rows = [
+        (1, "a b a", "x"),
+        (2, "a a", "x"),
+        (3, "c d", "y"),
+        (4, "c c d b", "y"),
+        (5, "a c", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    model, priors = nb_train_quantized(df, "text", "doc_id", "lang")
+
+    toks = [(i, t.split(), l) for i, t, l in rows]
+    n_tl: dict = {}
+    n_l: dict = {}
+    for _, ts, l in toks:
+        for t in ts:
+            n_tl[(t, l)] = n_tl.get((t, l), 0) + 1
+            n_l[l] = n_l.get(l, 0) + 1
+    vocab = sorted({t for _, ts, _ in toks for t in ts})
+    v = len(vocab)
+    want_model = {
+        (t, l): round(math.log((n_tl.get((t, l), 0) + 1) / (n_l[l] + v)) * 1e6)
+        for t in vocab
+        for l in n_l
+    }
+    got_model = {
+        (r["token"], r["label"]): r["w_q"] for r in model.collect()
+    }
+    assert got_model == want_model
+
+    n_docs_l: dict = {}
+    for _, _, l in rows:
+        n_docs_l[l] = n_docs_l.get(l, 0) + 1
+    want_priors = {
+        l: round(math.log(n / len(rows)) * 1e6) for l, n in n_docs_l.items()
+    }
+    assert {r["label"]: r["prior_q"] for r in priors.collect()} == want_priors
+
+    def score(ts, l):
+        return want_priors[l] + sum(want_model[(t, l)] for t in ts)
+
+    want_pred = {
+        i: min(n_l, key=lambda l: (-score(ts, l), l)) for i, ts, _ in toks
+    }
+    got_pred = {
+        r["doc_id"]: r["predicted"]
+        for r in nb_predict(df, model, priors, "text", "doc_id").collect()
+    }
+    assert got_pred == want_pred
+
+
+def test_nb_self_accuracy_beats_majority_baseline(spark):
+    """The synthetic corpus's lang labels are nearly independent of its
+    (shared-vocabulary) text, so high self-accuracy is impossible BY
+    DATA — the honest bar is that NB's argmax beats always-predicting
+    the majority class (i.e. it extracts whatever signal exists instead
+    of collapsing to the prior)."""
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    from .conftest import SF_CORRECT
+
+    rows = REGISTRY["nb_lang_confusion"].builder(spark, SF_CORRECT).collect()
+    total = sum(r["n_docs"] for r in rows)
+    diag = sum(r["n_docs"] for r in rows if r["actual"] == r["predicted"])
+    per_actual: dict = {}
+    for r in rows:
+        per_actual[r["actual"]] = per_actual.get(r["actual"], 0) + r["n_docs"]
+    majority = max(per_actual.values()) / total
+    assert diag / total > majority
