@@ -217,3 +217,47 @@ def range_partitioned_running_sum(
             (F.sum(c).over(w) + F.col(f"_off_{c}")).cast("long"),
         )
     return out.drop("_slice", *[f"_off_{c}" for c in value_cols])
+
+
+def sharded_top_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order: list[Column],
+    k: int = 1,
+    shards: int = 32,
+    shard_key: Column | None = None,
+) -> DataFrame:
+    """Exact top-k per group for EXTREME group cardinalities — the
+    two-phase answer to ``top_per_group``'s one giant window partition
+    per group (a handful of labels over a 10M-row vocab each would sort
+    10M rows in one task; see nb_lang_top_features' stated bound).
+
+    Phase 1 splits every group into ``shards`` deterministic sub-groups
+    (``pmod(xxhash64(shard_key), shards)``; default shard key = the
+    first order column) and takes top-k within each (group, shard) —
+    parallelism is groups x shards, each sort bounded by its shard.
+    Phase 2 re-ranks the <= shards*k survivors per group with the SAME
+    order — a window whose partitions are k*shards rows by construction.
+
+    With a TOTAL ``order`` the result is bit-identical to
+    ``top_per_group`` (pinned by pytest): shard assignment can never
+    change WHICH rows are top-k, only where their phase-1 rank was
+    computed — any row in the true global top-k is necessarily in its
+    own shard's top-k.
+    """
+    key = shard_key if shard_key is not None else order[0]
+    sharded = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(key), F.lit(shards))
+    )
+    w1 = Window.partitionBy(*partition_cols, "_shard").orderBy(*order)
+    survivors = (
+        sharded.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_shard")
+    )
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_r2")
+    )

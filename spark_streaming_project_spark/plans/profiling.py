@@ -769,3 +769,121 @@ def sliding_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles(
         wsk, [0.5, 0.95, 0.99], ["window_start"], alpha=_DD_ALPHA
     ).orderBy("window_start", "q")
+
+
+@register(
+    "top_tokens_per_source_sharded",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+        SELECT source, token, count(*) AS n_occ FROM tok GROUP BY 1, 2
+    )
+    SELECT source, token, n_occ
+    FROM (
+        SELECT source, token, n_occ,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_occ DESC, token ASC) AS rn
+        FROM cnt
+    ) WHERE rn <= 3 ORDER BY source, n_occ DESC, token
+    """,
+    tags=("profiling", "topk"),
+)
+def top_tokens_per_source_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per source computed with the TWO-PHASE sharded
+    top-k (operators/windows.sharded_top_per_group): phase 1 ranks
+    within (source, shard-of-token), phase 2 re-ranks the <= shards*k
+    survivors — no window partition ever holds a whole source's vocab.
+    The oracle is the PLAIN per-group row_number: with a total order the
+    sharded plan is semantically identical (and pinned equal to
+    top_per_group by pytest) — only its parallelism differs."""
+    from ..functions.text import tokens
+    from ..operators.windows import sharded_top_per_group
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    cnt = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    return sharded_top_per_group(
+        cnt,
+        ["source"],
+        [F.desc("n_occ"), F.asc("token")],
+        k=3,
+        shards=8,
+        shard_key=F.col("token"),
+    ).orderBy("source", F.desc("n_occ"), "token")
+
+
+@register(
+    "doc_length_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med_chars,
+               count(*) AS n_docs
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.source, m.med_chars, m.n_docs,
+               abs(d.n_chars - m.med_chars) AS adev
+        FROM documents d JOIN med m USING (source)
+        WHERE d.text IS NOT NULL
+    ),
+    mad AS (
+        SELECT source, quantile_cont(adev, 0.5) AS mad_chars
+        FROM dev GROUP BY 1
+    )
+    SELECT dev.source,
+           round(any_value(dev.med_chars), 6) AS med_chars,
+           round(any_value(mad.mad_chars), 6) AS mad_chars,
+           any_value(dev.n_docs) AS n_docs,
+           CAST(sum(CASE WHEN dev.adev > 3 * mad.mad_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (source)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("profiling", "robust-stats"),
+)
+def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outliers: median + median-absolute-
+    deviation (the estimator a single junk document cannot drag, unlike
+    mean/stddev), flagging docs beyond 3*MAD. Two grouped percentile
+    aggregates and two broadcast joins of the tiny per-source stats
+    frame — the corpus is scanned twice and never shuffled by row."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    med = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med_chars"),
+        F.count("*").alias("n_docs"),
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source",
+        "med_chars",
+        "n_docs",
+        F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev"),
+    )
+    mad = dev.groupBy("source").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_chars")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.any_value("med_chars"), 6).alias("med_chars"),
+            F.round(F.any_value("mad_chars"), 6).alias("mad_chars"),
+            F.any_value("n_docs").alias("n_docs"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad_chars")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("source")
+    )

@@ -1566,3 +1566,70 @@ def nation_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         F.round(F.sum("total").cast("double"), 2).alias("decile_spend"),
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH pw AS (
+        SELECT l_returnflag, l_linestatus, l_extendedprice AS price,
+               sum(l_quantity) AS w
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT l_returnflag, l_linestatus, sum(w) AS total_weight
+        FROM pw GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT pw.l_returnflag, pw.l_linestatus, pw.price, t.total_weight,
+               sum(pw.w) OVER (
+                   PARTITION BY pw.l_returnflag, pw.l_linestatus
+                   ORDER BY pw.price ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running
+        FROM pw JOIN tot t USING (l_returnflag, l_linestatus)
+    )
+    SELECT l_returnflag, l_linestatus,
+           any_value(total_weight) AS total_weight,
+           min(price) AS weighted_median_price
+    FROM cum WHERE running * 2 >= total_weight
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("tpch", "robust-stats"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (weight = quantity) of extended price per
+    (returnflag, linestatus): the smallest price whose cumulative weight
+    reaches half the group total. All arithmetic stays in DECIMAL —
+    exact, order-free. Pre-aggregating to DISTINCT price rows first
+    makes the running sum's order total (price alone), so the picked
+    value is partition-invariant; the window partitions by group, never
+    globally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pw = li.groupBy(
+        "l_returnflag", "l_linestatus", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum("l_quantity").alias("w"))
+    tot = pw.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("w").alias("total_weight")
+    )
+    w = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(F.asc("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pw.join(F.broadcast(tot), ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag",
+        "l_linestatus",
+        "price",
+        "total_weight",
+        F.sum("w").over(w).alias("running"),
+    )
+    return (
+        cum.filter(F.col("running") * 2 >= F.col("total_weight"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.any_value("total_weight").alias("total_weight"),
+            F.min("price").alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

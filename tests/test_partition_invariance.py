@@ -74,6 +74,9 @@ REPRESENTATIVES = [
     "bloom_dedup_verdicts",             # bit_or words + broadcast probe
     "snm_candidate_pairs",              # range-ranked neighbor join
     "nb_lang_confusion",                # integer-score argmax predictions
+    "top_tokens_per_source_sharded",    # two-phase sharded top-k
+    "weighted_median_price",            # distinct-price running-weight pick
+    "doc_length_mad_outliers",          # median/MAD robust flags
 ]
 
 

@@ -87,3 +87,40 @@ def test_top_n_with_other_merges_other_label_collision(spark):
     rows = top_n_with_other(df, "k", "cnt", 1).collect()
     got = {r["k"]: r["cnt"] for r in rows}
     assert len(rows) == 1 and got == {"Autres": 13}
+
+
+def test_sharded_top_per_group_equals_plain_window(spark):
+    """Two-phase sharded top-k must be bit-identical to top_per_group
+    under a total order — at several k and shard counts, including
+    shards >> group size (many empty shards)."""
+    from spark_streaming_project_spark.functions.text import tokens as toks
+    from spark_streaming_project_spark.operators.windows import (
+        sharded_top_per_group,
+        top_per_group,
+    )
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    from .conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    cnt = (
+        docs.select("source", F.explode(toks("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    order = [F.desc("n_occ"), F.asc("token")]
+    for k, shards in ((1, 4), (3, 8), (5, 64), (2, 1000)):
+        plain = {
+            (r["source"], r["token"], r["n_occ"])
+            for r in top_per_group(cnt, ["source"], order, k=k).collect()
+        }
+        sharded = {
+            (r["source"], r["token"], r["n_occ"])
+            for r in sharded_top_per_group(
+                cnt, ["source"], order, k=k, shards=shards,
+                shard_key=F.col("token"),
+            ).collect()
+        }
+        assert sharded == plain, (k, shards)
