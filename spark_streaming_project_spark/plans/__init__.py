@@ -88,11 +88,17 @@ _R6_WINDOW = [
     "sliding_distinct_sketch",
     "curriculum_order",
     "neardup_threshold_sweep",
-    # -- refreshes: oldest-recorded (r03-artifact) families, flagship
-    #    first.
-    "top_sugary_products_by_category",
-    "nutriscore_counts",
-    "category_counts",
+    # -- round-6 session-3 additions (zero artifact history): the three
+    #    most representative new families displace the r03 refreshes —
+    #    same policy as session 2 (a never-recorded green beats
+    #    refreshing an already-recorded one). The remaining session-3
+    #    queries (bloom_filter_words, snm_candidate_pairs,
+    #    nb_lang_top_features, top_tokens_per_source_sharded,
+    #    weighted_median_price, doc_length_mad_outliers,
+    #    embedding_outliers, ...) queue for the r07 window.
+    "bloom_dedup_verdicts",
+    "snm_blocking_eval",
+    "nb_lang_confusion",
 ]
 # The 6 declared rows-only tiers (approx_stats, bpe_merge_table,
 # neardup_centrality, similarity_ivf_kmeans_topk, similarity_pq_topk,

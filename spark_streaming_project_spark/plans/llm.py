@@ -3903,3 +3903,203 @@ def snm_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall", F.round(F.col("caught") / F.col("truth_pairs"), 6)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier pruning: per-label distance-to-centroid decile flags.
+# Every cross-element sum is quantized to 1e-9 BIGINTs first (the entropy/
+# logreg integer discipline applied to dot products), so no float fold
+# order exists anywhere — cosines are exact rationals over integer sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, label,
+               unnest(list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)))
+                   AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos, sum(v) / count(*) AS c
+        FROM el GROUP BY 1, 2
+    ),
+    cq AS (
+        SELECT label,
+               sum(CAST(round(c * c * 1000000000) AS BIGINT)) AS nc_q
+        FROM cent GROUP BY 1
+    ),
+    vecq AS (
+        SELECT el.vec_id, el.label,
+               sum(CAST(round(el.v * cent.c * 1000000000) AS BIGINT)) AS dot_q,
+               sum(CAST(round(el.v * el.v * 1000000000) AS BIGINT)) AS nv_q
+        FROM el JOIN cent ON el.label = cent.label AND el.pos = cent.pos
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT v.vec_id, v.label,
+               v.dot_q / (sqrt(v.nv_q) * sqrt(c.nc_q)) AS cos_raw
+        FROM vecq v JOIN cq c USING (label)
+    ),
+    tiled AS (
+        SELECT vec_id, label, cos_raw,
+               ntile(10) OVER (
+                   PARTITION BY label ORDER BY cos_raw ASC, vec_id ASC
+               ) AS tile
+        FROM scored
+    )
+    SELECT vec_id, label, round(cos_raw, 6) AS cosine_to_centroid
+    FROM tiled WHERE tile = 1 ORDER BY label, vec_id
+    """,
+    tags=("llm", "embedding", "quality"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bottom cosine-to-centroid decile of each label — the
+    embedding-space junk candidates a curation pass reviews or prunes
+    (mislabeled / off-distribution vectors sit far from their label's
+    center). Elements snap to a 1e-3 grid and every dot/norm sum is
+    1e-9-quantized BIGINTs, so the score is an exact rational — no float
+    fold order anywhere; the decile cut uses a total order
+    (score, vec_id). Shape: one posexplode aggregate for centroids
+    (labels x dim rows, broadcast back), one for scores; the ntile
+    window partitions by label."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("raw").cast("double"), 3).alias("v"),
+    )
+    cent = el.groupBy("label", "pos").agg(
+        (F.sum("v") / F.count("*")).alias("c")
+    )
+    cq = cent.groupBy("label").agg(
+        F.sum(
+            F.round(F.col("c") * F.col("c") * 1e9).cast("long")
+        ).alias("nc_q")
+    )
+    vecq = (
+        el.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * F.col("c") * 1e9).cast("long")
+            ).alias("dot_q"),
+            F.sum(
+                F.round(F.col("v") * F.col("v") * 1e9).cast("long")
+            ).alias("nv_q"),
+        )
+    )
+    scored = vecq.join(F.broadcast(cq), "label").select(
+        "vec_id",
+        "label",
+        (
+            F.col("dot_q") / (F.sqrt("nv_q") * F.sqrt("nc_q"))
+        ).alias("cos_raw"),
+    )
+    w = W.partitionBy("label").orderBy(F.asc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("tile", F.ntile(10).over(w))
+        .filter(F.col("tile") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos_raw", 6).alias("cosine_to_centroid"),
+        )
+        .orderBy("label", "vec_id")
+    )
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, label,
+               unnest(list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)))
+                   AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos, sum(v) / count(*) AS c
+        FROM el GROUP BY 1, 2
+    ),
+    cq AS (
+        SELECT label,
+               sum(CAST(round(c * c * 1000000000) AS BIGINT)) AS nc_q
+        FROM cent GROUP BY 1
+    ),
+    cross_q AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(CAST(round(a.c * b.c * 1000000000) AS BIGINT)) AS dot_q
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT x.label_a, x.label_b,
+           round(x.dot_q / (sqrt(na.nc_q) * sqrt(nb.nc_q)), 6)
+               AS centroid_cosine
+    FROM cross_q x
+    JOIN cq na ON na.label = x.label_a
+    JOIN cq nb ON nb.label = x.label_b
+    ORDER BY 1, 2
+    """,
+    tags=("llm", "embedding", "profiling"),
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids — the class-separability
+    matrix (two labels whose centroids cosine near 1 are candidates for
+    merging or for label-noise review). All sums are 1e-9-quantized
+    BIGINTs over the 1e-3 element grid: exact rationals, no fold order.
+    The pair join runs over labels x dim rows — dashboard cardinality,
+    never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
+        "label", "pos", F.round(F.col("raw").cast("double"), 3).alias("v")
+    )
+    cent = el.groupBy("label", "pos").agg(
+        (F.sum("v") / F.count("*")).alias("c")
+    )
+    cq = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c") * 1e9).cast("long")).alias(
+            "nc_q"
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    cross_q = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("ca") * F.col("cb") * 1e9).cast("long")
+            ).alias("dot_q")
+        )
+    )
+    na = cq.select(F.col("label").alias("label_a"), F.col("nc_q").alias("na_q"))
+    nb = cq.select(F.col("label").alias("label_b"), F.col("nc_q").alias("nb_q"))
+    return (
+        cross_q.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot_q") / (F.sqrt("na_q") * F.sqrt("nb_q")), 6
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

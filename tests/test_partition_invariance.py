@@ -77,6 +77,7 @@ REPRESENTATIVES = [
     "top_tokens_per_source_sharded",    # two-phase sharded top-k
     "weighted_median_price",            # distinct-price running-weight pick
     "doc_length_mad_outliers",          # median/MAD robust flags
+    "embedding_outliers",               # quantized-dot decile flags
 ]
 
 

@@ -313,7 +313,8 @@ def test_driver_window_is_exactly_the_intended_fifty():
     COMPUTED, not prose — the registry's first DRIVER_WINDOW names are
     exactly the intended round-6 list (the 18 never-recorded session-4
     queries + simple_revenue front-loaded, then the changed-tie-break
-    donut pair, then oldest refreshes), and every entry is oracle-bearing
+    donut pair, then session-2/3 never-recorded additions), and every
+    entry is oracle-bearing
     (the 6 rows-only markers were recorded in r05 and stay out)."""
     from spark_streaming_project_spark.plans import (
         DRIVER_WINDOW,
