@@ -249,16 +249,41 @@ def nb_train_quantized(
     are few — the grid is vocab-linear); everything else is scalar
     arithmetic on aggregates. No collect anywhere.
     """
-    toks = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(label_col).alias("label"),
-            F.explode(tokens(text_col)).alias("token"),
-        )
+    tl, docs_l = nb_count_state(df, text_col, label_col)
+    return nb_model_from_counts(tl, docs_l, log_scale=log_scale)
+
+
+def nb_count_state(
+    df: DataFrame, text_col: str, label_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The NB sufficient statistics as two ADDITIVE count frames:
+    (token, label, n_tl) and (label, n_docs_l). Both are sum-monoids, so
+    they stream through ``foreach_batch_incremental_agg`` unchanged and
+    the model rebuilt from drained state equals the batch model exactly
+    (pinned by pytest)."""
+    kept = df.filter(F.col(text_col).isNotNull())
+    toks = kept.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(text_col)).alias("token"),
     )
     tl = toks.groupBy("token", "label").agg(F.count("*").alias("n_tl"))
-    class_tokens = toks.groupBy("label").agg(F.count("*").alias("n_l"))
-    vocab = toks.select("token").distinct()
+    docs_l = kept.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs_l")
+    )
+    return tl, docs_l
+
+
+def nb_model_from_counts(
+    tl: DataFrame,
+    docs_l: DataFrame,
+    log_scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the quantized (model, priors) pair from the sufficient
+    statistics alone — per-label token totals, the vocabulary, and the
+    doc totals are all derivable from the two count frames, so batch
+    training and streaming maintenance share this one code path."""
+    class_tokens = tl.groupBy("label").agg(F.sum("n_tl").alias("n_l"))
+    vocab = tl.select("token").distinct()
     v = vocab.count()  # one scalar: vocab size (driver-side constant)
     grid = vocab.crossJoin(F.broadcast(class_tokens))
     model = (
@@ -277,12 +302,7 @@ def nb_train_quantized(
             .alias("w_q"),
         )
     )
-    docs_l = (
-        df.filter(F.col(text_col).isNotNull())
-        .groupBy(F.col(label_col).alias("label"))
-        .agg(F.count("*").alias("n_docs_l"))
-    )
-    total = df.filter(F.col(text_col).isNotNull()).count()
+    total = docs_l.agg(F.sum("n_docs_l")).collect()[0][0]
     priors = docs_l.select(
         "label",
         F.round(

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from spark_streaming_project_spark.sources.batch import load_table
 from spark_streaming_project_spark.streaming import StreamRunner, stream_parquet_dir
 
+from .conftest import SF_CORRECT
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -1254,3 +1256,125 @@ def test_streaming_composed_curation_matches_batch_verdicts(spark, tmp_path):
         for r in REGISTRY["curation_verdicts"].builder(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_nb_model_maintenance_matches_batch(spark, tmp_path):
+    """NB sufficient statistics are two sum-monoid count frames, so the
+    incremental-agg sink maintains them per micro-batch; the model and
+    predictions rebuilt from drained state equal the one-shot batch
+    training bit-for-bit (quantized-integer weights make 'equal' exact,
+    not approximate)."""
+    from spark_streaming_project_spark.operators.classifier import (
+        nb_count_state,
+        nb_model_from_counts,
+        nb_predict,
+        nb_train_quantized,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    src = str(tmp_path / "nb_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    tl_state = str(tmp_path / "nb_tl")
+    dl_state = str(tmp_path / "nb_dl")
+    stream1 = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    stream2 = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_nb"))
+    runner.add(
+        "nb_tl",
+        stream1,
+        foreach_batch=foreach_batch_incremental_agg(
+            tl_state,
+            lambda df: nb_count_state(df, "text", "lang")[0],
+            ["token", "label"],
+            ["n_tl"],
+        ),
+    )
+    runner.add(
+        "nb_dl",
+        stream2,
+        foreach_batch=foreach_batch_incremental_agg(
+            dl_state,
+            lambda df: nb_count_state(df, "text", "lang")[1],
+            ["label"],
+            ["n_docs_l"],
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    s_model, s_priors = nb_model_from_counts(
+        spark.read.parquet(tl_state), spark.read.parquet(dl_state)
+    )
+    b_model, b_priors = nb_train_quantized(docs, "text", "doc_id", "lang")
+    assert {
+        (r["token"], r["label"], r["w_q"]) for r in s_model.collect()
+    } == {(r["token"], r["label"], r["w_q"]) for r in b_model.collect()}
+    assert {
+        (r["label"], r["prior_q"]) for r in s_priors.collect()
+    } == {(r["label"], r["prior_q"]) for r in b_priors.collect()}
+    got = {
+        (r["doc_id"], r["predicted"], r["score_q"])
+        for r in nb_predict(docs, s_model, s_priors, "text", "doc_id").collect()
+    }
+    want = {
+        (r["doc_id"], r["predicted"], r["score_q"])
+        for r in nb_predict(docs, b_model, b_priors, "text", "doc_id").collect()
+    }
+    assert got == want
+
+
+def test_streaming_bloom_probe_is_stateless_append(spark, tmp_path):
+    """Probing a stream against a FIXED bloom filter is a stateless
+    map (stream-static broadcast): availableNow drain emits exactly the
+    batch probe verdicts."""
+    from spark_streaming_project_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("h")
+    )
+    bloom = bloom_build(hist, "h")
+    probes = docs.select("doc_id", F.md5("text").alias("h"))
+    src = str(tmp_path / "bp_src")
+    for i in range(2):
+        probes.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    out: list = []
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_bp"))
+    runner.add(
+        "bloom_probe",
+        stream,
+        foreach_batch=lambda bdf, bid: out.extend(
+            bloom_probe(bdf, "h", bloom).collect()
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {(r["doc_id"], r["probably_seen"]) for r in out}
+    want = {
+        (r["doc_id"], r["probably_seen"])
+        for r in bloom_probe(probes, "h", bloom).collect()
+    }
+    assert got == want
+    # every historical doc flags seen through the stream too
+    assert all(seen for d, seen in got if d % 2 == 0)
