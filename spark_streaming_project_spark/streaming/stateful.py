@@ -321,3 +321,82 @@ def streaming_span_keep(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup_ttl(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ts_col: str,
+    ttl_minutes: int,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Exact dedup with BOUNDED state: a digest's "seen" flag expires
+    once the event-time watermark passes (last occurrence + ttl).
+
+    The unbounded ``streaming_exact_dedup`` never forgets — correct, but
+    its state grows with distinct history forever. This variant trades
+    completeness for a hard state bound: state holds only digests seen
+    within the TTL horizon, so a duplicate arriving AFTER its
+    predecessor expired is re-emitted as a fresh first occurrence — the
+    honest, documented miss (the same trade every watermarked streaming
+    aggregation makes for late data). TTL slides: each duplicate
+    arrival extends its digest's expiry to (its event time + ttl).
+
+    Mechanics: ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout`` — expired keys are delivered
+    one final time with ``hasTimedOut`` and their state removed; no
+    emission happens on expiry. Spark fires timeouts only for keys with
+    NO data in the micro-batch, so a duplicate arriving in the very
+    batch that would have evicted its digest is still suppressed (and
+    extends the TTL) — eviction becomes visible from the next
+    key-silent batch onward; the pytest pins this choreography.
+    Requires a watermark on ``ts_col`` (``watermark_delay`` defaults to
+    0 for deterministic tests).
+    """
+    ttl_ms = ttl_minutes * 60 * 1000
+    keyed = df.withWatermark(ts_col, watermark_delay).select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+    )
+
+    def dedup(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_id = None
+        first_ts = None
+        max_ts_ms = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            row = pdf.loc[pdf["doc_id"].idxmin()]
+            if first_id is None or row["doc_id"] < first_id:
+                first_id, first_ts = row["doc_id"], row["ts"]
+            batch_max = pdf["ts"].max()
+            ms = int(batch_max.value // 1_000_000)
+            max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
+        if max_ts_ms is None:
+            return
+        fresh = not state.exists
+        state.update((True,))
+        state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        if fresh:
+            yield pd.DataFrame(
+                {
+                    "content_hash": [key[0]],
+                    "doc_id": [int(first_id)],
+                    "first_ts": [first_ts],
+                }
+            )
+
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        dedup,
+        outputStructType="content_hash string, doc_id long, first_ts timestamp",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

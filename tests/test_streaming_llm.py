@@ -1378,3 +1378,111 @@ def test_streaming_bloom_probe_is_stateless_append(spark, tmp_path):
     assert got == want
     # every historical doc flags seen through the stream too
     assert all(seen for d, seen in got if d % 2 == 0)
+
+
+def test_streaming_dedup_ttl_forgets_after_horizon(spark, tmp_path):
+    """TTL'd dedup: duplicates inside the TTL horizon are suppressed;
+    once the watermark passes a digest's (last seen + ttl) its state is
+    evicted and a later duplicate re-emits as a fresh first occurrence —
+    the documented bounded-state trade."""
+    import datetime as dt
+
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_exact_dedup_ttl,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(*items):
+        return [
+            (i, txt, t0 + dt.timedelta(minutes=m)) for i, txt, m in items
+        ]
+
+    batches = [
+        # A first + immediate dup: one emission
+        rows((1, "aaa", 0), (2, "aaa", 5)),
+        # 90 min later: watermark advances to 11:30 (past A's
+        # 10:05 + 30 = 10:35 expiry — but timeouts only FIRE in a batch
+        # where the key has no data)
+        rows((3, "bbb", 90)),
+        # A absent in this batch -> its timeout fires, state evicted
+        rows((6, "ccc", 110)),
+        # A returns after eviction: re-emitted; bbb (expires 12:00) is
+        # still live at watermark 11:50 -> suppressed
+        rows((4, "aaa", 115), (5, "bbb", 116)),
+    ]
+    src = str(tmp_path / "ttl_src")
+    for b in batches:
+        spark.createDataFrame(b, ["doc_id", "text", "ts"]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    # file order == write order under availableNow + maxFilesPerTrigger=1?
+    # No: file listing order is not guaranteed, so re-write deterministically
+    # as 3 separate dirs consumed in sequence is overkill — instead assert
+    # on the SET of emissions, which is order-sensitive only through the
+    # watermark. To pin batch order, write each batch to its own file and
+    # rely on modification-time ordering (latestFirst=false default sorts
+    # by path; single writer => monotone part file names per append).
+    schema = spark.read.parquet(src).schema
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    out: list = []
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_ttl"))
+    runner.add(
+        "ttl_dedup",
+        streaming_exact_dedup_ttl(stream, "text", "doc_id", "ts", 30),
+        foreach_batch=lambda bdf, bid: out.extend(bdf.collect()),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    emitted = {(r["content_hash"], r["doc_id"]) for r in out}
+    ids = sorted(d for _, d in emitted)
+    # doc 1 (first aaa), doc 3 (first bbb), doc 6 (first ccc), doc 4
+    # (aaa AFTER eviction). doc 2 suppressed (inside ttl); doc 5
+    # suppressed (bbb still live at the final watermark).
+    assert ids == [1, 3, 4, 6], sorted(out, key=lambda r: r["doc_id"])
+
+
+def test_streaming_dedup_ttl_matches_unbounded_within_horizon(spark, tmp_path):
+    """With every event inside one TTL horizon the TTL variant emits
+    exactly the unbounded dedup's first-occurrence set."""
+    import datetime as dt
+
+    from spark_streaming_project_spark.streaming.stateful import (
+        streaming_exact_dedup_ttl,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    docs = load_table(spark, SF_CORRECT, "documents").filter(
+        F.col("text").isNotNull()
+    ).limit(200)
+    stamped = docs.select(
+        "doc_id",
+        "text",
+        F.lit(t0).cast("timestamp").alias("ts"),
+    )
+    src = str(tmp_path / "ttlp_src")
+    for i in range(2):
+        stamped.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    out: list = []
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_ttlp"))
+    runner.add(
+        "ttl_parity",
+        streaming_exact_dedup_ttl(stream, "text", "doc_id", "ts", 60),
+        foreach_batch=lambda bdf, bid: out.extend(bdf.collect()),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    got = {(r["content_hash"], r["doc_id"]) for r in out}
+    want = {
+        (r["content_hash"], r["keep_id"])
+        for r in stamped.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .collect()
+    }
+    assert got == want
