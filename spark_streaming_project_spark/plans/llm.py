@@ -4103,3 +4103,66 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "supplier_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SNM_CAND_CTE},
+    truth AS ({_FUZZY_ORACLE}),
+    snmv AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN base x ON x.id = c.id_a
+        JOIN base y ON y.id = c.id_b
+        WHERE levenshtein(x.t, y.t) <= 1
+    ),
+    allp AS (
+        SELECT id_a, id_b FROM snmv
+        UNION SELECT id_a, id_b FROM truth
+    ),
+    eedges AS (
+        SELECT id_a AS u, id_b AS v FROM allp
+        UNION SELECT id_b AS u, id_a AS v FROM allp
+    ),
+    enodes AS (SELECT DISTINCT u FROM eedges),
+    ereach AS (
+        SELECT u, u AS r FROM enodes
+        UNION
+        SELECT e.u, ereach.r FROM eedges e JOIN ereach ON e.v = ereach.u
+    ),
+    ecmap AS (SELECT u AS s_suppkey, min(r) AS canonical_id
+              FROM ereach GROUP BY 1)
+    SELECT s_suppkey, canonical_id FROM ecmap
+    """,
+    tags=("llm", "entity-resolution", "graph"),
+)
+def supplier_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: UNION the two blocking families
+    (sorted-neighborhood + q-gram count-filter), verify every candidate
+    at Levenshtein <= 1, and collapse the verified pair graph into
+    transitive clusters via connected components — the composed pipeline
+    a record-linkage run actually ships (two cheap recalls patching each
+    other's misses, one exact verify, one canonical map). Output:
+    (s_suppkey, canonical_id = min key reachable) for every supplier in
+    a non-trivial cluster."""
+    from ..operators.dedup import fuzzy_match_pairs
+    from ..operators.graph import connected_components
+
+    supp, snm_cand = _snm_spark(spark, sf_dir)
+    qg = fuzzy_match_pairs(
+        supp, "s_name", "s_suppkey", max_dist=1, q=2
+    ).select("id_a", "id_b")
+    x = supp.select(F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("_ta"))
+    y = supp.select(F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("_tb"))
+    snm_verified = (
+        snm_cand.join(x, "id_a")
+        .join(y, "id_b")
+        .filter(F.levenshtein("_ta", "_tb") <= 1)
+        .select("id_a", "id_b")
+    )
+    pairs = snm_verified.unionByName(qg).distinct()
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("u").alias("s_suppkey"),
+        F.col("component").alias("canonical_id"),
+    ).orderBy("s_suppkey")

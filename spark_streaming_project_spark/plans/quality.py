@@ -2288,3 +2288,143 @@ def nb_lang_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("lang"), "token", "w_q", "rank")
         .orderBy("lang", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validated NB accuracy: the evaluation the self-consistency
+# confusion matrix cannot give (train and eval docs disjoint per fold).
+# Folds are md5 buckets — engine-replayable; each fold's training CTE is
+# the NB pipeline filtered to the other folds (the logreg/MMR unrolling
+# pattern applied to cross-validation).
+# ---------------------------------------------------------------------------
+
+_NB_FOLDS = 3
+
+
+def _nb_fold_cte(f: int) -> str:
+    """Per-fold NB train/score/accuracy CTE chain (suffix _f{f})."""
+    return rf"""
+    docs_f{f} AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS words,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % {_NB_FOLDS} AS fold
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tok_f{f} AS (
+        SELECT doc_id, lang, fold, unnest(words) AS token FROM docs_f{f}
+    ),
+    tl_f{f} AS (
+        SELECT token, lang, count(*) AS n_tl FROM tok_f{f}
+        WHERE fold <> {f} GROUP BY 1, 2
+    ),
+    cl_f{f} AS (
+        SELECT lang, sum(n_tl) AS n_l FROM tl_f{f} GROUP BY 1
+    ),
+    voc_f{f} AS (
+        SELECT count(DISTINCT token) AS v FROM tl_f{f}
+    ),
+    model_f{f} AS (
+        SELECT g.token, g.lang,
+               CAST(round(ln((coalesce(t.n_tl, 0) + 1)
+                             / CAST(g.n_l + voc_f{f}.v AS DOUBLE))
+                          * {_NB_SCALE}) AS BIGINT) AS w_q
+        FROM (SELECT tok.token, c.lang, c.n_l
+              FROM (SELECT DISTINCT token FROM tl_f{f}) tok, cl_f{f} c) g
+        LEFT JOIN tl_f{f} t ON t.token = g.token AND t.lang = g.lang,
+             voc_f{f}
+    ),
+    pri_f{f} AS (
+        SELECT lang,
+               CAST(round(ln(count(*) /
+                             CAST((SELECT count(*) FROM docs_f{f}
+                                   WHERE fold <> {f}) AS DOUBLE))
+                          * {_NB_SCALE}) AS BIGINT) AS prior_q
+        FROM docs_f{f} WHERE fold <> {f} GROUP BY 1
+    ),
+    dt_f{f} AS (
+        SELECT doc_id, token, count(*) AS k FROM tok_f{f}
+        WHERE fold = {f} GROUP BY 1, 2
+    ),
+    sc_f{f} AS (
+        SELECT d.doc_id, m.lang, sum(d.k * m.w_q) AS lik_q
+        FROM dt_f{f} d JOIN model_f{f} m USING (token) GROUP BY 1, 2
+    ),
+    pred_f{f} AS (
+        SELECT doc_id, lang AS predicted,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY lik_q + prior_q DESC, lang ASC) AS rn
+        FROM sc_f{f} JOIN pri_f{f} USING (lang)
+    ),
+    acc_f{f} AS (
+        SELECT {f} AS fold, count(*) AS n_eval,
+               CAST(sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred_f{f} p JOIN docs_f{f} d USING (doc_id)
+        WHERE p.rn = 1
+    )
+"""
+
+
+@register(
+    "nb_crossval_accuracy",
+    oracle="WITH "
+    + ",".join(_nb_fold_cte(f) for f in range(_NB_FOLDS))
+    + """
+    SELECT fold, n_eval, n_correct,
+           round(n_correct / CAST(n_eval AS DOUBLE), 6) AS accuracy
+    FROM (
+        """
+    + " UNION ALL ".join(
+        f"SELECT * FROM acc_f{f}" for f in range(_NB_FOLDS)
+    )
+    + """
+    ) ORDER BY fold
+    """,
+    tags=("llm", "quality", "classifier", "evaluation"),
+)
+def nb_crossval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold cross-validated NB accuracy over md5 fold buckets — the
+    held-out evaluation the self-consistency matrix cannot give (train
+    and eval docs disjoint per fold). Holdout docs whose every token is
+    OOV for the fold's training vocab score no class and drop from the
+    fold's n_eval (inner-join semantics, identical in the oracle).
+    Three trainings of a one-pass model: still no driver loop beyond
+    the per-fold vocab-size scalar."""
+    from ..operators.classifier import nb_predict, nb_train_quantized
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % _NB_FOLDS
+    )
+    folded = docs.withColumn("fold", fold)
+    per_fold = []
+    for f in range(_NB_FOLDS):
+        train = folded.filter(F.col("fold") != f)
+        holdout = folded.filter(F.col("fold") == f)
+        model, priors = nb_train_quantized(train, "text", "doc_id", "lang")
+        pred = nb_predict(holdout, model, priors, "text", "doc_id")
+        per_fold.append(
+            pred.join(holdout.select("doc_id", "lang"), "doc_id").agg(
+                F.lit(f).cast("long").alias("fold"),
+                F.count("*").alias("n_eval"),
+                F.sum(
+                    (F.col("predicted") == F.col("lang")).cast("long")
+                ).alias("n_correct"),
+            )
+        )
+    out = per_fold[0]
+    for p in per_fold[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "fold",
+        "n_eval",
+        "n_correct",
+        F.round(F.col("n_correct") / F.col("n_eval"), 6).alias("accuracy"),
+    ).orderBy("fold")

@@ -78,6 +78,8 @@ REPRESENTATIVES = [
     "weighted_median_price",            # distinct-price running-weight pick
     "doc_length_mad_outliers",          # median/MAD robust flags
     "embedding_outliers",               # quantized-dot decile flags
+    "nb_crossval_accuracy",             # per-fold held-out integer argmax
+    "supplier_entity_clusters",         # two-family blocking + CC map
 ]
 
 
