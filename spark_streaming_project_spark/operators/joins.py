@@ -273,3 +273,41 @@ def bloom_filtered_join(
     bloom = bloom_build(dim, dim_key, bits_log2, n_hashes)
     pruned = bloom_prune(fact, fact_key, bloom, bits_log2, n_hashes)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def choose_salt_factor(
+    df: DataFrame,
+    on: str,
+    target_rows_per_task: int = 1_000_000,
+    stats: dict | None = None,
+) -> int:
+    """Measure, don't guess: pick ``skew_salted_join``'s factor from the
+    DATA — the adaptive-routing discipline of ``choose_ngram_strategy``
+    applied to join skew.
+
+    One exact aggregate finds the hottest key's row count (map-side
+    combined: the shuffle carries one partial count per key per task —
+    this probe is deliberately run on the UNSALTED key distribution the
+    join would shuffle). The factor is
+    ``ceil(hottest / target_rows_per_task)``: just enough replicas that
+    the hottest key's slices fit a task, and exactly 1 (no salting, no
+    small-side replication cost) when nothing is hot. Pass ``stats`` to
+    capture the evidence ({hottest_key, hottest_count, factor}) for the
+    run log."""
+    top = (
+        df.groupBy(on)
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), F.asc(on))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        factor = 1
+        if stats is not None:
+            stats.update(hottest_key=None, hottest_count=0, factor=1)
+        return factor
+    hottest, count = top[0][on], top[0]["_n"]
+    factor = max(1, -(-count // target_rows_per_task))  # ceil div
+    if stats is not None:
+        stats.update(hottest_key=hottest, hottest_count=count, factor=factor)
+    return factor

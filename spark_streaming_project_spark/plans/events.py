@@ -787,3 +787,53 @@ def hourly_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(
         dense, "event_type", "hour_start", "event_count"
     )
+
+
+@register(
+    "session_window_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessioned AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "sessionization"),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (dynamic gap-merged
+    event-time windows — the same operator the streaming leg uses) in
+    batch, one row per (user, session): start, end (= last event + gap),
+    event count. The oracle derives identical sessions with the lag-gap
+    island method, pinning that the built-in operator and the manual
+    formulation agree — so either engine form can stand in for the
+    other. One shuffle on user_id; sessions merge inside the
+    aggregation, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

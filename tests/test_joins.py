@@ -176,3 +176,38 @@ def test_bloom_word_frame_is_bounded(spark):
     dim = spark.range(10_000).select(F.col("id").alias("k"))
     bloom = bloom_build(dim, "k", bits_log2=16)
     assert bloom.count() <= (1 << 16) // 64
+
+
+def test_choose_salt_factor_measures_skew(spark):
+    """Uniform keys -> factor 1 (salting disabled); one hot key ->
+    factor = ceil(hot/target); the salted join with the chosen factor
+    still equals the plain join."""
+    from spark_streaming_project_spark.operators.joins import (
+        choose_salt_factor,
+        skew_salted_join,
+    )
+
+    uniform = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    assert choose_salt_factor(uniform, "k", target_rows_per_task=50) == 1
+
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    stats: dict = {}
+    f = choose_salt_factor(skewed, "k", target_rows_per_task=100, stats=stats)
+    assert f == 9 and stats["hottest_key"] == 7 and stats["hottest_count"] == 900
+
+    small = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    plain = {
+        (r["k"], r["v"])
+        for r in skewed.join(small, "k").select("k", "v").collect()
+    }
+    salted = {
+        (r["k"], r["v"])
+        for r in skew_salted_join(skewed, small, "k", salt_factor=f)
+        .select("k", "v")
+        .collect()
+    }
+    assert salted == plain

@@ -80,6 +80,7 @@ REPRESENTATIVES = [
     "embedding_outliers",               # quantized-dot decile flags
     "nb_crossval_accuracy",             # per-fold held-out integer argmax
     "supplier_entity_clusters",         # two-family blocking + CC map
+    "session_window_stats",             # native gap-merged session agg
 ]
 
 
