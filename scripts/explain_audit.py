@@ -46,6 +46,23 @@ SHOWCASE = [
      "Sliding distinct via sketch merge: per-hour HLL registers (<= 64 "
      "rows/hour) explode 3x and merge — window widening touches sketch "
      "rows, never the raw events again; hours dim is broadcast."),
+    ("bloom_dedup_verdicts",
+     "Bloom history probe: the filter collapses to <= 261 bit_or words, "
+     "densifies to ONE array row, and attaches by broadcast nested-loop "
+     "join — the probed batch is a map-only scan, no probe-side "
+     "shuffle."),
+    ("snm_candidate_pairs",
+     "Sorted-neighborhood blocking: global rank from repartitionByRange "
+     "+ bounded slice sidecar (never a single-task window), neighbors "
+     "from a dense-integer block equi-join with a shifted probe copy."),
+    ("nb_lang_confusion",
+     "One-pass NB train + score: (token,label) aggregate with map-side "
+     "combine, vocab x labels dense grid broadcast back, integer score "
+     "sums, per-doc argmax window bounded by the label count."),
+    ("top_tokens_per_source_sharded",
+     "Two-phase sharded top-k: phase-1 windows partition by (group, "
+     "shard) so no partition holds a whole group's vocab; phase 2 "
+     "re-ranks <= shards*k survivors per group."),
 ]
 
 HEADER = """# PLANS — flagship physical plans (auto-generated)
