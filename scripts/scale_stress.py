@@ -525,6 +525,11 @@ def main() -> None:
 
         run("nb_train_score", scale, _nb)
 
+        # -- round-6 session-3 tier: embedding outlier flags (quantized
+        # dot products; centroid frames are labels x dim, broadcast).
+        run("embedding_outliers", scale,
+            lambda: _REG["embedding_outliers"].builder(spark, ddir_))
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter
