@@ -261,3 +261,81 @@ def sharded_top_per_group(
         .filter(F.col("_r2") <= k)
         .drop("_r2")
     )
+
+
+def range_partitioned_running_max(
+    df: DataFrame,
+    order: list[Column],
+    value_cols: list[str],
+    partition_cols: list[str] | None = None,
+    prefix: str = "runmax_",
+    max_sidecar_rows: int = 100_000,
+) -> DataFrame:
+    """EXACT inclusive running MAX in ``order`` without a single-
+    partition global window — the MAX-monoid member of the range-
+    partitioned prefix family (sum: ``range_partitioned_running_sum``;
+    ntile: ``range_partitioned_ntile``). Same recipe: range-partition on
+    the order, one bounded per-(group, slice) max sidecar folded to
+    prefix offsets driver-side, offsets broadcast back, and
+    ``greatest(intra-slice running max, offset)`` — the offset for the
+    first slice is NULL and ``greatest`` skips it (the max identity).
+
+    ``value_cols`` must be BIGINT-compatible (cast timestamps to epoch
+    seconds first). ``order`` must be total for deterministic output.
+    """
+    parts = list(partition_cols or [])
+    sliced = df.repartitionByRange(*parts, *order).withColumn(
+        "_slice", F.spark_partition_id()
+    )
+    counts = (
+        sliced.groupBy(*parts, "_slice")
+        .agg(*[F.max(c).alias(c) for c in value_cols])
+        .limit(max_sidecar_rows + 1)
+        .collect()
+    )
+    if len(counts) > max_sidecar_rows:
+        raise ValueError(
+            f"range_partitioned_running_max sidecar exceeds "
+            f"{max_sidecar_rows} (group, slice) rows — partition_cols "
+            "cardinality is too high for driver-side offset folding; use "
+            "a Window.partitionBy(*partition_cols) running max directly"
+        )
+    key = lambda r: tuple(r[c] for c in parts)
+    by_group: dict[tuple, list] = {}
+    for r in sorted(counts, key=lambda r: r["_slice"]):
+        by_group.setdefault(key(r), []).append(r)
+    lookup_rows = []
+    for rows in by_group.values():
+        prev: list = [None] * len(value_cols)
+        for r in rows:
+            lookup_rows.append(
+                tuple(r[c] for c in parts) + (r["_slice"],) + tuple(prev)
+            )
+            for i, c in enumerate(value_cols):
+                v = r[c]
+                if v is not None and (prev[i] is None or v > prev[i]):
+                    prev[i] = v
+    from pyspark.sql import types as T
+
+    part_fields = [] if not parts else list(df.select(*parts).schema.fields)
+    schema = T.StructType(
+        part_fields
+        + [T.StructField("_slice", T.IntegerType(), False)]
+        + [
+            T.StructField(f"_off_{c}", T.LongType(), True)
+            for c in value_cols
+        ]
+    )
+    lookup = df.sparkSession.createDataFrame(lookup_rows, schema)
+    w = (
+        Window.partitionBy(*parts, "_slice")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = sliced.join(F.broadcast(lookup), parts + ["_slice"])
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.greatest(F.max(c).over(w), F.col(f"_off_{c}")).cast("long"),
+        )
+    return out.drop("_slice", *[f"_off_{c}" for c in value_cols])

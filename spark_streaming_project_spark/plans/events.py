@@ -837,3 +837,59 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "late_event_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    runmax AS (
+        SELECT event_id, ts, sec,
+               max(sec) OVER (
+                   ORDER BY event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS high_water
+        FROM arr
+    )
+    SELECT date_trunc('hour', ts) AS hour_start,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN sec + 600 < high_water THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           round(sum(CASE WHEN sec + 600 < high_water THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS late_rate
+    FROM runmax GROUP BY 1 ORDER BY 1
+    """,
+    tags=("events", "streaming-design", "profiling"),
+)
+def late_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would-be-late-data profile: per event-time hour, how many events
+    arrive (arrival order = event_id) more than 10 minutes behind the
+    event-time high-water mark — exactly the rows a 10-minute watermark
+    would drop. The sizing diagnostic you run BEFORE choosing a
+    watermark delay. The global high-water mark is an inclusive running
+    MAX over the arrival order, computed with the range-partitioned
+    prefix machinery (max monoid) — no single-task window."""
+    from ..functions.timeutil import epoch_seconds
+    from ..operators.windows import range_partitioned_running_max
+
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_id", "ts", epoch_seconds(ev, "ts").alias("sec")
+    )
+    rm = range_partitioned_running_max(
+        arr, order=[F.asc("event_id")], value_cols=["sec"]
+    )
+    late = (F.col("sec") + 600 < F.col("runmax_sec")).cast("long")
+    return (
+        rm.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(late).alias("n_late"),
+            F.round(F.sum(late) / F.count("*"), 6).alias("late_rate"),
+        )
+        .orderBy("hour_start")
+    )

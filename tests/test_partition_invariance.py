@@ -81,6 +81,7 @@ REPRESENTATIVES = [
     "nb_crossval_accuracy",             # per-fold held-out integer argmax
     "supplier_entity_clusters",         # two-family blocking + CC map
     "session_window_stats",             # native gap-merged session agg
+    "late_event_profile",               # range-partitioned running max
 ]
 
 

@@ -124,3 +124,60 @@ def test_sharded_top_per_group_equals_plain_window(spark):
             ).collect()
         }
         assert sharded == plain, (k, shards)
+
+
+def test_range_partitioned_running_max_matches_global_window(spark):
+    """The MAX-monoid prefix operator equals a plain global running-max
+    window, per value, at several partitionings — including a grouped
+    variant."""
+    from pyspark.sql import Window as W
+
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_running_max,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("g"),
+        F.col("id").alias("i"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"),
+    )
+    for prev in ("3", "8"):
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        got = {
+            (r["i"], r["runmax_v"])
+            for r in range_partitioned_running_max(
+                df, order=[F.asc("i")], value_cols=["v"]
+            ).collect()
+        }
+        want = {
+            (r["i"], r["w"])
+            for r in df.withColumn(
+                "w",
+                F.max("v").over(
+                    W.orderBy(F.asc("i")).rowsBetween(
+                        W.unboundedPreceding, W.currentRow
+                    )
+                ),
+            ).collect()
+        }
+        assert got == want
+        got_g = {
+            (r["g"], r["i"], r["runmax_v"])
+            for r in range_partitioned_running_max(
+                df, order=[F.asc("i")], value_cols=["v"],
+                partition_cols=["g"],
+            ).collect()
+        }
+        want_g = {
+            (r["g"], r["i"], r["w"])
+            for r in df.withColumn(
+                "w",
+                F.max("v").over(
+                    W.partitionBy("g")
+                    .orderBy(F.asc("i"))
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            ).collect()
+        }
+        assert got_g == want_g
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
