@@ -887,3 +887,63 @@ def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PROFILE_COLS = {
+    "customer": ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    "documents": ["doc_id", "lang", "source", "text"],
+}
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for t, cols in _PROFILE_COLS.items():
+        for c in cols:
+            selects.append(
+                f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+                f"count(*) AS n_rows, "
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_nulls, "
+                f"count(DISTINCT {c}) AS n_distinct FROM {t}"
+            )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "table_column_profiles",
+    oracle=_profile_oracle(),
+    tags=("profiling", "warehouse"),
+)
+def table_column_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics — (rows, nulls, exact distinct)
+    per column over a fixed table/column manifest: the stats a query
+    planner (or a data-quality dashboard) reads before choosing join
+    orders and broadcast sides. One aggregate pass per table computes
+    every column's counters at once (count-distinct expansion is
+    Catalyst's job), then `stack` unpivots to one row per column."""
+    out = None
+    for t, cols in _PROFILE_COLS.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count("*").alias("_n")]
+        for c in cols:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}")
+            )
+            aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+        row = df.agg(*aggs)
+        stack_expr = ", ".join(
+            f"'{c}', _null_{c}, _dist_{c}" for c in cols
+        )
+        prof = row.select(
+            F.lit(t).alias("table_name"),
+            F.col("_n").alias("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {stack_expr}) "
+                "as (column_name, n_nulls, n_distinct)"
+            ),
+        ).select(
+            "table_name", "column_name", "n_rows", "n_nulls", "n_distinct"
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
