@@ -947,3 +947,106 @@ def table_column_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    q = {c: f"CAST(round({c} * 100) AS BIGINT)" for c in _CORR_COLS}
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum(CAST({q[c]} AS DECIMAL(38,0))) AS s_{c}")
+        sums.append(
+            f"sum(CAST({q[c]} * {q[c]} AS DECIMAL(38,0))) AS ss_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"sum(CAST({q[a]} * {q[b]} AS DECIMAL(38,0))) AS sp_{a}_{b}"
+        )
+    rows = []
+    for a, b in _CORR_PAIRS:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        va = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        )
+        vb = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_rows, "
+            f"round({num} / sqrt({va} * {vb}), 6) AS corr FROM agg"
+        )
+    return (
+        "WITH agg AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register(
+    "numeric_corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    tags=("profiling", "robust-stats"),
+)
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across lineitem's numeric measures
+    in ONE aggregate pass: values snap to exact 1e-2-grid BIGINTs
+    (Pearson is scale-invariant, so x100 changes nothing), every sum is
+    DECIMAL(38,0)-exact, and each correlation is a fixed sequence of
+    double ops on those exact sums — bit-stable across engines and
+    shuffle orders, unlike builtin corr(). 6 pairs from one scan; the
+    matrix a feature-selection / drift dashboard reads."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = {
+        c: F.round(F.col(c) * 100).cast("long") for c in _CORR_COLS
+    }
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(q[c].cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((q[c] * q[c]).cast("decimal(38,0)")).alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((q[a] * q[b]).cast("decimal(38,0)")).alias(f"sp_{a}_{b}")
+        )
+    agg = li.agg(*aggs)
+    corr_cols = []
+    for a, b in _CORR_PAIRS:
+        n = F.col("n").cast("double")
+        num = n * F.col(f"sp_{a}_{b}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        va = n * F.col(f"ss_{a}").cast("double") - F.col(f"s_{a}").cast(
+            "double"
+        ) * F.col(f"s_{a}").cast("double")
+        vb = n * F.col(f"ss_{b}").cast("double") - F.col(f"s_{b}").cast(
+            "double"
+        ) * F.col(f"s_{b}").cast("double")
+        corr_cols.append(
+            F.round(num / F.sqrt(va * vb), 6).alias(f"c_{a}_{b}")
+        )
+    row = agg.select(F.col("n"), *corr_cols)
+    # one scan: the 6 pair rows unpivot from the single stats row
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}" for a, b in _CORR_PAIRS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_expr}) "
+            "as (col_x, col_y, corr)"
+        ),
+        F.col("n").alias("n_rows"),
+    ).select("col_x", "col_y", "n_rows", "corr")
