@@ -339,3 +339,48 @@ def range_partitioned_running_max(
             F.greatest(F.max(c).over(w), F.col(f"_off_{c}")).cast("long"),
         )
     return out.drop("_slice", *[f"_off_{c}" for c in value_cols])
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = True,
+    maximize_y: bool = True,
+) -> DataFrame:
+    """The 2-D skyline (Pareto-optimal set): rows no other row beats on
+    both dimensions (x lower-is-better, y higher-is-better by default;
+    flip with the flags — internally both reduce to min-x/max-y by
+    negation). Equal points do not strictly dominate each other, so
+    exact duplicates of a skyline point all survive.
+
+    Scale shape — never the O(n^2) nested loop: (1) one keyed aggregate
+    folds the corpus to DISTINCT x values with their best y; (2) the
+    range-partitioned running max gives each x the best y over all
+    better-or-equal x; (3) an x survives iff its own best y achieves
+    that prefix max AND it is the FIRST x to reach that value (the
+    first-owner pattern — a later x re-achieving the same y is
+    dominated on x); (4) survivors broadcast back to pick the actual
+    rows. Everything is aggregates + the bounded-sidecar prefix max —
+    no self-join, no global single-task window.
+    """
+    sx = F.col(x_col) if minimize_x else -F.col(x_col)
+    sy = F.col(y_col) if maximize_y else -F.col(y_col)
+    pts = df.withColumn("_sx", sx).withColumn("_sy", sy)
+    per_x = pts.groupBy("_sx").agg(F.max("_sy").alias("_mx"))
+    rm = range_partitioned_running_max(
+        per_x, order=[F.asc("_sx")], value_cols=["_mx"]
+    )
+    frontier = (
+        rm.filter(F.col("_mx") == F.col("runmax__mx"))
+        .groupBy("_mx")
+        .agg(F.min("_sx").alias("_sx"))
+        .select("_sx", "_mx")
+    )
+    return (
+        pts.join(
+            F.broadcast(frontier),
+            (pts["_sx"] == frontier["_sx"]) & (pts["_sy"] == frontier["_mx"]),
+        )
+        .drop("_sx", "_mx", "_sy")
+    )

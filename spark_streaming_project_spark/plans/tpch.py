@@ -1633,3 +1633,38 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "part_price_size_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+    tags=("tpch", "skyline"),
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts — no other part is both cheaper and larger
+    (ties don't dominate): the classic skyline query, computed without
+    the O(n^2) dominance self-join the oracle's NOT EXISTS spells out.
+    See operators/windows.skyline_2d for the distinct-x fold +
+    range-partitioned prefix-max + first-owner composition."""
+    from ..operators.windows import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return (
+        skyline_2d(
+            part.select("p_partkey", "p_retailprice", "p_size"),
+            "p_retailprice",
+            "p_size",
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

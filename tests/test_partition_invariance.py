@@ -82,6 +82,7 @@ REPRESENTATIVES = [
     "supplier_entity_clusters",         # two-family blocking + CC map
     "session_window_stats",             # native gap-merged session agg
     "late_event_profile",               # range-partitioned running max
+    "part_price_size_skyline",          # distinct-x fold + prefix max
 ]
 
 

@@ -181,3 +181,44 @@ def test_range_partitioned_running_max_matches_global_window(spark):
         }
         assert got_g == want_g
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_skyline_2d_matches_bruteforce_with_ties_and_duplicates(spark):
+    """Hand + randomized corpus: skyline equals the brute-force dominance
+    filter, including tie rows and exact-duplicate skyline points (which
+    all survive — equal points don't strictly dominate)."""
+    from spark_streaming_project_spark.operators.windows import skyline_2d
+
+    rows = [(1, 1.0, 5), (2, 1.0, 5), (3, 1.0, 4), (4, 2.0, 7),
+            (5, 2.0, 7), (6, 3.0, 7), (7, 0.5, 1), (8, 4.0, 9),
+            (9, 4.0, 8), (10, 0.5, 1)]
+    extra = [
+        (100 + i, float((i * 37) % 11), (i * 53) % 13) for i in range(80)
+    ]
+    data = rows + extra
+    df = spark.createDataFrame(data, ["id", "x", "y"])
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in data
+        )
+
+    want = {p[0] for p in data if not dominated(p)}
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    assert got == want
+    # flipped objectives: maximize x, minimize y
+    def dominated_flip(p):
+        return any(
+            q[1] >= p[1] and q[2] <= p[2] and (q[1] > p[1] or q[2] < p[2])
+            for q in data
+        )
+
+    want_f = {p[0] for p in data if not dominated_flip(p)}
+    got_f = {
+        r["id"]
+        for r in skyline_2d(
+            df, "x", "y", minimize_x=False, maximize_y=False
+        ).collect()
+    }
+    assert got_f == want_f
