@@ -1050,3 +1050,97 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").alias("n_rows"),
     ).select("col_x", "col_y", "n_rows", "corr")
+
+
+@register(
+    "source_length_ks",
+    oracle="""
+    WITH a AS (
+        SELECT n_chars AS v FROM documents
+        WHERE text IS NOT NULL AND source = 'src0'
+    ),
+    b AS (
+        SELECT n_chars AS v FROM documents
+        WHERE text IS NOT NULL AND source <> 'src0'
+    ),
+    na AS (SELECT count(*) AS n_a FROM a),
+    nb AS (SELECT count(*) AS n_b FROM b),
+    per_v AS (
+        SELECT v,
+               sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+        FROM (
+            SELECT v, 'a' AS side FROM a
+            UNION ALL SELECT v, 'b' AS side FROM b
+        ) GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               sum(ca) OVER (ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_a,
+               sum(cb) OVER (ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b
+        FROM per_v
+    ),
+    scored AS (
+        SELECT v, abs(cum_a * n_b - cum_b * n_a) AS diff_q, n_a, n_b
+        FROM cum, na, nb
+    )
+    SELECT n_a, n_b, v AS at_value,
+           round(diff_q / CAST(n_a * n_b AS DOUBLE), 6) AS ks_stat
+    FROM scored ORDER BY diff_q DESC, v ASC LIMIT 1
+    """,
+    tags=("profiling", "drift", "robust-stats"),
+)
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between src0's and
+    the rest's document-length distributions — the distribution-drift
+    test next to source_drift_kl (KS sees WHERE the CDFs diverge, KL
+    needs binning). All arithmetic is integer: per-distinct-value counts,
+    range-partitioned running sums for both CDFs in one pass, and the
+    sup statistic as |cumA*nB - cumB*nA| with ONE terminal division; the
+    argmax ties to the smallest value. No global single-task window, no
+    sort of the corpus — the cut is a TakeOrdered over distinct values."""
+    from ..operators.windows import range_partitioned_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sided = docs.select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == "src0").cast("long").alias("ca"),
+        (F.col("source") != "src0").cast("long").alias("cb"),
+    )
+    per_v = sided.groupBy("v").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    )
+    cum = range_partitioned_running_sum(
+        per_v, order=[F.asc("v")], value_cols=["ca", "cb"]
+    )
+    totals = sided.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("running_ca") * F.col("n_b")
+            - F.col("running_cb") * F.col("n_a")
+        ).alias("diff_q"),
+    )
+    return (
+        scored.orderBy(F.desc("diff_q"), F.asc("v"))
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("v").alias("at_value"),
+            F.round(
+                F.col("diff_q") / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

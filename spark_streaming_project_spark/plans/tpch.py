@@ -1668,3 +1668,68 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+               sum(CAST(i AS DECIMAL(38,0)) * cents) AS six
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           round((2 * CAST(six AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
+                 / (n * CAST(sx AS DOUBLE)), 6) AS gini
+    FROM agg
+    """,
+    tags=("tpch", "robust-stats"),
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue concentration — the
+    one-number inequality summary next to the Pareto curve. Revenue
+    snaps to cents (the round absorbs double-sum ulps identically in
+    both engines), the rank comes from the range-partitioned running
+    count (total order: cents, custkey — tied values permute freely in
+    the rank-weighted sum, so ties cost nothing), and both sums are
+    DECIMAL(38,0)-exact with one terminal double expression."""
+    from ..operators.windows import range_partitioned_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    ranked = range_partitioned_running_sum(
+        rev.withColumn("_one", F.lit(1)),
+        order=[F.asc("cents"), F.asc("o_custkey")],
+        value_cols=["_one"],
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("running__one").cast("decimal(38,0)") * F.col("cents")
+        ).alias("six"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (
+                2 * F.col("six").cast("double")
+                - (F.col("n") + 1) * F.col("sx").cast("double")
+            )
+            / (F.col("n") * F.col("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )

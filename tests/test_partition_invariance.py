@@ -83,6 +83,8 @@ REPRESENTATIVES = [
     "session_window_stats",             # native gap-merged session agg
     "late_event_profile",               # range-partitioned running max
     "part_price_size_skyline",          # distinct-x fold + prefix max
+    "source_length_ks",                 # dual running sums + rational sup
+    "customer_revenue_gini",            # rank-weighted exact-decimal sums
 ]
 
 
