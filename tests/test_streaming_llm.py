@@ -1486,3 +1486,56 @@ def test_streaming_dedup_ttl_matches_unbounded_within_horizon(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_native_drop_duplicates_within_watermark_twin(spark, tmp_path):
+    """Spark's built-in dropDuplicatesWithinWatermark is the native twin
+    of streaming_exact_dedup_ttl (state evicted once the watermark
+    passes a key's horizon): same choreography — in-horizon duplicates
+    suppressed, a post-eviction return re-emits. Pinning the native
+    operator documents that either form works (custom gives the
+    explicit TTL + first-id pick; native gives engine-managed state)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(*items):
+        return [
+            (i, txt, t0 + dt.timedelta(minutes=m)) for i, txt, m in items
+        ]
+
+    batches = [
+        rows((1, "aaa", 0), (2, "aaa", 5)),   # dup inside delay window
+        rows((3, "bbb", 90)),                  # watermark -> 10:30
+        rows((6, "ccc", 110)),                 # aaa state evicted
+        rows((4, "aaa", 115)),                 # re-emitted
+    ]
+    src = str(tmp_path / "ddw_src")
+    for b in batches:
+        spark.createDataFrame(b, ["doc_id", "text", "ts"]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    dedup = (
+        stream.select(F.md5("text").alias("content_hash"), "doc_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    out: list = []
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_ddw"))
+    runner.add(
+        "ddw",
+        dedup,
+        foreach_batch=lambda bdf, bid: out.extend(bdf.collect()),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    ids = sorted(r["doc_id"] for r in out)
+    # 1 (first aaa; 2 suppressed inside the 10-min horizon), 3 (first
+    # bbb), 6 (first ccc), 4 (aaa re-emitted once the watermark
+    # (max_ts - delay) passed its first-seen + delay expiry — note the
+    # expiry clock runs against the DELAYED watermark, which is why the
+    # delay must be shorter than the replay gap for re-emission)
+    assert ids == [1, 3, 4, 6], ids
