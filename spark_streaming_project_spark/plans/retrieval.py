@@ -209,23 +209,10 @@ _RRF_DEPTH = 20
 _QUERY_TEXT = " ".join(_QUERY_TERMS)
 
 
-@register(
-    "hybrid_rrf_search",
-    oracle=None,  # assembled below (needs llm._TEMB_CTE); see _rrf_oracle()
-    tags=("llm", "retrieval", "similarity", "topk"),
-)
-def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search: top-20 BM25 (lexical) and top-20 hashed-embedding
-    cosine (dense, deterministic feature hashing — no external model)
-    fused with RRF k=60; top-10 by fused score. The standard two-tower
-    retrieval pattern, fully oracle-replayable because BOTH towers are
-    md5-deterministic.
-
-    Scale shape: each tower ends in TakeOrderedAndProject (bounded 20
-    rows); ranks come from windows over those LIMIT-bounded frames (the
-    documented global-window-over-limit exception); the fuse is a
-    broadcast-able 20x20 full outer join. The dense tower's query vector
-    is a one-row broadcast (nested-loop against one row)."""
+def _two_towers(spark: SparkSession, sf_dir: str):
+    """Shared two-tower builder: (lexical BM25 top-20 ranks, dense
+    hashed-embedding cosine top-20 ranks) — used by the RRF fuse and the
+    RBO rank-agreement metric."""
     from pyspark.sql import Window
 
     from ..functions.vectors import dot
@@ -261,6 +248,28 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense_r = dense.select(
         "doc_id", F.row_number().over(w_dense).alias("dense_rank")
     )
+    return lex_r, dense_r
+
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=None,  # assembled below (needs llm._TEMB_CTE); see _rrf_oracle()
+    tags=("llm", "retrieval", "similarity", "topk"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: top-20 BM25 (lexical) and top-20 hashed-embedding
+    cosine (dense, deterministic feature hashing — no external model)
+    fused with RRF k=60; top-10 by fused score. The standard two-tower
+    retrieval pattern, fully oracle-replayable because BOTH towers are
+    md5-deterministic.
+
+    Scale shape: each tower ends in TakeOrderedAndProject (bounded 20
+    rows); ranks come from windows over those LIMIT-bounded frames (the
+    documented global-window-over-limit exception); the fuse is a
+    broadcast-able 20x20 full outer join. The dense tower's query vector
+    is a one-row broadcast (nested-loop against one row)."""
+    lex_r, dense_r = _two_towers(spark, sf_dir)
 
     from ..operators.retrieval import rrf_fuse
 
@@ -271,7 +280,54 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rrf_oracle() -> str:
+@register(
+    "retrieval_rank_overlap",
+    oracle=None,  # assembled below alongside the RRF oracle
+    tags=("llm", "retrieval", "evaluation"),
+)
+def retrieval_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010, truncated at depth 20,
+    p=0.9) between the lexical and dense towers — the rank-agreement
+    number that tells you whether hybrid fusion is worth running (RBO
+    near 1: towers agree, fusion adds nothing; near 0: they see
+    different corpora slices). Every p^d enters as the SAME python-repr
+    double literal in both engines and each depth term is
+    1e-9-quantized before summing — exact, order-free."""
+    lex_r, dense_r = _two_towers(spark, sf_dir)
+    common = lex_r.join(dense_r, "doc_id").select(
+        F.greatest("lex_rank", "dense_rank").alias("m")
+    )
+    depths = spark.createDataFrame(
+        [(d, _RBO_P**d) for d in range(1, _RRF_DEPTH + 1)], ["d", "pd"]
+    )
+    ov = (
+        depths.crossJoin(F.broadcast(common))
+        .groupBy("d", "pd")
+        .agg(F.sum((F.col("m") <= F.col("d")).cast("long")).alias("o"))
+    )
+    qterms = ov.select(
+        F.round(F.col("pd") * F.col("o") / F.col("d") * 1e9)
+        .cast("long")
+        .alias("t_q")
+    )
+    n_common = common.agg(F.count("*").alias("n_common"))
+    return (
+        qterms.agg(F.sum("t_q").alias("_s"))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            F.lit(_RRF_DEPTH).alias("depth"),
+            "n_common",
+            F.round(
+                F.lit((1 - _RBO_P) / _RBO_P)
+                * F.coalesce(F.col("_s"), F.lit(0)) / 1e9,
+                6,
+            ).alias("rbo"),
+        )
+    )
+
+
+def _towers_cte() -> str:
+    """Shared oracle CTE chain ending at lexr/denser (the two towers)."""
     from .llm import _TEMB_CTE, _TEMB_DIM, _duck_dot
 
     terms = ", ".join(repr(t) for t in _QUERY_TERMS)
@@ -340,6 +396,11 @@ def _rrf_oracle() -> str:
             ORDER BY _cos DESC, doc_id ASC) AS INTEGER) AS dense_rank
         FROM cos
     )
+    """
+
+
+def _rrf_oracle() -> str:
+    return _towers_cte() + f"""
     SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
            l.lex_rank, d.dense_rank,
            round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
@@ -351,10 +412,47 @@ def _rrf_oracle() -> str:
     """
 
 
+_RBO_P = 0.9
+
+
+def _rbo_oracle() -> str:
+    # p^d as PYTHON-repr literals so both engines parse identical
+    # doubles (no cross-libm pow); each term 1e-9-quantized to a BIGINT
+    # so the depth sum is order-free and exact.
+    term_rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_RBO_P ** d!r} AS pd"
+        for d in range(1, _RRF_DEPTH + 1)
+    )
+    return _towers_cte() + f""",
+    common AS (
+        SELECT greatest(l.lex_rank, d.dense_rank) AS m
+        FROM lexr l JOIN denser d USING (doc_id)
+    ),
+    depths AS ({term_rows}),
+    ov AS (
+        SELECT dp.d, dp.pd,
+               (SELECT count(*) FROM common c WHERE c.m <= dp.d) AS o
+        FROM depths dp
+    ),
+    qterms AS (
+        SELECT CAST(round(pd * o / d * 1000000000) AS BIGINT) AS t_q
+        FROM ov
+    )
+    SELECT {_RRF_DEPTH} AS depth,
+           (SELECT count(*) FROM common) AS n_common,
+           round({(1 - _RBO_P) / _RBO_P!r} * sum(t_q) / 1000000000, 6)
+               AS rbo
+    FROM qterms
+    """
+
+
 import dataclasses  # noqa: E402
 
 from .registry import REGISTRY as _REG  # noqa: E402
 
 _REG["hybrid_rrf_search"] = dataclasses.replace(
     _REG["hybrid_rrf_search"], oracle=_rrf_oracle()
+)
+_REG["retrieval_rank_overlap"] = dataclasses.replace(
+    _REG["retrieval_rank_overlap"], oracle=_rbo_oracle()
 )

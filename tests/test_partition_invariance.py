@@ -85,6 +85,7 @@ REPRESENTATIVES = [
     "part_price_size_skyline",          # distinct-x fold + prefix max
     "source_length_ks",                 # dual running sums + rational sup
     "customer_revenue_gini",            # rank-weighted exact-decimal sums
+    "retrieval_rank_overlap",           # quantized RBO depth terms
 ]
 
 
