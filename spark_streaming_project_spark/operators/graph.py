@@ -401,3 +401,89 @@ def pagerank_quantized(
         ranks = nxt
     e.unpersist()
     return ranks
+
+
+def local_clustering(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected edge list
+    (edges stored once, ``src < dst``): (node, degree, triangles,
+    coefficient = 2T_v / d_v(d_v - 1), 0 when degree < 2).
+
+    The node-level refinement of ``triangle_stats``' global 3T/W: a
+    node-level coefficient near 1 marks clique members (true duplicate
+    groups); low-coefficient high-degree nodes are hubs stitching
+    unrelated docs — exactly the rows a dedup reviewer audits first.
+    Same oriented a<b<c triangle join, then each triangle credits its
+    three corners via one explode; per-node counts join the degree
+    frame. Divisions are single double ops over exact integers."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    corners = (
+        e.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = degree_counts(pairs, src, dst)
+    return deg.join(corners, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0)).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("coefficient"),
+    )
+
+
+def degree_assortativity(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Degree assortativity of an undirected edge list: Pearson
+    correlation of endpoint degrees over BOTH orientations of every edge
+    (the standard definition). Positive: hubs pair with hubs (dense
+    template farms); negative: hubs stitch leaves (star-shaped
+    boilerplate). All sums are DECIMAL(38,0)-exact over integer degrees
+    with one terminal double expression — order-free, engine-exact.
+    Returns one row (n_edges, assortativity; NULL when degenerate)."""
+    deg = degree_counts(pairs, src, dst)
+    du = deg.select(F.col("node").alias("_u"), F.col("degree").alias("dx"))
+    dv = deg.select(F.col("node").alias("_v"), F.col("degree").alias("dy"))
+    directed = pairs.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).unionAll(
+        pairs.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+    )
+    xy = directed.join(du, "_u").join(dv, "_v")
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("dx"))).alias("sx"),
+        F.sum(dec(F.col("dy"))).alias("sy"),
+        F.sum(dec(F.col("dx") * F.col("dy"))).alias("sxy"),
+        F.sum(dec(F.col("dx") * F.col("dx"))).alias("sxx"),
+        F.sum(dec(F.col("dy") * F.col("dy"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return agg.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)), 6
+        ).alias("assortativity"),
+    )

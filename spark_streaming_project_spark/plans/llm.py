@@ -4166,3 +4166,110 @@ def supplier_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("s_suppkey"),
         F.col("component").alias("canonical_id"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "neardup_local_clustering",
+    oracle=f"""
+    WITH {_J05_PAIRS_CTE},
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM jpairs e1
+        JOIN jpairs e2 ON e2.id_a = e1.id_b
+        JOIN jpairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    corners AS (
+        SELECT u AS node, count(*) AS triangles
+        FROM (SELECT unnest([a, b, c]) AS u FROM tri) GROUP BY 1
+    ),
+    deg AS (
+        SELECT u AS node, count(*) AS degree FROM (
+            SELECT id_a AS u FROM jpairs
+            UNION ALL SELECT id_b AS u FROM jpairs
+        ) GROUP BY 1
+    )
+    SELECT d.node, d.degree,
+           CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN 2.0 * coalesce(c.triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 6) AS coefficient
+    FROM deg d LEFT JOIN corners c USING (node)
+    ORDER BY node
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering of the near-dup graph — coefficient 1
+    marks clique members (true duplicate groups), low-coefficient
+    high-degree nodes are the hubs stitching unrelated docs that a
+    reviewer audits first. See operators/graph.local_clustering."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import local_clustering
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    )
+    return local_clustering(pairs, "id_a", "id_b").orderBy("node")
+
+
+@register(
+    "neardup_degree_assortativity",
+    oracle=f"""
+    WITH {_J05_PAIRS_CTE},
+    deg AS (
+        SELECT u AS node, count(*) AS degree FROM (
+            SELECT id_a AS u FROM jpairs
+            UNION ALL SELECT id_b AS u FROM jpairs
+        ) GROUP BY 1
+    ),
+    directed AS (
+        SELECT id_a AS u, id_b AS v FROM jpairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM jpairs
+    ),
+    xy AS (
+        SELECT du.degree AS dx, dv.degree AS dy
+        FROM directed d
+        JOIN deg du ON du.node = d.u
+        JOIN deg dv ON dv.node = d.v
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               sum(CAST(dx AS DECIMAL(38,0))) AS sx,
+               sum(CAST(dy AS DECIMAL(38,0))) AS sy,
+               sum(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+               sum(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(dy * dy AS DECIMAL(38,0))) AS syy
+        FROM xy
+    )
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                       AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS assortativity
+    FROM agg
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph (Pearson of endpoint
+    degrees over both edge orientations): positive = template farms
+    (hubs pair with hubs), negative = star boilerplate (hubs stitch
+    leaves). Exact decimal sums, one terminal double expression. See
+    operators/graph.degree_assortativity."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import degree_assortativity
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    )
+    return degree_assortativity(pairs, "id_a", "id_b")

@@ -272,3 +272,47 @@ def test_pagerank_quantized_matches_integer_reference_and_float_ranking(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert pagerank_quantized(empty).count() == 0
+
+
+def test_local_clustering_and_assortativity_hand_graph(spark):
+    """K4 plus a pendant: hand-checkable coefficients and assortativity.
+    K4 nodes (1,2,3,4) each touch 3 triangles; node 5 hangs off node 4."""
+    from spark_streaming_project_spark.operators.graph import (
+        degree_assortativity,
+        local_clustering,
+    )
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    lc = {
+        r["node"]: (r["degree"], r["triangles"], r["coefficient"])
+        for r in local_clustering(df, "id_a", "id_b").collect()
+    }
+    # nodes 1-3: degree 3, 3 triangles, coef 2*3/(3*2)=1.0
+    for n in (1, 2, 3):
+        assert lc[n] == (3, 3, 1.0)
+    # node 4: degree 4, 3 triangles, coef 6/12=0.5; node 5: pendant
+    assert lc[4] == (4, 3, 0.5)
+    assert lc[5] == (1, 0, 0.0)
+
+    row = degree_assortativity(df, "id_a", "id_b").collect()[0]
+    assert row["n_edges"] == 7
+    import math
+
+    xs = []
+    deg = {1: 3, 2: 3, 3: 3, 4: 4, 5: 1}
+    for a, b in edges:
+        xs.append((deg[a], deg[b]))
+        xs.append((deg[b], deg[a]))
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    want = round(
+        (n * sxy - sx * sy)
+        / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6,
+    )
+    assert row["assortativity"] == want

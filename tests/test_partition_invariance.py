@@ -86,6 +86,7 @@ REPRESENTATIVES = [
     "source_length_ks",                 # dual running sums + rational sup
     "customer_revenue_gini",            # rank-weighted exact-decimal sums
     "retrieval_rank_overlap",           # quantized RBO depth terms
+    "neardup_local_clustering",         # corner explode + degree join
 ]
 
 
