@@ -530,6 +530,17 @@ def main() -> None:
         run("embedding_outliers", scale,
             lambda: _REG["embedding_outliers"].builder(spark, ddir_))
 
+        # -- round-6 session-3 tier: per-node clustering over the
+        # near-dup graph (shares the census's oriented joins + a corner
+        # explode — OUTPUT-bound on the derived clique-heavy corpus).
+        from spark_streaming_project_spark.operators.graph import (
+            local_clustering)
+
+        run("local_clustering", scale, lambda: local_clustering(
+            D.ngram_jaccard_pairs_adaptive(
+                docs_, "text", "doc_id", n=3, threshold=0.5),
+            "id_a", "id_b"))
+
     # -- connected-components pathological topologies ----------------------
     # The easy regime (many near-clique clusters) converges in 2-4 rounds;
     # the O(log n) pointer-jumping claim is only interesting where diameter

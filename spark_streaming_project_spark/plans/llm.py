@@ -4273,3 +4273,39 @@ def neardup_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", n=3, threshold=0.5
     )
     return degree_assortativity(pairs, "id_a", "id_b")
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH ds AS (
+        SELECT DISTINCT md5(text) AS h, source
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_texts
+    FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "dedup", "profiling"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many exact texts each PAIR of sources shares — the
+    cross-source duplication matrix a mixture designer reads before
+    setting per-source weights (two sources mirroring each other's
+    content double-count their joint slice). One digest-keyed
+    self-join over the (hash, source) DISTINCT frame: rows bounded by
+    duplicate groups x source pairs, never the corpus squared."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ds = docs.select(F.md5("text").alias("h"), "source").distinct()
+    a = ds.select("h", F.col("source").alias("source_a"))
+    b = ds.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_texts"))
+        .orderBy("source_a", "source_b")
+    )
