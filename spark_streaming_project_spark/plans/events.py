@@ -893,3 +893,64 @@ def late_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@register(
+    "event_burstiness",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(c AS DECIMAL(38,0))) AS sx,
+               sum(CAST(c * c AS DECIMAL(38,0))) AS sxx
+        FROM hourly GROUP BY 1
+    )
+    SELECT event_type, n AS n_hours,
+           round(CAST(sx AS DOUBLE) / n, 6) AS mean_per_hour,
+           round(CASE WHEN sx > 0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 END, 6) AS fano
+    FROM agg ORDER BY event_type
+    """,
+    tags=("events", "profiling", "robust-stats"),
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of hourly counts, over
+    OBSERVED hours) per event type: ~1 is Poisson-like traffic, >>1 is
+    bursty — the dispersion number that decides whether rate-based
+    anomaly thresholds are even meaningful. Population variance from
+    DECIMAL-exact count sums, one terminal double expression; one
+    hourly aggregate then a per-type fold."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("c"))).alias("sx"),
+        F.sum(dec(F.col("c") * F.col("c"))).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(F.col("sx").cast("double") / n, 6).alias("mean_per_hour"),
+        F.round(
+            F.when(
+                F.col("sx") > 0,
+                (
+                    n * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                / (n * F.col("sx").cast("double")),
+            ),
+            6,
+        ).alias("fano"),
+    ).orderBy("event_type")

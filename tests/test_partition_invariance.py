@@ -87,6 +87,7 @@ REPRESENTATIVES = [
     "customer_revenue_gini",            # rank-weighted exact-decimal sums
     "retrieval_rank_overlap",           # quantized RBO depth terms
     "neardup_local_clustering",         # corner explode + degree join
+    "event_burstiness",                 # decimal-exact dispersion
 ]
 
 
