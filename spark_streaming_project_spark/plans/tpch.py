@@ -1733,3 +1733,65 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "customer_decile_mobility",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    tiled AS (
+        SELECT o_custkey, yr,
+               ntile(10) OVER (PARTITION BY yr
+                               ORDER BY cents ASC, o_custkey ASC) AS tile
+        FROM rev
+    )
+    SELECT a.tile AS decile_1996, b.tile AS decile_1997,
+           count(*) AS n_customers
+    FROM tiled a JOIN tiled b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("tpch", "mobility", "decile"),
+)
+def customer_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-decile mobility matrix: where customers who bought in
+    BOTH 1996 and 1997 moved between their year's spend deciles — the
+    churn-risk / upsell table. Deciles per year come from
+    range_partitioned_ntile with partition_cols=[yr] (the guarded
+    per-group form of the decile rework; cents snap absorbs double-sum
+    ulps); the mobility join is customer-keyed."""
+    from ..operators.windows import range_partitioned_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.withColumn("yr", F.year("o_orderdate").cast("int"))
+        .filter(F.col("yr").isin(1996, 1997))
+        .groupBy("o_custkey", "yr")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+        )
+    )
+    tiled = range_partitioned_ntile(
+        rev,
+        n=10,
+        order=[F.asc("cents"), F.asc("o_custkey")],
+        partition_cols=["yr"],
+        out_col="tile",
+    )
+    a = tiled.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("tile").alias("decile_1996")
+    )
+    b = tiled.filter(F.col("yr") == 1997).select(
+        "o_custkey", F.col("tile").alias("decile_1997")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("decile_1996", "decile_1997")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("decile_1996", "decile_1997")
+    )

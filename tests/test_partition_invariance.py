@@ -88,6 +88,7 @@ REPRESENTATIVES = [
     "retrieval_rank_overlap",           # quantized RBO depth terms
     "neardup_local_clustering",         # corner explode + degree join
     "event_burstiness",                 # decimal-exact dispersion
+    "customer_decile_mobility",         # per-year guarded ntile join
 ]
 
 
