@@ -456,3 +456,201 @@ _REG["hybrid_rrf_search"] = dataclasses.replace(
 _REG["retrieval_rank_overlap"] = dataclasses.replace(
     _REG["retrieval_rank_overlap"], oracle=_rbo_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Relevance-labeled retrieval evaluation: the corpus has no qrels, so the
+# query scans an AUGMENTED view with PLANTED relevant docs (grade 2 =
+# query terms stuffed 3x, grade 1 = partial stuffing) that the oracle
+# rebuilds — the dedup_normalized_groups fixture pattern applied to IR
+# metrics. log2 discounts enter both engines as identical python-repr
+# literals; every DCG term is 1e-9-quantized before summing.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_EVAL_K = 10
+_ILOG2 = {r: 1.0 / _math.log2(r + 1) for r in range(1, _EVAL_K + 1)}
+
+
+def _dcg_case(rank_col: str) -> str:
+    # CAST every branch: DuckDB folds numeric literals like 1.0 to
+    # DECIMAL, and decimal chain arithmetic overflows at the 1e9 scale.
+    whens = " ".join(
+        f"WHEN {rank_col} = {r} THEN CAST({_ILOG2[r]!r} AS DOUBLE)"
+        for r in _ILOG2
+    )
+    return f"CASE {whens} ELSE CAST(0.0 AS DOUBLE) END"
+
+
+@register(
+    "retrieval_eval_planted",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, text, 0 AS grade FROM documents
+        WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 3000000,
+               concat(repeat('{_QUERY_TEXT} ', 3), text), 2
+        FROM documents WHERE text IS NOT NULL AND doc_id % 41 = 1
+        UNION ALL
+        SELECT doc_id + 4000000,
+               concat('{_QUERY_TERMS[0]} {_QUERY_TERMS[1]} ', text), 1
+        FROM documents WHERE text IS NOT NULL AND doc_id % 41 = 2
+    ),
+    toks AS (
+        SELECT doc_id, grade,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   AS words
+        FROM aug
+    ),
+    tfc AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(words) AS term FROM toks)
+        WHERE term IN ({", ".join(repr(t) for t in _QUERY_TERMS)})
+        GROUP BY 1, 2
+    ),
+    dfc AS (SELECT term, count(*) AS _df FROM tfc GROUP BY 1),
+    dl AS (SELECT doc_id, len(words) AS _len FROM toks),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(words)) AS DOUBLE) / count(*) AS _avgdl
+        FROM toks
+    ),
+    bm AS (
+        SELECT doc_id, round(sum(
+            ln(1.0 + (n_docs - _df + 0.5) / (_df + 0.5))
+            * (tf * {_BM25_K1 + 1.0!r})
+            / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * _len / _avgdl))
+        ), 6) AS bm25
+        FROM tfc JOIN dfc USING (term) JOIN dl USING (doc_id)
+             CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {_EVAL_K}
+    ),
+    ranked AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM bm
+    ),
+    graded AS (
+        SELECT r.rank, coalesce(t.grade, 0) AS grade
+        FROM ranked r JOIN toks t USING (doc_id)
+    ),
+    ideal AS (
+        SELECT CAST(row_number() OVER (ORDER BY grade DESC) AS INTEGER)
+                   AS rank,
+               grade
+        FROM toks WHERE grade > 0
+        ORDER BY grade DESC LIMIT {_EVAL_K}
+    ),
+    dcg AS (
+        SELECT sum(CAST(round(grade * ({_dcg_case('rank')})
+                              * 1000000000) AS BIGINT)) AS d_q
+        FROM graded
+    ),
+    idcg AS (
+        SELECT sum(CAST(round(grade * ({_dcg_case('rank')})
+                              * 1000000000) AS BIGINT)) AS i_q
+        FROM ideal
+    )
+    SELECT (SELECT count(*) FROM graded WHERE grade > 0) AS hits_at_10,
+           round((SELECT count(*) FROM graded WHERE grade > 0)
+                 / CAST({_EVAL_K} AS DOUBLE), 6) AS p_at_10,
+           round(coalesce(1.0 / (SELECT min(rank) FROM graded
+                                 WHERE grade = 2), 0.0), 6) AS mrr,
+           round(CAST(d_q AS DOUBLE) / i_q, 6) AS ndcg_at_10
+    FROM dcg, idcg
+    """,
+    tags=("llm", "retrieval", "evaluation"),
+)
+def retrieval_eval_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P@10, MRR, nDCG@10 of BM25 against PLANTED graded relevance (the
+    corpus ships no qrels, so known-relevant docs are injected
+    deterministically and the oracle rebuilds them): the relevance-based
+    retrieval scorecard next to the towers' rank-agreement (RBO). A
+    planted grade-2 doc failing to rank is a real BM25 regression — the
+    metric catches scoring bugs no self-consistency check can."""
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    aug = (
+        docs.select("doc_id", "text", F.lit(0).alias("grade"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 41 == 1).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(
+                    F.repeat(F.lit(_QUERY_TEXT + " "), 3), F.col("text")
+                ).alias("text"),
+                F.lit(2).alias("grade"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 41 == 2).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat(
+                    F.lit(f"{_QUERY_TERMS[0]} {_QUERY_TERMS[1]} "),
+                    F.col("text"),
+                ).alias("text"),
+                F.lit(1).alias("grade"),
+            )
+        )
+    )
+    top = bm25_scores(
+        aug, "text", "doc_id", _QUERY_TERMS,
+        k1=_BM25_K1, b=_BM25_B, k=_EVAL_K,
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    ranked = top.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("rank")
+    )
+    graded = ranked.join(
+        aug.select("doc_id", "grade"), "doc_id"
+    ).select("rank", "grade")
+
+    disc = F.lit(0.0)
+    for r, v in _ILOG2.items():
+        disc = F.when(F.col("rank") == r, F.lit(v)).otherwise(disc)
+    dcg = graded.agg(
+        F.sum(
+            F.round(F.col("grade") * disc * 1e9).cast("long")
+        ).alias("d_q")
+    )
+    w_ideal = Window.orderBy(F.desc("grade"))
+    ideal = (
+        aug.filter(F.col("grade") > 0)
+        .select("grade")
+        .withColumn("rank", F.row_number().over(w_ideal).cast("int"))
+        .filter(F.col("rank") <= _EVAL_K)
+    )
+    idcg = ideal.agg(
+        F.sum(
+            F.round(F.col("grade") * disc * 1e9).cast("long")
+        ).alias("i_q")
+    )
+    hits = graded.agg(
+        F.sum((F.col("grade") > 0).cast("long")).alias("hits_at_10"),
+        F.coalesce(
+            1.0 / F.min(F.when(F.col("grade") == 2, F.col("rank"))),
+            F.lit(0.0),
+        ).alias("_mrr"),
+    )
+    return (
+        hits.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "hits_at_10",
+            F.round(F.col("hits_at_10") / float(_EVAL_K), 6).alias(
+                "p_at_10"
+            ),
+            F.round("_mrr", 6).alias("mrr"),
+            F.round(
+                F.col("d_q").cast("double") / F.col("i_q"), 6
+            ).alias("ndcg_at_10"),
+        )
+    )

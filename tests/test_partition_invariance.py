@@ -89,6 +89,7 @@ REPRESENTATIVES = [
     "neardup_local_clustering",         # corner explode + degree join
     "event_burstiness",                 # decimal-exact dispersion
     "customer_decile_mobility",         # per-year guarded ntile join
+    "retrieval_eval_planted",           # planted qrels, quantized DCG
 ]
 
 
