@@ -1795,3 +1795,139 @@ def customer_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("decile_1996", "decile_1997")
     )
+
+
+@register(
+    "reorder_survival_curve",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        FROM orders
+    ),
+    horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+    subj AS (
+        SELECT f.o_custkey,
+               CASE WHEN s.d IS NOT NULL
+                    THEN date_diff('day', f.d, s.d)
+                    ELSE date_diff('day', f.d, horizon.hz) END AS dur,
+               CASE WHEN s.d IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM (SELECT o_custkey, d FROM seq WHERE rn = 1) f
+        LEFT JOIN (SELECT o_custkey, d FROM seq WHERE rn = 2) s
+          USING (o_custkey), horizon
+    ),
+    n_total AS (SELECT count(*) AS n FROM subj),
+    per_t AS (
+        SELECT dur, sum(event) AS d_t, count(*) AS c_t
+        FROM subj GROUP BY dur
+    ),
+    cum AS (
+        SELECT dur, d_t, c_t,
+               sum(c_t) OVER (ORDER BY dur ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_c
+        FROM per_t
+    ),
+    risk AS (
+        SELECT dur, d_t, n_total.n - (cum_c - c_t) AS n_t
+        FROM cum, n_total
+    ),
+    terms AS (
+        SELECT dur, d_t, n_t,
+               CASE WHEN d_t < n_t THEN
+                    CAST(round(ln(1.0 - CAST(d_t AS DOUBLE) / n_t)
+                               * 1000000000) AS BIGINT)
+                    ELSE CAST(-100000000000 AS BIGINT) END AS t_q
+        FROM risk WHERE d_t > 0
+    ),
+    km AS (
+        SELECT dur, d_t, n_t,
+               sum(t_q) OVER (ORDER BY dur ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_q
+        FROM terms
+    )
+    SELECT dur AS days, CAST(n_t AS BIGINT) AS at_risk,
+           CAST(d_t AS BIGINT) AS events,
+           round(exp(cum_q / 1000000000.0), 6) AS survival
+    FROM km ORDER BY days
+    """,
+    tags=("tpch", "survival", "events"),
+)
+def reorder_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-SECOND-order per customer
+    (single-order customers right-censored at the corpus horizon) — the
+    repeat-purchase curve a retention team actually reads, and a whole
+    analytics family (censored survival estimation) in one query.
+    Exactness recipe: risk sets from integer running counts (the
+    range-partitioned prefix machinery — no single-task window), each
+    hazard's ln(1 - d/n) quantized to 1e-9 BIGINTs, the product folded
+    as a running INTEGER sum and exponentiated once per row; a
+    saturated time (d = n) pins the sentinel -100 log, so survival
+    rounds to 0 identically in both engines."""
+    from ..operators.windows import range_partitioned_running_sum
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    first = seq.filter(F.col("rn") == 1).select("o_custkey", F.col("d").alias("d1"))
+    second = seq.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("d").alias("d2")
+    )
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("hz"))
+    subj = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("hz", "d1"))
+            .alias("dur"),
+            F.col("d2").isNotNull().cast("long").alias("event"),
+        )
+    )
+    per_t = subj.groupBy("dur").agg(
+        F.sum("event").alias("d_t"), F.count("*").alias("c_t")
+    )
+    cum = range_partitioned_running_sum(
+        per_t, order=[F.asc("dur")], value_cols=["c_t"], prefix="cum_"
+    )
+    n_total = subj.agg(F.count("*").alias("n"))
+    risk = cum.crossJoin(F.broadcast(n_total)).select(
+        "dur",
+        "d_t",
+        (F.col("n") - (F.col("cum_c_t") - F.col("c_t"))).alias("n_t"),
+    )
+    terms = risk.filter(F.col("d_t") > 0).select(
+        "dur",
+        "d_t",
+        "n_t",
+        F.when(
+            F.col("d_t") < F.col("n_t"),
+            F.round(
+                F.log(1.0 - F.col("d_t").cast("double") / F.col("n_t"))
+                * 1e9
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-100000000000).cast("long"))
+        .alias("t_q"),
+    )
+    km = range_partitioned_running_sum(
+        terms, order=[F.asc("dur")], value_cols=["t_q"], prefix="cum_"
+    )
+    return km.select(
+        F.col("dur").alias("days"),
+        F.col("n_t").cast("long").alias("at_risk"),
+        F.col("d_t").cast("long").alias("events"),
+        F.round(F.exp(F.col("cum_t_q") / 1e9), 6).alias("survival"),
+    ).orderBy("days")

@@ -90,6 +90,7 @@ REPRESENTATIVES = [
     "event_burstiness",                 # decimal-exact dispersion
     "customer_decile_mobility",         # per-year guarded ntile join
     "retrieval_eval_planted",           # planted qrels, quantized DCG
+    "reorder_survival_curve",           # KM: integer risk sets + log fold
 ]
 
 
