@@ -1931,3 +1931,94 @@ def reorder_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_t").cast("long").alias("events"),
         F.round(F.exp(F.col("cum_t_q") / 1e9), 6).alias("survival"),
     ).orderBy("days")
+
+
+@register(
+    "brand_affinity_rules",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT o) AS n FROM basket),
+    item AS (SELECT b, count(*) AS s FROM basket GROUP BY 1),
+    pair AS (
+        SELECT a.b AS b1, c.b AS b2, count(*) AS s_ab
+        FROM basket a JOIN basket c ON a.o = c.o AND a.b < c.b
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT b1 AS antecedent, b2 AS consequent, s_ab FROM pair
+        UNION ALL
+        SELECT b2, b1, s_ab FROM pair
+    )
+    SELECT r.antecedent, r.consequent, r.s_ab AS support_pair,
+           round(CAST(r.s_ab AS DOUBLE) / ia.s, 6) AS confidence,
+           round(CAST(n_orders.n AS DOUBLE) * r.s_ab / (ia.s * ic.s), 6)
+               AS lift
+    FROM rules r
+    JOIN item ia ON ia.b = r.antecedent
+    JOIN item ic ON ic.b = r.consequent, n_orders
+    WHERE r.s_ab >= 20
+    ORDER BY antecedent, consequent
+    """,
+    tags=("tpch", "association-rules"),
+)
+def brand_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets at the brand
+    level: support / confidence / lift for every brand pair co-occurring
+    in >= 20 orders, both rule directions. Scale shape: the pair join is
+    WITHIN-order (bounded by basket size, never corpus x corpus), item
+    and pair supports are integer counts, and each metric is one double
+    division — the classic a-priori first pass, oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n_orders = basket.select("o").distinct().agg(F.count("*").alias("n"))
+    item = basket.groupBy("b").agg(F.count("*").alias("s"))
+    a = basket.select("o", F.col("b").alias("b1"))
+    c = basket.select("o", F.col("b").alias("b2"))
+    pair = (
+        a.join(c, "o")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("s_ab"))
+    )
+    rules = pair.select(
+        F.col("b1").alias("antecedent"),
+        F.col("b2").alias("consequent"),
+        "s_ab",
+    ).unionByName(
+        pair.select(
+            F.col("b2").alias("antecedent"),
+            F.col("b1").alias("consequent"),
+            "s_ab",
+        )
+    )
+    ia = item.select(F.col("b").alias("antecedent"), F.col("s").alias("s_a"))
+    ic = item.select(F.col("b").alias("consequent"), F.col("s").alias("s_c"))
+    return (
+        rules.filter(F.col("s_ab") >= 20)
+        .join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("support_pair"),
+            F.round(F.col("s_ab").cast("double") / F.col("s_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("s_ab")
+                / (F.col("s_a") * F.col("s_c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -91,6 +91,7 @@ REPRESENTATIVES = [
     "customer_decile_mobility",         # per-year guarded ntile join
     "retrieval_eval_planted",           # planted qrels, quantized DCG
     "reorder_survival_curve",           # KM: integer risk sets + log fold
+    "brand_affinity_rules",             # within-basket pair counts
 ]
 
 
