@@ -954,3 +954,49 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fano"),
     ).orderBy("event_type")
+
+
+@register(
+    "salted_user_tier_activity",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, user_id % 5 AS tier, min(ts) AS first_seen
+        FROM events GROUP BY user_id
+    )
+    SELECT d.tier,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           min(d.first_seen) AS earliest_first_seen
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY d.tier ORDER BY d.tier
+    """,
+    tags=("events", "joins", "skew"),
+)
+def salted_user_tier_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tier activity through a MEASURED-salt skewed join: the salt
+    factor comes from choose_salt_factor's hottest-key probe (1 when the
+    key distribution is flat — no replication paid), the join runs
+    through skew_salted_join, and the oracle is the PLAIN join — pinning
+    on the gate that salting is semantically invisible, its only effect
+    being shuffle-key spread."""
+    from ..operators.joins import choose_salt_factor, skew_salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 5).alias("tier"),
+        F.min("ts").alias("first_seen"),
+    )
+    factor = choose_salt_factor(ev, "user_id", target_rows_per_task=2000)
+    joined = skew_salted_join(
+        ev.select("user_id", "event_id"), dim, "user_id",
+        salt_factor=max(factor, 1),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("first_seen").alias("earliest_first_seen"),
+        )
+        .orderBy("tier")
+    )

@@ -92,6 +92,7 @@ REPRESENTATIVES = [
     "retrieval_eval_planted",           # planted qrels, quantized DCG
     "reorder_survival_curve",           # KM: integer risk sets + log fold
     "brand_affinity_rules",             # within-basket pair counts
+    "salted_user_tier_activity",        # measured-salt join transparency
 ]
 
 
