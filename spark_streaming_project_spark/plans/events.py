@@ -1000,3 +1000,86 @@ def salted_user_tier_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "conversion_ztest",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS exposed,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT exposed, count(*) AS n,
+               CAST(sum(converted) AS BIGINT) AS conv
+        FROM per_user GROUP BY exposed
+    ),
+    wide AS (
+        SELECT
+            (SELECT n FROM g WHERE exposed = 1) AS n1,
+            (SELECT conv FROM g WHERE exposed = 1) AS c1,
+            (SELECT n FROM g WHERE exposed = 0) AS n0,
+            (SELECT conv FROM g WHERE exposed = 0) AS c0
+    )
+    SELECT n1 AS exposed_users, c1 AS exposed_conversions,
+           n0 AS control_users, c0 AS control_conversions,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_exposed,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+                        * (1.0 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+                        * (1.0 / n1 + 1.0 / n0)), 6) AS z_stat
+    FROM wide
+    """,
+    tags=("events", "hypothesis-test", "robust-stats"),
+)
+def conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic A/B split (user_id
+    parity) on a non-trivial conversion (>= 14 purchase events): the
+    pooled-variance z statistic from exact integer user/conversion
+    counts with a fixed double op sequence — the experiment-readout
+    primitive. On this synthetic corpus the split is a true A/A, so the
+    honest expectation (and result) is |z| small — the query certifies
+    the MACHINERY, the same shape scores any real assignment column.
+    One user-keyed aggregate, two scalar groups."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("user_id") % 2).cast("int")).alias("exposed"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).cast("int").alias("converted"),
+    )
+    g = per_user.groupBy("exposed").agg(
+        F.count("*").alias("n"), F.sum("converted").cast("long").alias("conv")
+    )
+    e = g.filter(F.col("exposed") == 1).select(
+        F.col("n").alias("n1"), F.col("conv").alias("c1")
+    )
+    c = g.filter(F.col("exposed") == 0).select(
+        F.col("n").alias("n0"), F.col("conv").alias("c0")
+    )
+    wide = e.crossJoin(F.broadcast(c))
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    pp = (F.col("c1") + F.col("c0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    )
+    return wide.select(
+        F.col("n1").alias("exposed_users"),
+        F.col("c1").alias("exposed_conversions"),
+        F.col("n0").alias("control_users"),
+        F.col("c0").alias("control_conversions"),
+        F.round(p1, 6).alias("rate_exposed"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(
+                pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

@@ -93,6 +93,7 @@ REPRESENTATIVES = [
     "reorder_survival_curve",           # KM: integer risk sets + log fold
     "brand_affinity_rules",             # within-basket pair counts
     "salted_user_tier_activity",        # measured-salt join transparency
+    "conversion_ztest",                 # pooled-variance z from int counts
 ]
 
 
