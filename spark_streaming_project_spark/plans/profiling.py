@@ -1144,3 +1144,87 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+@register(
+    "lang_source_chisq",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, count(*) AS o
+        FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT lang, sum(o) AS r FROM obs GROUP BY 1),
+    cols_m AS (SELECT source, sum(o) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    grid AS (
+        SELECT rm.lang, cm.source, rm.r, cm.c,
+               coalesce(ob.o, 0) AS o
+        FROM rows_m rm CROSS JOIN cols_m cm
+        LEFT JOIN obs ob ON ob.lang = rm.lang AND ob.source = cm.source
+    ),
+    cells AS (
+        SELECT CAST(round(
+                   (o - CAST(r AS DOUBLE) * c / n)
+                   * (o - CAST(r AS DOUBLE) * c / n)
+                   / (CAST(r AS DOUBLE) * c / n) * 1000000000)
+               AS BIGINT) AS t_q,
+               r, c
+        FROM grid, tot
+    )
+    SELECT (SELECT count(*) FROM rows_m) AS n_langs,
+           (SELECT count(*) FROM cols_m) AS n_sources,
+           CAST(((SELECT count(*) FROM rows_m) - 1)
+                * ((SELECT count(*) FROM cols_m) - 1) AS BIGINT) AS dof,
+           round(sum(t_q) / 1000000000.0, 6) AS chi2
+    FROM cells
+    """,
+    tags=("profiling", "hypothesis-test"),
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between language and source —
+    the categorical-association readout (is the lang mix uniform across
+    sources, or does source drive language?). Observed counts are exact
+    integers over the full lang x source grid (absent cells = 0);
+    every cell's (O-E)^2/E is 1e-9-quantized before the sum, so chi2 is
+    order-free and engine-exact. Grid cardinality is labels x sources —
+    dashboard-sized."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_m = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_m = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_m.crossJoin(cols_m)
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    cells = grid.select(
+        F.round((F.col("o") - e) * (F.col("o") - e) / e * 1e9)
+        .cast("long")
+        .alias("t_q")
+    )
+    nl = rows_m.agg(F.count("*").alias("n_langs"))
+    ns = cols_m.agg(F.count("*").alias("n_sources"))
+    return (
+        cells.agg(F.sum("t_q").alias("s_q"))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round(F.col("s_q") / 1e9, 6).alias("chi2"),
+        )
+    )

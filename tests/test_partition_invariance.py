@@ -94,6 +94,7 @@ REPRESENTATIVES = [
     "brand_affinity_rules",             # within-basket pair counts
     "salted_user_tier_activity",        # measured-salt join transparency
     "conversion_ztest",                 # pooled-variance z from int counts
+    "lang_source_chisq",                # quantized (O-E)^2/E cell sums
 ]
 
 
