@@ -1228,3 +1228,106 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s_q") / 1e9, 6).alias("chi2"),
         )
     )
+
+
+@register(
+    "source_length_mannwhitney",
+    oracle="""
+    WITH sided AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a
+        FROM documents WHERE text IS NOT NULL
+    ),
+    per_v AS (
+        SELECT v, sum(is_a) AS ca, count(*) AS c
+        FROM sided GROUP BY v
+    ),
+    cum AS (
+        SELECT v, ca, c,
+               sum(c) OVER (ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_c
+        FROM per_v
+    ),
+    scaled AS (
+        -- avg rank x2 of value v = 2*(rows before v) + c + 1 (INTEGER)
+        SELECT ca, c, 2 * (cum_c - c) + c + 1 AS avg2 FROM cum
+    ),
+    agg AS (
+        SELECT sum(CAST(ca AS DECIMAL(38,0)) * avg2) AS r1x2,
+               sum(CAST(ca AS BIGINT)) AS n1,
+               sum(CAST(c - ca AS BIGINT)) AS n0,
+               sum(CAST(c AS DECIMAL(38,0)) * c * c
+                   - CAST(c AS DECIMAL(38,0))) AS ties
+        FROM scaled
+    )
+    SELECT n1 AS n_src0, n0 AS n_rest,
+           round((CAST(r1x2 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1))
+                 / 2, 6) AS u_stat,
+           round(((CAST(r1x2 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1))
+                  - CAST(n1 AS DOUBLE) * n0)
+                 / (2 * sqrt(CAST(n1 AS DOUBLE) * n0 / 12.0
+                    * ((n1 + n0 + 1)
+                       - CAST(ties AS DOUBLE)
+                         / ((n1 + n0) * (CAST(n1 AS DOUBLE) + n0 - 1))))),
+                 6) AS z_stat
+    FROM agg
+    """,
+    tags=("profiling", "hypothesis-test", "drift"),
+)
+def source_length_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum location test, tie-corrected, no
+    continuity correction) between src0's and the rest's document
+    lengths — the nonparametric companion to source_length_ks (KS sees
+    shape, U sees shift). Tie-averaged ranks stay INTEGER at x2 scale
+    (avg2 = 2*prior_rows + c + 1), the rank-sum and the t^3 - t tie term
+    are DECIMAL(38,0)-exact, and z is one fixed double expression. The
+    rank prefix is the range-partitioned running count — no global
+    window."""
+    from ..operators.windows import range_partitioned_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sided = docs.select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == "src0").cast("long").alias("is_a"),
+    )
+    per_v = sided.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.count("*").alias("c")
+    )
+    cum = range_partitioned_running_sum(
+        per_v, order=[F.asc("v")], value_cols=["c"], prefix="cum_"
+    )
+    scaled = cum.select(
+        "ca",
+        "c",
+        (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("avg2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = scaled.agg(
+        F.sum(dec(F.col("ca")) * F.col("avg2")).alias("r1x2"),
+        F.sum(F.col("ca")).cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("n0"),
+        F.sum(
+            dec(F.col("c")) * F.col("c") * F.col("c") - dec(F.col("c"))
+        ).alias("ties"),
+    )
+    r1x2 = F.col("r1x2").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    u2 = r1x2 - F.col("n1") * (n1 + 1)
+    sigma2x = F.sqrt(
+        n1 * F.col("n0") / 12.0
+        * (
+            (F.col("n1") + F.col("n0") + 1)
+            - F.col("ties").cast("double")
+            / ((F.col("n1") + F.col("n0")) * (n1 + n0d - 1))
+        )
+    )
+    return agg.select(
+        F.col("n1").alias("n_src0"),
+        F.col("n0").alias("n_rest"),
+        F.round(u2 / 2, 6).alias("u_stat"),
+        F.round((u2 - n1 * F.col("n0")) / (2 * sigma2x), 6).alias("z_stat"),
+    )

@@ -95,6 +95,7 @@ REPRESENTATIVES = [
     "salted_user_tier_activity",        # measured-salt join transparency
     "conversion_ztest",                 # pooled-variance z from int counts
     "lang_source_chisq",                # quantized (O-E)^2/E cell sums
+    "source_length_mannwhitney",        # x2-integer tie-averaged ranks
 ]
 
 
