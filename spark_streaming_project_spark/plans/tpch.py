@@ -2022,3 +2022,163 @@ def brand_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "benford_price_digits",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INTEGER) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, count(*) AS o FROM digits GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    grid AS (
+        SELECT g.d, coalesce(obs.o, 0) AS o,
+               CASE {" ".join(f"WHEN g.d = {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD.items())} END AS p
+        FROM (SELECT unnest(range(1, 10)) AS d) g LEFT JOIN obs USING (d)
+    )
+    SELECT grid.d AS leading_digit, CAST(o AS BIGINT) AS n_orders,
+           round(CAST(o AS DOUBLE) / n, 6) AS observed_freq,
+           round(p, 6) AS benford_freq,
+           round(CAST(round((o - n * p) * (o - n * p) / (n * p)
+                            * 1000000000) AS BIGINT) / 1000000000.0, 6)
+               AS chi2_term
+    FROM grid, tot ORDER BY 1
+    """,
+    tags=("tpch", "hypothesis-test", "dataquality"),
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals vs Benford's law —
+    the classic synthetic-data / fraud screen (naturally-arising
+    amounts follow log10(1+1/d); uniform generators don't, and this
+    corpus's deviation is itself informative). Expected frequencies
+    enter both engines as identical python-repr literals; each chi2
+    term is 1e-9-quantized. One digit-projection scan + a 9-row grid."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], ["d", "p"]
+    )
+    full = (
+        grid.join(obs, "d", "left")
+        .select("d", "p", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("n") * F.col("p")
+    return full.select(
+        F.col("d").alias("leading_digit"),
+        F.col("o").cast("long").alias("n_orders"),
+        F.round(F.col("o").cast("double") / F.col("n"), 6).alias(
+            "observed_freq"
+        ),
+        F.round("p", 6).alias("benford_freq"),
+        F.round(
+            F.round((F.col("o") - e) * (F.col("o") - e) / e * 1e9)
+            .cast("long")
+            / 1e9,
+            6,
+        ).alias("chi2_term"),
+    ).orderBy("leading_digit")
+
+
+@register(
+    "price_quantity_ols",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+               sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+        FROM q GROUP BY 1
+    )
+    SELECT l_returnflag, n AS n_rows,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)
+                    * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                 / n / 100, 6) AS intercept,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS r_squared
+    FROM agg ORDER BY l_returnflag
+    """,
+    tags=("tpch", "regression", "robust-stats"),
+)
+def price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of extended price on quantity per return flag —
+    slope (price per unit), intercept (in original currency units) and
+    R^2 from one aggregate pass: the regression-by-sufficient-statistics
+    pattern (the same exact-DECIMAL sums as the correlation matrix,
+    finished with fixed double expressions). Slope is unit-invariant
+    under the 1e-2 snap; the intercept divides the snap back out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = q.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    slope = num / vx
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - sx * slope) / n / 100, 6).alias("intercept"),
+        F.round(num * num / (vx * vy), 6).alias("r_squared"),
+    ).orderBy("l_returnflag")

@@ -96,6 +96,8 @@ REPRESENTATIVES = [
     "conversion_ztest",                 # pooled-variance z from int counts
     "lang_source_chisq",                # quantized (O-E)^2/E cell sums
     "source_length_mannwhitney",        # x2-integer tie-averaged ranks
+    "benford_price_digits",             # floor-digit counts vs log10 law
+    "price_quantity_ols",               # sufficient-statistics regression
 ]
 
 
