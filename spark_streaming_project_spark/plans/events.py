@@ -1083,3 +1083,50 @@ def conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "top_event_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    paths AS (
+        SELECT concat(event_type, '>', e2, '>', e3) AS path
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ),
+    counted AS (SELECT path, count(*) AS n FROM paths GROUP BY 1)
+    SELECT path, n FROM counted ORDER BY n DESC, path ASC LIMIT 15
+    """,
+    tags=("events", "paths", "topk"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 15 most-travelled 3-step event paths (per-user event-time
+    order, overlapping windows) — the path-mining table behind every
+    'how do users actually reach purchase?' question. Per-user windows
+    (bounded partitions), one path-keyed count, TakeOrdered cut with a
+    total order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = seq.filter(
+        F.col("e2").isNotNull() & F.col("e3").isNotNull()
+    ).select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(15)
+    )

@@ -2182,3 +2182,81 @@ def price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - sx * slope) / n / 100, 6).alias("intercept"),
         F.round(num * num / (vx * vy), 6).alias("r_squared"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(CAST(o_orderdate AS DATE)), hz.h)
+                   AS recency,
+               count(*) AS frequency,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS monetary
+        FROM orders, hz GROUP BY o_custkey, hz.h
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY recency DESC, o_custkey ASC) AS r,
+               ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f,
+               ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m
+        FROM rfm
+    )
+    SELECT r, f, m, count(*) AS n_customers,
+           CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champions'
+                WHEN r <= 2 AND f >= 4 THEN 'at_risk_loyal'
+                WHEN r >= 4 AND f <= 2 THEN 'new_or_reactivated'
+                ELSE 'mid' END AS segment
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("tpch", "rfm", "decile"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer (higher = better on every axis — recency ranks DESC so the
+    most recent buyers score 5) rolled up to segment cells with the
+    standard champion/at-risk/new labels. All three quintile cuts use
+    range_partitioned_ntile with total orders (ties broken by custkey);
+    monetary snaps to cents."""
+    from ..operators.windows import range_partitioned_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    hz = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    rfm = (
+        orders.crossJoin(F.broadcast(hz))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("h"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency"
+            ),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias(
+                "monetary"
+            ),
+        )
+    )
+    r = range_partitioned_ntile(
+        rfm, n=5, order=[F.desc("recency"), F.asc("o_custkey")], out_col="r"
+    )
+    f_ = range_partitioned_ntile(
+        r, n=5, order=[F.asc("frequency"), F.asc("o_custkey")], out_col="f"
+    )
+    m = range_partitioned_ntile(
+        f_, n=5, order=[F.asc("monetary"), F.asc("o_custkey")], out_col="m"
+    )
+    seg = (
+        F.when(
+            (F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4),
+            F.lit("champions"),
+        )
+        .when((F.col("r") <= 2) & (F.col("f") >= 4), F.lit("at_risk_loyal"))
+        .when((F.col("r") >= 4) & (F.col("f") <= 2), F.lit("new_or_reactivated"))
+        .otherwise(F.lit("mid"))
+    )
+    return (
+        m.groupBy("r", "f", "m")
+        .agg(F.count("*").alias("n_customers"))
+        .withColumn("segment", seg)
+        .orderBy("r", "f", "m")
+    )

@@ -98,6 +98,8 @@ REPRESENTATIVES = [
     "source_length_mannwhitney",        # x2-integer tie-averaged ranks
     "benford_price_digits",             # floor-digit counts vs log10 law
     "price_quantity_ols",               # sufficient-statistics regression
+    "top_event_paths",                  # per-user lead windows + topk
+    "rfm_segments",                     # three chained guarded ntiles
 ]
 
 
