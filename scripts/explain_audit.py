@@ -63,6 +63,14 @@ SHOWCASE = [
      "Two-phase sharded top-k: phase-1 windows partition by (group, "
      "shard) so no partition holds a whole group's vocab; phase 2 "
      "re-ranks <= shards*k survivors per group."),
+    ("reorder_survival_curve",
+     "Kaplan-Meier with censoring: integer risk sets and the survival "
+     "product both ride the range-partitioned prefix machinery (two "
+     "bounded-sidecar passes) — no single-task window anywhere."),
+    ("rfm_segments",
+     "Three chained guarded ntiles (recency/frequency/monetary) over "
+     "the customer frame: each is repartitionByRange + broadcast "
+     "offsets; the roll-up is one tiny 5x5x5 aggregate."),
 ]
 
 HEADER = """# PLANS — flagship physical plans (auto-generated)
