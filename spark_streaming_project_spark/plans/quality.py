@@ -2428,3 +2428,67 @@ def nb_crossval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_correct",
         F.round(F.col("n_correct") / F.col("n_eval"), 6).alias("accuracy"),
     ).orderBy("fold")
+
+
+_WILSON_Z = 1.959963984540054  # 95% two-sided; identical literal both engines
+_WILSON_Z2 = _WILSON_Z * _WILSON_Z
+
+
+@register(
+    "source_keep_rate_ci",
+    oracle=f"""
+    WITH {_GOPHER_FLAGS_SQL},
+    per_src AS (
+        SELECT d.source, count(*) AS n,
+               CAST(sum(CASE WHEN g.pass_word_count AND g.pass_avg_word_len
+                             AND g.pass_symbol_ratio AND g.pass_stopwords
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM gflags g JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    )
+    SELECT source, n AS n_docs, k AS n_kept,
+           round(CAST(k AS DOUBLE) / n, 6) AS keep_rate,
+           round((CAST(k AS DOUBLE) / n + {_WILSON_Z2!r} / (2 * n)
+                  - {_WILSON_Z!r} * sqrt((CAST(k AS DOUBLE) / n
+                      * (1 - CAST(k AS DOUBLE) / n) + {_WILSON_Z2!r} / (4 * n)) / n))
+                 / (1 + {_WILSON_Z2!r} / n), 6) AS ci_low,
+           round((CAST(k AS DOUBLE) / n + {_WILSON_Z2!r} / (2 * n)
+                  + {_WILSON_Z!r} * sqrt((CAST(k AS DOUBLE) / n
+                      * (1 - CAST(k AS DOUBLE) / n) + {_WILSON_Z2!r} / (4 * n)) / n))
+                 / (1 + {_WILSON_Z2!r} / n), 6) AS ci_high
+    FROM per_src ORDER BY source
+    """,
+    tags=("llm", "quality", "hypothesis-test"),
+)
+def source_keep_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher keep rate with a 95% Wilson score interval —
+    the uncertainty band the scorecard's point estimate lacks (a 60%
+    keep rate over 20 docs and over 20,000 docs are different facts;
+    Wilson stays sane at extreme rates where the normal interval
+    doesn't). Exact integer (kept, total) counts; the z literal and
+    every double op are identical expressions in both engines."""
+    from ..operators.quality import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    g = gopher_quality_flags(docs, "text", "doc_id", stopwords=_GOPHER_SW)
+    keep = F.col("keep").cast("long")
+    per_src = (
+        g.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(keep).alias("k"))
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z, z2 = F.lit(_WILSON_Z), F.lit(_WILSON_Z2)
+    center = p + z2 / (2 * F.col("n"))
+    half = z * F.sqrt((p * (1 - p) + z2 / (4 * F.col("n"))) / F.col("n"))
+    denom = 1 + z2 / F.col("n")
+    return per_src.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_kept"),
+        F.round(p, 6).alias("keep_rate"),
+        F.round((center - half) / denom, 6).alias("ci_low"),
+        F.round((center + half) / denom, 6).alias("ci_high"),
+    ).orderBy("source")

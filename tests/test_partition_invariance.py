@@ -100,6 +100,7 @@ REPRESENTATIVES = [
     "price_quantity_ols",               # sufficient-statistics regression
     "top_event_paths",                  # per-user lead windows + topk
     "rfm_segments",                     # three chained guarded ntiles
+    "source_keep_rate_ci",              # Wilson interval from int counts
 ]
 
 
