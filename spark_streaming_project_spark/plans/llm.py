@@ -2962,10 +2962,11 @@ spans AS (
     )
     SELECT s.doc_id,
            count(*) AS n_spans,
-           sum(CASE WHEN NOT (s.doc_id = fi.f.d AND s.span_no = fi.f.s)
-                    THEN 1 ELSE 0 END) AS dup_spans,
-           round(sum(CASE WHEN NOT (s.doc_id = fi.f.d AND s.span_no = fi.f.s)
-                     THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+           CAST(sum(CASE WHEN NOT (s.doc_id = fi.f.d AND s.span_no = fi.f.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           round(CAST(sum(CASE WHEN NOT (s.doc_id = fi.f.d
+                                         AND s.span_no = fi.f.s)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
     FROM hashed s JOIN firsts fi ON s.h = fi.h
     GROUP BY 1
     """,
@@ -3030,10 +3031,11 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
     )
     SELECT count(*) AS n_pairs,
-           sum(is_true) AS true_pairs,
+           CAST(sum(is_true) AS BIGINT) AS true_pairs,
            any_value(total_true) AS total_true_pairs,
-           round(sum(is_true) / count(*), 6) AS precision,
-           round(sum(is_true) / any_value(total_true), 6) AS recall,
+           round(CAST(sum(is_true) AS DOUBLE) / count(*), 6) AS precision,
+           round(CAST(sum(is_true) AS DOUBLE) / any_value(total_true), 6)
+               AS recall,
            round(2.0 * sum(is_true) / (count(*) + any_value(total_true)), 6)
                AS f1
     FROM ev, truth
@@ -3373,7 +3375,7 @@ def _duck_split(key_sql: str) -> str:
     SELECT split,
            count(*) AS n_docs,
            count(DISTINCT canonical_id) AS n_clusters,
-           sum(n_tokens) AS n_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
     FROM assigned JOIN tokc USING (doc_id)
     GROUP BY split ORDER BY split
     """,
@@ -3420,10 +3422,10 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cmap c
     )
     SELECT count(*) AS pairs_total,
-           sum(CASE WHEN a.cluster_split <> b.cluster_split
-                    THEN 1 ELSE 0 END) AS cross_cluster_split,
-           sum(CASE WHEN a.naive_split <> b.naive_split
-                    THEN 1 ELSE 0 END) AS cross_naive_split
+           CAST(sum(CASE WHEN a.cluster_split <> b.cluster_split
+                    THEN 1 ELSE 0 END) AS BIGINT) AS cross_cluster_split,
+           CAST(sum(CASE WHEN a.naive_split <> b.naive_split
+                    THEN 1 ELSE 0 END) AS BIGINT) AS cross_naive_split
     FROM pairs p
     JOIN asg a ON a.doc_id = p.id_a
     JOIN asg b ON b.doc_id = p.id_b
@@ -3504,9 +3506,10 @@ _SWEEP_GRID = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
                  AS threshold)
     SELECT g.threshold,
            count(*) AS n_pairs,
-           sum(e.is_true) AS true_pairs,
-           round(sum(e.is_true) / count(*), 6) AS precision,
-           round(sum(e.is_true) / any_value(t.total_true), 6) AS recall,
+           CAST(sum(e.is_true) AS BIGINT) AS true_pairs,
+           round(CAST(sum(e.is_true) AS DOUBLE) / count(*), 6) AS precision,
+           round(CAST(sum(e.is_true) AS DOUBLE) / any_value(t.total_true), 6)
+               AS recall,
            round(2.0 * sum(e.is_true)
                  / (count(*) + any_value(t.total_true)), 6) AS f1
     FROM grid g JOIN ev e ON e.cosine_sim >= g.threshold
@@ -3608,10 +3611,11 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM norm GROUP BY 1
     )
     SELECT count(*) AS total_groups,
-           sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS dup_groups,
-           sum(CASE WHEN raw_variants > 1 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_groups,
+           CAST(sum(CASE WHEN raw_variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS norm_only_groups,
-           sum(dup_count) AS docs_total
+           CAST(sum(dup_count) AS BIGINT) AS docs_total
     FROM grp
     """,
     tags=("llm", "dedup"),

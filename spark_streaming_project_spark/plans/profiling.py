@@ -1261,7 +1261,7 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - CAST(c AS DECIMAL(38,0))) AS ties
         FROM scaled
     )
-    SELECT n1 AS n_src0, n0 AS n_rest,
+    SELECT CAST(n1 AS BIGINT) AS n_src0, CAST(n0 AS BIGINT) AS n_rest,
            round((CAST(r1x2 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1))
                  / 2, 6) AS u_stat,
            round(((CAST(r1x2 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1))

@@ -309,43 +309,40 @@ def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
 
 
 def test_driver_window_is_exactly_the_intended_fifty():
-    """VERDICT r4 ask #1 / r5 ask #2: the recorded window must be
-    COMPUTED, not prose — the registry's first DRIVER_WINDOW names are
-    exactly the intended round-6 list (the 18 never-recorded session-4
-    queries + simple_revenue front-loaded, then the changed-tie-break
-    donut pair, then session-2/3 never-recorded additions), and every
-    entry is oracle-bearing
-    (the 6 rows-only markers were recorded in r05 and stay out)."""
+    """VERDICT r6 asks #3/#6: the recorded window must be COMPUTED, not
+    prose — the registry's first DRIVER_WINDOW names are exactly the
+    intended round-7 list (the 3 most novel never-recorded queries
+    front-loaded, then the 9 oracle-typing re-records, then the
+    remaining 35 never-recorded queries, then 3 logreg-family refreshes
+    proving the fit memo changed nothing), and every entry is
+    oracle-bearing (the 6 rows-only markers were recorded in r05 and
+    stay out)."""
     from spark_streaming_project_spark.plans import (
         DRIVER_WINDOW,
         REGISTRY,
-        _R6_WINDOW,
+        _R7_WINDOW,
     )
 
     head = list(REGISTRY)[:DRIVER_WINDOW]
-    assert head == _R6_WINDOW
-    assert len(_R6_WINDOW) == DRIVER_WINDOW == 50
-    # the 19 recorded-proof-debt queries lead the window
-    assert head[:19] == [
-        "winnowing_profile",
-        "winnowing_hot_fingerprints",
-        "winnowing_matches",
-        "quality_logreg_weights",
-        "quality_logreg_scores",
-        "bigram_perplexity",
-        "temperature_mixture_targets",
-        "temperature_mixture_sample",
-        "order_snapshot_cdc",
-        "gram_novelty_by_doc",
-        "neardup_kcore",
-        "neardup_centrality_quantized",
-        "supplier_name_near_matches",
-        "hourly_cusum_changepoints",
-        "phrase_search",
-        "similarity_filtered_topk",
-        "dedup_keep_longest",
-        "k_anonymity_audit",
-        "simple_revenue",
+    assert head == _R7_WINDOW
+    assert len(_R7_WINDOW) == DRIVER_WINDOW == 50
+    # the 3 most architecturally novel never-recorded queries lead
+    assert head[:3] == [
+        "supplier_entity_clusters",
+        "session_window_stats",
+        "salted_user_tier_activity",
+    ]
+    # the 9 r06 oracle-typing re-records follow
+    assert head[3:12] == [
+        "span_dedup_stats",
+        "filter_funnel_attrition",
+        "quality_logreg_auc",
+        "neardup_eval_pr",
+        "pii_audit",
+        "pii_redaction_audit",
+        "leakage_safe_splits",
+        "split_leakage_check",
+        "neardup_threshold_sweep",
     ]
     # every window entry carries an oracle this round
     assert all(REGISTRY[n].oracle is not None for n in head)
