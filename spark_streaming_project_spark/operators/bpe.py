@@ -111,6 +111,7 @@ def bpe_train_merges_from_dict(
     words = word_counts.select(
         F.expr("split(word, '')").alias("symbols"), F.col("cnt")
     ).localCheckpoint()
+    words = _rightsize_dict(words)
     merges: list[tuple[str, str, int]] = []
     for i in range(n_merges):
         top = (
@@ -128,6 +129,23 @@ def bpe_train_merges_from_dict(
         prev.unpersist()
     words.unpersist()
     return merges
+
+
+def _rightsize_dict(words: DataFrame, rows_per_part: int = 250_000) -> DataFrame:
+    """Shrink the (symbols, cnt) dict to size-appropriate partitioning.
+
+    The dict inherits the corpus aggregation's shuffle partitioning
+    (AQE coalescing does not rewrite an already-materialized
+    localCheckpoint), but it is vocab-sized — orders of magnitude
+    smaller than the corpus — so near-empty partitions make per-round
+    task scheduling the dominant cost of the 2-jobs-per-round training
+    loop (measured 1.9 -> 1.5 s for 8 merges at sf0.1, identical merge
+    table). The count reads the checkpoint, not the corpus; the floor
+    of 4 keeps aggregation parallelism, and a 10^8-token vocab still
+    gets ~400 partitions."""
+    cur = words.rdd.getNumPartitions()
+    target = max(4, min(cur, -(-words.count() // rows_per_part)))
+    return words.coalesce(target) if target < cur else words
 
 
 def _has_pair(left: str, right: str):
@@ -186,6 +204,7 @@ def bpe_train_merges_incremental_from_dict(
     words = word_counts.select(
         F.expr("split(word, '')").alias("symbols"), F.col("cnt")
     ).localCheckpoint()
+    words = _rightsize_dict(words)
     n_parts = words.rdd.getNumPartitions()
     counts = _pair_counts(words).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
