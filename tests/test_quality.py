@@ -967,3 +967,37 @@ def test_nb_self_accuracy_beats_majority_baseline(spark):
         per_actual[r["actual"]] = per_actual.get(r["actual"], 0) + r["n_docs"]
     majority = max(per_actual.values()) / total
     assert diag / total > majority
+
+
+def test_lr_weights_memo_is_bit_identical_to_fresh_fit(spark):
+    """The plans-level fit memo (one training shared across the five
+    quality_logreg_* builders) must return exactly what a fresh
+    ``logreg_train_quantized`` call returns — the memo is a pure cache,
+    never a different model. Also pins that the cache key includes
+    sf_dir: clearing the cache and refitting reproduces the same list,
+    and the memo hands out copies (mutating a result cannot poison the
+    cache)."""
+    from spark_streaming_project_spark.plans.quality import (
+        _LR_BUCKETS,
+        _LR_FIT_CACHE,
+        _LR_ITERS,
+        _lr_feats,
+        _lr_weights,
+    )
+    from spark_streaming_project_spark.operators.classifier import (
+        logreg_train_quantized,
+    )
+
+    _LR_FIT_CACHE.clear()
+    w_memo = _lr_weights(spark, SF)
+    assert (SF, _LR_BUCKETS, _LR_ITERS, 0.5) in _LR_FIT_CACHE
+    w_fresh = logreg_train_quantized(
+        _lr_feats(spark, SF), n_buckets=_LR_BUCKETS, iters=_LR_ITERS, lr=0.5
+    )
+    assert w_memo == w_fresh  # bit-identical floats, not approx
+
+    # cached second call returns an equal list but a DIFFERENT object
+    w_again = _lr_weights(spark, SF)
+    assert w_again == w_memo
+    w_again[0] = 12345.0
+    assert _lr_weights(spark, SF) == w_memo
