@@ -131,18 +131,21 @@ def bpe_train_merges_from_dict(
     return merges
 
 
-def _rightsize_dict(words: DataFrame, rows_per_part: int = 250_000) -> DataFrame:
+def _rightsize_dict(words: DataFrame, rows_per_part: int = 2_000) -> DataFrame:
     """Shrink the (symbols, cnt) dict to size-appropriate partitioning.
 
     The dict inherits the corpus aggregation's shuffle partitioning
     (AQE coalescing does not rewrite an already-materialized
-    localCheckpoint), but it is vocab-sized — orders of magnitude
-    smaller than the corpus — so near-empty partitions make per-round
-    task scheduling the dominant cost of the 2-jobs-per-round training
-    loop (measured 1.9 -> 1.5 s for 8 merges at sf0.1, identical merge
-    table). The count reads the checkpoint, not the corpus; the floor
-    of 4 keeps aggregation parallelism, and a 10^8-token vocab still
-    gets ~400 partitions."""
+    localCheckpoint); when the vocabulary is tiny, near-empty partitions
+    make per-round task scheduling the dominant cost of the
+    2-jobs-per-round training loop (measured 1.9 -> 1.5 s for 8 merges
+    on the sf0.1 corpus's 31-word vocab, identical merge table). The
+    per-row work is heavy (char-split arrays, pair explode, fold
+    rewrite), so the target is ~2k rows per partition — small enough
+    that a realistic dictionary keeps every core: the 190k-word Zipf
+    dict stays at full width (a 250k target collapsed it to 4
+    partitions and cost +43% at 100 merges). The count reads the
+    checkpoint, not the corpus."""
     cur = words.rdd.getNumPartitions()
     target = max(4, min(cur, -(-words.count() // rows_per_part)))
     return words.coalesce(target) if target < cur else words
