@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""10x growth measurements for the round-7 tiers (SCALE.md evidence):
+hourly_autocorrelation / hourly_ewma_trend (10x events), cdc_chunk_dedup
+(10x documents), join_size_estimate_cms (10x events vs sf0.1 orders).
+
+Reuses scripts/scale_stress.py's derived corpus (_scale/sf1x) and exposes
+it to the unchanged registry builders through a symlink dir that overlays
+the derived tables on sf0.1. Run: python scripts/scale_r07.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC_SF = "/root/testdata/sf0.1"
+DERIVED = os.path.join(REPO, "_scale", "sf1x")
+OVERLAY = os.path.join(REPO, "_scale", "sf1x_overlay")
+
+QUERIES = [
+    "hourly_autocorrelation",
+    "hourly_ewma_trend",
+    "cdc_chunk_dedup",
+    "join_size_estimate_cms",
+]
+
+
+def ensure_overlay() -> None:
+    import scripts.scale_stress as ss
+
+    if not os.path.exists(os.path.join(DERIVED, "embeddings.parquet")):
+        ss.build_derived()
+    if not os.path.exists(os.path.join(DERIVED, "events.parquet")):
+        ss.build_derived_events()
+    os.makedirs(OVERLAY, exist_ok=True)
+    for f in os.listdir(SRC_SF):
+        dst = os.path.join(OVERLAY, f)
+        if os.path.lexists(dst):
+            continue
+        src = os.path.join(DERIVED, f)
+        os.symlink(src if os.path.exists(src) else os.path.join(SRC_SF, f), dst)
+
+
+def main() -> None:
+    ensure_overlay()
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-r07", shuffle_partitions=32)
+    for name in QUERIES:
+        for label, sf in (("sf0.1", SRC_SF), ("10x", OVERLAY)):
+            t0 = time.monotonic()
+            n = REGISTRY[name].builder(spark, sf).count()
+            dt = time.monotonic() - t0
+            print(json.dumps({"tier": name, "scale": label,
+                              "rows": n, "sec": round(dt, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,71 @@ def pack_documents(
         F.count("*").alias("doc_count"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the FastCDC/rsync family): cut each
+    document after every position whose ``gram``-char window hashes to
+    0 mod ``divisor`` — boundaries are a pure function of LOCAL content,
+    so inserting a byte only reslices text up to the next boundary and
+    every later chunk keeps its identity. That locality is what makes
+    chunk-hash dedup robust to edits, where fixed-window chunking
+    (chunk_documents) reslices the whole tail.
+
+    Returns (id, chunk_start, chunk_len, chunk_hash, chunk_text); chunks
+    concatenate back to the exact original text. Expected chunk length ~=
+    ``divisor`` chars.
+
+    Distributed shape: the whole operator is ONE narrow projection —
+    boundary positions come from a higher-order filter over
+    sequence(1, len), cut spans from an indexed transform over that
+    bounded array, and a single explode emits the chunk rows. No shuffle
+    anywhere (never the per-position explode-regroup: that shape would
+    shuffle the full text twice), so it streams statelessly and chunks
+    100 TB as a map-only pass inside whole-stage codegen. The md5-derived
+    boundary test and chunk hashes replay in any engine.
+    """
+    L = int(gram)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= L)
+    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    # cut positions: e = p + L - 1 for every boundary window start p, plus
+    # the end of the document; the filtered sequence is ascending and
+    # len(text) >= every e, so array_distinct alone keeps it sorted.
+    ends = F.expr(
+        f"""array_distinct(concat(
+            transform(
+                filter(sequence(1, length(_t) - {L - 1}),
+                       p -> cast(conv(substring(md5(substring(_t, p, {L})),
+                                      1, 4), 16, 10) as bigint)
+                            % {int(divisor)} = 0),
+                p -> p + {L - 1}),
+            array(length(_t))))"""
+    )
+    spans = F.expr(
+        """transform(_ends, (e, i) ->
+               struct(CASE WHEN i = 0 THEN 1
+                           ELSE element_at(_ends, i) + 1 END AS s,
+                      e AS e))"""
+    )
+    return (
+        base.withColumn("_ends", ends)
+        .select("id", "_t", F.explode(spans).alias("_sp"))
+        .select(
+            "id",
+            F.col("_sp.s").cast("long").alias("chunk_start"),
+            (F.col("_sp.e") - F.col("_sp.s") + 1)
+            .cast("long")
+            .alias("chunk_len"),
+            F.expr("substring(_t, _sp.s, _sp.e - _sp.s + 1)").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )

@@ -1130,3 +1130,241 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics completion: autocorrelation (is there a daily
+# cycle worth modelling?) and truncated-EWMA smoothing (the trend line an
+# ops dashboard draws). Both run over the DENSE gap-filled hourly series —
+# silent hours are real zeros — and both avoid per-type unbounded windows:
+# every lagged pair comes from an equi-join on (event_type, shifted hour),
+# so the shuffled unit is the bounded hours x types grid, never the raw
+# event stream twice.
+# ---------------------------------------------------------------------------
+
+_DENSE_HOURLY_CTE = """
+    base AS (
+        SELECT date_trunc('hour', ts) AS h, event_type FROM events
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM base),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (SELECT h, event_type, count(*) AS c FROM base GROUP BY 1, 2),
+    dense AS (
+        SELECT g.hour_start, t.event_type,
+               coalesce(c.c, CAST(0 AS BIGINT)) AS event_count
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN counts c ON c.h = g.hour_start AND c.event_type = t.event_type
+    )
+"""
+
+_ACF_MAX_LAG = 24
+
+
+@register(
+    "hourly_autocorrelation",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_CTE},
+    stats AS (
+        SELECT event_type, count(*) AS n, sum(event_count) AS s
+        FROM dense GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.hour_start, d.event_type,
+               st.n * d.event_count - st.s AS dv
+        FROM dense d JOIN stats st USING (event_type)
+    ),
+    den AS (
+        SELECT event_type, sum(dv * dv) AS den FROM dev GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+    num AS (
+        SELECT a.event_type, l.lag,
+               count(*) AS n_pairs, sum(a.dv * b.dv) AS num
+        FROM dev a CROSS JOIN lags l
+        JOIN dev b ON b.event_type = a.event_type
+                  AND b.hour_start = a.hour_start + to_hours(l.lag)
+        GROUP BY 1, 2
+    )
+    SELECT n.event_type, CAST(n.lag AS INT) AS lag,
+           CAST(n.n_pairs AS BIGINT) AS n_pairs,
+           round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+    FROM num n JOIN den d USING (event_type)
+    WHERE d.den > 0
+    """,
+    tags=("events", "timeseries", "autocorrelation"),
+)
+def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the dense hourly count series per event
+    type, lags 1..24 — the is-there-a-daily-cycle diagnostic that decides
+    whether a seasonal model (or a per-hour-of-day baseline) is worth
+    building, and the quantitative cousin of event_burstiness.
+
+    Determinism: with S = sum(x) and n = series length, the mean-centered
+    deviation n*x_t - S is an INTEGER, so r_k = sum(dv_t * dv_{t+k}) /
+    sum(dv_t^2) is a ratio of two exact integer sums (the n^2 factors
+    cancel) with ONE terminal double division — order-free, engine-exact.
+    Scale: stats and the denominator are one grouped pass over the
+    hours x types grid; lagged pairs come from a <=24x fan-out equi-join
+    on (event_type, shifted hour) — never an unbounded per-type window,
+    never the raw event table twice. Product sums are DECIMAL(38,0).
+    """
+    return autocorrelation_over_dense(events_hourly_gapfill(spark, sf_dir))
+
+
+def autocorrelation_over_dense(dense: DataFrame) -> DataFrame:
+    """The ACF core over ANY dense (hour_start, event_type, event_count)
+    frame — reused by the batch query above and by the streaming
+    composition (incrementally-maintained hourly state densified per
+    refresh; parity-tested in tests/test_streaming_llm.py), the same
+    seam as anomalies_over_dense."""
+    stats = dense.groupBy("event_type").agg(
+        F.count("*").alias("_n"), F.sum("event_count").alias("_s")
+    )
+    dev = dense.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour_start",
+        (F.col("_n") * F.col("event_count") - F.col("_s"))
+        .cast("long")
+        .alias("dv"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    den = dev.groupBy("event_type").agg(
+        F.sum(dec(F.col("dv")) * F.col("dv")).alias("_den")
+    )
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))
+    ).alias("lag")
+    a = dev.select("event_type", "hour_start", F.col("dv").alias("_dva"), lags)
+    b = dev.select(
+        "event_type",
+        F.col("hour_start").alias("_hb"),
+        F.col("dv").alias("_dvb"),
+    )
+    num = (
+        a.join(
+            b,
+            (a["event_type"] == b["event_type"])
+            & (
+                b["_hb"]
+                == F.timestamp_add("HOUR", F.col("lag"), F.col("hour_start"))
+            ),
+        )
+        .drop(b["event_type"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(dec(F.col("_dva")) * F.col("_dvb")).alias("_num"),
+        )
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .filter(F.col("_den") > 0)
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+            ).alias("acf"),
+        )
+    )
+
+
+# Truncated EWMA: s_t = sum_j w_j * x_{t-j} / sum_j w_j over a FIXED
+# 24-lag memory (w_j = 0.7^j). The infinite-memory recurrence is a linear
+# scan — inherently sequential and float-order-dependent; truncating at
+# K=24 (residual weight 0.7^24 ~ 1.9e-4) turns it into a bounded windowed
+# weighted sum: order-free, engine-exact, and shuffle-bounded by the
+# hours x types grid. Weights enter BOTH engines as identical python-repr
+# double literals (the RBO discipline) and every term is 1e-9-quantized.
+_EWMA_K = 24
+_EWMA_W = [0.7**j for j in range(_EWMA_K)]
+_EWMA_WSUM = repr(sum(_EWMA_W))
+
+
+@register(
+    "hourly_ewma_trend",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_CTE},
+    wts AS (
+        SELECT unnest(range(0, {_EWMA_K})) AS j,
+               unnest([{", ".join(repr(w) for w in _EWMA_W)}]) AS wt
+    ),
+    terms AS (
+        SELECT a.event_type, a.hour_start, a.event_count,
+               CAST(round(w.wt * b.event_count * 1e9) AS BIGINT) AS tq
+        FROM dense a CROSS JOIN wts w
+        JOIN dense b ON b.event_type = a.event_type
+                    AND b.hour_start = a.hour_start - to_hours(w.j)
+    )
+    SELECT event_type, hour_start, any_value(event_count) AS event_count,
+           round(CAST(sum(tq) AS DOUBLE) / 1e9 / {_EWMA_WSUM}, 6) AS ewma
+    FROM terms
+    GROUP BY 1, 2
+    HAVING count(*) = {_EWMA_K}
+    """,
+    tags=("events", "timeseries", "smoothing"),
+)
+def hourly_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the dense hourly count
+    series per event type (beta=0.7, 24-hour truncated memory, full
+    window required) — the smoothed trend line a dashboard draws over the
+    spiky raw series, and the baseline hourly_anomalies deviates from.
+
+    Scale: the lagged terms come from a <=24x fan-out equi-join of the
+    hours x types grid against itself on (event_type, shifted hour) —
+    the same no-unbounded-window shape as hourly_autocorrelation; the
+    raw event table is scanned once (inside the gap-fill). Each term
+    w_j * x is quantized to 1e-9 BIGINTs before the order-free sum; one
+    terminal double division per output row."""
+    return ewma_over_dense(events_hourly_gapfill(spark, sf_dir))
+
+
+def ewma_over_dense(dense: DataFrame) -> DataFrame:
+    """The truncated-EWMA core over ANY dense (hour_start, event_type,
+    event_count) frame — the anomalies_over_dense composition seam; the
+    streaming leg runs it over incrementally-maintained hourly state
+    (parity-tested in tests/test_streaming_llm.py)."""
+    wts = F.array(*[F.lit(w) for w in _EWMA_W])
+    a = dense.select(
+        "event_type",
+        "hour_start",
+        "event_count",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_K - 1))).alias("j"),
+    ).withColumn("wt", F.element_at(wts, F.col("j") + 1))
+    b = dense.select(
+        "event_type",
+        F.col("hour_start").alias("_hb"),
+        F.col("event_count").alias("_xb"),
+    )
+    terms = a.join(
+        b,
+        (a["event_type"] == b["event_type"])
+        & (
+            b["_hb"]
+            == F.timestamp_add("HOUR", -F.col("j"), F.col("hour_start"))
+        ),
+    ).drop(b["event_type"])
+    return (
+        terms.groupBy("event_type", "hour_start")
+        .agg(
+            F.any_value(F.col("event_count")).alias("event_count"),
+            F.sum(
+                F.round(F.col("wt") * F.col("_xb") * 1e9).cast("long")
+            ).alias("_sq"),
+            F.count("*").alias("_nw"),
+        )
+        .filter(F.col("_nw") == _EWMA_K)
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("event_count").cast("long").alias("event_count"),
+            F.round(
+                F.col("_sq").cast("double") / 1e9 / float(_EWMA_WSUM), 6
+            ).alias("ewma"),
+        )
+    )

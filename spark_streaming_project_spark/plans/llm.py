@@ -4313,3 +4313,93 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_texts"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup (the FastCDC/rsync boundary trick applied to
+# corpus dedup): cut documents where an 8-char rolling window's md5 hits
+# 0 mod 64, hash the variable-size chunks, and count cross-document chunk
+# reuse. Edit-robust where fixed windows are not: an inserted sentence
+# only reslices up to the next boundary, so every later chunk still
+# matches its twin in the unedited copy. See operators/chunking.cdc_chunks.
+# ---------------------------------------------------------------------------
+
+_CDC_GRAM = 8
+_CDC_DIV = 64
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND length(text) >= {_CDC_GRAM}
+    ),
+    pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {_CDC_GRAM} + 2)) AS p
+        FROM docs
+    ),
+    bnd AS (
+        SELECT doc_id, text, p + {_CDC_GRAM} - 1 AS e FROM pos
+        WHERE CAST(concat('0x',
+                   substr(md5(substr(text, p, {_CDC_GRAM})), 1, 4))
+                   AS BIGINT) % {_CDC_DIV} = 0
+    ),
+    cuts AS (
+        SELECT DISTINCT doc_id, text, e FROM (
+            SELECT doc_id, text, e FROM bnd
+            UNION ALL SELECT doc_id, text, length(text) FROM docs
+        )
+    ),
+    chunks AS (
+        SELECT doc_id,
+               e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+                   AS chunk_len,
+               md5(substr(text,
+                    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+                        + 1,
+                    e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
+                                 0))) AS chunk_hash
+        FROM cuts
+    )
+    SELECT chunk_hash, CAST(any_value(chunk_len) AS BIGINT) AS chunk_len,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2 AND any_value(chunk_len) >= 16
+    ORDER BY n_occurrences DESC, chunk_hash ASC
+    LIMIT 50
+    """,
+    tags=("llm", "dedup", "cdc"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-document duplicated content-defined chunks: chunk_hash,
+    chunk length, how many distinct docs carry it and total occurrences —
+    the sub-document dedup ledger that survives edits (a boilerplate
+    paragraph is found even when every copy sits at a different offset,
+    which defeats fixed-window chunk hashing).
+
+    Scale: position emission is the O(total_chars) exactness cost already
+    paid by exact_substring_pairs; everything after the boundary filter
+    is ~1/64th of it. The per-doc lag window partitions on doc over
+    boundary rows only; the final aggregate is chunk-hash-keyed with a
+    total (n_occurrences desc, chunk_hash asc) order. Tiny chunks
+    (< 16 chars — boundary coincidences) are excluded from the ledger.
+    """
+    from ..operators.chunking import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, "text", "doc_id", gram=_CDC_GRAM, divisor=_CDC_DIV)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.any_value(F.col("chunk_len")).cast("long").alias("chunk_len"),
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter((F.col("n_docs") >= 2) & (F.col("chunk_len") >= 16))
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
+        .limit(50)
+    )

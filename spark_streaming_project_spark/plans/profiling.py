@@ -1331,3 +1331,108 @@ def source_length_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u2 / 2, 6).alias("u_stat"),
         F.round((u2 - n1 * F.col("n0")) / (2 * sigma2x), 6).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based join-size estimation (Cormode & Muthukrishnan 2005, §4.2):
+# the inner product of two CMS counter frames bounds |R join S| from above.
+# This is the planner-side use of the sketch family — at 100 TB you size
+# shuffle partitions / pick a join strategy from two <=1024-row frames
+# instead of counting the join.
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells_sql(src: str, expr: str) -> str:
+    """DuckDB replay of operators/sketches.cms_build (width 256 depth 4,
+    salt 'cms') over ``expr`` rows from ``src``."""
+    return f"""
+        SELECT r AS row,
+               CAST(concat('0x', substr(md5('cms' || CAST(r AS VARCHAR)
+                    || ':' || CAST({expr} AS VARCHAR)), 1, 4)) AS BIGINT)
+                   % 256 AS bucket,
+               count(*) AS cnt
+        FROM {src} CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+        WHERE {expr} IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "join_size_estimate_cms",
+    oracle=f"""
+    WITH acell AS ({_cms_cells_sql("events", "user_id")}),
+    bcell AS ({_cms_cells_sql("orders", "o_custkey")}),
+    ip AS (
+        SELECT a.row, sum(a.cnt * b.cnt) AS ip
+        FROM acell a JOIN bcell b USING (row, bucket)
+        GROUP BY 1
+    ),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_rows FROM ip),
+    exact AS (
+        SELECT CAST(sum(ea.c * ob.c) AS BIGINT) AS exact_rows
+        FROM (SELECT user_id, count(*) AS c FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1) ea
+        JOIN (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1) ob
+          ON ea.user_id = ob.o_custkey
+    )
+    SELECT est_rows, exact_rows,
+           round(CAST(est_rows - exact_rows AS DOUBLE)
+                 / CAST(exact_rows AS DOUBLE), 6) AS rel_overcount
+    FROM est CROSS JOIN exact
+    """,
+    tags=("profiling", "sketch", "join-planning"),
+)
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|events JOIN orders ON user_id = o_custkey| estimated from the
+    INNER PRODUCT of the two sides' count-min frames (min over the 4 hash
+    rows of sum_b cntA[b]*cntB[b]) next to the exact cardinality — the
+    join-planning primitive: overcount-only (collisions only ADD mass),
+    so a sketch that says "small" is safe to broadcast.
+
+    Scale: each side contributes a <=1024-row counter frame however big
+    the table (one combinable aggregate each); the estimate is a
+    1024-row join + 4-row min. The exact side joins per-KEY counts
+    (key-domain-sized, never row x row); cell products are DECIMAL(38,0).
+    Both sides MUST share salt/width/depth — cells align positionally.
+    See operators/sketches.cms_build."""
+    from ..operators.sketches import cms_build
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: c.cast("decimal(38,0)")
+    ca = cms_build(ev, "user_id")
+    cb = cms_build(orders, "o_custkey")
+    ip = (
+        ca.join(
+            cb.select(
+                "row", "bucket", F.col("cnt").alias("_cb")
+            ),
+            ["row", "bucket"],
+        )
+        .groupBy("row")
+        .agg(F.sum(dec(F.col("cnt")) * F.col("_cb")).alias("_ip"))
+    )
+    est = ip.agg(F.min("_ip").cast("long").alias("est_rows"))
+    ea = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_ca"))
+    )
+    ob = orders.groupBy("o_custkey").agg(F.count("*").alias("_cb"))
+    exact = (
+        ea.join(ob, ea["user_id"] == ob["o_custkey"])
+        .agg(
+            F.sum(dec(F.col("_ca")) * F.col("_cb"))
+            .cast("long")
+            .alias("exact_rows")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_rows",
+        "exact_rows",
+        F.round(
+            (F.col("est_rows") - F.col("exact_rows")).cast("double")
+            / F.col("exact_rows").cast("double"),
+            6,
+        ).alias("rel_overcount"),
+    )

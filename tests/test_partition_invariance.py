@@ -101,6 +101,11 @@ REPRESENTATIVES = [
     "top_event_paths",                  # per-user lead windows + topk
     "rfm_segments",                     # three chained guarded ntiles
     "source_keep_rate_ci",              # Wilson interval from int counts
+    # round-7 families
+    "hourly_autocorrelation",           # integer-deviation lag join
+    "hourly_ewma_trend",                # quantized weighted lag window
+    "join_size_estimate_cms",           # aligned-cell sketch inner product
+    "cdc_chunk_dedup",                  # content-defined chunk ledger
 ]
 
 

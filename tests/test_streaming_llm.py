@@ -1539,3 +1539,98 @@ def test_native_drop_duplicates_within_watermark_twin(spark, tmp_path):
     # expiry clock runs against the DELAYED watermark, which is why the
     # delay must be shorter than the replay gap for re-emission)
     assert ids == [1, 3, 4, 6], ids
+
+
+def test_streaming_timeseries_over_incremental_state_matches_batch(
+    spark, tmp_path
+):
+    """Round-7 composition parity: the ACF and truncated-EWMA cores run
+    over INCREMENTALLY-maintained hourly counts (the same additive
+    parquet state as the anomaly test) and must equal the batch queries
+    bit-for-bit — both cores are pure functions of the dense series, and
+    the maintained counts are an exact sum-monoid."""
+    from spark_streaming_project_spark.plans.events import (
+        autocorrelation_over_dense,
+        densify_hourly,
+        ewma_over_dense,
+    )
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    sf = SF_CORRECT  # enough hours for 24-lag windows
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "ts_src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def hourly(df):
+        return df.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("h"),
+            "event_type",
+        ).agg(F.count("*").alias("c"))
+
+    state = str(tmp_path / "ts_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_ts"))
+    runner.add(
+        "ts_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, hourly, ["h", "event_type"], ["c"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    dense = densify_hourly(spark.read.parquet(state))
+    got_acf = {
+        tuple(r) for r in autocorrelation_over_dense(dense).collect()
+    }
+    want_acf = {
+        tuple(r)
+        for r in REGISTRY["hourly_autocorrelation"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert got_acf == want_acf and got_acf
+
+    got_ewma = {tuple(r) for r in ewma_over_dense(dense).collect()}
+    want_ewma = {
+        tuple(r)
+        for r in REGISTRY["hourly_ewma_trend"].builder(spark, sf).collect()
+    }
+    assert got_ewma == want_ewma and got_ewma
+
+
+def test_streaming_cdc_chunking_is_stateless_append(spark, tmp_path):
+    """cdc_chunks is a pure per-document map (boundaries are local
+    content functions), so the streaming form needs NO state: chunks
+    drained from an append stream equal the batch chunk frame."""
+    from spark_streaming_project_spark.operators.chunking import cdc_chunks
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "cdc_src")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_cdc"))
+    runner.add(
+        "cdc_chunks_stream",
+        cdc_chunks(stream, "text", "doc_id"),
+        output_mode="append",
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {tuple(r) for r in spark.table("cdc_chunks_stream").collect()}
+    want = {tuple(r) for r in cdc_chunks(docs, "text", "doc_id").collect()}
+    assert got == want and got

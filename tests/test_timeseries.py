@@ -1,0 +1,211 @@
+"""Time-series diagnostics (hourly_autocorrelation / hourly_ewma_trend),
+CMS join-size estimation, and content-defined chunking — pure-python model
+parity and the structural invariants each operator's contract promises
+(edit locality for CDC, one-sided error for the sketch estimate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_project_spark.plans import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def _dense_series(spark):
+    """The gap-filled hourly series at sf0.001 as {type: [x_1..x_n]}."""
+    from spark_streaming_project_spark.plans.events import (
+        events_hourly_gapfill,
+    )
+
+    rows = (
+        events_hourly_gapfill(spark, SF_SMOKE)
+        .orderBy("event_type", "hour_start")
+        .collect()
+    )
+    out: dict[str, list[int]] = {}
+    for r in rows:
+        out.setdefault(r.event_type, []).append(r.event_count)
+    return out
+
+
+def test_autocorrelation_matches_python_model(spark):
+    series = _dense_series(spark)
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.acf)
+        for r in REGISTRY["hourly_autocorrelation"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got, "no acf rows"
+    for ty, xs in series.items():
+        n, s = len(xs), sum(xs)
+        dev = [n * x - s for x in xs]
+        den = sum(d * d for d in dev)
+        if den == 0:
+            assert all(k[0] != ty for k in got)
+            continue
+        for k in range(1, 25):
+            num = sum(dev[t] * dev[t + k] for t in range(n - k))
+            n_pairs, acf = got[(ty, k)]
+            assert n_pairs == n - k
+            assert acf == round(num / den, 6), (ty, k)
+
+
+def test_autocorrelation_bounds_and_shape(spark):
+    rows = REGISTRY["hourly_autocorrelation"].builder(spark, SF_SMOKE).collect()
+    types = {r.event_type for r in rows}
+    for ty in types:
+        lags = sorted(r.lag for r in rows if r.event_type == ty)
+        assert lags == list(range(1, 25))
+    # Cauchy-Schwarz with shortened numerator windows can nudge past 1
+    # only through the terminal rounding; bound loosely but meaningfully.
+    assert all(abs(r.acf) <= 1.000001 for r in rows)
+
+
+def test_ewma_matches_python_model(spark):
+    from spark_streaming_project_spark.plans.events import _EWMA_K, _EWMA_W
+
+    series = _dense_series(spark)
+    wsum = sum(_EWMA_W)
+    got = {
+        (r.event_type, str(r.hour_start)): (r.event_count, r.ewma)
+        for r in REGISTRY["hourly_ewma_trend"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got, "no ewma rows"
+    # recompute per type using ordered hours from the dense frame
+    from spark_streaming_project_spark.plans.events import (
+        events_hourly_gapfill,
+    )
+
+    dense = (
+        events_hourly_gapfill(spark, SF_SMOKE)
+        .orderBy("event_type", "hour_start")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in dense:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_checked = 0
+    for ty, rows in by_type.items():
+        xs = [r.event_count for r in rows]
+        for t in range(len(xs)):
+            key = (ty, str(rows[t].hour_start))
+            if t < _EWMA_K - 1:
+                assert key not in got  # full window required
+                continue
+            q = sum(
+                round(_EWMA_W[j] * xs[t - j] * 1e9) for j in range(_EWMA_K)
+            )
+            expect = round(q / 1e9 / wsum, 6)
+            assert got[key] == (xs[t], expect), key
+            n_checked += 1
+    assert n_checked > 0
+
+
+def test_ewma_is_smoother_than_raw(spark):
+    """The smoothed series must have no larger step-to-step variation than
+    the raw one (the defining property of an averaging filter)."""
+    rows = (
+        REGISTRY["hourly_ewma_trend"]
+        .builder(spark, SF_SMOKE)
+        .orderBy("event_type", "hour_start")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for ty, rs in by_type.items():
+        raw = sum(
+            abs(a.event_count - b.event_count) for a, b in zip(rs, rs[1:])
+        )
+        smooth = sum(abs(a.ewma - b.ewma) for a, b in zip(rs, rs[1:]))
+        assert smooth <= raw + 1e-6, ty
+
+
+def test_cms_join_estimate_is_one_sided(spark):
+    r = REGISTRY["join_size_estimate_cms"].builder(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    row = r[0]
+    # collisions only ADD mass: the estimate never undercounts
+    assert row.est_rows >= row.exact_rows
+    assert row.rel_overcount >= 0.0
+
+
+def test_cms_join_estimate_exact_side_is_the_true_join_count(spark):
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    true_n = ev.join(
+        orders, ev["user_id"] == orders["o_custkey"]
+    ).count()
+    r = REGISTRY["join_size_estimate_cms"].builder(spark, SF_SMOKE).collect()[0]
+    assert r.exact_rows == true_n
+
+
+def _cdc(spark, texts):
+    from spark_streaming_project_spark.operators.chunking import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    return cdc_chunks(df, "text", "id").collect()
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green bottles hang on the wall and every byte of this sentence "
+    "exists to push the rolling hash across several cut points so the "
+    "chunker has something realistic to slice into variable pieces"
+)
+
+
+def test_cdc_chunks_reassemble_exactly(spark):
+    rows = _cdc(spark, [_BASE])
+    ordered = sorted(rows, key=lambda r: r.chunk_start)
+    assert "".join(r.chunk_text for r in ordered) == _BASE
+    # spans tile the text: each chunk starts where the previous ended
+    pos = 1
+    for r in ordered:
+        assert r.chunk_start == pos
+        assert r.chunk_len == len(r.chunk_text)
+        pos += r.chunk_len
+    assert pos == len(_BASE) + 1
+
+
+def test_cdc_edit_locality(spark):
+    """Insert a prefix: fixed-window chunking would reslice everything;
+    CDC must keep every chunk after the first boundary identical."""
+    edited = "INSERTED PREAMBLE >> " + _BASE
+    rows = _cdc(spark, [_BASE, edited])
+    h0 = {r.chunk_hash for r in rows if r.id == 0}
+    h1 = {r.chunk_hash for r in rows if r.id == 1}
+    shared = h0 & h1
+    # all original chunks except the (rewritten) first one survive
+    n0 = len(h0)
+    assert n0 >= 3, "corpus too short to exercise boundaries"
+    assert len(shared) >= n0 - 1
+
+
+def test_cdc_identical_docs_share_every_chunk(spark):
+    rows = _cdc(spark, [_BASE, _BASE])
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append((r.chunk_start, r.chunk_hash))
+    assert sorted(by_id[0]) == sorted(by_id[1])
+
+
+def test_cdc_short_and_null_docs_are_skipped(spark):
+    from spark_streaming_project_spark.operators.chunking import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(0, "tiny"), (1, None), (2, _BASE)], ["id", "text"]
+    )
+    rows = cdc_chunks(df, "text", "id").collect()
+    assert {r.id for r in rows} == {2}
