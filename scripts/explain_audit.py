@@ -71,6 +71,16 @@ SHOWCASE = [
      "Three chained guarded ntiles (recency/frequency/monetary) over "
      "the customer frame: each is repartitionByRange + broadcast "
      "offsets; the roll-up is one tiny 5x5x5 aggregate."),
+    ("hourly_autocorrelation",
+     "Exact integer ACF: one map-side-combined hourly count aggregate, "
+     "the bounded hours x types grid, a <=24x lag fan-out equi-join on "
+     "the shifted hour — no unbounded per-type window, DECIMAL(38,0) "
+     "product sums with one terminal division."),
+    ("cdc_chunk_dedup",
+     "Content-defined chunking: boundary detection, span recovery and "
+     "chunk hashing are ONE narrow higher-order-function projection "
+     "(no shuffle, no explode-regroup of positions); the only exchange "
+     "is the final chunk-hash-keyed ledger aggregate."),
 ]
 
 HEADER = """# PLANS — flagship physical plans (auto-generated)

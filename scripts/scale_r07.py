@@ -27,6 +27,9 @@ QUERIES = [
     "hourly_ewma_trend",
     "cdc_chunk_dedup",
     "join_size_estimate_cms",
+    "seasonal_hourly_baseline",
+    "cdc_chunk_doc_clusters",
+    "event_markov_stationary",
 ]
 
 

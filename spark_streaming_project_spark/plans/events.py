@@ -1368,3 +1368,212 @@ def ewma_over_dense(dense: DataFrame) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal baseline + residual outliers: the MODEL for the
+# cycle hourly_autocorrelation detects. A per-(type, hour-of-day) mean is
+# the simplest seasonal profile; the biggest |observed - expected| hours
+# are the alerts a flat trailing-window z-score (hourly_anomalies) gets
+# wrong twice a day at the cycle's peaks and troughs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_hourly_baseline",
+    oracle=f"""
+    WITH {_DENSE_HOURLY_CTE},
+    hod AS (
+        SELECT hour_start, event_type, event_count,
+               EXTRACT(hour FROM hour_start) AS hh
+        FROM dense
+    ),
+    hodbase AS (
+        SELECT event_type, hh, count(*) AS n_h, sum(event_count) AS s_h
+        FROM hod GROUP BY 1, 2
+    )
+    SELECT event_type, hour_start,
+           CAST(event_count AS BIGINT) AS event_count,
+           round(CAST(s_h AS DOUBLE) / CAST(n_h AS DOUBLE), 6) AS expected,
+           round(CAST(n_h * event_count - s_h AS DOUBLE)
+                 / CAST(n_h AS DOUBLE), 6) AS residual
+    FROM hod JOIN hodbase USING (event_type, hh)
+    ORDER BY abs(CAST(n_h * event_count - s_h AS DOUBLE)
+                 / CAST(n_h AS DOUBLE)) DESC,
+             event_type ASC, hour_start ASC
+    LIMIT 50
+    """,
+    tags=("events", "timeseries", "seasonal"),
+)
+def seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 50 hours deviating most from their hour-of-day seasonal
+    baseline, per event type: observed count, the per-(type, hour-of-day)
+    expected mean, and the residual — seasonality-aware anomaly triage
+    over the dense gap-filled series.
+
+    Determinism: the deviation n_h*x - s_h is an exact INTEGER per row
+    (n_h, s_h are the hour-of-day class's count/sum), divided once for
+    display and once (unrounded) for ordering, with a total
+    (event_type, hour_start) tie-break. Scale: one grouped pass over the
+    hours x types grid builds the <=types x 24-row baseline, broadcast
+    back — never a second event scan, no window at all."""
+    return seasonal_over_dense(events_hourly_gapfill(spark, sf_dir))
+
+
+def seasonal_over_dense(dense: DataFrame) -> DataFrame:
+    """The seasonal-residual core over ANY dense (hour_start, event_type,
+    event_count) frame — the anomalies_over_dense composition seam
+    (streaming parity in tests/test_streaming_llm.py)."""
+    hod = dense.withColumn("hh", F.hour("hour_start"))
+    base = hod.groupBy("event_type", "hh").agg(
+        F.count("*").alias("n_h"), F.sum("event_count").alias("s_h")
+    )
+    dev = (F.col("n_h") * F.col("event_count") - F.col("s_h")).cast("long")
+    resid = dev.cast("double") / F.col("n_h").cast("double")
+    return (
+        hod.join(F.broadcast(base), ["event_type", "hh"])
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("event_count").cast("long").alias("event_count"),
+            F.round(
+                F.col("s_h").cast("double") / F.col("n_h").cast("double"), 6
+            ).alias("expected"),
+            F.round(resid, 6).alias("residual"),
+            F.abs(resid).alias("_ord"),
+        )
+        .orderBy(
+            F.desc("_ord"), F.asc("event_type"), F.asc("hour_start")
+        )
+        .limit(50)
+        .drop("_ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain — where user
+# behavior settles in the long run, the one-vector summary of
+# event_transition_matrix. The chain solve is O(states^2) on a
+# states^2-bounded frame, so it runs driver-side (the IVF-centroid /
+# union-find-chooser class of bounded collect); the distributed work is
+# the transition count aggregate. All iteration arithmetic is INTEGER
+# (1e-9-quantized probabilities, floor(x+0.5) rounding, integer-div
+# renormalization), so a 16-step unrolled CTE replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 16
+
+
+def _markov_oracle() -> str:
+    its = []
+    prev = "it0"
+    for k in range(1, _MARKOV_ITERS + 1):
+        its.append(
+            f"""it{k} AS (
+        SELECT s.state, CAST(coalesce(x.d, 0) AS BIGINT) AS d
+        FROM states s LEFT JOIN (
+            SELECT m.j AS state,
+                   CAST((sum(p.d * m.p) + 500000000) // 1000000000
+                        AS BIGINT) AS d
+            FROM {prev} p JOIN mat m ON m.i = p.state GROUP BY 1
+        ) x USING (state)
+    )"""
+        )
+        prev = f"it{k}"
+    return f"""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    trans AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    states AS (
+        SELECT DISTINCT from_type AS state FROM trans
+        UNION SELECT DISTINCT to_type FROM trans
+    ),
+    rowtot AS (SELECT from_type, sum(n) AS r FROM trans GROUP BY 1),
+    obs AS (
+        SELECT t.from_type AS i, t.to_type AS j,
+               CAST(floor(1e9 * CAST(t.n AS DOUBLE) / CAST(rt.r AS DOUBLE)
+                          + 0.5) AS BIGINT) AS p
+        FROM trans t JOIN rowtot rt USING (from_type)
+    ),
+    dangling AS (
+        SELECT state AS i, state AS j, CAST(1000000000 AS BIGINT) AS p
+        FROM states
+        WHERE state NOT IN (SELECT from_type FROM trans)
+    ),
+    mat AS (SELECT * FROM obs UNION ALL SELECT * FROM dangling),
+    nstates AS (SELECT count(*) AS s FROM states),
+    it0 AS (
+        SELECT state, CAST(1000000000 // s AS BIGINT) AS d
+        FROM states CROSS JOIN nstates
+    ),
+    {",".join(its)}
+    SELECT state AS event_type, d AS prob_q,
+           CAST(d AS DOUBLE) / 1e9 AS stationary_prob
+    FROM it{_MARKOV_ITERS} ORDER BY event_type
+    """
+
+
+@register(
+    "event_markov_stationary",
+    oracle=_markov_oracle(),
+    tags=("events", "sequence", "markov", "iterative"),
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type chain after 16
+    quantized power-iteration steps from uniform — the long-run share of
+    attention each event type commands, with dangling states (no
+    outgoing transitions) given a self-loop (the PageRank fix).
+
+    Determinism: transition probabilities are 1e-9-quantized BIGINTs via
+    floor(x+0.5) (one double division each); every iteration is integer
+    multiply-sum + half-up integer division — the logreg unrolled-CTE
+    discipline, so the oracle replays all 16 steps exactly. Scale: the
+    ONLY data-proportional work is the distributed lead()+count pass
+    (same exchange as sessionization); the collected matrix is
+    states^2-bounded and the solve is driver-side python."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    trans = (
+        pairs.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts = {(r.from_type, r.to_type): r.n for r in trans}
+    states = sorted(
+        {i for i, _ in counts} | {j for _, j in counts}
+    )
+    rowtot: dict[str, int] = {}
+    for (i, _), n in counts.items():
+        rowtot[i] = rowtot.get(i, 0) + n
+    mat: dict[tuple[str, str], int] = {
+        (i, j): int(math.floor(1e9 * n / rowtot[i] + 0.5))
+        for (i, j), n in counts.items()
+    }
+    for s in states:
+        if s not in rowtot:
+            mat[(s, s)] = 1_000_000_000
+    d = {s: 1_000_000_000 // len(states) for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {s: 0 for s in states}
+        for (i, j), p in mat.items():
+            nxt[j] += d[i] * p
+        d = {s: (v + 500_000_000) // 1_000_000_000 for s, v in nxt.items()}
+    rows = [(s, d[s], d[s] / 1e9) for s in states]
+    return spark.createDataFrame(
+        rows, "event_type string, prob_q long, stationary_prob double"
+    )

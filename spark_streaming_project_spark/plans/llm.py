@@ -4327,11 +4327,9 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_GRAM = 8
 _CDC_DIV = 64
 
-
-@register(
-    "cdc_chunk_dedup",
-    oracle=f"""
-    WITH docs AS (
+# Shared DuckDB replay of operators/chunking.cdc_chunks — reused by both
+# CDC queries (the ledger below and the overlap-cluster composition).
+_CDC_CHUNKS_CTE = f"""docs AS (
         SELECT doc_id, text FROM documents
         WHERE text IS NOT NULL AND length(text) >= {_CDC_GRAM}
     ),
@@ -4362,7 +4360,13 @@ _CDC_DIV = 64
                     e - coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
                                  0))) AS chunk_hash
         FROM cuts
-    )
+    )"""
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH {_CDC_CHUNKS_CTE}
     SELECT chunk_hash, CAST(any_value(chunk_len) AS BIGINT) AS chunk_len,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_occurrences
@@ -4402,4 +4406,90 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_docs") >= 2) & (F.col("chunk_len") >= 16))
         .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
         .limit(50)
+    )
+
+
+@register(
+    "cdc_chunk_doc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CDC_CHUNKS_CTE},
+    dch AS (
+        SELECT DISTINCT doc_id, chunk_hash FROM chunks WHERE chunk_len >= 16
+    ),
+    hotc AS (
+        SELECT chunk_hash FROM dch GROUP BY 1 HAVING count(*) > 64
+    ),
+    cool AS (
+        SELECT * FROM dch
+        WHERE chunk_hash NOT IN (SELECT chunk_hash FROM hotc)
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM cool a
+        JOIN cool b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (SELECT id_a, id_b FROM inter WHERE shared >= 3),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    cmap AS (SELECT u AS doc_id, min(r) AS canonical_id FROM reach GROUP BY 1)
+    SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_docs
+    FROM cmap GROUP BY 1
+    ORDER BY n_docs DESC, canonical_id ASC
+    """,
+    tags=("llm", "dedup", "cdc", "graph"),
+)
+def cdc_chunk_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clusters from CHUNK overlap: docs sharing >= 3
+    content-defined chunks (>= 16 chars each) are edges; transitive
+    closure via connected components gives the edit-robust dedup groups
+    fixed-offset methods miss — the composed form of cdc_chunk_dedup,
+    and the sub-document sibling of dedup_canonical_map.
+
+    Scale guards: the pair join runs on the DISTINCT (doc, chunk_hash)
+    frame with chunks held by > 64 docs excluded first (the hot-key cap
+    of exact_substring_pairs / decontamination — license-boilerplate
+    chunks would otherwise quadratically explode the join); candidate
+    volume is then bounded by dup-group sizes. CC is the adaptive
+    pointer-jumping operator (O(log n) rounds, one shuffle each).
+    Output is one row per cluster of >= 2 docs, totally ordered."""
+    from ..operators.chunking import cdc_chunks
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, "text", "doc_id", gram=_CDC_GRAM, divisor=_CDC_DIV)
+    dch = (
+        ch.filter(F.col("chunk_len") >= 16)
+        .select("id", "chunk_hash")
+        .distinct()
+    )
+    hot = (
+        dch.groupBy("chunk_hash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 64)
+        .select("chunk_hash")
+    )
+    cool = dch.join(hot, "chunk_hash", "left_anti")
+    a = cool.select(F.col("chunk_hash"), F.col("id").alias("id_a"))
+    b = cool.select(F.col("chunk_hash"), F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= 3)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.groupBy(F.col("component").alias("canonical_id"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("canonical_id"))
     )

@@ -106,6 +106,9 @@ REPRESENTATIVES = [
     "hourly_ewma_trend",                # quantized weighted lag window
     "join_size_estimate_cms",           # aligned-cell sketch inner product
     "cdc_chunk_dedup",                  # content-defined chunk ledger
+    "seasonal_hourly_baseline",         # hour-of-day residual top-k
+    "cdc_chunk_doc_clusters",           # chunk-overlap CC summary
+    "event_markov_stationary",          # quantized integer power iteration
 ]
 
 

@@ -1606,6 +1606,17 @@ def test_streaming_timeseries_over_incremental_state_matches_batch(
     }
     assert got_ewma == want_ewma and got_ewma
 
+    from spark_streaming_project_spark.plans.events import seasonal_over_dense
+
+    got_seas = [tuple(r) for r in seasonal_over_dense(dense).collect()]
+    want_seas = [
+        tuple(r)
+        for r in REGISTRY["seasonal_hourly_baseline"]
+        .builder(spark, sf)
+        .collect()
+    ]
+    assert got_seas == want_seas and got_seas
+
 
 def test_streaming_cdc_chunking_is_stateless_append(spark, tmp_path):
     """cdc_chunks is a pure per-document map (boundaries are local

@@ -209,3 +209,142 @@ def test_cdc_short_and_null_docs_are_skipped(spark):
     )
     rows = cdc_chunks(df, "text", "id").collect()
     assert {r.id for r in rows} == {2}
+
+
+def test_seasonal_baseline_matches_python_model(spark):
+    from spark_streaming_project_spark.plans.events import (
+        events_hourly_gapfill,
+    )
+
+    dense = events_hourly_gapfill(spark, SF_SMOKE).collect()
+    stats: dict[tuple, list[int]] = {}
+    for r in dense:
+        stats.setdefault((r.event_type, r.hour_start.hour), []).append(
+            r.event_count
+        )
+    rows = []
+    for r in dense:
+        xs = stats[(r.event_type, r.hour_start.hour)]
+        n_h, s_h = len(xs), sum(xs)
+        dev = n_h * r.event_count - s_h
+        rows.append(
+            (
+                abs(dev) / n_h,
+                r.event_type,
+                r.hour_start,
+                r.event_count,
+                round(s_h / n_h, 6),
+                round(dev / n_h, 6),
+            )
+        )
+    rows.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [t[1:] for t in rows[:50]]
+    got = [
+        (r.event_type, r.hour_start, r.event_count, r.expected, r.residual)
+        for r in REGISTRY["seasonal_hourly_baseline"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_cdc_clusters_match_python_union_find(spark):
+    """Replicate pair generation + transitive closure in pure python over
+    the (already reassembly-tested) chunk frame."""
+    from spark_streaming_project_spark.operators.chunking import cdc_chunks
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ch = cdc_chunks(docs, "text", "doc_id").collect()
+    by_hash: dict[str, set[int]] = {}
+    for r in ch:
+        if r.chunk_len >= 16:
+            by_hash.setdefault(r.chunk_hash, set()).add(r.id)
+    shared: dict[tuple[int, int], int] = {}
+    for h, ids in by_hash.items():
+        if len(ids) > 64:  # hot-chunk cap
+            continue
+        ids_s = sorted(ids)
+        for i, a in enumerate(ids_s):
+            for b in ids_s[i + 1 :]:
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), n in shared.items():
+        if n >= 3:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, int] = {}
+    for x in list(parent):
+        clusters[find(x)] = clusters.get(find(x), 0) + 1
+    want = sorted(
+        ((c, n) for c, n in clusters.items()), key=lambda t: (-t[1], t[0])
+    )
+    got = [
+        (r.canonical_id, r.n_docs)
+        for r in REGISTRY["cdc_chunk_doc_clusters"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert got == want and got, "empty cluster set would prove nothing"
+
+
+def test_markov_stationary_properties(spark):
+    rows = (
+        REGISTRY["event_markov_stationary"].builder(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    total = sum(r.prob_q for r in rows)
+    # quantization slips at most ~1 unit per state per renormalization
+    assert abs(total - 1_000_000_000) < 100 * len(rows)
+    assert all(r.prob_q >= 0 for r in rows)
+
+
+def test_markov_stationary_close_to_float_eigenvector(spark):
+    """The quantized integer iteration must land within quantization
+    distance of an independent float power iteration."""
+    from spark_streaming_project_spark.sources.batch import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .count()
+        .collect()
+    )
+    counts = {(r.a, r.b): r["count"] for r in pairs}
+    states = sorted({i for i, _ in counts} | {j for _, j in counts})
+    rowtot: dict[str, float] = {}
+    for (i, _), n in counts.items():
+        rowtot[i] = rowtot.get(i, 0) + n
+    d = {s: 1.0 / len(states) for s in states}
+    for _ in range(200):
+        nxt = {s: 0.0 for s in states}
+        for (i, j), n in counts.items():
+            nxt[j] += d[i] * n / rowtot[i]
+        for s in states:
+            if s not in rowtot:
+                nxt[s] += d[s]
+        d = nxt
+    got = {
+        r.event_type: r.stationary_prob
+        for r in REGISTRY["event_markov_stationary"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(states)
+    for s in states:
+        assert abs(got[s] - d[s]) < 1e-4, (s, got[s], d[s])
