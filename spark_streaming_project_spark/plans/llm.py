@@ -4493,3 +4493,153 @@ def cdc_chunk_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("canonical_id"))
     )
+
+
+@register(
+    "cdc_cross_source_matrix",
+    oracle=f"""
+    WITH {_CDC_CHUNKS_CTE},
+    sch AS (
+        SELECT DISTINCT d.source, c.chunk_hash
+        FROM chunks c JOIN documents d USING (doc_id)
+        WHERE c.chunk_len >= 16
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_chunks
+    FROM sch a
+    JOIN sch b ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+    tags=("llm", "dedup", "cdc", "provenance"),
+)
+def cdc_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct content-defined chunks shared per SOURCE pair — the
+    sub-document refinement of cross_source_dup_matrix: mirrored
+    paragraphs and quoted boilerplate show up here even when no whole
+    document is duplicated across the sources. The mixture-design
+    diagnostic for what a per-source token budget is really buying.
+
+    Scale: the pair join runs on the DISTINCT (source, chunk_hash) frame,
+    so per-hash fan-out is bounded by the SOURCE count (a handful), and
+    the output by source pairs — no hot-key cap needed, unlike the
+    doc-pair join in cdc_chunk_doc_clusters."""
+    from ..operators.chunking import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, "text", "doc_id", gram=_CDC_GRAM, divisor=_CDC_DIV)
+    sch = (
+        ch.filter(F.col("chunk_len") >= 16)
+        .join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .select("source", "chunk_hash")
+        .distinct()
+    )
+    a = sch.select(F.col("source").alias("source_a"), "chunk_hash")
+    b = sch.select(F.col("source").alias("source_b"), "chunk_hash")
+    return (
+        a.join(b, "chunk_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_chunks"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "cdc_decontamination",
+    oracle=f"""
+    WITH {_CDC_CHUNKS_CTE},
+    tagged AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('eval:',
+                    CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 50 = 0
+                   AS is_eval
+        FROM docs
+    ),
+    evalchunks AS (
+        SELECT DISTINCT c.chunk_hash
+        FROM chunks c JOIN tagged t USING (doc_id)
+        WHERE t.is_eval AND c.chunk_len >= 32
+    ),
+    trainside AS (
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN tagged t USING (doc_id)
+        WHERE NOT t.is_eval
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM chunks c JOIN evalchunks e USING (chunk_hash)
+        WHERE c.chunk_len >= 32
+    )
+    SELECT tr.source,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+           round(CAST(count(c.doc_id) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+    FROM trainside tr LEFT JOIN contaminated c USING (doc_id)
+    GROUP BY 1
+    ORDER BY tr.source
+    """,
+    tags=("llm", "decontamination", "cdc"),
+)
+def cdc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level eval-set decontamination audit: a deterministic ~2%
+    md5-selected eval split, and per source the share of TRAINING docs
+    sharing any >= 32-char content-defined chunk with it — the
+    edit-robust complement of the n-gram containment audit
+    (eval_containment_audit): a quoted eval paragraph is caught at any
+    offset, under any surrounding edits.
+
+    Scale: eval chunk hashes are a distinct semi-join probe (eval-sized,
+    broadcastable); training docs are flagged by one hash equi-join on
+    their own chunk frame — the corpus is chunked ONCE (the shared
+    map-only CDC pass) and never pair-joined doc x doc."""
+    from ..operators.chunking import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 50
+        == 0
+    )
+    tagged = docs.select("doc_id", "source", is_eval.alias("is_eval"))
+    ch = cdc_chunks(docs, "text", "doc_id", gram=_CDC_GRAM, divisor=_CDC_DIV)
+    big = ch.filter(F.col("chunk_len") >= 32).select(
+        F.col("id").alias("doc_id"), "chunk_hash"
+    )
+    eval_chunks = (
+        big.join(
+            tagged.filter(F.col("is_eval")).select("doc_id"), "doc_id"
+        )
+        .select("chunk_hash")
+        .distinct()
+    )
+    contaminated = (
+        big.join(eval_chunks, "chunk_hash").select("doc_id").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = tagged.filter(~F.col("is_eval"))
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_train_docs"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
+            F.round(
+                F.count("_hit").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )

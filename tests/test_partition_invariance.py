@@ -109,6 +109,8 @@ REPRESENTATIVES = [
     "seasonal_hourly_baseline",         # hour-of-day residual top-k
     "cdc_chunk_doc_clusters",           # chunk-overlap CC summary
     "event_markov_stationary",          # quantized integer power iteration
+    "cdc_cross_source_matrix",          # source-pair chunk containment
+    "cdc_decontamination",              # chunk-level eval containment
 ]
 
 

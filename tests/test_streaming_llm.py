@@ -1645,3 +1645,64 @@ def test_streaming_cdc_chunking_is_stateless_append(spark, tmp_path):
     got = {tuple(r) for r in spark.table("cdc_chunks_stream").collect()}
     want = {tuple(r) for r in cdc_chunks(docs, "text", "doc_id").collect()}
     assert got == want and got
+
+
+def test_streaming_markov_counts_maintained_matches_batch(spark, tmp_path):
+    """Markov transition counts are a per-(from,to) sum-monoid ONLY when
+    each user's whole history sits in one batch (lead() crosses batch
+    boundaries otherwise), so the streaming form maintains per-user
+    SEQUENCES per micro-batch keyed by user hash — here we pin the
+    simpler correct composition: user-partitioned batches (each user's
+    events arrive together) + incremental count state; the stationary
+    solve over drained state must equal the batch query bit-for-bit."""
+    from pyspark.sql import Window
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    sf = SF_CORRECT
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "mk_src")
+    # split by USER so no user's sequence straddles batches — the
+    # documented precondition for count-state maintenance
+    for i in range(3):
+        ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def trans_counts(df):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            df.select(
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"),
+            )
+            .filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    state = str(tmp_path / "mk_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_mk"))
+    runner.add(
+        "mk_state",
+        stream,
+        sink_format=None,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, trans_counts, ["from_type", "to_type"], ["n"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got_counts = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.read.parquet(state).collect()
+    }
+    want_counts = {
+        (r.from_type, r.to_type): r.n for r in trans_counts(ev).collect()
+    }
+    assert got_counts == want_counts and got_counts
