@@ -1521,6 +1521,32 @@ def _markov_oracle() -> str:
     """
 
 
+def _markov_entropy_oracle() -> str:
+    """Same 16-step chain, finished with the quantized entropy terms."""
+    base = _markov_oracle()
+    head, _, _ = base.rpartition("SELECT state AS event_type")
+    return (
+        head.rstrip()
+        + ",\n    "
+        + f"""hterm AS (
+        SELECT m.i AS state,
+               CAST(floor(1e9 * (CAST(m.p AS DOUBLE) / 1e9)
+                          * ln(1e9 / CAST(m.p AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS hq
+        FROM mat m WHERE m.p > 0
+    ),
+    hsum AS (SELECT state, sum(hq) AS hq FROM hterm GROUP BY 1)
+    SELECT f.state AS event_type,
+           CAST(f.d AS DOUBLE) / 1e9 AS stationary_prob,
+           CAST(coalesce(h.hq, 0) AS DOUBLE) / 1e9 AS cond_entropy_nats,
+           CAST((f.d * coalesce(h.hq, 0) + 500000000) // 1000000000
+                AS BIGINT) AS rate_contrib_q
+    FROM it{_MARKOV_ITERS} f LEFT JOIN hsum h USING (state)
+    ORDER BY event_type
+    """
+    )
+
+
 @register(
     "event_markov_stationary",
     oracle=_markov_oracle(),
@@ -1539,6 +1565,20 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY data-proportional work is the distributed lead()+count pass
     (same exchange as sessionization); the collected matrix is
     states^2-bounded and the solve is driver-side python."""
+    states, _mat, d = _markov_solve(spark, sf_dir)
+    rows = [(s, d[s], d[s] / 1e9) for s in states]
+    return spark.createDataFrame(
+        rows, "event_type string, prob_q long, stationary_prob double"
+    )
+
+
+def _markov_solve(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, dict, dict]:
+    """Distributed transition counts -> quantized matrix + 16-step solve
+    (states, mat[(i,j)] -> p_q, d[state] -> pi_q) — shared by the
+    stationary and entropy-rate queries; arithmetic mirrors the unrolled
+    CTE oracles exactly."""
     import math
 
     ev = load_table(spark, sf_dir, "events")
@@ -1573,7 +1613,49 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for (i, j), p in mat.items():
             nxt[j] += d[i] * p
         d = {s: (v + 500_000_000) // 1_000_000_000 for s, v in nxt.items()}
-    rows = [(s, d[s], d[s] / 1e9) for s in states]
+    return states, mat, d
+
+
+@register(
+    "event_markov_entropy_rate",
+    oracle=_markov_entropy_oracle(),
+    tags=("events", "sequence", "markov", "iterative"),
+)
+def event_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy and stationary-weighted entropy-rate
+    contributions of the event-type chain: H_i = -sum_j p_ij ln p_ij in
+    nats, and rate_contrib_q = the 1e-9-quantized pi_i * H_i term whose
+    sum over states is the chain's entropy rate — how predictable the
+    NEXT event is from the current one, the information-theoretic summary
+    behind event_transition_matrix (uniform rows -> ln(S); deterministic
+    rows -> 0; dangling self-loops contribute exactly 0).
+
+    Determinism: each -p ln p term is computed from the 1e-9-quantized
+    transition integers with ONE fixed double expression and re-quantized
+    via floor(x+0.5); the pi weighting is pure integer multiply +
+    half-up integer division. Scale: same shape as
+    event_markov_stationary (one distributed count pass, states^2
+    driver solve)."""
+    import math
+
+    states, mat, d = _markov_solve(spark, sf_dir)
+    hq: dict[str, int] = {s: 0 for s in states}
+    for (i, _j), p in mat.items():
+        if p > 0:
+            hq[i] += int(
+                math.floor(1e9 * (p / 1e9) * math.log(1e9 / p) + 0.5)
+            )
+    rows = [
+        (
+            s,
+            d[s] / 1e9,
+            hq[s] / 1e9,
+            (d[s] * hq[s] + 500_000_000) // 1_000_000_000,
+        )
+        for s in states
+    ]
     return spark.createDataFrame(
-        rows, "event_type string, prob_q long, stationary_prob double"
+        rows,
+        "event_type string, stationary_prob double, "
+        "cond_entropy_nats double, rate_contrib_q long",
     )

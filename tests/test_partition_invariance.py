@@ -111,6 +111,7 @@ REPRESENTATIVES = [
     "event_markov_stationary",          # quantized integer power iteration
     "cdc_cross_source_matrix",          # source-pair chunk containment
     "cdc_decontamination",              # chunk-level eval containment
+    "event_markov_entropy_rate",        # quantized -p ln p terms
 ]
 
 

@@ -348,3 +348,24 @@ def test_markov_stationary_close_to_float_eigenvector(spark):
     assert set(got) == set(states)
     for s in states:
         assert abs(got[s] - d[s]) < 1e-4, (s, got[s], d[s])
+
+
+def test_markov_entropy_rate_bounds(spark):
+    import math
+
+    rows = (
+        REGISTRY["event_markov_entropy_rate"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows
+    S = len(rows)
+    for r in rows:
+        # conditional entropy of an S-state row is bounded by ln(S)
+        # (+ tiny quantization slack)
+        assert -1e-6 <= r.cond_entropy_nats <= math.log(S) + 1e-6, r
+    rate = sum(r.rate_contrib_q for r in rows) / 1e9
+    assert 0.0 <= rate <= math.log(S) + 1e-6
+    # this corpus's event types are near-independent draws, so the chain
+    # should be strongly mixing: rate well above 0
+    assert rate > 0.5 * math.log(S) / 2
