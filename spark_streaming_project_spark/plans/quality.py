@@ -2501,3 +2501,79 @@ def source_keep_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_low"),
         F.round((center + half) / denom, 6).alias("ci_high"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Readability profile (Flesch reading ease, ratio-of-sums form): the
+# classic prose-difficulty score as a per-source corpus statistic. Words,
+# sentences, and the vowel-group syllable proxy are exact integer counts;
+# ONE fixed double formula per source keeps the score order-free.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "readability_profile",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(text, '\S+')) AS w,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS words,
+           CAST(sum(s) AS BIGINT) AS sentences,
+           CAST(sum(y) AS BIGINT) AS syllables,
+           round(206.835
+                 - 1.015 * (CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE))
+                 - 84.6 * (CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE)),
+                 6) AS flesch
+    FROM per_doc
+    WHERE w > 0
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "quality", "readability"),
+)
+def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading ease (ratio-of-sums: corpus-level
+    words/sentence and syllables/word, not mean-of-per-doc-scores — the
+    stable estimator a handful of degenerate docs cannot drag) with the
+    exact integer counts alongside. Syllables use the standard
+    vowel-group proxy; sentence count is clamped to >= 1 per doc so
+    fragments don't divide by zero.
+
+    Scale: three regexp_count projections fused into one scan + one
+    source-keyed aggregate of integer sums; the two divisions happen
+    once per source row."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    s = F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+    y = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    per_doc = docs.select(
+        "source", w.alias("w"), s.alias("s"), y.alias("y")
+    ).filter(F.col("w") > 0)
+    sw = F.sum("w").cast("long")
+    ss = F.sum("s").cast("long")
+    sy = F.sum("y").cast("long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            sw.alias("words"),
+            ss.alias("sentences"),
+            sy.alias("syllables"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (sw.cast("double") / ss.cast("double"))
+                - F.lit(84.6) * (sy.cast("double") / sw.cast("double")),
+                6,
+            ).alias("flesch"),
+        )
+        .orderBy("source")
+    )

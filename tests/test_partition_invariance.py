@@ -112,6 +112,7 @@ REPRESENTATIVES = [
     "cdc_cross_source_matrix",          # source-pair chunk containment
     "cdc_decontamination",              # chunk-level eval containment
     "event_markov_entropy_rate",        # quantized -p ln p terms
+    "readability_profile",              # ratio-of-sums Flesch score
 ]
 
 

@@ -1706,3 +1706,76 @@ def test_streaming_markov_counts_maintained_matches_batch(spark, tmp_path):
         (r.from_type, r.to_type): r.n for r in trans_counts(ev).collect()
     }
     assert got_counts == want_counts and got_counts
+
+
+def test_incremental_agg_with_retractions_matches_net_batch(spark, tmp_path):
+    """Delete-aware view maintenance (the TPC-H RF1/RF2 shape): a CDC
+    stream of (op, row) events with op in {I, D} maintains an additive
+    aggregate by SIGNED deltas — deletes contribute -1/-value — and the
+    drained state must equal the batch aggregate over the NET corpus
+    (inserts minus deletes). Groups whose counters net to zero remain as
+    zero rows in the state (the additive monoid cannot distinguish
+    'never seen' from 'net zero'); the comparison filters them, which is
+    the documented read-side contract."""
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    # CDC log: batch 0+1 insert everything, batch 2 deletes the odd rows
+    ins = ev.select(F.lit("I").alias("op"), "event_type", "value")
+    dels = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(F.lit("D").alias("op"), "event_type", "value")
+    )
+    src = str(tmp_path / "cdc_log")
+    ins.filter(F.col("value").isNotNull()).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    dels.filter(F.col("value").isNotNull()).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def signed_agg(df):
+        sign = F.when(F.col("op") == "D", F.lit(-1)).otherwise(F.lit(1))
+        cents = F.round(F.col("value") * 100).cast("long")
+        return df.groupBy("event_type").agg(
+            F.sum(sign).cast("long").alias("n"),
+            F.sum(sign * cents).cast("long").alias("total_cents"),
+        )
+
+    state = str(tmp_path / "net_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_net"))
+    runner.add(
+        "net_state",
+        stream,
+        sink_format=None,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, signed_agg, ["event_type"], ["n", "total_cents"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        (r.event_type): (r.n, r.total_cents)
+        for r in spark.read.parquet(state).collect()
+        if r.n != 0 or r.total_cents != 0
+    }
+    net = ev.filter(
+        (F.col("event_id") % 2 == 0) & F.col("value").isNotNull()
+    )
+    want = {
+        r.event_type: (r.n, r.total_cents)
+        for r in net.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == want and got
