@@ -30,6 +30,8 @@ QUERIES = [
     "seasonal_hourly_baseline",
     "cdc_chunk_doc_clusters",
     "event_markov_stationary",
+    "purchase_attribution",
+    "events_rollup_lattice",
 ]
 
 

@@ -1659,3 +1659,222 @@ def event_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, stationary_prob double, "
         "cond_entropy_nats double, rate_contrib_q long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: per-channel conversion credit under the three
+# standard models (first-touch, last-touch, linear), computed from a
+# bounded-lookback interval join — the marketing-analytics shape every
+# event warehouse runs, and at scale the trap is the touch x conversion
+# join, which range_join_binned keeps an equi-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT e.event_type AS channel, e.ts, e.event_id, p.purchase_id
+        FROM events e
+        JOIN conv p
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 6 HOUR AND e.ts < p.ts
+        WHERE e.event_type IN ('click', 'view')
+    ),
+    ranked AS (
+        SELECT channel, purchase_id,
+               row_number() OVER (
+                   PARTITION BY purchase_id ORDER BY ts, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY purchase_id) AS n
+        FROM touch
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS touched_purchases,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch,
+           CAST(sum((2000000000 + n) // (2 * n)) AS BIGINT) AS linear_nanos,
+           round(CAST(sum((2000000000 + n) // (2 * n)) AS DOUBLE) / 1e9, 6)
+               AS linear_credit
+    FROM ranked
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "range-join"),
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion credit per touch channel (click / view) for every
+    purchase, under first-touch, last-touch, and linear attribution over
+    a 6-hour lookback window (touches strictly before the purchase).
+
+    Determinism: touch order within a purchase is (ts, event_id) — a
+    total order — and linear credit is the half-up integer
+    round(1e9/n) in nanocredits, so the per-channel sums are exact
+    integers cross-engine (the float `linear_credit` is a single
+    division of that exact sum).
+
+    Scale: the touch x purchase pairing is `range_join_binned` — an
+    EQUI-join on (user_id, 2h-bucket) with bounded interval fan-out of
+    ceil(6h/2h)+1 = 4 replicas per purchase — never an inequality
+    nested loop; per-purchase ranking is a keyed window whose partition
+    size is capped by the lookback fan-in. One final channel-keyed
+    aggregate (5 channels)."""
+    from ..operators.joins import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 6 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    matched = range_join_binned(
+        touches, conv, on="user_id", ts_col="touch_ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=2 * 3600,
+    )
+    w = Window.partitionBy("purchase_id").orderBy("touch_ts", "touch_id")
+    ranked = matched.select(
+        "channel",
+        "purchase_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("purchase_id")).alias("n"),
+    )
+    nanos = F.expr("(2000000000 + n) div (2 * n)")
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("purchase_id").alias("touched_purchases"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rn") == F.col("n"), 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch"),
+            F.sum(nanos).cast("long").alias("linear_nanos"),
+            F.round(
+                F.sum(nanos).cast("double") / F.lit(1e9), 6
+            ).alias("linear_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup lattice (continuous-aggregate reuse, the hypertable pattern):
+# hour partials are computed ONCE from raw events; day re-aggregates the
+# hour partials and week re-aggregates day — every measure is a monoid
+# (count-sum / sum / max), so reuse is EXACT, and the oracle proves it by
+# computing each grain directly from the raw table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rollup_lattice",
+    oracle="""
+    SELECT 'hour' AS grain,
+           date_trunc('hour', ts) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'week', CAST(date_trunc('week', ts) AS TIMESTAMP),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY 2
+    ORDER BY grain, bucket_start
+    """,
+    tags=("events", "window-time", "rollup", "lattice"),
+)
+def events_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour -> day -> week rollup lattice over event counts, value-cents
+    sums, and value-cents maxima — the continuous-aggregate /
+    hypertable-rollup pattern: raw data is scanned ONCE (hour partials);
+    each coarser grain re-aggregates the next finer one, which is exact
+    because every measure is a commutative monoid (count rolls up as
+    sum-of-counts, sum as sum, max as max). The DuckDB oracle computes
+    all three grains directly from the raw table, so a green row IS the
+    proof that partial reuse loses nothing.
+
+    Buckets come from F.window (native in the timestamp domain — the
+    module-header NTZ note); the week window uses startTime='4 days' to
+    shift epoch-aligned 7-day windows onto Mondays, matching
+    date_trunc('week'). Scale: at 100 TB the hour partials are the only
+    data-proportional aggregate; day re-shuffles ~hours rows and week
+    ~days rows — both trivially small — and the same partials are what
+    the incremental-agg sink maintains under streaming ingest."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hour = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "n_events",
+            "total_cents",
+            "max_cents",
+        )
+    )
+    def _rollup(finer: DataFrame, duration: str, start: str | None) -> DataFrame:
+        w = (
+            F.window("bucket_start", duration, duration, start)
+            if start
+            else F.window("bucket_start", duration)
+        )
+        return (
+            finer.groupBy(w.alias("w"))
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("total_cents").alias("total_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_start"),
+                "n_events",
+                "total_cents",
+                "max_cents",
+            )
+        )
+
+    day = _rollup(hour, "1 day", None)
+    week = _rollup(day, "7 days", "4 days")
+    tag = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("grain"),
+        "bucket_start",
+        "n_events",
+        "total_cents",
+        "max_cents",
+    )
+    return (
+        tag(hour, "hour")
+        .unionByName(tag(day, "day"))
+        .unionByName(tag(week, "week"))
+        .orderBy("grain", "bucket_start")
+    )

@@ -113,6 +113,8 @@ REPRESENTATIVES = [
     "cdc_decontamination",              # chunk-level eval containment
     "event_markov_entropy_rate",        # quantized -p ln p terms
     "readability_profile",              # ratio-of-sums Flesch score
+    "purchase_attribution",             # integer nanocredit attribution
+    "events_rollup_lattice",            # monoid rollup reuse
 ]
 
 
