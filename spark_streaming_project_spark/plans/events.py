@@ -1878,3 +1878,264 @@ def events_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(week, "week"))
         .orderBy("grain", "bucket_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — the data-driven alternative to the
+# positional first/last/linear models of purchase_attribution: credit a
+# channel by how much the chain's conversion probability DROPS when the
+# channel is removed (transitions into it redirected to NULL). Same
+# quantized-integer iteration discipline as event_markov_stationary, so
+# the oracle replays the whole solve bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_ATTR_ITERS = 16
+_ATTR_CHANNELS = ("click", "view")
+
+
+def _attr_journeys_sql() -> str:
+    """Shared CTE prefix: purchase-terminated journeys -> quantized
+    transition matrix over {START, channels} -> {channels, CONV, NULL}."""
+    return """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS st,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isconv
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    seq AS (
+        SELECT *, coalesce(sum(isconv) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS jid
+        FROM ev
+    ),
+    jrows AS (
+        SELECT user_id, jid, st,
+               row_number() OVER (
+                   PARTITION BY user_id, jid ORDER BY ts, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id, jid) AS cnt,
+               lead(st) OVER (
+                   PARTITION BY user_id, jid ORDER BY ts, event_id
+               ) AS nxt
+        FROM seq
+    ),
+    trans AS (
+        SELECT 'START' AS i, st AS j FROM jrows WHERE rn = 1
+        UNION ALL
+        SELECT st, nxt FROM jrows WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT st, 'NULL' FROM jrows WHERE rn = cnt AND st <> 'CONV'
+    ),
+    tc AS (SELECT i, j, count(*) AS n FROM trans GROUP BY 1, 2),
+    rowtot AS (SELECT i, sum(n) AS r FROM tc GROUP BY 1),
+    mat AS MATERIALIZED (
+        SELECT t.i, t.j,
+               CAST(floor(1e9 * CAST(t.n AS DOUBLE) / CAST(rt.r AS DOUBLE)
+                          + 0.5) AS BIGINT) AS p
+        FROM tc t JOIN rowtot rt USING (i)
+    ),
+    tstates AS MATERIALIZED (SELECT DISTINCT i AS state FROM mat)"""
+
+
+def _attribution_markov_oracle() -> str:
+    scen = [("full", "")] + [(c, c) for c in _ATTR_CHANNELS]
+    ctes = []
+    for tag, pinned in scen:
+        ctes.append(
+            f"s_{tag}_it0 AS MATERIALIZED (SELECT state, CAST(0 AS BIGINT) AS v"
+            " FROM tstates)"
+        )
+        for k in range(1, _ATTR_ITERS + 1):
+            ctes.append(
+                f"""s_{tag}_it{k} AS MATERIALIZED (
+        SELECT ts.state,
+               CASE WHEN ts.state = '{pinned}' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(coalesce(x.v, 0) AS BIGINT) END AS v
+        FROM tstates ts LEFT JOIN (
+            SELECT m.i AS state,
+                   CAST((sum(m.p * CASE WHEN m.j = 'CONV'
+                                        THEN 1000000000
+                                        WHEN m.j = 'NULL' THEN 0
+                                        WHEN m.j = '{pinned}' THEN 0
+                                        ELSE coalesce(pv.v, 0) END)
+                         + 500000000) // 1000000000 AS BIGINT) AS v
+            FROM mat m
+            LEFT JOIN s_{tag}_it{k - 1} pv ON pv.state = m.j
+            GROUP BY 1
+        ) x USING (state)
+    )"""
+            )
+    last = f"it{_ATTR_ITERS}"
+    rc_union = "\n        UNION ALL\n        ".join(
+        f"SELECT '{c}' AS channel, v FROM s_{c}_{last} WHERE state = 'START'"
+        for c in _ATTR_CHANNELS
+    )
+    return (
+        _attr_journeys_sql()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    base AS (SELECT v FROM s_full_{last} WHERE state = 'START'),
+    rc AS (
+        {rc_union}
+    ),
+    tot AS (
+        SELECT count(*) AS n FROM events WHERE event_type = 'purchase'
+    ),
+    re AS (
+        SELECT rc.channel, rc.v AS rv, b.v AS bv,
+               CAST(1000000000
+                    - (rc.v * 1000000000 + b.v // 2) // b.v
+                    AS BIGINT) AS re_q
+        FROM rc CROSS JOIN base b
+    ),
+    resum AS (SELECT sum(re_q) AS s FROM re)
+    SELECT re.channel,
+           CAST(re.bv AS DOUBLE) / 1e9 AS base_conv_prob,
+           CAST(re.rv AS DOUBLE) / 1e9 AS removal_conv_prob,
+           CAST(re.re_q AS DOUBLE) / 1e9 AS removal_effect,
+           CAST(t.n * re.re_q AS DOUBLE) / CAST(rs.s AS DOUBLE)
+               AS attributed_conversions
+    FROM re CROSS JOIN tot t CROSS JOIN resum rs
+    ORDER BY re.channel
+    """
+    )
+
+
+@register(
+    "attribution_markov_removal",
+    oracle=_attribution_markov_oracle(),
+    tags=("events", "attribution", "markov", "iterative"),
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution: per-user event streams
+    become purchase-terminated journeys START -> touches -> CONV/NULL;
+    the quantized transition chain's absorption probability into CONV is
+    solved by 16 integer power-iteration steps, once for the full chain
+    and once per channel with that channel's inbound mass redirected to
+    NULL (equivalently: its value pinned to 0). A channel's removal
+    effect 1 - P_removed/P_full, normalized across channels, apportions
+    the observed conversions.
+
+    Determinism: probabilities are 1e-9-quantized BIGINTs; every
+    iteration is integer multiply-sum + ONE half-up integer division per
+    state, and the removal ratio is a single half-up integer division —
+    the oracle unrolls all 3x16 steps and replays them bit-for-bit
+    (the logreg/stationary discipline applied to an absorption solve).
+
+    Scale: the only data-proportional work is journey construction —
+    two user-keyed window passes (prefix conversion count, then
+    per-journey rank/lead) on the SAME exchange as sessionization — and
+    a transition count aggregate whose key domain is (channels+1) x
+    (channels+2); the solve itself is driver-side on that bounded
+    matrix. Reference has no attribution; this extends the funnel/
+    session family (SURVEY.md §2 events analytics)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*(_ATTR_CHANNELS + ("purchase",)))
+    )
+    st = F.when(F.col("event_type") == "purchase", F.lit("CONV")).otherwise(
+        F.col("event_type")
+    )
+    isconv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        st.alias("st"),
+        F.coalesce(
+            F.sum(isconv).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    wj = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    jrows = seq.select(
+        "st",
+        F.row_number().over(wj).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id", "jid")).alias("cnt"),
+        F.lead("st").over(wj).alias("nxt"),
+    )
+    trans = (
+        jrows.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("i"), F.col("st").alias("j"))
+        .unionByName(
+            jrows.filter(F.col("nxt").isNotNull()).select(
+                F.col("st").alias("i"), F.col("nxt").alias("j")
+            )
+        )
+        .unionByName(
+            jrows.filter(
+                (F.col("rn") == F.col("cnt")) & (F.col("st") != "CONV")
+            ).select(F.col("st").alias("i"), F.lit("NULL").alias("j"))
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    import math
+
+    counts = {(r.i, r.j): r.n for r in trans}
+    rowtot: dict[str, int] = {}
+    for (i, _), n in counts.items():
+        rowtot[i] = rowtot.get(i, 0) + n
+    mat = {
+        (i, j): int(math.floor(1e9 * n / rowtot[i] + 0.5))
+        for (i, j), n in counts.items()
+    }
+    transient = sorted(rowtot)
+
+    def solve(pinned: str) -> int:
+        v = {s: 0 for s in transient}
+        for _ in range(_ATTR_ITERS):
+            nxt = {}
+            for s in transient:
+                if s == pinned:
+                    nxt[s] = 0
+                    continue
+                acc = 0
+                for (i, j), p in mat.items():
+                    if i != s:
+                        continue
+                    if j == "CONV":
+                        acc += p * 1_000_000_000
+                    elif j == "NULL" or j == pinned:
+                        continue
+                    else:
+                        acc += p * v.get(j, 0)
+                nxt[s] = (acc + 500_000_000) // 1_000_000_000
+            v = nxt
+        return v.get("START", 0)
+
+    base = solve("")
+    total_conv = sum(n for (i, j), n in counts.items() if j == "CONV")
+    rc = {c: solve(c) for c in _ATTR_CHANNELS}
+    re_q = {
+        c: (
+            1_000_000_000 - (rc[c] * 1_000_000_000 + base // 2) // base
+            if base
+            else 0
+        )
+        for c in _ATTR_CHANNELS
+    }
+    sum_re = sum(re_q.values())
+    rows = [
+        (
+            c,
+            base / 1e9,
+            rc[c] / 1e9,
+            re_q[c] / 1e9,
+            (total_conv * re_q[c]) / sum_re if sum_re else 0.0,
+        )
+        for c in _ATTR_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_prob double, removal_conv_prob double, "
+        "removal_effect double, attributed_conversions double",
+    ).orderBy("channel")

@@ -115,6 +115,7 @@ REPRESENTATIVES = [
     "readability_profile",              # ratio-of-sums Flesch score
     "purchase_attribution",             # integer nanocredit attribution
     "events_rollup_lattice",            # monoid rollup reuse
+    "attribution_markov_removal",       # quantized absorption solve
 ]
 
 
