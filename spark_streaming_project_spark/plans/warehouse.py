@@ -56,6 +56,12 @@ def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 merge of a segment-change batch (negative-balance customers
     flip to DELINQUENT; one brand-new member) into the customer dimension:
     closed old versions + new open versions + untouched rows."""
+    return _scd2_dim(spark, sf_dir)
+
+
+def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic two-version SCD2 customer-segment dimension
+    (shared by the merge query and the point-in-time join)."""
     cust = load_table(spark, sf_dir, "customer")
     dim = cust.select(
         "c_custkey",
@@ -489,4 +495,107 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(small).cast("double") / F.sum("group_size"), 6
         ).alias("exposed_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against the SCD2 dimension — the
+# feature-store join that keeps training data leakage-free: each fact row
+# must see the dimension version that was valid AT ITS OWN timestamp,
+# never the current one. Executed as the as-of join (union + one keyed
+# window), not a validity-range inequality join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_point_in_time_segment",
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment,
+               DATE '1995-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, 'DELINQUENT' AS seg
+        FROM customer WHERE c_acctbal < 0
+        UNION ALL SELECT CAST(-1 AS BIGINT), 'NEWCO'
+    ),
+    chg AS (
+        SELECT upd.c_custkey, upd.seg
+        FROM upd LEFT JOIN cur ON upd.c_custkey = cur.c_custkey
+        WHERE cur.c_custkey IS NULL OR cur.c_mktsegment <> upd.seg
+    ),
+    dim AS (
+        SELECT cur.* FROM cur
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        UNION ALL
+        SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from,
+               DATE '1996-06-01'
+        FROM cur JOIN chg ON cur.c_custkey = chg.c_custkey
+        UNION ALL
+        SELECT c_custkey, seg, DATE '1996-06-01', CAST(NULL AS DATE)
+        FROM chg
+    )
+    SELECT d.c_mktsegment AS effective_segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS customers,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                      AS DOUBLE), 2) AS revenue
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("warehouse", "scd", "asof-join", "point-in-time"),
+)
+def orders_point_in_time_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders attributed to the customer segment that was valid ON THE
+    ORDER DATE (SCD2 versions from the same deterministic merge as
+    scd2_customer_segment): pre-change orders of later-DELINQUENT
+    customers credit their ORIGINAL segment — the leakage rule every
+    point-in-time-correct feature pipeline must enforce.
+
+    Spark plan: as-of join (union + ONE custkey-keyed window carrying
+    the latest version with valid_from <= order date) rather than the
+    validity-range inequality join Spark would nest-loop; version
+    disjointness per key makes latest-before == the valid version.
+    Date-granular comparison on both engines. Scale: one shuffle on
+    custkey; the window partition per key is versions + that key's
+    orders."""
+    from ..operators.joins import asof_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
+    )
+    dim = _scd2_dim(spark, sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("valid_from"),
+        F.col("c_mktsegment").alias("effective_segment"),
+    )
+    joined = asof_join(
+        orders,
+        dim,
+        on="o_custkey",
+        left_ts="order_date",
+        right_ts="valid_from",
+    )
+    return (
+        joined.groupBy("effective_segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("customers"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("effective_segment")
     )

@@ -116,6 +116,7 @@ REPRESENTATIVES = [
     "purchase_attribution",             # integer nanocredit attribution
     "events_rollup_lattice",            # monoid rollup reuse
     "attribution_markov_removal",       # quantized absorption solve
+    "orders_point_in_time_segment",     # SCD2 point-in-time join
 ]
 
 
