@@ -11,6 +11,7 @@ benchmark terms?").
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -653,4 +654,101 @@ def retrieval_eval_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("d_q").cast("double") / F.col("i_q"), 6
             ).alias("ndcg_at_10"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: cheap lexical recall (BM25 top-50) -> expensive
+# per-pair reranker on the CANDIDATES ONLY (top-10 out). The reranker is
+# where a cross-encoder model would run; this environment has no torch,
+# so the model is a deterministic md5 stub — but the ARCHITECTURE is
+# real: an Arrow-batched pandas_udf scoring (query, doc) pairs, applied
+# after candidate pruning so the expensive stage touches 50 rows per
+# query no matter how big the corpus is.
+# ---------------------------------------------------------------------------
+
+_CE_SEED = "ce0"
+_CE_SCALE = float(16**12)  # 2^48 — exact in a double
+
+
+@register(
+    "rerank_crossencoder_topk",
+    oracle=f"""
+    WITH {{toks}},
+    tfc AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(words) AS term FROM toks)
+        WHERE term IN ({{terms}})
+        GROUP BY 1, 2
+    ),
+    dfc AS (SELECT term, count(*) AS _df FROM tfc GROUP BY 1),
+    dl AS (SELECT doc_id, len(words) AS _len FROM toks),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(words)) AS DOUBLE) / count(*) AS _avgdl
+        FROM toks
+    ),
+    cands AS (
+        SELECT doc_id, round(sum(
+            ln(1.0 + (n_docs - _df + 0.5) / (_df + 0.5))
+            * (tf * {{k1p1}})
+            / (tf + {{k1}} * ({{omb}} + {{b}} * _len / _avgdl))
+        ), 6) AS bm25
+        FROM tfc JOIN dfc USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 50
+    )
+    SELECT doc_id, bm25,
+           CAST(CAST(('0x' || substr(md5('{{seed}}:{{query}}:'
+                                     || CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS BIGINT) AS DOUBLE) / {{scale}} AS ce_score
+    FROM cands
+    ORDER BY ce_score DESC, doc_id ASC
+    LIMIT 10
+    """.format(
+        toks=_TOKS_CTE,
+        terms=", ".join(repr(t) for t in _QUERY_TERMS),
+        k1p1=repr(_BM25_K1 + 1.0),
+        k1=repr(_BM25_K1),
+        omb=repr(1.0 - _BM25_B),
+        b=repr(_BM25_B),
+        seed=_CE_SEED,
+        query=" ".join(_QUERY_TERMS),
+        scale=repr(_CE_SCALE),
+    ),
+    tags=("llm", "retrieval", "rerank", "topk"),
+)
+def rerank_crossencoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 candidates reranked to a top-10 by a per-(query, doc)
+    cross-encoder STUB: an Arrow-batched pandas_udf whose score is the
+    md5-derived uniform [0,1) double (hashlib in Python == md5() in the
+    oracle, byte-for-byte) — swap the hash for a model forward pass and
+    nothing else changes. The two-stage shape is the scale story:
+    first-stage recall is the corpus-sized (but index-friendly) BM25
+    scan; the reranker — the expensive stage — sees exactly 50 rows per
+    query regardless of corpus size."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = bm25_scores(
+        docs, "text", "doc_id", _QUERY_TERMS, k1=_BM25_K1, b=_BM25_B, k=50
+    )
+    query = " ".join(_QUERY_TERMS)
+
+    @F.pandas_udf("double")
+    def ce_score(doc_id: pd.Series) -> pd.Series:
+        def score(d) -> float:
+            h = hashlib.md5(
+                f"{_CE_SEED}:{query}:{d}".encode("utf-8")
+            ).hexdigest()
+            return int(h[:12], 16) / _CE_SCALE
+
+        return doc_id.map(score)
+
+    return (
+        cands.withColumn("ce_score", ce_score(F.col("doc_id")))
+        .orderBy(F.desc("ce_score"), F.asc("doc_id"))
+        .limit(10)
     )

@@ -117,6 +117,7 @@ REPRESENTATIVES = [
     "events_rollup_lattice",            # monoid rollup reuse
     "attribution_markov_removal",       # quantized absorption solve
     "orders_point_in_time_segment",     # SCD2 point-in-time join
+    "rerank_crossencoder_topk",         # two-stage rerank (Arrow stub)
 ]
 
 

@@ -1779,3 +1779,74 @@ def test_incremental_agg_with_retractions_matches_net_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_rollup_lattice_over_hourly_state_matches_batch(
+    spark, tmp_path
+):
+    """Continuous-aggregate maintenance for the rollup lattice: hourly
+    additive partials (count, value cents) maintained per micro-batch by
+    the incremental-agg sink; the DAY grain is then a read-side rollup of
+    the drained hourly STATE — and must equal the batch day aggregate
+    over the full corpus exactly, because both measures are sum-monoids.
+    This is the streaming leg of events_rollup_lattice: raw events are
+    touched once per trigger, coarser grains never re-read raw data."""
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "rl_src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def hourly(df):
+        return df.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("h")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("cents"),
+        )
+
+    state = str(tmp_path / "rl_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_rl"))
+    runner.add(
+        "rl_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, hourly, ["h"], ["n", "cents"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    day = F.window("h", "1 day").getField("start").alias("d")
+    got = {
+        (r.d, r.n, r.cents)
+        for r in spark.read.parquet(state)
+        .groupBy(day)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    want = {
+        (r.d, r.n, r.cents)
+        for r in ev.groupBy(
+            F.window("ts", "1 day").getField("start").alias("d")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and got
