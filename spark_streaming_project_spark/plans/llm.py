@@ -4643,3 +4643,183 @@ def cdc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top principal component by quantized power iteration — the
+# logreg/Markov integer-iteration discipline extended to a covariance
+# eigensolve. Distributed work: ONE nested-posexplode pass producing the
+# d x d centered second-moment cells (map-side combined — 4096 cells for
+# d=64 no matter how many vectors); the 16-step solve runs driver-side
+# on that bounded frame and the oracle replays every step bit-for-bit.
+# Division hazard pinned: DuckDB's integer `//` truncates toward zero
+# while Python's floors, so EVERY signed division here uses the explicit
+# sign-safe half-up form  sign(w) * ((abs(w) + d/2) // d)  in both
+# engines.
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 16
+_PCA_SSDIV = (
+    "CASE WHEN {w} >= 0 THEN ({w} + {d} // 2) // {d} "
+    "ELSE -((-({w}) + {d} // 2) // {d}) END"
+)
+
+
+def _pca_oracle() -> str:
+    its = []
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        ss = _PCA_SSDIV.format(w="w.w", d="d.d")
+        its.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT m.j, sum(m.s * v.v) AS w
+        FROM mat m JOIN {prev} v ON v.j = m.k GROUP BY 1
+    ),
+    d{k} AS MATERIALIZED (
+        SELECT greatest(1, (max(abs(w)) + 999999999) // 1000000000) AS d
+        FROM w{k}
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT w.j, CAST({ss} AS BIGINT) AS v
+        FROM w{k} w CROSS JOIN d{k} d
+    )"""
+        )
+        prev = f"v{k}"
+    ss_m = _PCA_SSDIV.format(w="c.c", d="c.n")
+    ss_s = _PCA_SSDIV.format(w="r.s", d="sd.d")
+    ss_vs = _PCA_SSDIV.format(w="(f.v * g.s)", d="64")
+    return f"""
+    WITH el AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q,
+               generate_subscripts(embedding, 1) - 1 AS j
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cm AS MATERIALIZED (
+        SELECT j, sum(q) AS c, count(*) AS n FROM el GROUP BY 1
+    ),
+    m AS MATERIALIZED (
+        SELECT j, CAST({ss_m} AS BIGINT) AS m
+        FROM (SELECT j, c, n FROM cm) c
+    ),
+    ec AS MATERIALIZED (
+        SELECT el.vec_id, el.j, el.q - m.m AS qc
+        FROM el JOIN m USING (j)
+    ),
+    s_raw AS MATERIALIZED (
+        SELECT a.j AS j, b.j AS k, sum(a.qc * b.qc) AS s
+        FROM ec a JOIN ec b USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    sd AS MATERIALIZED (
+        SELECT greatest(1, (max(abs(s)) + 99999999) // 100000000) AS d
+        FROM s_raw
+    ),
+    mat AS MATERIALIZED (
+        SELECT r.j, r.k, CAST({ss_s} AS BIGINT) AS s
+        FROM s_raw r CROSS JOIN sd
+    ),
+    v0 AS MATERIALIZED (
+        SELECT DISTINCT j, CAST(1000000000 AS BIGINT) AS v FROM el
+    ),
+    {",".join(its)},
+    sgn AS MATERIALIZED (
+        SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+        FROM v{_PCA_ITERS} ORDER BY abs(v) DESC, j ASC LIMIT 1
+    ),
+    vs AS MATERIALIZED (
+        SELECT f.j, CAST({ss_vs} AS BIGINT) AS vs
+        FROM v{_PCA_ITERS} f CROSS JOIN sgn g
+    ),
+    nrm AS (SELECT sum(vs * vs) AS nq FROM vs)
+    SELECT CAST(vs.j AS INTEGER) AS dim,
+           CAST(f.v * g.s AS BIGINT) AS loading_q,
+           CAST(vs.vs AS DOUBLE) / sqrt(CAST(nrm.nq AS DOUBLE)) AS loading
+    FROM vs
+    JOIN v{_PCA_ITERS} f ON f.j = vs.j
+    CROSS JOIN sgn g CROSS JOIN nrm
+    ORDER BY dim
+    """
+
+
+@register(
+    "embedding_top_pc",
+    oracle=_pca_oracle(),
+    tags=("llm", "similarity", "pca", "iterative"),
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table (64 loadings): the
+    direction of maximum variance — what an ANN/whitening/compression
+    stage diagonalizes first. Components are 1e-6-quantized BIGINTs,
+    integer-mean centered; the d x d centered second-moment matrix comes
+    from ONE nested-explode pass whose d^2 cells are map-side combined
+    (the only data-proportional work — 4096 cells regardless of corpus
+    size); 16 power-iteration steps run driver-side in pure integer
+    arithmetic (per-step renormalization to <= 1e9 by sign-safe half-up
+    division, products bounded < 2^63), with the final sign fixed by
+    the largest-|loading| convention and unit-normalized once in double.
+
+    Integer-exactness envelope (SCALE.md): second-moment cells stay
+    below 2^63 up to ~10^7 vectors at 1e-6 quantization; beyond that
+    the same plan runs at coarser quantization — the documented
+    quantization-vs-scale tradeoff.
+
+    Determinism: the oracle replays quantization, centering, scaling,
+    all 16 steps, the sign fix, and the downscaled norm bit-for-bit
+    (sign-safe divisions everywhere: DuckDB `//` truncates, Python
+    floors — the explicit CASE form removes the divergence)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+
+    def ssdiv(w: int, d: int) -> int:
+        return (w + d // 2) // d if w >= 0 else -((-w + d // 2) // d)
+
+    el = emb.select(F.posexplode(qarr).alias("j", "q"))
+    cm = el.groupBy("j").agg(
+        F.sum("q").alias("c"), F.count("*").alias("n")
+    ).collect()
+    if not cm:
+        return spark.createDataFrame(
+            [], "dim int, loading_q long, loading double"
+        )
+    m = {r.j: ssdiv(r.c, r.n) for r in cm}
+    marr = F.array(*[F.lit(m[j]) for j in sorted(m)])
+    qc = F.zip_with(qarr, marr, lambda x, mm: x - mm)
+    e1 = emb.select(F.posexplode(qc).alias("j", "qj"), qc.alias("arr"))
+    e2 = e1.select("j", "qj", F.posexplode("arr").alias("k", "qk"))
+    cells = (
+        e2.groupBy("j", "k")
+        .agg(F.sum(F.col("qj") * F.col("qk")).alias("s"))
+        .collect()
+    )
+    s_raw = {(r.j, r.k): r.s for r in cells}
+    maxabs = max(abs(s) for s in s_raw.values())
+    sdiv = max(1, (maxabs + 99_999_999) // 100_000_000)
+    mat = {(j, k): ssdiv(s, sdiv) for (j, k), s in s_raw.items()}
+    dims = sorted(m)
+    v = {j: 1_000_000_000 for j in dims}
+    for _ in range(_PCA_ITERS):
+        w = {j: 0 for j in dims}
+        for (j, k), s in mat.items():
+            w[j] += s * v.get(k, 0)
+        maxw = max(abs(x) for x in w.values())
+        d = max(1, (maxw + 999_999_999) // 1_000_000_000)
+        v = {j: ssdiv(x, d) for j, x in w.items()}
+    jmax = min(dims, key=lambda j: (-abs(v[j]), j))
+    sign = -1 if v[jmax] < 0 else 1
+    vs = {j: ssdiv(v[j] * sign, 64) for j in dims}
+    norm = math.sqrt(float(sum(x * x for x in vs.values())))
+    rows = [
+        (int(j), v[j] * sign, vs[j] / norm if norm else 0.0) for j in dims
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading_q long, loading double"
+    ).orderBy("dim")

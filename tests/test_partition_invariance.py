@@ -118,6 +118,7 @@ REPRESENTATIVES = [
     "attribution_markov_removal",       # quantized absorption solve
     "orders_point_in_time_segment",     # SCD2 point-in-time join
     "rerank_crossencoder_topk",         # two-stage rerank (Arrow stub)
+    "embedding_top_pc",                 # quantized PCA power iteration
 ]
 
 
