@@ -36,6 +36,11 @@ from ..operators.similarity import (
 from ..operators.textstats import doc_stats, fingerprints, language_id
 from ..sources.batch import load_table
 from .registry import register
+from ..operators.pca import (
+    PCA_ITERS,
+    pca_raw_moments,
+    pca_solve_from_moments,
+)
 
 # Shared DuckDB CTE: whitespace tokens / distinct word-3-gram shingles.
 _TOKS_CTE = r"""
@@ -4658,7 +4663,7 @@ def cdc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines.
 # ---------------------------------------------------------------------------
 
-_PCA_ITERS = 16
+_PCA_ITERS = PCA_ITERS  # single source of truth with operators/pca.py
 _PCA_SSDIV = (
     "CASE WHEN {w} >= 0 THEN ({w} + {d} // 2) // {d} "
     "ELSE -((-({w}) + {d} // 2) // {d}) END"
@@ -4769,57 +4774,20 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 16 steps, the sign fix, and the downscaled norm bit-for-bit
     (sign-safe divisions everywhere: DuckDB `//` truncates, Python
     floors — the explicit CASE form removes the divergence)."""
-    import math
-
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+    raw = pca_raw_moments(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
     )
-    qarr = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
-    )
-
-    def ssdiv(w: int, d: int) -> int:
-        return (w + d // 2) // d if w >= 0 else -((-w + d // 2) // d)
-
-    el = emb.select(F.posexplode(qarr).alias("j", "q"))
-    cm = el.groupBy("j").agg(
-        F.sum("q").alias("c"), F.count("*").alias("n")
-    ).collect()
+    cm = raw["moments"].collect()
     if not cm:
         return spark.createDataFrame(
             [], "dim int, loading_q long, loading double"
         )
-    m = {r.j: ssdiv(r.c, r.n) for r in cm}
-    marr = F.array(*[F.lit(m[j]) for j in sorted(m)])
-    qc = F.zip_with(qarr, marr, lambda x, mm: x - mm)
-    e1 = emb.select(F.posexplode(qc).alias("j", "qj"), qc.alias("arr"))
-    e2 = e1.select("j", "qj", F.posexplode("arr").alias("k", "qk"))
-    cells = (
-        e2.groupBy("j", "k")
-        .agg(F.sum(F.col("qj") * F.col("qk")).alias("s"))
-        .collect()
+    cells = raw["cells"].collect()
+    rows = pca_solve_from_moments(
+        {(r.j, r.k): r.s for r in cells},
+        {r.j: r.c for r in cm},
+        cm[0].n,
     )
-    s_raw = {(r.j, r.k): r.s for r in cells}
-    maxabs = max(abs(s) for s in s_raw.values())
-    sdiv = max(1, (maxabs + 99_999_999) // 100_000_000)
-    mat = {(j, k): ssdiv(s, sdiv) for (j, k), s in s_raw.items()}
-    dims = sorted(m)
-    v = {j: 1_000_000_000 for j in dims}
-    for _ in range(_PCA_ITERS):
-        w = {j: 0 for j in dims}
-        for (j, k), s in mat.items():
-            w[j] += s * v.get(k, 0)
-        maxw = max(abs(x) for x in w.values())
-        d = max(1, (maxw + 999_999_999) // 1_000_000_000)
-        v = {j: ssdiv(x, d) for j, x in w.items()}
-    jmax = min(dims, key=lambda j: (-abs(v[j]), j))
-    sign = -1 if v[jmax] < 0 else 1
-    vs = {j: ssdiv(v[j] * sign, 64) for j in dims}
-    norm = math.sqrt(float(sum(x * x for x in vs.values())))
-    rows = [
-        (int(j), v[j] * sign, vs[j] / norm if norm else 0.0) for j in dims
-    ]
     return spark.createDataFrame(
         rows, "dim int, loading_q long, loading double"
     ).orderBy("dim")

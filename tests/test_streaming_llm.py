@@ -1850,3 +1850,70 @@ def test_streaming_rollup_lattice_over_hourly_state_matches_batch(
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_pca_moments_maintained_matches_batch(spark, tmp_path):
+    """Streaming eigensolve maintenance: the PCA moment frames are pure
+    sum-monoids (raw d x d second-moment cells + per-dim sums/counts),
+    so the incremental-agg sink can maintain them per micro-batch; the
+    read-side integer solve over the DRAINED state must reproduce the
+    batch embedding_top_pc output row-for-row (centering happens in the
+    solve via the exact integer identity, so streaming never needs the
+    global mean up front)."""
+    from spark_streaming_project_spark.operators.pca import (
+        pca_raw_moments,
+        pca_solve_from_moments,
+    )
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    src = str(tmp_path / "pca_src")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    cells_state = str(tmp_path / "pca_cells")
+    mom_state = str(tmp_path / "pca_moments")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_pca"))
+    runner.add(
+        "pca_cells",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            cells_state,
+            lambda df: pca_raw_moments(df, "embedding")["cells"],
+            ["j", "k"],
+            ["s"],
+        ),
+    )
+    runner.add(
+        "pca_moments",
+        stream_parquet_dir(spark, src, schema, max_files_per_trigger=1),
+        foreach_batch=foreach_batch_incremental_agg(
+            mom_state,
+            lambda df: pca_raw_moments(df, "embedding")["moments"],
+            ["j"],
+            ["c", "n"],
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=180)
+
+    cells = {
+        (r.j, r.k): r.s for r in spark.read.parquet(cells_state).collect()
+    }
+    mom = spark.read.parquet(mom_state).collect()
+    got = pca_solve_from_moments(
+        cells, {r.j: r.c for r in mom}, mom[0].n
+    )
+    want = [
+        (r.dim, r.loading_q, r.loading)
+        for r in REGISTRY["embedding_top_pc"].builder(spark, sf).collect()
+    ]
+    assert got == want and len(got) == 64
