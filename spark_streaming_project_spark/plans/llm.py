@@ -4670,7 +4670,9 @@ _PCA_SSDIV = (
 )
 
 
-def _pca_oracle() -> str:
+def _pca_chain() -> str:
+    """The shared WITH-chain: quantize -> center -> scale -> 16 steps ->
+    sign fix -> downscaled vs (everything but the final SELECT)."""
     its = []
     prev = "v0"
     for k in range(1, _PCA_ITERS + 1):
@@ -4736,7 +4738,13 @@ def _pca_oracle() -> str:
     vs AS MATERIALIZED (
         SELECT f.j, CAST({ss_vs} AS BIGINT) AS vs
         FROM v{_PCA_ITERS} f CROSS JOIN sgn g
-    ),
+    )"""
+
+
+def _pca_oracle() -> str:
+    return (
+        _pca_chain()
+        + f""",
     nrm AS (SELECT sum(vs * vs) AS nq FROM vs)
     SELECT CAST(vs.j AS INTEGER) AS dim,
            CAST(f.v * g.s AS BIGINT) AS loading_q,
@@ -4746,6 +4754,7 @@ def _pca_oracle() -> str:
     CROSS JOIN sgn g CROSS JOIN nrm
     ORDER BY dim
     """
+    )
 
 
 @register(
@@ -4791,3 +4800,102 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, loading_q long, loading double"
     ).orderBy("dim")
+
+
+def _pca_projection_oracle() -> str:
+    ss_p = _PCA_SSDIV.format(w="pr", d="1000000")
+    return (
+        _pca_chain()
+        + f""",
+    vf AS MATERIALIZED (
+        SELECT f.j, f.v * g.s AS v FROM v{_PCA_ITERS} f CROSS JOIN sgn g
+    ),
+    proj AS MATERIALIZED (
+        SELECT el.vec_id, sum((el.q - m.m) * vf.v) AS pr
+        FROM el JOIN m USING (j) JOIN vf ON vf.j = el.j
+        GROUP BY 1
+    ),
+    pq AS MATERIALIZED (
+        SELECT vec_id, CAST({ss_p} AS BIGINT) AS p FROM proj
+    )
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(p) AS BIGINT) AS proj_sum_q,
+           CAST(min(p) AS BIGINT) AS proj_min_q,
+           CAST(max(p) AS BIGINT) AS proj_max_q,
+           round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS mean_proj
+    FROM pq JOIN embeddings e USING (vec_id)
+    GROUP BY 1
+    ORDER BY 1
+    """
+    )
+
+
+@register(
+    "embedding_pc1_label_profile",
+    oracle=_pca_projection_oracle(),
+    tags=("llm", "similarity", "pca", "iterative"),
+)
+def embedding_pc1_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label distribution of the projection onto the top principal
+    component — does PC1 separate the classes? (If label means differ by
+    more than their spreads, a linear probe along one direction already
+    discriminates.) Projections are exact integers: centered quantized
+    components dotted with the solved integer eigvector, downscaled by
+    the sign-safe half-up division; per-label sums/min/max are integer
+    aggregates, the mean is one double division.
+
+    Scale: the solve reuses the d^2-bounded moment pass (driver-side
+    matrix); the projection is a SECOND map-only scan — zip_with over
+    broadcast literal arrays (mean + eigvector), one dot product per
+    row, then a label-keyed aggregate. No join, no explode."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = pca_raw_moments(emb, "embedding")
+    cm = raw["moments"].collect()
+    if not cm:
+        return spark.createDataFrame(
+            [],
+            "label int, n_vecs long, proj_sum_q long, proj_min_q long, "
+            "proj_max_q long, mean_proj double",
+        )
+    from ..operators.pca import PCA_QUANT, ssdiv
+
+    c = {r.j: r.c for r in cm}
+    n = cm[0].n
+    cells = raw["cells"].collect()
+    solved = pca_solve_from_moments(
+        {(r.j, r.k): r.s for r in cells}, c, n
+    )
+    dims = [r[0] for r in solved]
+    m = {j: ssdiv(c[j], n) for j in dims}
+    marr = F.array(*[F.lit(m[j]) for j in dims])
+    varr = F.array(*[F.lit(r[1]) for r in solved])
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * PCA_QUANT).cast("long"),
+    )
+    centered = F.zip_with(qarr, marr, lambda x, mm: x - mm)
+    terms = F.zip_with(centered, varr, lambda a, v: a * v)
+    pr = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    proj = emb.filter(F.col("embedding").isNotNull()).select(
+        "label", pr.alias("_pr")
+    )
+    # sign-safe half-up downscale in INTEGER arithmetic (`div`, not `/`)
+    p = F.expr(
+        "CASE WHEN _pr >= 0 THEN (_pr + 500000) div 1000000 "
+        "ELSE -((-_pr + 500000) div 1000000) END"
+    )
+    return (
+        proj.select("label", p.alias("p"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("p").cast("long").alias("proj_sum_q"),
+            F.min("p").cast("long").alias("proj_min_q"),
+            F.max("p").cast("long").alias("proj_max_q"),
+            F.round(
+                F.sum("p").cast("double") / F.count("*"), 6
+            ).alias("mean_proj"),
+        )
+        .orderBy("label")
+    )

@@ -119,6 +119,7 @@ REPRESENTATIVES = [
     "orders_point_in_time_segment",     # SCD2 point-in-time join
     "rerank_crossencoder_topk",         # two-stage rerank (Arrow stub)
     "embedding_top_pc",                 # quantized PCA power iteration
+    "embedding_pc1_label_profile",      # exact-integer PC1 projections
 ]
 
 
