@@ -81,6 +81,31 @@ SHOWCASE = [
      "chunk hashing are ONE narrow higher-order-function projection "
      "(no shuffle, no explode-regroup of positions); the only exchange "
      "is the final chunk-hash-keyed ledger aggregate."),
+    ("purchase_attribution",
+     "Multi-touch attribution: the touch x purchase pairing is the "
+     "binned interval EQUI-join (bounded 4-bucket fan-out per purchase, "
+     "never an inequality nested loop); per-purchase ranking is a keyed "
+     "window capped by the lookback fan-in; 5-row channel aggregate."),
+    ("events_rollup_lattice",
+     "Continuous-aggregate reuse: raw events feed ONE hour-partial "
+     "aggregate, collected as an hours-bounded sidecar; day/week "
+     "re-aggregate the LOCAL frame (Scan ExistingRDD below — zero "
+     "parquet scans at query time; before the sidecar fix each union "
+     "branch replayed the raw scan)."),
+    ("orders_point_in_time_segment",
+     "Point-in-time SCD2 join: the as-of union+window form — ONE "
+     "custkey exchange, latest valid_from <= order date carried by a "
+     "keyed window; no validity-range inequality join."),
+    ("rerank_crossencoder_topk",
+     "Two-stage retrieval: BM25 recall ends in TakeOrderedAndProject "
+     "(top-50); the expensive reranker is ArrowEvalPython over exactly "
+     "those 50 rows — candidate pruning caps the model-cost stage "
+     "regardless of corpus size."),
+    ("embedding_pc1_label_profile",
+     "Quantized PCA: the d^2-cell moment aggregate is the only "
+     "data-proportional work (map-side combined); the eigensolve is "
+     "driver-side on the bounded frame; the projection pass is map-only "
+     "zip_with over broadcast literal arrays + one label aggregate."),
 ]
 
 HEADER = """# PLANS — flagship physical plans (auto-generated)

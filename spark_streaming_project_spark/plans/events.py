@@ -1823,12 +1823,17 @@ def events_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     module-header NTZ note); the week window uses startTime='4 days' to
     shift epoch-aligned 7-day windows onto Mondays, matching
     date_trunc('week'). Scale: at 100 TB the hour partials are the only
-    data-proportional aggregate; day re-shuffles ~hours rows and week
-    ~days rows — both trivially small — and the same partials are what
-    the incremental-agg sink maintains under streaming ingest."""
+    data-proportional aggregate; they are then COLLECTED as an
+    hours-bounded sidecar (|hours| rows — ~88k for a decade, the same
+    bounded-driver-read class as the range-partition offset sidecars),
+    so day/week derive from a local frame and the raw table is scanned
+    exactly once — without this the three union branches each replay
+    the scan (verified in the physical plan before the fix). The same
+    partials are what the incremental-agg sink maintains under
+    streaming ingest."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    hour = (
+    hour_rows = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
@@ -1841,6 +1846,12 @@ def events_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
             "max_cents",
         )
+        .collect()
+    )
+    hour = spark.createDataFrame(
+        hour_rows,
+        "bucket_start timestamp_ntz, n_events bigint, "
+        "total_cents bigint, max_cents bigint",
     )
     def _rollup(finer: DataFrame, duration: str, start: str | None) -> DataFrame:
         w = (
