@@ -143,3 +143,57 @@ def read_jsonl_with_quarantine(
         .select("_parsed.*")
         .drop("_corrupt_record")
     )
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    quarantine_path: str | None = None,
+    sep: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """CSV twin of ``read_jsonl_with_quarantine``: explicit schema (never
+    inference), PERMISSIVE parse with a ``_corrupt_record`` capture, bad
+    lines quarantined verbatim (overwrite-per-source — re-running an
+    ingest replaces its own slice), clean rows back typed.
+
+    Same text-scan + ``from_csv`` formulation (not ``spark.read.csv``) so
+    the corrupt marker is an ordinary derived field: no SPARK-21610
+    internal-column restriction, no cache pinned. When ``header`` is
+    true the first line (matched literally, not positionally — safe
+    across partitioned multi-file input where 'first' is undefined) is
+    dropped before parsing. One scan, narrow per-line parse, no shuffle.
+    """
+    import hashlib
+
+    full_schema = schema + ", _corrupt_record string"
+    lines = spark.read.text(path)
+    if header:
+        header_line = sep.join(
+            f.split(" ")[0] for f in schema.split(", ")
+        )
+        lines = lines.filter(F.col("value") != header_line)
+    parsed = lines.select(
+        F.col("value").alias("_raw_line"),
+        F.from_csv(
+            "value",
+            full_schema,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+                "sep": sep,
+            },
+        ).alias("_parsed"),
+    )
+    if quarantine_path is not None:
+        bad = parsed.filter(
+            F.col("_parsed._corrupt_record").isNotNull()
+        ).select(F.col("_raw_line").alias("raw_line"))
+        subdir = hashlib.md5(path.encode()).hexdigest()[:16]
+        bad.write.mode("overwrite").text(f"{quarantine_path}/src={subdir}")
+    return (
+        parsed.filter(F.col("_parsed._corrupt_record").isNull())
+        .select("_parsed.*")
+        .drop("_corrupt_record")
+    )

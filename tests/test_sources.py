@@ -119,3 +119,46 @@ def test_read_jsonl_with_quarantine_routes_bad_lines(spark, tmp_path):
     assert spark.read.text(qdir).count() == 2
     # the clean frame does not pin a session-lifetime cache
     assert not clean2.storageLevel.useMemory
+
+
+def test_read_csv_with_quarantine_routes_bad_lines(spark, tmp_path):
+    """CSV twin of the JSONL quarantine ingest: typed clean rows,
+    malformed lines quarantined verbatim, header dropped literally,
+    overwrite-per-source on re-run."""
+    from spark_streaming_project_spark.sources.batch import (
+        read_csv_with_quarantine,
+    )
+
+    src = tmp_path / "docs.csv"
+    src.write_text(
+        "doc_id,text\n"
+        "1,hello world\n"
+        "2,ok\n"
+        "notanumber,broken type\n"
+        "3,\n"
+    )
+    qdir = str(tmp_path / "csv_quarantine")
+    clean = read_csv_with_quarantine(
+        spark,
+        str(src),
+        "doc_id long, text string",
+        quarantine_path=qdir,
+        header=True,
+    )
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows[1] == "hello world" and rows[2] == "ok"
+    assert 3 in rows and rows[3] is None  # empty field permissive-clean
+    assert None not in rows  # type violation went to quarantine
+    bad = [r["value"] for r in spark.read.text(qdir).collect()]
+    assert bad == ["notanumber,broken type"]
+
+    clean2 = read_csv_with_quarantine(
+        spark,
+        str(src),
+        "doc_id long, text string",
+        quarantine_path=qdir,
+        header=True,
+    )
+    assert clean2.count() == clean.count() == 3
+    assert spark.read.text(qdir).count() == 1
+    assert not clean2.storageLevel.useMemory
