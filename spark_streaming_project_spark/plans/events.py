@@ -1670,6 +1670,31 @@ def event_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _attribution_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared attribution first stage: (touch, purchase) pairs within the
+    6h lookback, built by the binned interval equi-join (4 bucket
+    replicas per purchase window, never an inequality nested loop)."""
+    from ..operators.joins import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 6 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    return range_join_binned(
+        touches, conv, on="user_id", ts_col="touch_ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=2 * 3600,
+    )
+
+
 @register(
     "purchase_attribution",
     oracle="""
@@ -1726,25 +1751,7 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested loop; per-purchase ranking is a keyed window whose partition
     size is capped by the lookback fan-in. One final channel-keyed
     aggregate (5 channels)."""
-    from ..operators.joins import range_join_binned
-
-    ev = load_table(spark, sf_dir, "events")
-    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
-        "user_id",
-        F.col("ts").alias("touch_ts"),
-        F.col("event_id").alias("touch_id"),
-        F.col("event_type").alias("channel"),
-    )
-    conv = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        (F.col("ts") - F.expr("INTERVAL 6 HOUR")).alias("w_start"),
-        F.col("ts").alias("w_end"),
-    )
-    matched = range_join_binned(
-        touches, conv, on="user_id", ts_col="touch_ts",
-        start_col="w_start", end_col="w_end", bucket_seconds=2 * 3600,
-    )
+    matched = _attribution_touches(spark, sf_dir)
     w = Window.partitionBy("purchase_id").orderBy("touch_ts", "touch_id")
     ranked = matched.select(
         "channel",
@@ -2150,3 +2157,85 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_conv_prob double, removal_conv_prob double, "
         "removal_effect double, attributed_conversions double",
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Linear time-decay attribution: the fourth model over the same bounded-
+# lookback touch frame. LINEAR decay (weight = remaining window fraction)
+# rather than exponential, deliberately: 2^(-dt/h) would ride each
+# engine's libm pow() and diverge in the last ulp, while the linear
+# weight is ONE half-up integer division — exact cross-engine.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 6 * 3600 * 1_000_000  # the 6h lookback in microseconds
+
+
+@register(
+    "purchase_attribution_time_decay",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT e.event_type AS channel,
+               epoch_us(p.ts) - epoch_us(e.ts) AS age_us
+        FROM events e
+        JOIN conv p
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 6 HOUR AND e.ts < p.ts
+        WHERE e.event_type IN ('click', 'view')
+    ),
+    weighted AS (
+        SELECT channel,
+               (({_ATTR_WINDOW_US} - age_us) * 1000000
+                + {_ATTR_WINDOW_US // 2}) // {_ATTR_WINDOW_US} AS w_q
+        FROM touch
+    ),
+    per AS (
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(w_q) AS BIGINT) AS decay_q
+        FROM weighted GROUP BY channel
+    ),
+    tot AS (SELECT sum(decay_q) AS t FROM per)
+    SELECT channel, n_touches, decay_q,
+           CAST(decay_q AS DOUBLE) / CAST(t AS DOUBLE) AS decay_share
+    FROM per CROSS JOIN tot
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "range-join"),
+)
+def purchase_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-channel conversion credit under LINEAR time decay: each touch
+    in the 6h lookback weighs (remaining window)/(window) at micro-unit
+    quantization — a fresh touch ~1e6, a touch at the window edge ~0 —
+    summed per channel, with the share one double division of exact
+    integer sums. Microsecond ages via timestampdiff (NTZ-safe,
+    codegen); weight is one half-up integer division so the model is
+    bit-exact cross-engine (exponential decay would diverge on libm
+    pow). Same binned interval equi-join and channel-keyed aggregate
+    shape as purchase_attribution."""
+    matched = _attribution_touches(spark, sf_dir)
+    w_q = F.expr(
+        f"(({_ATTR_WINDOW_US} - timestampdiff(MICROSECOND, touch_ts, w_end))"
+        f" * 1000000 + {_ATTR_WINDOW_US // 2}) div {_ATTR_WINDOW_US}"
+    )
+    per = matched.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(w_q).cast("long").alias("decay_q"),
+    )
+    tot = per.agg(F.sum("decay_q").alias("_t"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_touches",
+            "decay_q",
+            (F.col("decay_q").cast("double") / F.col("_t").cast("double"))
+            .alias("decay_share"),
+        )
+        .orderBy("channel")
+    )

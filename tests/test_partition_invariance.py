@@ -120,6 +120,7 @@ REPRESENTATIVES = [
     "rerank_crossencoder_topk",         # two-stage rerank (Arrow stub)
     "embedding_top_pc",                 # quantized PCA power iteration
     "embedding_pc1_label_profile",      # exact-integer PC1 projections
+    "purchase_attribution_time_decay",  # integer linear-decay weights
 ]
 
 
