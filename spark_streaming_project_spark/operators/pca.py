@@ -70,6 +70,24 @@ def pca_solve_from_moments(
     """Center the raw moments (exact integer identity), then run the
     16-step quantized power iteration; returns (dim, loading_q, loading)
     rows matching the ``embedding_top_pc`` oracle bit-for-bit."""
+    dims, _mat, _sdiv, v, sign, _s_cent = _pca_center_and_iterate(
+        raw_cells, c, n
+    )
+    vs = {j: ssdiv(v[j] * sign, 64) for j in dims}
+    norm = math.sqrt(float(sum(x * x for x in vs.values())))
+    return [
+        (int(j), v[j] * sign, vs[j] / norm if norm else 0.0) for j in dims
+    ]
+
+
+def _pca_center_and_iterate(
+    raw_cells: dict[tuple[int, int], int],
+    c: dict[int, int],
+    n: int,
+) -> tuple[list[int], dict[tuple[int, int], int], int, dict[int, int], int,
+           dict[tuple[int, int], int]]:
+    """Shared core: returns (dims, scaled matrix, its scale divisor,
+    final iterate v, sign, centered cells)."""
     dims = sorted(c)
     m = {j: ssdiv(c[j], n) for j in dims}
     s_cent = {
@@ -89,8 +107,32 @@ def pca_solve_from_moments(
         v = {j: ssdiv(x, d) for j, x in w.items()}
     jmax = min(dims, key=lambda j: (-abs(v[j]), j))
     sign = -1 if v[jmax] < 0 else 1
-    vs = {j: ssdiv(v[j] * sign, 64) for j in dims}
-    norm = math.sqrt(float(sum(x * x for x in vs.values())))
-    return [
-        (int(j), v[j] * sign, vs[j] / norm if norm else 0.0) for j in dims
-    ]
+    return dims, mat, sdiv, v, sign, s_cent
+
+
+def pca_rayleigh_stats(
+    raw_cells: dict[tuple[int, int], int],
+    c: dict[int, int],
+    n: int,
+) -> tuple[int, int, int, int]:
+    """(trace_q, rayleigh_num, rayleigh_den, sdiv) for the variance-share
+    readout: trace of the centered second-moment matrix (exact BIGINT)
+    and the Rayleigh quotient of the solved direction over the SCALED
+    matrix, computed on 2^13-downscaled integer vectors so every product
+    stays < 2^63 (ssdiv is odd-symmetric, so the quotient is invariant
+    to the sign fix). lambda1 in original units ~= num/den * sdiv."""
+    dims, mat, sdiv, v, sign, s_cent = _pca_center_and_iterate(
+        raw_cells, c, n
+    )
+    vd = {j: ssdiv(v[j] * sign, 8192) for j in dims}
+    wd = {}
+    for j in dims:
+        acc = 0
+        for (i, k), s in mat.items():
+            if i == j:
+                acc += s * vd.get(k, 0)
+        wd[j] = ssdiv(acc, 8192)
+    num = sum(vd[j] * wd[j] for j in dims)
+    den = sum(vd[j] * vd[j] for j in dims)
+    trace = sum(s for (j, k), s in s_cent.items() if j == k)
+    return trace, num, den, sdiv

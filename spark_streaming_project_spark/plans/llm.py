@@ -4899,3 +4899,87 @@ def embedding_pc1_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _pca_variance_oracle() -> str:
+    ss_vd = _PCA_SSDIV.format(w="v", d="8192")
+    ss_wd = _PCA_SSDIV.format(w="acc", d="8192")
+    return (
+        _pca_chain()
+        + f""",
+    vd AS MATERIALIZED (
+        SELECT j, CAST({ss_vd} AS BIGINT) AS vd FROM v{_PCA_ITERS}
+    ),
+    wd0 AS MATERIALIZED (
+        SELECT m.j, sum(m.s * vd.vd) AS acc
+        FROM mat m JOIN vd ON vd.j = m.k GROUP BY 1
+    ),
+    wd AS MATERIALIZED (
+        SELECT j, CAST({ss_wd} AS BIGINT) AS wd FROM wd0
+    ),
+    ray AS (
+        SELECT sum(vd.vd * wd.wd) AS num, sum(vd.vd * vd.vd) AS den
+        FROM vd JOIN wd USING (j)
+    ),
+    tr AS (SELECT sum(s) AS trace FROM s_raw WHERE j = k)
+    SELECT CAST(tr.trace AS BIGINT) AS trace_q,
+           CAST(ray.num AS BIGINT) AS rayleigh_num,
+           CAST(ray.den AS BIGINT) AS rayleigh_den,
+           CAST(sd.d AS BIGINT) AS scale_div,
+           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
+               * CAST(sd.d AS DOUBLE) AS lambda1_est,
+           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
+               * CAST(sd.d AS DOUBLE) / CAST(tr.trace AS DOUBLE)
+               AS pc1_variance_share
+    FROM tr CROSS JOIN ray CROSS JOIN sd
+    """
+    )
+
+
+@register(
+    "embedding_pc1_variance_share",
+    oracle=_pca_variance_oracle(),
+    tags=("llm", "similarity", "pca", "iterative"),
+)
+def embedding_pc1_variance_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotropy health of the embedding space in one row: the share of
+    total variance the top principal component explains (lambda1 /
+    trace). Near 1/d means isotropic (healthy for cosine retrieval);
+    a large share means one direction dominates — the classic symptom
+    that recommends whitening / PC removal before ANN.
+
+    lambda1 comes from the Rayleigh quotient of the solved direction
+    over the scaled matrix, evaluated on 2^13-downscaled integer vectors
+    so every product stays < 2^63; the trace is an exact BIGINT sum of
+    the centered diagonal. The integer inputs (num, den, trace,
+    scale_div) are emitted alongside, so the two doubles are each one
+    fixed expression over exact integers — deterministic cross-engine.
+    Scale: same d^2-bounded moment pass as embedding_top_pc; everything
+    after is driver work on 64-row frames."""
+    raw = pca_raw_moments(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
+    cm = raw["moments"].collect()
+    if not cm:
+        return spark.createDataFrame(
+            [],
+            "trace_q long, rayleigh_num long, rayleigh_den long, "
+            "scale_div long, lambda1_est double, pc1_variance_share double",
+        )
+    from ..operators.pca import pca_rayleigh_stats
+
+    cells = raw["cells"].collect()
+    trace, num, den, sdiv = pca_rayleigh_stats(
+        {(r.j, r.k): r.s for r in cells},
+        {r.j: r.c for r in cm},
+        cm[0].n,
+    )
+    lam = num / den * sdiv if den else 0.0
+    share = num / den * sdiv / trace if den and trace else 0.0
+    return spark.createDataFrame(
+        [(trace, num, den, sdiv, lam, share)],
+        "trace_q long, rayleigh_num long, rayleigh_den long, "
+        "scale_div long, lambda1_est double, pc1_variance_share double",
+    )

@@ -121,6 +121,7 @@ REPRESENTATIVES = [
     "embedding_top_pc",                 # quantized PCA power iteration
     "embedding_pc1_label_profile",      # exact-integer PC1 projections
     "purchase_attribution_time_decay",  # integer linear-decay weights
+    "embedding_pc1_variance_share",     # integer Rayleigh quotient
 ]
 
 
