@@ -487,3 +487,49 @@ def degree_assortativity(pairs: DataFrame, src: str, dst: str) -> DataFrame:
             F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)), 6
         ).alias("assortativity"),
     )
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    seeds: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: for every node reachable from ``seeds`` within
+    ``rounds`` hops over the undirected ``pairs`` edge set, the exact
+    hop distance to the NEAREST seed. Unreached nodes are absent (inner
+    semantics). ``seeds`` is a one-column frame named ``node_id``.
+
+    Shape: the classic frontier relaxation unrolled a fixed number of
+    rounds — each round is ONE equi-join of the edge set against the
+    current distance frame plus a min-aggregate; no driver loop state,
+    no collect, and the distance frame never exceeds |reachable nodes|.
+    Fixed unrolling (same rounds, same answer on any engine) is what
+    makes the DuckDB oracle an exact twin; at 100 TB you would add a
+    convergence check on the frontier count, which is a bounded
+    driver-side aggregate per round.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    dist = seeds.select(
+        F.col("node_id"), F.lit(0).cast("int").alias("hops")
+    )
+    for _ in range(rounds):
+        expanded = edges.join(
+            dist, edges["a"] == dist["node_id"]
+        ).select(
+            F.col("b").alias("node_id"),
+            (F.col("hops") + 1).cast("int").alias("hops"),
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node_id")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist

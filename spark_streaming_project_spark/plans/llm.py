@@ -4983,3 +4983,72 @@ def embedding_pc1_variance_share(
         "trace_q long, rayleigh_num long, rayleigh_den long, "
         "scale_div long, lambda1_est double, pc1_variance_share double",
     )
+
+
+# --- multi-source BFS on the near-dup graph ---------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_HUB_DEGREE = 3
+
+
+def _bfs_cte() -> str:
+    parts = [
+        f""",
+    e0 AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM jpairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM jpairs
+    ),
+    hubs AS MATERIALIZED (
+        SELECT a AS node_id FROM (SELECT a, count(*) AS dg FROM e0 GROUP BY a)
+        WHERE dg >= {_BFS_HUB_DEGREE}
+    ),
+    d0 AS MATERIALIZED (
+        SELECT node_id, CAST(0 AS INTEGER) AS hops FROM hubs
+    )"""
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f""",
+    d{r} AS MATERIALIZED (
+        SELECT node_id, CAST(min(hops) AS INTEGER) AS hops FROM (
+            SELECT node_id, hops FROM d{r - 1}
+            UNION ALL
+            SELECT e.b AS node_id, d.hops + 1 AS hops
+            FROM e0 e JOIN d{r - 1} d ON e.a = d.node_id
+        ) GROUP BY node_id
+    )"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "neardup_hub_distances",
+    oracle=f"""
+    WITH {_J05_PAIRS_CTE}{_bfs_cte()}
+    SELECT node_id, hops FROM d{_BFS_ROUNDS} ORDER BY node_id
+    """,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def neardup_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the 0.5-Jaccard near-dup graph: every
+    document's exact hop distance (<= 4) to the nearest duplication HUB
+    (degree >= 3 node) — triage for 'how close is this doc to a
+    template farm'. Fixed 4-round frontier relaxation (one edge join +
+    one min-aggregate per round, no driver loop state), completing the
+    graph family next to CC / PageRank / k-core / triangles."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import bfs_hops, degree_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    )
+    hubs = (
+        degree_counts(pairs, "id_a", "id_b")
+        .filter(F.col("degree") >= _BFS_HUB_DEGREE)
+        .select(F.col("node").alias("node_id"))
+    )
+    return bfs_hops(
+        pairs, "id_a", "id_b", hubs, rounds=_BFS_ROUNDS
+    ).orderBy("node_id")

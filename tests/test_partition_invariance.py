@@ -122,6 +122,7 @@ REPRESENTATIVES = [
     "embedding_pc1_label_profile",      # exact-integer PC1 projections
     "purchase_attribution_time_decay",  # integer linear-decay weights
     "embedding_pc1_variance_share",     # integer Rayleigh quotient
+    "neardup_hub_distances",            # multi-source BFS relaxation
 ]
 
 
