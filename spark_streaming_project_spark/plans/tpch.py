@@ -2260,3 +2260,121 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("segment", seg)
         .orderBy("r", "f", "m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering: cosine similarity over co-purchase
+# counts, top-5 neighbors per part — the "customers who bought X" shape.
+# Same within-order pair join as brand_affinity_rules (bounded by basket
+# size); the similarity is co / sqrt(n_a * n_b), one double expression
+# over exact integer counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_cf_neighbors",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    item AS (SELECT p, count(*) AS n FROM basket GROUP BY 1),
+    pair AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS co
+        FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT pa AS part_id, pb AS neighbor_id, co FROM pair
+        UNION ALL
+        SELECT pb, pa, co FROM pair
+    ),
+    scored AS (
+        SELECT s.part_id, s.neighbor_id, s.co,
+               CAST(s.co AS DOUBLE)
+                   / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                   AS cos_raw
+        FROM sym s
+        JOIN item na ON na.p = s.part_id
+        JOIN item nb ON nb.p = s.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY part_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT part_id, neighbor_id, CAST(co AS BIGINT) AS co_orders,
+           round(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY part_id, rank
+    """,
+    tags=("tpch", "recommender", "topk"),
+)
+def part_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar parts per part by co-purchase cosine
+    (co / sqrt(n_a * n_b), min co-occurrence 2) — item-item
+    collaborative filtering, the first-pass recommender every order log
+    supports. Ties break by neighbor id; the ranking window is keyed by
+    part (partition size <= the part's co-purchase fan-out, itself
+    bounded by baskets x basket size).
+
+    Scale: the pair join is WITHIN-order (basket-size-bounded, never
+    part x part); supports are integer counts shuffled on their own
+    keys; similarity is one double expression over exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    item = basket.groupBy("p").agg(F.count("*").alias("n"))
+    a = basket.select("o", F.col("p").alias("pa"))
+    b = basket.select("o", F.col("p").alias("pb"))
+    pair = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    sym = pair.select(
+        F.col("pa").alias("part_id"), F.col("pb").alias("neighbor_id"), "co"
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("part_id"),
+            F.col("pa").alias("neighbor_id"),
+            "co",
+        )
+    )
+    scored = (
+        sym.join(
+            item.select(F.col("p").alias("part_id"), F.col("n").alias("_na")),
+            "part_id",
+        )
+        .join(
+            item.select(
+                F.col("p").alias("neighbor_id"), F.col("n").alias("_nb")
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cos_raw",
+            F.col("co").cast("double")
+            / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "part_id",
+            "neighbor_id",
+            F.col("co").cast("long").alias("co_orders"),
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("part_id", "rank")
+    )

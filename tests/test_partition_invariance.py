@@ -123,6 +123,7 @@ REPRESENTATIVES = [
     "purchase_attribution_time_decay",  # integer linear-decay weights
     "embedding_pc1_variance_share",     # integer Rayleigh quotient
     "neardup_hub_distances",            # multi-source BFS relaxation
+    "part_cf_neighbors",                # item-item CF top-k
 ]
 
 
