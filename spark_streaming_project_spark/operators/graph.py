@@ -510,16 +510,22 @@ def bfs_hops(
     convergence check on the frontier count, which is a bounded
     driver-side aggregate per round.
     """
+    # checkpoint the edge set once and each round's distance frame:
+    # dist_r references dist_{r-1} twice (carry + expansion) and edges
+    # once, so an unchecked unroll recomputes the upstream pair
+    # generator 2^rounds times (measured 67 s at sf0.1 before this; the
+    # same lineage discipline as kcore_subgraph / connected_components)
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
             pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     dist = seeds.select(
         F.col("node_id"), F.lit(0).cast("int").alias("hops")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(rounds):
         expanded = edges.join(
             dist, edges["a"] == dist["node_id"]
@@ -527,9 +533,13 @@ def bfs_hops(
             F.col("b").alias("node_id"),
             (F.col("hops") + 1).cast("int").alias("hops"),
         )
-        dist = (
+        nxt = (
             dist.unionByName(expanded)
             .groupBy("node_id")
             .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
         )
+        _release_checkpoint(dist)
+        dist = nxt
+    _release_checkpoint(edges)
     return dist

@@ -136,3 +136,29 @@ def pca_rayleigh_stats(
     den = sum(vd[j] * vd[j] for j in dims)
     trace = sum(s for (j, k), s in s_cent.items() if j == k)
     return trace, num, den, sdiv
+
+
+_MOMENTS_MEMO: dict[str, tuple[dict, dict, int]] = {}
+
+
+def pca_moments_cached(
+    spark, sf_dir: str, table: str = "embeddings", vec_col: str = "embedding"
+) -> tuple[dict[tuple[int, int], int], dict[int, int], int]:
+    """Collected (cells, c, n) for the embeddings table, memoized per
+    sf_dir for the process lifetime (the logreg fit-memo discipline —
+    VERDICT r6 ask #4): the three PCA-family queries share one moment
+    pass instead of re-running the d^2 aggregate each. Bit-identity is
+    trivial: the memo stores the exact collected integers."""
+    key = f"{sf_dir}::{table}::{vec_col}"
+    if key not in _MOMENTS_MEMO:
+        from ..sources.batch import load_table
+
+        raw = pca_raw_moments(load_table(spark, sf_dir, table), vec_col)
+        cm = raw["moments"].collect()
+        cells = raw["cells"].collect()
+        _MOMENTS_MEMO[key] = (
+            {(r.j, r.k): r.s for r in cells},
+            {r.j: r.c for r in cm},
+            cm[0].n if cm else 0,
+        )
+    return _MOMENTS_MEMO[key]

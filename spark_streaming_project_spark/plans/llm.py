@@ -36,11 +36,7 @@ from ..operators.similarity import (
 from ..operators.textstats import doc_stats, fingerprints, language_id
 from ..sources.batch import load_table
 from .registry import register
-from ..operators.pca import (
-    PCA_ITERS,
-    pca_raw_moments,
-    pca_solve_from_moments,
-)
+from ..operators.pca import PCA_ITERS, pca_solve_from_moments
 
 # Shared DuckDB CTE: whitespace tokens / distinct word-3-gram shingles.
 _TOKS_CTE = r"""
@@ -4783,20 +4779,14 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 16 steps, the sign fix, and the downscaled norm bit-for-bit
     (sign-safe divisions everywhere: DuckDB `//` truncates, Python
     floors — the explicit CASE form removes the divergence)."""
-    raw = pca_raw_moments(
-        load_table(spark, sf_dir, "embeddings"), "embedding"
-    )
-    cm = raw["moments"].collect()
-    if not cm:
+    from ..operators.pca import pca_moments_cached
+
+    cells, c, n = pca_moments_cached(spark, sf_dir)
+    if not c:
         return spark.createDataFrame(
             [], "dim int, loading_q long, loading double"
         )
-    cells = raw["cells"].collect()
-    rows = pca_solve_from_moments(
-        {(r.j, r.k): r.s for r in cells},
-        {r.j: r.c for r in cm},
-        cm[0].n,
-    )
+    rows = pca_solve_from_moments(cells, c, n)
     return spark.createDataFrame(
         rows, "dim int, loading_q long, loading double"
     ).orderBy("dim")
@@ -4849,23 +4839,17 @@ def embedding_pc1_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix); the projection is a SECOND map-only scan — zip_with over
     broadcast literal arrays (mean + eigvector), one dot product per
     row, then a label-keyed aggregate. No join, no explode."""
+    from ..operators.pca import PCA_QUANT, pca_moments_cached, ssdiv
+
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = pca_raw_moments(emb, "embedding")
-    cm = raw["moments"].collect()
-    if not cm:
+    cells, c, n = pca_moments_cached(spark, sf_dir)
+    if not c:
         return spark.createDataFrame(
             [],
             "label int, n_vecs long, proj_sum_q long, proj_min_q long, "
             "proj_max_q long, mean_proj double",
         )
-    from ..operators.pca import PCA_QUANT, ssdiv
-
-    c = {r.j: r.c for r in cm}
-    n = cm[0].n
-    cells = raw["cells"].collect()
-    solved = pca_solve_from_moments(
-        {(r.j, r.k): r.s for r in cells}, c, n
-    )
+    solved = pca_solve_from_moments(cells, c, n)
     dims = [r[0] for r in solved]
     m = {j: ssdiv(c[j], n) for j in dims}
     marr = F.array(*[F.lit(m[j]) for j in dims])
@@ -4958,24 +4942,16 @@ def embedding_pc1_variance_share(
     fixed expression over exact integers — deterministic cross-engine.
     Scale: same d^2-bounded moment pass as embedding_top_pc; everything
     after is driver work on 64-row frames."""
-    raw = pca_raw_moments(
-        load_table(spark, sf_dir, "embeddings"), "embedding"
-    )
-    cm = raw["moments"].collect()
-    if not cm:
+    from ..operators.pca import pca_moments_cached, pca_rayleigh_stats
+
+    cells, c, n = pca_moments_cached(spark, sf_dir)
+    if not c:
         return spark.createDataFrame(
             [],
             "trace_q long, rayleigh_num long, rayleigh_den long, "
             "scale_div long, lambda1_est double, pc1_variance_share double",
         )
-    from ..operators.pca import pca_rayleigh_stats
-
-    cells = raw["cells"].collect()
-    trace, num, den, sdiv = pca_rayleigh_stats(
-        {(r.j, r.k): r.s for r in cells},
-        {r.j: r.c for r in cm},
-        cm[0].n,
-    )
+    trace, num, den, sdiv = pca_rayleigh_stats(cells, c, n)
     lam = num / den * sdiv if den else 0.0
     share = num / den * sdiv / trace if den and trace else 0.0
     return spark.createDataFrame(
