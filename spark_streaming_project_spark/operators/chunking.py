@@ -168,3 +168,74 @@ def cdc_chunks(
         )
         .withColumn("chunk_hash", F.md5("chunk_text"))
     )
+
+
+def ffd_pack_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bin_tokens: int = 256,
+    n_shards: int = 32,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing: per shard (``id %
+    n_shards``), documents sorted by (n_tokens DESC, id ASC) each go into
+    the lowest-numbered bin with room — the classic bin-packing
+    heuristic for ATOMIC documents (each doc wholly inside one bin, the
+    contract when sequences must not straddle context windows). Less
+    padding than next-fit because big docs claim bins first and small
+    docs backfill the gaps; the contiguous packer (``pack_documents``)
+    is the other contract — docs straddle bin boundaries, zero padding,
+    split-attention downstream.
+
+    Bin assignment is inherently SEQUENTIAL state (which bins have room
+    depends on every prior placement), so this is the one packing tier
+    that is not expressible as window functions: it runs as
+    ``applyInPandas`` over the shard groups — Arrow-batched, one Python
+    pass per shard, deterministic. The scale contract is the same as
+    every sharded tier: pick ``n_shards`` so a shard's doc list fits an
+    executor (the SNM window-overlap discipline); shards are independent
+    and the shuffle is one exchange keyed by shard.
+
+    Returns (shard, bin_id, doc_id, n_tokens) — one row per document.
+    Docs longer than ``bin_tokens`` get a bin of their own (standard FFD
+    oversize handling).
+    """
+    sized = (
+        df.select(
+            F.col(id_col),
+            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("shard", (F.col(id_col) % n_shards).cast("long"))
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        )
+        remaining: list[int] = []  # bin_id -> remaining capacity
+        bins = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for b, room in enumerate(remaining):
+                if room >= n:
+                    remaining[b] = room - n
+                    bins.append(b)
+                    break
+            else:
+                remaining.append(max(0, bin_tokens - n))
+                bins.append(len(remaining) - 1)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].values,
+                "bin_id": bins,
+                id_col: pdf[id_col].values,
+                "n_tokens": pdf["n_tokens"].values,
+            }
+        )
+
+    return sized.groupBy("shard").applyInPandas(
+        pack, f"shard long, bin_id long, {id_col} long, n_tokens long"
+    )

@@ -5028,3 +5028,35 @@ def neardup_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(
         pairs, "id_a", "id_b", hubs, rounds=_BFS_ROUNDS
     ).orderBy("node_id")
+
+
+@register(
+    "packed_sequences_ffd",
+    oracle=None,  # sequential bin state is not SQL-expressible; parity is
+    # pinned by tests/test_llm_ops.py::test_ffd_pack_matches_reference
+    # and the waste comparison vs the greedy packer
+    tags=("llm", "packing", "rows-only"),
+)
+def packed_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing of documents into 256-token bins,
+    per shard: (shard, bin_id, doc_count, total_tokens) — the ATOMIC
+    packing contract (no doc straddles a context window), vs the
+    zero-padding straddling contract of packed_sequences; FFD backfills
+    gaps with small docs so it beats atomic next-fit on padding
+    (pytest-measured).
+    The bin state is inherently sequential -> applyInPandas per shard
+    (the one batch Arrow-grouped tier); declared rows-only, with exact
+    python-reference parity and the FFD<=greedy bins claim pinned by
+    pytest."""
+    from ..operators.chunking import ffd_pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ffd_pack_documents(docs, "text", "doc_id", bin_tokens=256, n_shards=32)
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard", "bin_id")
+    )
