@@ -2577,3 +2577,138 @@ def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (DPO/RLHF data prep): within each source,
+# pair the i-th most readable doc with the i-th least readable one —
+# deterministic chosen/rejected pairs with a minimum quality gap, the
+# rank-matched shape that avoids quadratic pair enumeration.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "preference_pairs",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               round(206.835
+                     - 1.015 * (CAST(len(regexp_extract_all(text, '\S+'))
+                                     AS DOUBLE)
+                                / CAST(greatest(1, len(regexp_extract_all(
+                                      text, '[.!?]+'))) AS DOUBLE))
+                     - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                                        '[aeiouy]+')) AS DOUBLE)
+                               / CAST(len(regexp_extract_all(text, '\S+'))
+                                      AS DOUBLE)),
+                     6) AS score
+        FROM documents
+        WHERE text IS NOT NULL
+          AND len(regexp_extract_all(text, '\S+')) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, source, score,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id ASC
+               ) AS r_top,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY score ASC, doc_id DESC
+               ) AS r_bot,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM per_doc
+    )
+    SELECT t.source,
+           t.doc_id AS chosen_doc,
+           b.doc_id AS rejected_doc,
+           t.score AS chosen_score,
+           b.score AS rejected_score,
+           round(t.score - b.score, 6) AS gap
+    FROM ranked t
+    JOIN ranked b
+      ON b.source = t.source AND b.r_bot = t.r_top
+    WHERE t.r_top <= 5
+      AND t.r_top < (t.n + 1) / 2.0
+      AND t.score - b.score >= 5.0
+    ORDER BY t.source, t.r_top
+    """,
+    tags=("llm", "quality", "preference"),
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chosen/rejected preference pairs per source for DPO-style
+    training: the i-th most readable document paired with the i-th
+    least readable (i <= 5, strictly disjoint halves, per-doc Flesch
+    gap >= 5 points). Rank matching produces at most min(5, n/2) pairs
+    per source with ZERO pair enumeration — two keyed ranking windows
+    and one (source, rank) equi-join, never doc x doc.
+
+    Determinism: the per-doc score is one fixed double expression over
+    exact integer regexp counts; both rankings carry doc_id
+    tie-breakers (descending ranks tie-break ascending ids and vice
+    versa, so a tied score can never pair a doc with itself)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w_cnt = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    s_cnt = F.greatest(
+        F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    )
+    y_cnt = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (w_cnt.cast("double") / s_cnt.cast("double"))
+            - F.lit(84.6) * (y_cnt.cast("double") / w_cnt.cast("double")),
+            6,
+        ).alias("score"),
+    ).filter(w_cnt > 0)
+    w_top = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_bot = Window.partitionBy("source").orderBy(
+        F.asc("score"), F.desc("doc_id")
+    )
+    ranked = per_doc.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    top = ranked.filter(
+        (F.col("r_top") <= 5)
+        & (F.col("r_top") < (F.col("n") + 1) / 2.0)
+    ).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("chosen_score"),
+        "r_top",
+    )
+    bot = ranked.select(
+        F.col("source").alias("_bs"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+        "r_bot",
+    )
+    return (
+        top.join(
+            bot,
+            (F.col("_bs") == F.col("source"))
+            & (F.col("r_bot") == F.col("r_top")),
+        )
+        .filter(F.col("chosen_score") - F.col("rejected_score") >= 5.0)
+        .select(
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_score",
+            "rejected_score",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score"), 6
+            ).alias("gap"),
+        )
+        .orderBy("source", "r_top")
+    )

@@ -124,6 +124,7 @@ REPRESENTATIVES = [
     "embedding_pc1_variance_share",     # integer Rayleigh quotient
     "neardup_hub_distances",            # multi-source BFS relaxation
     "part_cf_neighbors",                # item-item CF top-k
+    "preference_pairs",                 # rank-matched DPO pairs
 ]
 
 
