@@ -5060,3 +5060,97 @@ def packed_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "bin_id")
     )
+
+
+@register(
+    "media_phash_near_dups",
+    oracle=r"""
+    WITH b AS (
+        SELECT doc_id,
+               [ascii(substr(text, i + 1, 1)) for i in range(63)] AS by,
+               CAST(list_sum([ascii(substr(text, i + 1, 1))
+                              for i in range(63)]) AS BIGINT) AS total
+        FROM documents
+        WHERE text IS NOT NULL AND strlen(text) >= 63
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(list_sum(
+                   [CASE WHEN by[i + 1] * 63 > total
+                         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                    for i in range(63)]) AS BIGINT) AS phash
+        FROM b
+    ),
+    bv AS (
+        SELECT doc_id, phash, k, (phash >> (21 * CAST(k AS INTEGER)))
+               & 2097151 AS v
+        FROM (SELECT doc_id, phash, unnest(range(3)) AS k FROM h)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.phash AS ha,
+                        b.doc_id AS id_b, b.phash AS hb
+        FROM bv a JOIN bv b ON a.k = b.k AND a.v = b.v
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 8
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicates over the media path: 63-bit aHash per
+    asset (Arrow mapInPandas over raw payloads — the stub seam; a real
+    decoder swaps in the 8x8 luma grid), candidates from 3 x 21-bit band
+    buckets, exact Hamming verify (<= 8) on candidates only. Recall is
+    the standard banded tradeoff: pigeonhole GUARANTEES a shared band
+    only for hamming <= 2 (3 bands, at most 2 flips leave one band
+    untouched); above that a pair surfaces unless every band has a flip
+    — both engines apply the same banding, so the oracle checks the
+    banded semantics exactly. Extends the multimodal family
+    beyond byte-exact dedup. ASCII corpus => oracle replays the byte
+    hash from text characters."""
+    from ..operators.multimodal import (
+        documents_as_assets,
+        perceptual_hash_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 63)
+    )
+    hashed = perceptual_hash_assets(documents_as_assets(docs))
+    bands = hashed.select(
+        "asset_id",
+        "phash",
+        F.explode(F.array(*[F.lit(k) for k in range(3)])).alias("k"),
+    ).withColumn(
+        "v",
+        F.expr("(phash >> (21 * k)) & 2097151"),
+    )
+    a = bands.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("phash").alias("ha"),
+        "k",
+        "v",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("phash").alias("hb"),
+        "k",
+        "v",
+    )
+    cand = (
+        a.join(b, ["k", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ha", "id_b", "hb")
+        .distinct()
+    )
+    hamming = F.expr("CAST(bit_count(ha ^ hb) AS INT)")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -125,6 +125,7 @@ REPRESENTATIVES = [
     "neardup_hub_distances",            # multi-source BFS relaxation
     "part_cf_neighbors",                # item-item CF top-k
     "preference_pairs",                 # rank-matched DPO pairs
+    "media_phash_near_dups",            # banded perceptual-hash dedup
 ]
 
 
