@@ -2239,3 +2239,169 @@ def purchase_attribution_time_decay(
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters triple exponential smoothing (additive, m=24) over the
+# dense hourly series — the forecasting completion of the time-series
+# family (gapfill -> ACF -> EWMA -> seasonal baseline -> CUSUM -> HW).
+# Smoothing factors are POWER-OF-2 rationals (alpha=1/4, beta=1/8,
+# gamma=1/4), so every update is integer multiply-add + ONE sign-safe
+# half-up division: the whole recursion is exact integer state, and the
+# oracle replays it with a SEQUENTIAL RECURSIVE CTE carrying
+# (level, trend, 24-slot seasonal LIST) — the recursion-as-data twin of
+# the unrolled-CTE discipline, for depths (720 hours) no unroll could.
+# ---------------------------------------------------------------------------
+
+_HW_Q = 1_000_000
+
+
+def _hw_ssdiv(w: str, d: int) -> str:
+    return (
+        f"CASE WHEN ({w}) >= 0 THEN (({w}) + {d // 2}) // {d} "
+        f"ELSE -((-({w}) + {d // 2}) // {d}) END"
+    )
+
+
+def _hw_oracle() -> str:
+    q = _HW_Q
+    l_new = _hw_ssdiv(
+        f"(d.y * {q} - r.s[CAST((r.t % 24) AS INTEGER) + 1])"
+        " + 3 * (r.l + r.b)",
+        4,
+    )
+    b_new = _hw_ssdiv("(x.l_new - x.lprev) + 7 * x.bprev", 8)
+    s_new = _hw_ssdiv(f"(x.y * {q} - x.l_new) + 3 * x.sprev", 4)
+    l0 = _hw_ssdiv(f"ysum * {q}", 24)
+    return f"""
+    WITH RECURSIVE
+    hc AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS y
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+    dense AS (
+        SELECT g.h AS hour_start, CAST(coalesce(hc.y, 0) AS BIGINT) AS y,
+               CAST(row_number() OVER (ORDER BY g.h) - 1 AS BIGINT) AS idx
+        FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+        LEFT JOIN hc ON hc.h = g.h
+    ),
+    nrows AS (SELECT count(*) AS n FROM dense),
+    l0 AS (
+        SELECT CAST({l0} AS BIGINT) AS l
+        FROM (SELECT sum(y) AS ysum FROM dense WHERE idx < 24)
+    ),
+    s0 AS (
+        SELECT list(y * {q} - l0.l ORDER BY idx) AS s
+        FROM dense, l0 WHERE idx < 24
+    ),
+    rec AS (
+        SELECT FALSE AS emit, CAST(24 AS BIGINT) AS t,
+               CAST(NULL AS TIMESTAMP) AS hour_start,
+               CAST(NULL AS BIGINT) AS y,
+               l0.l AS l, CAST(0 AS BIGINT) AS b, s0.s AS s,
+               CAST(NULL AS BIGINT) AS snew, CAST(NULL AS BIGINT) AS fitted
+        FROM l0, s0
+        UNION ALL
+        SELECT TRUE, x.t, x.hour_start, x.y,
+               x.l_new,
+               CAST({b_new} AS BIGINT),
+               x.slist[1:x.pos] || [CAST({s_new} AS BIGINT)]
+                   || x.slist[x.pos + 2:],
+               CAST({s_new} AS BIGINT),
+               x.fitted
+        FROM (
+            SELECT r.t + 1 AS t, d.hour_start, d.y,
+                   r.l AS lprev, r.b AS bprev, r.s AS slist,
+                   CAST((r.t % 24) AS INTEGER) AS pos,
+                   r.s[CAST((r.t % 24) AS INTEGER) + 1] AS sprev,
+                   CAST({l_new} AS BIGINT) AS l_new,
+                   r.l + r.b + r.s[CAST((r.t % 24) AS INTEGER) + 1]
+                       AS fitted
+            FROM rec r JOIN dense d ON d.idx = r.t
+            WHERE r.t < (SELECT n FROM nrows)
+        ) x
+    )
+    SELECT hour_start, y AS event_count, l AS level_q, b AS trend_q,
+           snew AS seasonal_q, fitted AS fitted_q,
+           CAST(y * {q} - fitted AS BIGINT) AS resid_q,
+           CAST(fitted AS DOUBLE) / 1e6 AS forecast
+    FROM rec WHERE emit ORDER BY hour_start
+    """
+
+
+@register(
+    "hourly_holt_winters",
+    oracle=_hw_oracle(),
+    tags=("events", "timeseries", "forecast", "iterative"),
+)
+def hourly_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 24h seasonality) over the
+    dense hourly event counts: per hour from t=24 on, the one-step-ahead
+    forecast fitted = l + b + s_prev BEFORE seeing the hour, then the
+    exact-integer state update. alpha/beta/gamma are 1/4, 1/8, 1/4 —
+    power-of-2 rationals, so each update is multiply-add plus one
+    sign-safe half-up division and the whole recursion replays
+    bit-for-bit. Init: l0 = half-up mean of the first day, b0 = 0,
+    s0_j = y_j*Q - l0.
+
+    Scale: the hourly count aggregate is the only data-proportional
+    work; the dense series is an hours-bounded sidecar (the rollup-
+    lattice class) and the 720-step recursion is driver-side integer
+    arithmetic. The oracle is a SEQUENTIAL recursive CTE carrying
+    (level, trend, seasonal LIST) — recursion as data, where a 720-deep
+    unroll is impossible."""
+    from ..operators.pca import ssdiv
+
+    q = _HW_Q
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("h")
+    ).agg(F.count("*").alias("y"))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    dense = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+        .join(hourly, "h", "left")
+        .select("h", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"))
+        .orderBy("h")
+        .collect()
+    )
+    schema = (
+        "hour_start timestamp_ntz, event_count long, level_q long, "
+        "trend_q long, seasonal_q long, fitted_q long, resid_q long, "
+        "forecast double"
+    )
+    n = len(dense)
+    if n <= 24:
+        return spark.createDataFrame([], schema)
+    ys = [r.y for r in dense]
+    l = ssdiv(sum(ys[:24]) * q, 24)
+    b = 0
+    s = [ys[j] * q - l for j in range(24)]
+    out = []
+    for t in range(24, n):
+        sprev = s[t % 24]
+        fitted = l + b + sprev
+        lprev = l
+        l = ssdiv((ys[t] * q - sprev) + 3 * (l + b), 4)
+        b = ssdiv((l - lprev) + 7 * b, 8)
+        snew = ssdiv((ys[t] * q - l) + 3 * sprev, 4)
+        s[t % 24] = snew
+        out.append(
+            (
+                dense[t].h,
+                ys[t],
+                l,
+                b,
+                snew,
+                fitted,
+                ys[t] * q - fitted,
+                fitted / 1e6,
+            )
+        )
+    return spark.createDataFrame(out, schema).orderBy("hour_start")

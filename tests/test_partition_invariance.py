@@ -126,6 +126,7 @@ REPRESENTATIVES = [
     "part_cf_neighbors",                # item-item CF top-k
     "preference_pairs",                 # rank-matched DPO pairs
     "media_phash_near_dups",            # banded perceptual-hash dedup
+    "hourly_holt_winters",              # integer recursive smoothing
 ]
 
 
