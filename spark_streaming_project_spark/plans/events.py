@@ -2376,10 +2376,22 @@ def hourly_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend_q long, seasonal_q long, fitted_q long, resid_q long, "
         "forecast double"
     )
+    out = hw_recurse([(r.h, r.y) for r in dense])
+    return spark.createDataFrame(out, schema).orderBy("hour_start")
+
+
+def hw_recurse(dense: list) -> list:
+    """The exact-integer Holt-Winters recursion over an ordered dense
+    (hour, count) list — shared by the batch builder and the streaming
+    over-drained-state parity test. Returns the output tuples of
+    hourly_holt_winters."""
+    from ..operators.pca import ssdiv
+
+    q = _HW_Q
     n = len(dense)
     if n <= 24:
-        return spark.createDataFrame([], schema)
-    ys = [r.y for r in dense]
+        return []
+    ys = [y for _, y in dense]
     l = ssdiv(sum(ys[:24]) * q, 24)
     b = 0
     s = [ys[j] * q - l for j in range(24)]
@@ -2394,7 +2406,7 @@ def hourly_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         s[t % 24] = snew
         out.append(
             (
-                dense[t].h,
+                dense[t][0],
                 ys[t],
                 l,
                 b,
@@ -2404,4 +2416,4 @@ def hourly_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fitted / 1e6,
             )
         )
-    return spark.createDataFrame(out, schema).orderBy("hour_start")
+    return out

@@ -1917,3 +1917,67 @@ def test_streaming_pca_moments_maintained_matches_batch(spark, tmp_path):
         for r in REGISTRY["embedding_top_pc"].builder(spark, sf).collect()
     ]
     assert got == want and len(got) == 64
+
+
+def test_streaming_holt_winters_over_hourly_state_matches_batch(
+    spark, tmp_path
+):
+    """Forecasting over incrementally-maintained state: hourly counts
+    kept by the incremental-agg sink; the exact-integer Holt-Winters
+    recursion over the DRAINED state's densified series must equal the
+    batch hourly_holt_winters output row-for-row — the model consumes
+    the continuous aggregate, never the raw events."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.events import hw_recurse
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "hw_src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def hourly(df):
+        return df.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("h")
+        ).agg(F.count("*").cast("long").alias("y"))
+
+    state = str(tmp_path / "hw_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_hw"))
+    runner.add(
+        "hw_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, hourly, ["h"], ["y"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    counts = spark.read.parquet(state)
+    dense = (
+        counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+        .join(counts, "h", "left")
+        .select("h", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"))
+        .orderBy("h")
+        .collect()
+    )
+    got = hw_recurse([(r.h, r.y) for r in dense])
+    want = [
+        tuple(r)
+        for r in REGISTRY["hourly_holt_winters"]
+        .builder(spark, sf)
+        .collect()
+    ]
+    assert got == want and len(got) > 600
