@@ -2417,3 +2417,117 @@ def hw_recurse(dense: list) -> list:
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-window error burn rate (the SRE alerting shape): 1h and trailing
+# 6h error-rate vs a 5% budget, alert when BOTH windows burn — fast
+# windows catch pages, slow windows suppress flappy ones. Trailing
+# aggregation rides the lag-JOIN skeleton (bounded 6x fan-out on the
+# shifted hour), not an unpartitioned window.
+# ---------------------------------------------------------------------------
+
+_BURN_BUDGET_CENTI = 5  # 5% error budget
+
+
+@register(
+    "error_burn_rate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               count(*) AS total,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS errors
+        FROM events GROUP BY 1
+    ),
+    trail6 AS (
+        SELECT cur.h,
+               CAST(sum(prev.total) AS BIGINT) AS total6,
+               CAST(sum(prev.errors) AS BIGINT) AS errors6,
+               CAST(count(*) AS BIGINT) AS hours_present
+        FROM hourly cur
+        JOIN hourly prev
+          ON prev.h >= cur.h - INTERVAL 5 HOUR AND prev.h <= cur.h
+        GROUP BY 1
+    )
+    SELECT c.h AS hour_start,
+           CAST(c.total AS BIGINT) AS total,
+           c.errors,
+           round(CAST(c.errors AS DOUBLE) / CAST(c.total AS DOUBLE), 6)
+               AS rate_1h,
+           round(CAST(t.errors6 AS DOUBLE) / CAST(t.total6 AS DOUBLE), 6)
+               AS rate_6h,
+           round(CAST(c.errors AS DOUBLE) / CAST(c.total AS DOUBLE)
+                 / {_BURN_BUDGET_CENTI / 100.0!r}, 6) AS burn_1h,
+           round(CAST(t.errors6 AS DOUBLE) / CAST(t.total6 AS DOUBLE)
+                 / {_BURN_BUDGET_CENTI / 100.0!r}, 6) AS burn_6h,
+           (c.errors * 100 > {2 * _BURN_BUDGET_CENTI} * c.total
+            AND t.errors6 * 100 > {_BURN_BUDGET_CENTI} * t.total6)
+               AS page
+    FROM hourly c JOIN trail6 t USING (h)
+    ORDER BY hour_start
+    """,
+    tags=("events", "timeseries", "ops"),
+)
+def error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn per hour: the 1h rate and the trailing-6h rate
+    against a 5% budget, with the two-window page condition (fast burn
+    > 2x budget AND slow burn > 1x budget — fast windows page quickly,
+    slow windows suppress flapping). The page flag is INTEGER
+    cross-multiplication (errors*100 > budget*total), so alerting never
+    depends on float rounding; the rate/burn doubles are display
+    columns. Trailing 6h is a bounded 6x lag-join over the hours frame
+    (the ACF skeleton) — no unpartitioned window; hours with no events
+    simply have no row (documented: rates are over observed traffic)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("h")
+    ).agg(
+        F.count("*").alias("total"),
+        F.count_if(F.col("event_type") == "error")
+        .cast("long")
+        .alias("errors"),
+    )
+    # trailing 6h as a bounded EQUI-join: each hour row fans out to the
+    # 6 window anchors it contributes to (the ACF lag-join skeleton) —
+    # never an inequality join the planner would nest-loop
+    contrib = hourly.select(
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr("INTERVAL 5 HOUR"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("_anchor"),
+        F.col("total").alias("_pt"),
+        F.col("errors").alias("_pe"),
+    )
+    trailing = (
+        hourly.select(F.col("h"))
+        .join(contrib, F.col("_anchor") == F.col("h"))
+        .groupBy("h")
+        .agg(
+            F.sum("_pt").cast("long").alias("total6"),
+            F.sum("_pe").cast("long").alias("errors6"),
+        )
+    )
+    budget = _BURN_BUDGET_CENTI
+    r1 = F.col("errors").cast("double") / F.col("total").cast("double")
+    r6 = F.col("errors6").cast("double") / F.col("total6").cast("double")
+    return (
+        hourly.join(trailing, "h")
+        .select(
+            F.col("h").alias("hour_start"),
+            F.col("total").cast("long").alias("total"),
+            "errors",
+            F.round(r1, 6).alias("rate_1h"),
+            F.round(r6, 6).alias("rate_6h"),
+            F.round(r1 / F.lit(budget / 100.0), 6).alias("burn_1h"),
+            F.round(r6 / F.lit(budget / 100.0), 6).alias("burn_6h"),
+            (
+                (F.col("errors") * 100 > 2 * budget * F.col("total"))
+                & (F.col("errors6") * 100 > budget * F.col("total6"))
+            ).alias("page"),
+        )
+        .orderBy("hour_start")
+    )

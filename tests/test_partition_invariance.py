@@ -127,6 +127,7 @@ REPRESENTATIVES = [
     "preference_pairs",                 # rank-matched DPO pairs
     "media_phash_near_dups",            # banded perceptual-hash dedup
     "hourly_holt_winters",              # integer recursive smoothing
+    "error_burn_rate",                  # multi-window SRE alerting
 ]
 
 
