@@ -2378,3 +2378,82 @@ def part_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-based approximate query processing (AQP): estimate a total from
+# a deterministic md5 sample and AUDIT it against the exact answer in
+# the same result row. The sampling rate is an exact rational (26/256 —
+# two hex chars below '1a'), so the scale-up is integer arithmetic, not
+# a float; at 100 TB the estimate path reads ~10% of the fact table
+# while the sketch family (HLL/CMS/DDSketch) covers the other AQP axes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sampled_revenue_estimate",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_totalprice,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+                   AS sampled
+        FROM orders
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (sampled) AS BIGINT) AS n_sampled,
+               CAST(sum(cents) AS BIGINT) AS actual_cents,
+               CAST(coalesce(sum(cents) FILTER (sampled), 0) AS BIGINT)
+                   AS sample_cents
+        FROM tagged
+    )
+    SELECT n_total, n_sampled, actual_cents,
+           CAST((sample_cents * 256 + 13) // 26 AS BIGINT) AS est_cents,
+           CAST(((sample_cents * 256 + 13) // 26 - actual_cents)
+                * 1000000 // actual_cents AS BIGINT) AS err_ppm
+    FROM agg
+    """,
+    tags=("tpch", "sampling", "aqp"),
+)
+def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate total order revenue from a deterministic ~10% sample
+    (md5 first-two-hex < '1a': an EXACT 26/256 rate), scaled up by the
+    exact rational (x 256/26, half-up integer division) and audited
+    against the true total in the same row (err_ppm: signed parts-per-
+    million as an explicit double FLOOR on both engines — integer //
+    would diverge on negative errors: DuckDB truncates toward zero
+    where Python/Spark floor). The sample-based
+    member of the AQP family next to the mergeable sketches: at scale
+    the estimate path scans the sampled fraction only, and the md5
+    predicate is engine-portable (the stratified-sampling convention).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    sampled = F.substring(
+        F.md5(F.col("o_orderkey").cast("string")), 1, 2
+    ) < "1a"
+    agg = orders.select(
+        cents.alias("cents"), sampled.alias("sampled")
+    ).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.count_if(F.col("sampled")).cast("long").alias("n_sampled"),
+        F.sum("cents").cast("long").alias("actual_cents"),
+        F.coalesce(
+            F.sum(F.when(F.col("sampled"), F.col("cents"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sample_cents"),
+    )
+    est = F.expr("(sample_cents * 256 + 13) div 26")
+    return agg.select(
+        "n_total",
+        "n_sampled",
+        "actual_cents",
+        est.cast("long").alias("est_cents"),
+        F.expr(
+            "CAST(floor(CAST(((sample_cents * 256 + 13) div 26)"
+            " - actual_cents AS DOUBLE) * 1000000"
+            " / actual_cents) AS BIGINT)"
+        ).alias("err_ppm"),
+    )

@@ -128,6 +128,7 @@ REPRESENTATIVES = [
     "media_phash_near_dups",            # banded perceptual-hash dedup
     "hourly_holt_winters",              # integer recursive smoothing
     "error_burn_rate",                  # multi-window SRE alerting
+    "sampled_revenue_estimate",         # rational-rate AQP estimate
 ]
 
 
