@@ -311,3 +311,39 @@ def choose_salt_factor(
     if stats is not None:
         stats.update(hottest_key=hottest, hottest_count=count, factor=factor)
     return factor
+
+
+def choose_join_strategy(
+    dim: DataFrame,
+    broadcast_threshold_rows: int = 1_000_000,
+    stats: dict | None = None,
+) -> str:
+    """Measure, don't guess — the broadcast decision as data: ONE exact
+    count of the dimension (map-side-combined, no payload shuffle)
+    decides ``"broadcast"`` vs ``"shuffle"`` against a row threshold
+    sized to executor memory. Complements ``choose_salt_factor`` (skew)
+    and ``join_size_estimate_cms`` (output size) as the third
+    measured-planning primitive; AQE re-plans sizes at runtime, but a
+    pipeline choosing a strategy ACROSS jobs (e.g. publishing a
+    broadcastable sidecar) needs the decision ahead of time."""
+    n = dim.count()
+    strategy = "broadcast" if n <= broadcast_threshold_rows else "shuffle"
+    if stats is not None:
+        stats.update(dim_rows=n, threshold=broadcast_threshold_rows,
+                     strategy=strategy)
+    return strategy
+
+
+def strategy_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    broadcast_threshold_rows: int = 1_000_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Inner equi-join with the measured strategy applied: broadcast
+    hint when the dimension fits, plain shuffle join otherwise. Result
+    rows are identical either way — only the physical plan changes."""
+    if choose_join_strategy(dim, broadcast_threshold_rows, stats) == "broadcast":
+        return fact.join(F.broadcast(dim), on)
+    return fact.join(dim, on)

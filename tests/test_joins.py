@@ -211,3 +211,39 @@ def test_choose_salt_factor_measures_skew(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_strategy_join_picks_broadcast_and_shuffle(spark):
+    """The measured chooser: a small dimension gets a BroadcastHashJoin,
+    a dimension over threshold falls back to a shuffle join — results
+    identical either way."""
+    from spark_streaming_project_spark.operators.joins import strategy_join
+
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    # disable Catalyst's own size-based auto-broadcast so the plan
+    # reflects ONLY the operator's decision (a 100-row dim would be
+    # auto-broadcast regardless, masking the chooser)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stats = {}
+        small = strategy_join(fact, dim, "k", broadcast_threshold_rows=1000,
+                              stats=stats)
+        assert stats["strategy"] == "broadcast"
+        assert "BroadcastHashJoin" in             small._jdf.queryExecution().executedPlan().toString()
+
+        stats2 = {}
+        big = strategy_join(fact, dim, "k", broadcast_threshold_rows=10,
+                            stats=stats2)
+        assert stats2["strategy"] == "shuffle"
+        assert "BroadcastHashJoin" not in             big._jdf.queryExecution().executedPlan().toString()
+
+        assert sorted(map(tuple, small.collect())) ==             sorted(map(tuple, big.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
