@@ -32,6 +32,20 @@ QUERIES = [
     "event_markov_stationary",
     "purchase_attribution",
     "events_rollup_lattice",
+    "attribution_markov_removal",
+    "orders_point_in_time_segment",
+    "rerank_crossencoder_topk",
+    "purchase_attribution_time_decay",
+    "embedding_top_pc",
+    "embedding_pc1_label_profile",
+    "embedding_pc1_variance_share",
+    "neardup_hub_distances",
+    "part_cf_neighbors",
+    "preference_pairs",
+    "media_phash_near_dups",
+    "hourly_holt_winters",
+    "error_burn_rate",
+    "sampled_revenue_estimate",
 ]
 
 
