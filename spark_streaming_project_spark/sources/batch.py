@@ -197,3 +197,24 @@ def read_csv_with_quarantine(
         .select("_parsed.*")
         .drop("_corrupt_record")
     )
+
+
+def read_evolving_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = True
+) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time — the operational reality of a
+    long-lived 100 TB lake): ``mergeSchema=true`` unions the per-file
+    footers into one schema and older files surface the new columns as
+    NULL.
+
+    Why a helper and not a bare ``spark.read``: merge-on-read costs a
+    footer pass over every file, so the default-off Spark behavior is
+    right for hot paths — this entry point makes the trade explicit and
+    documents the contract (adds are safe; a TYPE CHANGE of an existing
+    column is not evolution, it fails the merge — callers handle that
+    with an explicit cast-on-write migration, see compact_parquet)."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower())
+        .parquet(path)
+    )

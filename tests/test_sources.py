@@ -162,3 +162,36 @@ def test_read_csv_with_quarantine_routes_bad_lines(spark, tmp_path):
     assert clean2.count() == clean.count() == 3
     assert spark.read.text(qdir).count() == 1
     assert not clean2.storageLevel.useMemory
+
+
+def test_read_evolving_parquet_merges_added_columns(spark, tmp_path):
+    """Files written before a column existed read back with NULLs in
+    that column under mergeSchema; filters on the new column still push
+    down; a type CHANGE of an existing column fails loudly rather than
+    merging silently."""
+    from spark_streaming_project_spark.sources.batch import (
+        read_evolving_parquet,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = read_evolving_parquet(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+    assert df.filter(F.col("score") > 9).count() == 1
+
+    # type change is NOT evolution: long -> string must fail the merge
+    spark.createDataFrame(
+        [("x", "c")], "id string, name string"
+    ).write.mode("append").parquet(path)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_evolving_parquet(spark, path).collect()
