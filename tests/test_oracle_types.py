@@ -50,10 +50,10 @@ def duck_views():
 
 
 def test_every_registered_oracle_has_an_oracle_or_is_declared():
-    # the registry carries 230 queries; exactly the 6 declared rows-only
-    # tiers may omit an oracle (pinned in test_plans.py) — everything
-    # else must be gated here.
-    assert len(_ORACLES) == len(REGISTRY) - 6
+    # exactly the 7 declared rows-only tiers may omit an oracle (the
+    # set itself is pinned by name in test_plans.py) — everything else
+    # must be gated here.
+    assert len(_ORACLES) == len(REGISTRY) - 7
 
 
 def test_no_oracle_emits_128bit_integer_columns(duck_views):
