@@ -2531,3 +2531,108 @@ def error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limiter audit: the CLAMPED running recursion
+# (min/max resets) that plain window functions cannot express — the
+# inventory / rate-limit / queue-depth state shape — solved with the
+# Holt-Winters discipline: hours-bounded sidecar + exact integer
+# recursion, sequential recursive-CTE oracle.
+# ---------------------------------------------------------------------------
+
+_TB_CAPACITY = 40
+_TB_REFILL = 10
+
+
+@register(
+    "hourly_token_bucket",
+    oracle=f"""
+    WITH RECURSIVE
+    hc AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS y
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+    dense AS (
+        SELECT g.h AS hour_start, CAST(coalesce(hc.y, 0) AS BIGINT)
+                   AS arrivals,
+               CAST(row_number() OVER (ORDER BY g.h) - 1 AS BIGINT) AS idx
+        FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+        LEFT JOIN hc ON hc.h = g.h
+    ),
+    nrows AS (SELECT count(*) AS n FROM dense),
+    rec AS (
+        SELECT CAST(-1 AS BIGINT) AS idx,
+               CAST(NULL AS TIMESTAMP) AS hour_start,
+               CAST(NULL AS BIGINT) AS arrivals,
+               CAST(NULL AS BIGINT) AS served,
+               CAST(NULL AS BIGINT) AS throttled,
+               CAST({_TB_CAPACITY} AS BIGINT) AS bucket
+        UNION ALL
+        SELECT x.idx, x.hour_start, x.arrivals,
+               x.served, x.arrivals - x.served,
+               least({_TB_CAPACITY}, x.avail - x.served)
+        FROM (
+            SELECT d.idx, d.hour_start, d.arrivals,
+                   least(r.bucket + {_TB_REFILL}, {_TB_CAPACITY})
+                       AS avail_cap,
+                   r.bucket + {_TB_REFILL} AS avail,
+                   least(d.arrivals,
+                         least(r.bucket + {_TB_REFILL}, {_TB_CAPACITY}))
+                       AS served
+            FROM rec r JOIN dense d ON d.idx = r.idx + 1
+            WHERE r.idx + 1 < (SELECT n FROM nrows)
+        ) x
+    )
+    SELECT hour_start, arrivals, served, throttled,
+           bucket AS bucket_after
+    FROM rec WHERE idx >= 0 ORDER BY hour_start
+    """,
+    tags=("events", "timeseries", "ops", "iterative"),
+)
+def hourly_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay over the dense hourly arrivals:
+    capacity {cap}, refill {ref}/hour; each hour serves
+    min(arrivals, min(bucket + refill, capacity)) and the rest is
+    throttled. The clamped state v_t = min(cap, f(v_t-1)) is the
+    recursion plain windows cannot express (no prefix-sum trick
+    survives a min/max reset) — the inventory / queue-depth / rate-
+    limit family. Pure integer state over the hours-bounded sidecar;
+    the oracle replays it with the sequential recursive CTE (the
+    Holt-Winters technique with scalar state). Note the serve rule
+    caps available tokens at capacity BEFORE serving (bucket never
+    exceeds cap even transiently).""".format(
+        cap=_TB_CAPACITY, ref=_TB_REFILL
+    )
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("h")
+    ).agg(F.count("*").alias("y"))
+    dense = (
+        hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+        .join(hourly, "h", "left")
+        .select(
+            "h", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+        )
+        .orderBy("h")
+        .collect()
+    )
+    bucket = _TB_CAPACITY
+    out = []
+    for r in dense:
+        avail = min(bucket + _TB_REFILL, _TB_CAPACITY)
+        served = min(r.y, avail)
+        bucket = min(_TB_CAPACITY, (bucket + _TB_REFILL) - served)
+        out.append((r.h, r.y, served, r.y - served, bucket))
+    return spark.createDataFrame(
+        out,
+        "hour_start timestamp_ntz, arrivals long, served long, "
+        "throttled long, bucket_after long",
+    ).orderBy("hour_start")

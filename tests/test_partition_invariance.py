@@ -129,6 +129,7 @@ REPRESENTATIVES = [
     "hourly_holt_winters",              # integer recursive smoothing
     "error_burn_rate",                  # multi-window SRE alerting
     "sampled_revenue_estimate",         # rational-rate AQP estimate
+    "hourly_token_bucket",              # clamped integer recursion
 ]
 
 
