@@ -2636,3 +2636,125 @@ def hourly_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_start timestamp_ntz, arrivals long, served long, "
         "throttled long, bucket_after long",
     ).orderBy("hour_start")
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT): the sequential member
+# of the stats family (z-test / chi-square / Mann-Whitney are all
+# fixed-horizon). H0: conversion p = 0.3 vs H1: p = 0.5 at
+# alpha = beta = 0.05; users arrive in (first_ts, user_id) order and the
+# quantized log-likelihood ratio walks until it crosses ln(19) (accept
+# H1) or -ln(19) (accept H0). LLR steps are two integer constants, so
+# the walk is an exact prefix sum — computed by the range-partitioned
+# running-sum machinery, never a single-task global window.
+# ---------------------------------------------------------------------------
+
+_SPRT_UP = 510825624        # ln(0.5/0.3) * 1e9, half-up
+_SPRT_DOWN = -336472237   # ln(0.5/0.7) * 1e9 (sign-safe: negated quantized ln(7/5))
+_SPRT_A = 2944438979         # ln(19) * 1e9
+_SPRT_B = -2944438979
+
+
+@register(
+    "conversion_sprt",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, min(ts) AS fts,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT user_id, fts,
+               CASE WHEN conv = 1 THEN {_SPRT_UP}
+                    ELSE {_SPRT_DOWN} END AS step
+        FROM u
+    ),
+    r AS (
+        SELECT *,
+               sum(step) OVER (
+                   ORDER BY fts, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS llr,
+               row_number() OVER (ORDER BY fts, user_id) AS rn
+        FROM st
+    ),
+    x AS (
+        SELECT rn, llr FROM r
+        WHERE llr >= {_SPRT_A} OR llr <= {_SPRT_B}
+        ORDER BY rn LIMIT 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(step) AS BIGINT) AS final_llr_q
+        FROM st
+    )
+    SELECT tot.n_users, tot.final_llr_q,
+           CAST(x.rn AS BIGINT) AS crossing_n,
+           CAST(x.llr AS BIGINT) AS crossing_llr_q,
+           CASE WHEN x.rn IS NULL THEN 'continue'
+                WHEN x.llr >= {_SPRT_A} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM tot LEFT JOIN x ON true
+    """.format(_SPRT_UP=_SPRT_UP, _SPRT_DOWN=_SPRT_DOWN,
+               _SPRT_A=_SPRT_A, _SPRT_B=_SPRT_B),
+    tags=("events", "stats", "sequential"),
+)
+def conversion_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT on the per-user conversion stream in arrival order
+    (first event ts, user_id tiebreak): accept H1 (p>=0.5) when the
+    quantized LLR walk crosses +ln(19), accept H0 (p<=0.3) at -ln(19),
+    else 'continue'. The walk is an exact integer prefix sum via
+    range_partitioned_running_sum (bounded-sidecar, no global window);
+    the crossing row is a TakeOrdered limit-1; the report is one row of
+    scalar joins. The sequential complement of conversion_ztest: the
+    test that STOPS as soon as the evidence suffices."""
+    from ..operators.windows import range_partitioned_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("fts"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    stepped = users.select(
+        "user_id",
+        "fts",
+        F.when(F.col("conv") == 1, F.lit(_SPRT_UP))
+        .otherwise(F.lit(_SPRT_DOWN))
+        .cast("long")
+        .alias("step"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    walk = range_partitioned_running_sum(
+        stepped,
+        order=[F.asc("fts"), F.asc("user_id")],
+        value_cols=["step", "one"],
+    )
+    crossing = (
+        walk.filter(
+            (F.col("running_step") >= _SPRT_A)
+            | (F.col("running_step") <= _SPRT_B)
+        )
+        .orderBy("fts", "user_id")
+        .limit(1)
+        .select(
+            F.col("running_one").alias("crossing_n"),
+            F.col("running_step").alias("crossing_llr_q"),
+        )
+    )
+    tot = stepped.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("step").cast("long").alias("final_llr_q"),
+    )
+    return tot.join(F.broadcast(crossing), how="left").select(
+        "n_users",
+        "final_llr_q",
+        F.col("crossing_n").cast("long").alias("crossing_n"),
+        F.col("crossing_llr_q").cast("long").alias("crossing_llr_q"),
+        F.when(F.col("crossing_n").isNull(), F.lit("continue"))
+        .when(F.col("crossing_llr_q") >= _SPRT_A, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+    )

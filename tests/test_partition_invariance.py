@@ -130,6 +130,7 @@ REPRESENTATIVES = [
     "error_burn_rate",                  # multi-window SRE alerting
     "sampled_revenue_estimate",         # rational-rate AQP estimate
     "hourly_token_bucket",              # clamped integer recursion
+    "conversion_sprt",                  # sequential LLR prefix walk
 ]
 
 
