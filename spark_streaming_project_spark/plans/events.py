@@ -2758,3 +2758,138 @@ def conversion_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("accept_h0"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al. 2013): adjust the experiment
+# metric by the pre-period covariate — the standard trick that cuts A/B
+# variance by the squared pre/post correlation. Everything derives from
+# integer sufficient statistics, so the adjusted means are single fixed
+# double expressions (no per-row double accumulation anywhere).
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@register(
+    "ab_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(coalesce(sum(CASE WHEN ts < {_CUPED_SPLIT}
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS pre,
+               CAST(coalesce(sum(CASE WHEN ts >= {_CUPED_SPLIT}
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS post
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pre) AS BIGINT) AS sx,
+               CAST(sum(post) AS BIGINT) AS sy,
+               CAST(sum(pre * pre) AS BIGINT) AS sxx,
+               CAST(sum(post * post) AS BIGINT) AS syy,
+               CAST(sum(pre * post) AS BIGINT) AS sxy
+        FROM per_user
+    ),
+    v AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_v,
+               CAST(sum(pre) AS BIGINT) AS sx_v,
+               CAST(sum(post) AS BIGINT) AS sy_v
+        FROM per_user GROUP BY 1
+    )
+    SELECT CAST(v.variant AS BIGINT) AS variant, v.n_v AS n_users,
+           CAST(v.sy_v AS DOUBLE) / v.n_v AS mean_post_cents,
+           CAST(v.sx_v AS DOUBLE) / v.n_v AS mean_pre_cents,
+           CAST(v.sy_v AS DOUBLE) / v.n_v
+             - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+               * (CAST(v.sx_v AS DOUBLE) / v.n_v
+                  - CAST(g.sx AS DOUBLE) / g.n)
+               AS cuped_adjusted_mean,
+           CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+             / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) AS theta,
+           CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+             * CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+             / (CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+                * CAST(g.n * g.syy - g.sy * g.sy AS DOUBLE))
+               AS variance_reduction
+    FROM v CROSS JOIN g
+    ORDER BY variant
+    """,
+    tags=("events", "stats", "experimentation"),
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B metric: per variant (user_id parity), the
+    post-period mean value adjusted by theta x (pre-period deviation),
+    with theta = cov(pre, post)/var(pre) and the variance-reduction
+    factor rho^2 — the covariate trick that shrinks experiment
+    confidence intervals by the squared pre/post correlation without
+    touching the point estimate's expectation.
+
+    Determinism: per-user pre/post are integer cents; every reported
+    double (means, theta, rho^2, adjusted mean) is ONE fixed expression
+    over the six BIGINT sufficient sums — no per-row double
+    accumulation, so no float fold order exists. Scale: one user-keyed
+    aggregate + two bounded rollups (variant and global) cross-joined
+    back (broadcast one-row scalar)."""
+    split = F.expr(_CUPED_SPLIT)
+    cents = F.round(F.col("value") * 100).cast("long")
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < split, cents)), F.lit(0))
+        .cast("long")
+        .alias("pre"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= split, cents)), F.lit(0))
+        .cast("long")
+        .alias("post"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    g = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).cast("long").alias("syy"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_v"),
+        F.sum("pre").cast("long").alias("sx_v"),
+        F.sum("post").cast("long").alias("sy_v"),
+    )
+    covn = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varxn = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    varyn = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    theta = covn / varxn
+    return (
+        v.join(F.broadcast(g))
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            F.col("n_v").alias("n_users"),
+            (F.col("sy_v").cast("double") / F.col("n_v")).alias(
+                "mean_post_cents"
+            ),
+            (F.col("sx_v").cast("double") / F.col("n_v")).alias(
+                "mean_pre_cents"
+            ),
+            (
+                F.col("sy_v").cast("double") / F.col("n_v")
+                - theta
+                * (
+                    F.col("sx_v").cast("double") / F.col("n_v")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            ).alias("cuped_adjusted_mean"),
+            theta.alias("theta"),
+            (covn * covn / (varxn * varyn)).alias("variance_reduction"),
+        )
+        .orderBy("variant")
+    )

@@ -131,6 +131,7 @@ REPRESENTATIVES = [
     "sampled_revenue_estimate",         # rational-rate AQP estimate
     "hourly_token_bucket",              # clamped integer recursion
     "conversion_sprt",                  # sequential LLR prefix walk
+    "ab_cuped_adjustment",              # sufficient-stat CUPED
 ]
 
 
