@@ -2893,3 +2893,91 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power planning: the minimum detectable effect at 80% power
+# and two-sided alpha = 0.05, from the OBSERVED metric variance — the
+# third leg of the experimentation family (conversion_ztest decides,
+# ab_cuped_adjustment shrinks variance, this sizes the next test).
+# ---------------------------------------------------------------------------
+
+_MDE_Z_ALPHA_Q = 1959963985  # 1.96 (two-sided 5%), 1e-9-quantized
+_MDE_Z_BETA_Q = 841621234   # 0.8416 (80% power), 1e-9-quantized
+
+
+@register(
+    "ab_mde_planning",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss,
+               CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_b
+        FROM per_user
+    )
+    SELECT n AS n_users, n_a, n_b,
+           CAST(s AS DOUBLE) / n AS mean_cents,
+           (CAST(n * ss - s * s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               AS var_cents,
+           (1959963985 / 1e9 + 841621234 / 1e9)
+             * sqrt((CAST(n * ss - s * s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b))
+               AS mde_abs_cents,
+           (1959963985 / 1e9 + 841621234 / 1e9)
+             * sqrt((CAST(n * ss - s * s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b))
+             / (CAST(s AS DOUBLE) / n)
+               AS mde_rel
+    FROM g
+    """,
+    tags=("events", "stats", "experimentation"),
+)
+def ab_mde_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the per-user value metric at the
+    observed split sizes: MDE = (z_alpha/2 + z_beta) * sqrt(var *
+    (1/nA + 1/nB)) with population variance from exact integer
+    sufficient sums — absolute (cents) and relative to the control-free
+    pooled mean. z constants are 1e-9-quantized literals shared with
+    the oracle, and every double is one fixed expression over BIGINTs.
+    One user-keyed aggregate + one global rollup."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("cents")
+    ).withColumn("variant", F.col("user_id") % 2)
+    g = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+        F.count_if(F.col("variant") == 0).cast("long").alias("n_a"),
+        F.count_if(F.col("variant") == 1).cast("long").alias("n_b"),
+    )
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    z = F.lit(_MDE_Z_ALPHA_Q) / F.lit(1e9) + F.lit(_MDE_Z_BETA_Q) / F.lit(
+        1e9
+    )
+    mde = z * F.sqrt(
+        var * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return g.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        "n_b",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_cents"),
+        var.alias("var_cents"),
+        mde.alias("mde_abs_cents"),
+        (mde / (F.col("s").cast("double") / F.col("n"))).alias("mde_rel"),
+    )

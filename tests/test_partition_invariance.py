@@ -132,6 +132,7 @@ REPRESENTATIVES = [
     "hourly_token_bucket",              # clamped integer recursion
     "conversion_sprt",                  # sequential LLR prefix walk
     "ab_cuped_adjustment",              # sufficient-stat CUPED
+    "ab_mde_planning",                  # power planning from moments
 ]
 
 
