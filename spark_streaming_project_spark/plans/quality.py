@@ -2712,3 +2712,112 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "r_top")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval: the binomial order-
+# statistic bounds (no normality assumption, no bootstrap RNG) — the
+# robust-statistics companion to the mean-based CIs. Ranks come from
+# one fixed double expression over (n, sqrt(n)); the values at those
+# ranks are picked by a keyed ranking window, never a global sort.
+# ---------------------------------------------------------------------------
+
+_MEDCI_Z_Q = 1959963985  # 1.96, 1e-9-quantized (shared with the oracle)
+
+
+@register(
+    "doc_length_median_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS len, doc_id
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    ranked AS (
+        SELECT source, len, doc_id,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY len, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM base
+    ),
+    marks AS (
+        SELECT DISTINCT source, n,
+               n // 2 + 1 AS med_rank,
+               greatest(1, CAST(floor((n - {_MEDCI_Z_Q} / 1e9 * sqrt(n)) / 2)
+                                AS BIGINT)) AS lo_rank,
+               least(n, CAST(ceil((n + {_MEDCI_Z_Q} / 1e9 * sqrt(n)) / 2)
+                             AS BIGINT) + 1) AS hi_rank
+        FROM ranked
+    )
+    SELECT m.source, CAST(m.n AS BIGINT) AS n_docs,
+           CAST(med.len AS BIGINT) AS median_len,
+           CAST(lo.len AS BIGINT) AS ci_lo_len,
+           CAST(hi.len AS BIGINT) AS ci_hi_len,
+           CAST(m.lo_rank AS BIGINT) AS lo_rank,
+           CAST(m.hi_rank AS BIGINT) AS hi_rank
+    FROM marks m
+    JOIN ranked med ON med.source = m.source AND med.rn = m.med_rank
+    JOIN ranked lo ON lo.source = m.source AND lo.rn = m.lo_rank
+    JOIN ranked hi ON hi.source = m.source AND hi.rn = m.hi_rank
+    ORDER BY m.source
+    """,
+    tags=("llm", "quality", "stats"),
+)
+def doc_length_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median document length with the ~95% distribution-free
+    confidence interval from binomial order statistics (ranks
+    (n -/+ 1.96 sqrt(n))/2, floor/ceil, clamped; median = the explicit
+    upper-median rank n//2+1, so even counts are deterministic). No
+    normality assumption, no bootstrap randomness — the CI is two exact
+    order statistics. Scale: one keyed ranking window per source + three
+    rank-equi-joins against a sources-bounded marks frame."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    base = docs.select(
+        "source", F.col("n_chars").cast("long").alias("len"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("len", "doc_id")
+    ranked = base.select(
+        "source",
+        "len",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    z = F.lit(_MEDCI_Z_Q) / F.lit(1e9)
+    marks = ranked.select("source", "n").distinct().select(
+        "source",
+        "n",
+        (F.col("n") / 2 + 1).cast("long").alias("med_rank"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.col("n") - z * F.sqrt("n")) / 2).cast("long"),
+        ).alias("lo_rank"),
+        F.least(
+            F.col("n").cast("long"),
+            (F.ceil((F.col("n") + z * F.sqrt("n")) / 2) + 1).cast("long"),
+        ).alias("hi_rank"),
+    )
+    pick = lambda rank_col, out: (  # noqa: E731
+        ranked.join(
+            marks.select("source", F.col(rank_col).alias("_r")),
+            "source",
+        )
+        .filter(F.col("rn") == F.col("_r"))
+        .select("source", F.col("len").alias(out))
+    )
+    return (
+        marks.join(pick("med_rank", "median_len"), "source")
+        .join(pick("lo_rank", "ci_lo_len"), "source")
+        .join(pick("hi_rank", "ci_hi_len"), "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "median_len",
+            "ci_lo_len",
+            "ci_hi_len",
+            F.col("lo_rank").cast("long").alias("lo_rank"),
+            F.col("hi_rank").cast("long").alias("hi_rank"),
+        )
+        .orderBy("source")
+    )

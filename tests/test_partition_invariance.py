@@ -133,6 +133,7 @@ REPRESENTATIVES = [
     "conversion_sprt",                  # sequential LLR prefix walk
     "ab_cuped_adjustment",              # sufficient-stat CUPED
     "ab_mde_planning",                  # power planning from moments
+    "doc_length_median_ci",             # order-statistic median CI
 ]
 
 
