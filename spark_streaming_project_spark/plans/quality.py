@@ -2821,3 +2821,102 @@ def doc_length_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "quality_logreg_gains",
+    oracle=f"""
+    WITH {_logreg_cte()},
+    p AS (
+        SELECT doc_id, y,
+               0.5 * (1.0 + z / (1.0 + abs(z))) AS prob
+        FROM scored
+    ),
+    dec AS (
+        SELECT y, ntile(10) OVER (ORDER BY prob DESC, doc_id ASC)
+                   AS decile
+        FROM p
+    ),
+    per AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(y) AS BIGINT) AS positives
+        FROM dec GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+               CAST(sum(positives) AS BIGINT) AS tp
+        FROM per
+    ),
+    cum AS (
+        SELECT a.decile, CAST(sum(b.positives) AS BIGINT) AS cpos
+        FROM per a JOIN per b ON b.decile <= a.decile
+        GROUP BY 1
+    )
+    SELECT per.decile, per.n_docs, per.positives,
+           round(CAST(per.positives AS DOUBLE) / per.n_docs, 6)
+               AS response_rate,
+           round(CAST(per.positives AS DOUBLE) / per.n_docs
+                 / (CAST(tot.tp AS DOUBLE) / tot.tn), 6) AS lift,
+           round(CAST(cum.cpos AS DOUBLE) / tot.tp, 6) AS cum_capture
+    FROM per JOIN cum USING (decile) CROSS JOIN tot
+    ORDER BY per.decile
+    """,
+    tags=("llm", "quality", "classifier"),
+)
+def quality_logreg_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for the trained quality classifier: documents
+    ranked by UNROUNDED sigmoid score (monotone in z, so both engines
+    order identically; doc_id tiebreak), cut into score deciles, with
+    per-decile response rate, lift over the base rate, and cumulative
+    positive capture — the 'how deep must I score to catch X% of the
+    good docs' readout that completes ROC/AUC/calibration. Decile
+    assignment via range_partitioned_ntile (no single-task global
+    sort); cumulative sums via the 10-row broadcast triangle join; the
+    fit comes from the per-sf_dir memo, so the family still trains
+    once."""
+    from ..operators.classifier import logreg_score
+    from ..operators.windows import range_partitioned_ntile
+
+    feats = _lr_feats(spark, sf_dir)
+    w = _lr_weights(spark, sf_dir)
+    scored = logreg_score(feats, w, "doc_id")
+    dec = range_partitioned_ntile(
+        scored.select("doc_id", "y", "prob"),
+        10,
+        [F.desc("prob"), F.asc("doc_id")],
+        out_col="decile",
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("positives"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("tn"),
+        F.sum("positives").cast("long").alias("tp"),
+    )
+    prior = per.select(
+        F.col("decile").alias("_d"), F.col("positives").alias("_p")
+    )
+    cum = (
+        per.select("decile")
+        .join(F.broadcast(prior), F.col("_d") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(F.sum("_p").cast("long").alias("cpos"))
+    )
+    rr = F.col("positives").cast("double") / F.col("n_docs")
+    base = F.col("tp").cast("double") / F.col("tn")
+    return (
+        per.join(cum, "decile")
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "positives",
+            F.round(rr, 6).alias("response_rate"),
+            F.round(rr / base, 6).alias("lift"),
+            F.round(F.col("cpos").cast("double") / F.col("tp"), 6).alias(
+                "cum_capture"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -134,6 +134,7 @@ REPRESENTATIVES = [
     "ab_cuped_adjustment",              # sufficient-stat CUPED
     "ab_mde_planning",                  # power planning from moments
     "doc_length_median_ci",             # order-statistic median CI
+    "quality_logreg_gains",             # score-decile lift table
 ]
 
 
