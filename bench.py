@@ -68,6 +68,23 @@ def main() -> None:
     # ANN quality: recall@10 of each approximate tier vs exact brute force
     # (id-set overlap of the top-10 neighbor lists). Latency without recall
     # would let a degenerate ANN (empty buckets) look "fast".
+    #
+    # VERDICT r7 ask #3: machine-enforced floors so a hash/plane change
+    # can't silently zero a tier. Values are deterministic (md5-derived
+    # planes over fixed testdata); floors sit just under the sf0.1
+    # measurements recorded in BENCH_FULL_r07.json. Single-table LSH is
+    # the deliberately-demoted teaching tier (recall 0.1 by construction,
+    # operators/similarity.py) — its floor only guards against zero.
+    ann_floors = {
+        "similarity_ann_lsh_topk": 0.1,
+        "similarity_lsh_multiprobe_topk": 0.4,
+        "similarity_ann_lsh_multitable_topk": 0.9,
+        "similarity_ivf_topk": 0.3,
+        "similarity_ivf_kmeans_topk": 0.4,
+        "similarity_quantized_topk": 0.8,
+        "similarity_pq_topk": 0.8,
+        "similarity_ivfpq_topk": 0.4,
+    }
     ann_recall = {}
     try:
         truth = {
@@ -76,18 +93,19 @@ def main() -> None:
             .builder(spark, SF_DIR)
             .collect()
         }
-        for name in (
-            "similarity_ann_lsh_topk",
-            "similarity_lsh_multiprobe_topk",
-            "similarity_ann_lsh_multitable_topk",
-            "similarity_ivf_topk",
-            "similarity_ivf_kmeans_topk",
-            "similarity_quantized_topk",
-            "similarity_pq_topk",
-            "similarity_ivfpq_topk",
-        ):
+        for name in ann_floors:
             got = {r["vec_id"] for r in REGISTRY[name].builder(spark, SF_DIR).collect()}
             ann_recall[name] = round(len(got & truth) / max(len(truth), 1), 4)
+        if sf == 0.1:  # floors calibrated at the driver's bench sf
+            low = {
+                n: (ann_recall[n], ann_floors[n])
+                for n in ann_floors
+                if ann_recall[n] < ann_floors[n]
+            }
+            if low:
+                errors["__ann_recall_floor__"] = (
+                    f"recall below floor (got, floor): {low}"
+                )
     except Exception as exc:  # noqa: BLE001
         errors["__ann_recall__"] = f"{type(exc).__name__}: {exc}"[:500]
 

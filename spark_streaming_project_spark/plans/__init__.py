@@ -22,88 +22,85 @@ from . import warehouse  # noqa: E402,F401
 
 DRIVER_WINDOW = 50  # rows the driver's correctness gate records per round
 
-# The intended round-7 recorded window, in priority order (same asserted-
-# list mechanism as r5/r6 — VERDICT r4 "What's wrong #2"): an explicit list
+# The intended round-8 recorded window, in priority order (same asserted-
+# list mechanism as r5-r7 — VERDICT r4 "What's wrong #2"): an explicit list
 # asserted to be EXACTLY DRIVER_WINDOW long and duplicate-free, pinned by
 # tests/test_plans.py against list(REGISTRY)[:DRIVER_WINDOW].
-_R7_WINDOW = [
-    # -- VERDICT r6 ask #6: the three most architecturally novel
-    #    never-recorded queries lead (composed ER pipeline, native
-    #    session windows, measured-salt skew join).
-    "supplier_entity_clusters",
-    "session_window_stats",
-    "salted_user_tier_activity",
-    # -- VERDICT r6 ask #1: the 9 r06 reds, re-recorded after their
-    #    DuckDB oracles' bare integer sum() columns were wrapped in
-    #    CAST(... AS BIGINT) (Spark values were already verified
-    #    identical by the judge — pure oracle-typing fixes).
-    "span_dedup_stats",
-    "filter_funnel_attrition",
-    "quality_logreg_auc",
-    "neardup_eval_pr",
-    "pii_audit",
-    "pii_redaction_audit",
-    "leakage_safe_splits",
-    "split_leakage_check",
-    "neardup_threshold_sweep",
-    # -- VERDICT r6 ask #3: the remaining 35 registry queries with no
-    #    driver-recorded row ever (session-3 tail). After these, every
-    #    oracle-bearing query has at least one driver-recorded green row
-    #    — zero recorded-proof debt.
-    "dedup_normalized_groups",
-    "bloom_filter_words",
-    "snm_candidate_pairs",
-    "embedding_outliers",
-    "label_centroid_similarity",
-    "neardup_local_clustering",
-    "neardup_degree_assortativity",
-    "cross_source_dup_matrix",
-    "late_event_profile",
-    "event_burstiness",
-    "conversion_ztest",
-    "top_event_paths",
-    "weighted_median_price",
-    "part_price_size_skyline",
-    "customer_revenue_gini",
-    "customer_decile_mobility",
-    "reorder_survival_curve",
-    "brand_affinity_rules",
-    "benford_price_digits",
-    "price_quantity_ols",
-    "rfm_segments",
-    "sliding_heavy_hitters_cms",
-    "sliding_value_quantiles",
-    "top_tokens_per_source_sharded",
-    "doc_length_mad_outliers",
-    "table_column_profiles",
-    "numeric_corr_matrix",
-    "source_length_ks",
-    "lang_source_chisq",
-    "source_length_mannwhitney",
-    "nb_lang_top_features",
-    "nb_crossval_accuracy",
-    "source_keep_rate_ci",
-    "retrieval_rank_overlap",
-    "retrieval_eval_planted",
-    # -- VERDICT r6 ask #4 touches the logreg family (one memoized fit
-    #    shared across the five quality_logreg_* builders): refresh three
-    #    more family rows to prove the memo changed nothing (auc is
-    #    already among the re-records above).
-    "quality_logreg_weights",
-    "quality_logreg_roc",
-    "quality_logreg_calibration",
+#
+# VERDICT r7 ask #1: the 34 registry queries with no driver-recorded row
+# ever (computed against CORRECTNESS_r01-r07, matching ROADMAP.md's list of
+# 28 plus the 6 post-rotation additions). After these, every registry query
+# has at least one driver-recorded row — zero recorded-proof debt.
+_R8_WINDOW = [
+    # -- the six most architecturally novel never-recorded queries lead
+    "attribution_markov_removal",
+    "embedding_top_pc",
+    "events_rollup_lattice",
+    "orders_point_in_time_segment",
+    "rerank_crossencoder_topk",
+    "hourly_holt_winters",
+    # -- the remaining 28 never-recorded queries
+    "cdc_chunk_dedup",
+    "cdc_chunk_doc_clusters",
+    "cdc_cross_source_matrix",
+    "cdc_decontamination",
+    "embedding_pc1_label_profile",
+    "embedding_pc1_variance_share",
+    "neardup_hub_distances",
+    "packed_sequences_ffd",  # rows-only: FFD bin state is not SQL-expressible
+    "media_phash_near_dups",
+    "hourly_autocorrelation",
+    "hourly_ewma_trend",
+    "seasonal_hourly_baseline",
+    "event_markov_stationary",
+    "event_markov_entropy_rate",
+    "purchase_attribution",
+    "purchase_attribution_time_decay",
+    "error_burn_rate",
+    "hourly_token_bucket",
+    "conversion_sprt",
+    "ab_cuped_adjustment",
+    "ab_mde_planning",
+    "part_cf_neighbors",
+    "sampled_revenue_estimate",
+    "join_size_estimate_cms",
+    "readability_profile",
+    "preference_pairs",
+    "doc_length_median_ci",
+    "quality_logreg_gains",
+    # -- 16 filler slots: refreshes of the queries whose newest record is
+    #    the oldest (r03) — the reference-parity headline family plus the
+    #    perf-adjudicated tfidf query. New round-8 queries swap in here as
+    #    they land (new rows beat refreshing already-green ones).
+    "nutriscore_counts",
+    "category_counts",
+    "brand_counts",
+    "packaging_distribution",
+    "nova_group_classification",
+    "top_token_docs",
+    "top_sugary_products_by_category",
+    "weighted_nova_average",
+    "top_brands",
+    "top_packaging",
+    "pricing_summary",
+    "shipping_priority",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "similarity_bruteforce_topk",
+    "tfidf_top_terms",
 ]
 # The 6 declared rows-only tiers (approx_stats, bpe_merge_table,
 # neardup_centrality, similarity_ivf_kmeans_topk, similarity_pq_topk,
 # similarity_ivfpq_topk) had their markers recorded in r05's window and
-# stay OUT: every slot goes to oracle-bearing rows.
+# stay OUT; packed_sequences_ffd (rows-only, added r07) gets its first
+# recorded marker this round.
 
 
 def _reorder() -> None:
     """Rotate the registry so the driver's recorded window (the first
-    ``DRIVER_WINDOW`` entries) is exactly ``_R7_WINDOW`` — computed and
+    ``DRIVER_WINDOW`` entries) is exactly ``_R8_WINDOW`` — computed and
     asserted, never prose arithmetic."""
-    window = list(_R7_WINDOW)
+    window = list(_R8_WINDOW)
     if len(window) != DRIVER_WINDOW or len(set(window)) != len(window):
         raise ValueError(
             f"intended window has {len(window)} names "

