@@ -1602,3 +1602,191 @@ def filtered_topk(
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection: pick ``k``
+    vectors so every vector is close to some pick — the classic 2-approx
+    cover used for diverse-subset curation (choose representative docs,
+    seed labeling budgets, init k-means). Returns one row per pick:
+    ``(sel_round, id, dist2_q, radius)`` where ``dist2_q`` is the pick's
+    squared distance (quantized-integer space) to the previously-selected
+    set — the non-increasing coverage-radius sequence.
+
+    Determinism/portability: components quantize to ``round(x * quant)``
+    BIGINTs (the PCA-family convention), so distances are EXACT integer
+    sums — no FP summation-order drift — and a SQL oracle replays every
+    round bit-for-bit. Seed = max squared norm, ties to the smallest id;
+    each round's pick = max distance-to-selected, same tie-break.
+
+    Scale shape: one narrow map pass per round (zip_with against the
+    broadcast-literal new center) + one TakeOrdered(1) — k bounded passes,
+    no shuffle, no join. The running ``dmin`` frame is persisted per round
+    (the BFS/CC discipline) so round r never replays rounds 0..r-1;
+    driver traffic is ONE row per round. At 100 TB this is k fact scans —
+    the honest price of the 2-approximation guarantee; k is a knob, not a
+    function of data size.
+    """
+    spark = df.sparkSession
+    qv = F.transform(
+        as_double(vec_col),
+        lambda x: F.round(x * quant).cast("long"),
+    )
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), qv.alias("_qv"))
+        .persist()
+    )
+
+    def dist2_to(center: list[int]) -> Column:
+        c = F.array(*[F.lit(int(v)).cast("long") for v in center])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    norm2 = F.aggregate(
+        F.col("_qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    seed = (
+        base.select("_id", "_qv", norm2.alias("_n2"))
+        .orderBy(F.desc("_n2"), F.asc("_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    picks = [(0, seed["_id"], 0)]
+    cur = base.select("_id", "_qv", dist2_to(seed["_qv"]).alias("_dmin")).persist()
+    cur.count()  # materialize before the argmax so the persist is warm
+    for r in range(1, k):
+        top = cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()[0]
+        picks.append((r, top["_id"], top["_dmin"]))
+        nxt = cur.select(
+            "_id",
+            "_qv",
+            F.least(F.col("_dmin"), dist2_to(top["_qv"])).alias("_dmin"),
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    base.unpersist()
+    out = spark.createDataFrame(
+        picks, schema=f"sel_round INT, {id_col} BIGINT, dist2_q BIGINT"
+    )
+    return out.select(
+        "sel_round",
+        id_col,
+        "dist2_q",
+        F.round(F.sqrt(F.col("dist2_q").cast("double")) / quant, 6).alias(
+            "radius"
+        ),
+    ).orderBy("sel_round")
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    bands: int = 4,
+    bits: int = 8,
+    salt: str = "hardneg",
+    k: int = 1,
+    round_decimals: int = ROUND_DECIMALS,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, its ``k`` most-cosine-similar vectors with a DIFFERENT label —
+    the negatives that actually move an embedding model, vs the uniform
+    draws ``contrastive_negatives`` produces.
+
+    Scale shape: identical to ``banded_ndup_pairs`` — ``bands`` narrow
+    ``bits``-bit LSH tables generate candidates (collide in ANY band,
+    label differs), candidates are deduped to skinny id pairs, vectors
+    join in once per pair for exact verification, and the per-anchor
+    ranking window is bounded by the anchor's collision fan-out (never
+    n^2, never a global sort). Anchors whose buckets hold only same-label
+    vectors drop out — the honest recall cost of blocking; at 100 TB you
+    raise ``bands`` (OR-amplification) instead of widening buckets.
+    """
+    buckets_arr = _multitable_buckets_udf(dim, bits, bands, salt)
+    bucketed = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col),
+            as_double(vec_col).alias("_v"),
+            buckets_arr(F.col(vec_col)).alias("_bs"),
+        )
+        .withColumn("_nrm", norm(F.col("_v")))
+        .persist()
+    )
+    keys = bucketed.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode("_bs").alias("_band", "_bucket"),
+    )
+    cand = (
+        keys.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("_la"),
+            "_band",
+            "_bucket",
+        )
+        .join(
+            keys.select(
+                F.col(id_col).alias("negative_id"),
+                F.col(label_col).alias("_lb"),
+                "_band",
+                "_bucket",
+            ),
+            ["_band", "_bucket"],
+        )
+        .filter(
+            (F.col("_la") != F.col("_lb"))
+            & (F.col("anchor_id") != F.col("negative_id"))
+        )
+        .select("anchor_id", "negative_id")
+        .distinct()
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    n = F.col("_na") * F.col("_nb")
+    scored = (
+        cand.join(a, "anchor_id")
+        .join(b, "negative_id")
+        .select(
+            "anchor_id",
+            "negative_id",
+            "anchor_label",
+            "negative_label",
+            F.round(
+                F.when(n > 0, dot(F.col("_va"), F.col("_vb")) / n),
+                round_decimals,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -82,12 +82,13 @@ _R8_WINDOW = [
     "weighted_nova_average",
     "top_brands",
     "top_packaging",
-    "pricing_summary",
-    "shipping_priority",
-    "dedup_exact_groups",
-    "dedup_minhash_pairs",
-    "similarity_bruteforce_topk",
     "tfidf_top_terms",
+    # -- new round-8 queries (first recording)
+    "coreset_kcenter_selection",
+    "hard_negative_mining",
+    "semantic_decontamination",
+    "lexical_diversity_profile",
+    "dedup_token_savings",
 ]
 # The 6 declared rows-only tiers (approx_stats, bpe_merge_table,
 # neardup_centrality, similarity_ivf_kmeans_topk, similarity_pq_topk,

@@ -5154,3 +5154,529 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (round 8): diverse-subset selection over the
+# embedding corpus — the farthest-point 2-approximation used to pick
+# representative documents / seed labeling budgets / init k-means. The
+# logreg/Markov/PCA integer-iteration discipline applied to a SELECTION
+# loop: quantized components make every distance an exact BIGINT, so the
+# oracle replays all k rounds (seed + 7 argmax picks) bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kc_dist2(v: str, c: str) -> str:
+    """Exact integer squared distance over quantized components."""
+    return (
+        f"CAST(list_sum([({v}[i] - {c}[i]) * ({v}[i] - {c}[i]) "
+        f"for i in range(1, {_DIM} + 1)]) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    parts = [
+        """
+    WITH vecs AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               ) AS qv
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id, qv FROM vecs
+        ORDER BY list_sum(list_transform(qv, x -> x * x)) DESC, vec_id ASC
+        LIMIT 1
+    ),
+    d1 AS MATERIALIZED (
+        SELECT v.vec_id, v.qv, """
+        + _kc_dist2("v.qv", "c.qv")
+        + """ AS dmin
+        FROM vecs v CROSS JOIN c0 c
+    )"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+    c{r} AS MATERIALIZED (
+        SELECT vec_id, qv, dmin FROM d{r}
+        ORDER BY dmin DESC, vec_id ASC LIMIT 1
+    )"""
+        )
+        if r < k - 1:
+            parts.append(
+                f""",
+    d{r + 1} AS MATERIALIZED (
+        SELECT v.vec_id, v.qv,
+               least(v.dmin, {_kc_dist2('v.qv', 'c.qv')}) AS dmin
+        FROM d{r} v CROSS JOIN c{r} c
+    )"""
+            )
+    unions = [
+        "SELECT 0 AS sel_round, vec_id, CAST(0 AS BIGINT) AS dist2_q FROM c0"
+    ] + [
+        f"SELECT {r} AS sel_round, vec_id, dmin AS dist2_q FROM c{r}"
+        for r in range(1, k)
+    ]
+    body = "\n    UNION ALL ".join(unions)
+    return (
+        "".join(parts)
+        + f"""
+    SELECT CAST(sel_round AS INT) AS sel_round, vec_id, dist2_q,
+           round(sqrt(CAST(dist2_q AS DOUBLE)) / 1000000, 6) AS radius
+    FROM ({body})
+    ORDER BY sel_round
+    """
+    )
+
+
+@register(
+    "coreset_kcenter_selection",
+    oracle=_kcenter_oracle(),
+    tags=("llm", "similarity", "curation", "coreset", "iterative"),
+)
+def coreset_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-pick greedy k-center coreset over the embedding corpus with
+    its non-increasing coverage-radius sequence — the quantity a curation
+    pipeline watches to decide how many representatives a corpus needs.
+
+    Scale: k narrow map passes (zip_with vs a broadcast-literal center)
+    + k TakeOrdered(1) reads; the running dmin frame is persisted per
+    round so no round replays its predecessors; driver traffic is one
+    row per round (operators/similarity.py kcenter_coreset)."""
+    from ..operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "vec_id", "embedding", k=_KC_K)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 8): the similarity-join shape applied to
+# contrastive-training pair prep. contrastive_negatives draws UNIFORM
+# negatives; an embedding model trains on the negatives it nearly
+# confuses — the most-similar DIFFERENT-label vector. Same banded-LSH
+# candidate scheme as dedup_embedding_pairs (collide in any band),
+# verify-once, per-anchor bounded ranking window.
+# ---------------------------------------------------------------------------
+
+_HN_BANDS = 4
+_HN_BITS = 8
+_HN_SALT = "hardneg"
+
+
+def _duck_hn_bucket(vec: str, band: int) -> str:
+    out = []
+    for b in range(_HN_BITS):
+        terms = " + ".join(
+            f"{vec}[{i + 1}] * ({_pseudo_coef(f'{_HN_SALT}:{band}:{b}:{i}')})"
+            for i in range(_DIM)
+        )
+        out.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(out)
+
+
+_HN_BAND_COLS = ",\n               ".join(
+    f"{_duck_hn_bucket('v', t)} AS b{t}" for t in range(_HN_BANDS)
+)
+_HN_MATCH_ANY = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_HN_BANDS))
+
+_HN_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, label, v,
+               {_HN_BAND_COLS}
+        FROM vecs
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS negative_id
+        FROM bucketed a JOIN bucketed b
+          ON a.label <> b.label AND a.vec_id <> b.vec_id
+         AND ({_HN_MATCH_ANY})
+    ),
+    scored AS (
+        SELECT anchor_id, negative_id,
+               a.label AS anchor_label, b.label AS negative_label,
+               round({_duck_dot('a.v', 'b.v')}
+                     / (sqrt({_duck_dot('a.v', 'a.v')})
+                        * sqrt({_duck_dot('b.v', 'b.v')})),
+                     6) AS cosine_sim
+        FROM cand
+        JOIN bucketed a ON a.vec_id = cand.anchor_id
+        JOIN bucketed b ON b.vec_id = cand.negative_id
+        WHERE sqrt({_duck_dot('a.v', 'a.v')})
+              * sqrt({_duck_dot('b.v', 'b.v')}) > 0
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY cosine_sim DESC, negative_id ASC
+               ) AS INTEGER) AS neg_rank
+        FROM scored
+    )
+    SELECT anchor_id, negative_id, anchor_label, negative_label,
+           cosine_sim, neg_rank
+    FROM ranked WHERE neg_rank <= 1
+    ORDER BY anchor_id, neg_rank
+"""
+
+
+@register(
+    "hard_negative_mining",
+    oracle=_HN_ORACLE,
+    tags=("llm", "similarity", "training-pairs", "lsh"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each anchor's single hardest negative (most-similar different-label
+    vector among its banded-LSH collisions) — see
+    ``operators/similarity.hard_negatives`` for the blocked candidate
+    scheme; anchors with only same-label collisions drop out, the honest
+    recall cost of never going n^2."""
+    from ..operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        dim=_DIM,
+        bands=_HN_BANDS,
+        bits=_HN_BITS,
+        salt=_HN_SALT,
+        k=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (round 8): the EMBEDDING-space complement of
+# the two lexical decontamination audits (eval_containment_audit's
+# n-grams, cdc_decontamination's content-defined chunks) — a
+# paraphrased/translated eval leak shares no chunk hash but sits at
+# high cosine. Same banded-LSH blocking as dedup_embedding_pairs,
+# directional (eval probes train), LEFT-joined so every eval doc keeps
+# a row (best banded match or NULL) and the flag distribution is the
+# audit output.
+# ---------------------------------------------------------------------------
+
+_SDC_BANDS = 6
+_SDC_BITS = 8
+_SDC_SALT = "sdecon"
+_SDC_THRESHOLD = 0.35
+
+
+def _duck_sdc_bucket(vec: str, band: int) -> str:
+    out = []
+    for b in range(_SDC_BITS):
+        terms = " + ".join(
+            f"{vec}[{i + 1}] * ({_pseudo_coef(f'{_SDC_SALT}:{band}:{b}:{i}')})"
+            for i in range(_DIM)
+        )
+        out.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(out)
+
+
+_SDC_BAND_COLS = ",\n               ".join(
+    f"{_duck_sdc_bucket('v', t)} AS b{t}" for t in range(_SDC_BANDS)
+)
+_SDC_MATCH_ANY = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_SDC_BANDS))
+
+_SDC_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               CAST(concat('0x', substr(md5(concat('seval:',
+                    CAST(vec_id AS VARCHAR))), 1, 4)) AS BIGINT) % 10 = 0
+                   AS is_eval
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, is_eval,
+               {_SDC_BAND_COLS}
+        FROM vecs
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS eval_id, b.vec_id AS train_id
+        FROM bucketed a JOIN bucketed b
+          ON a.is_eval AND NOT b.is_eval AND ({_SDC_MATCH_ANY})
+    ),
+    scored AS (
+        SELECT eval_id, train_id,
+               round({_duck_dot('a.v', 'b.v')}
+                     / (sqrt({_duck_dot('a.v', 'a.v')})
+                        * sqrt({_duck_dot('b.v', 'b.v')})),
+                     6) AS cosine_sim
+        FROM cand
+        JOIN bucketed a ON a.vec_id = cand.eval_id
+        JOIN bucketed b ON b.vec_id = cand.train_id
+        WHERE sqrt({_duck_dot('a.v', 'a.v')})
+              * sqrt({_duck_dot('b.v', 'b.v')}) > 0
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY eval_id
+                       ORDER BY cosine_sim DESC, train_id ASC) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+    SELECT e.vec_id AS eval_id,
+           best.train_id AS best_train_id,
+           best.cosine_sim,
+           coalesce(best.cosine_sim >= {_SDC_THRESHOLD}, FALSE)
+               AS contaminated
+    FROM vecs e LEFT JOIN best ON best.eval_id = e.vec_id
+    WHERE e.is_eval
+    ORDER BY eval_id
+"""
+
+
+@register(
+    "semantic_decontamination",
+    oracle=_SDC_ORACLE,
+    tags=("llm", "decontamination", "similarity", "lsh"),
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval-split vector (deterministic ~10% md5 split): its
+    best-cosine banded-LSH match in the training split and whether that
+    match clears the contamination threshold. Banding caps candidates
+    (never eval x train); its recall concentrates on HIGH-cosine leaks —
+    exactly the memorization-relevant ones — and at 100 TB you raise
+    bands, not bucket width."""
+    from ..operators.similarity import _multitable_buckets_udf
+    from ..functions.vectors import as_double, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets_arr = _multitable_buckets_udf(_DIM, _SDC_BITS, _SDC_BANDS, _SDC_SALT)
+    is_eval = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("seval:"), F.col("vec_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    vecs = (
+        emb.select(
+            "vec_id",
+            as_double("embedding").alias("_v"),
+            buckets_arr(F.col("embedding")).alias("_bs"),
+            is_eval.alias("_is_eval"),
+        )
+        .withColumn("_nrm", norm(F.col("_v")))
+        .persist()
+    )
+    keys = vecs.select(
+        "vec_id", "_is_eval", F.posexplode("_bs").alias("_band", "_bucket")
+    )
+    cand = (
+        keys.filter("_is_eval")
+        .select(F.col("vec_id").alias("eval_id"), "_band", "_bucket")
+        .join(
+            keys.filter(~F.col("_is_eval")).select(
+                F.col("vec_id").alias("train_id"), "_band", "_bucket"
+            ),
+            ["_band", "_bucket"],
+        )
+        .select("eval_id", "train_id")
+        .distinct()
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    n = F.col("_na") * F.col("_nb")
+    scored = (
+        cand.join(a, "eval_id")
+        .join(b, "train_id")
+        .select(
+            "eval_id",
+            "train_id",
+            F.round(
+                F.when(n > 0, dot(F.col("_va"), F.col("_vb")) / n), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("cosine_sim"), F.asc("train_id")
+    )
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("eval_id", F.col("train_id").alias("best_train_id"), "cosine_sim")
+    )
+    return (
+        vecs.filter("_is_eval")
+        .select(F.col("vec_id").alias("eval_id"))
+        .join(best, "eval_id", "left")
+        .select(
+            "eval_id",
+            "best_train_id",
+            "cosine_sim",
+            F.coalesce(
+                F.col("cosine_sim") >= _SDC_THRESHOLD, F.lit(False)
+            ).alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level lexical diversity (round 8): vocabulary concentration per
+# source — the signal that separates template/boilerplate feeds (low
+# hapax share, low corpus TTR) from organic text. Complements the
+# per-document TTR in doc_stats and the head-of-vocabulary views
+# (vocab_top_tokens, zipf_profile) with the TAIL: hapax legomena.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lexical_diversity_profile",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               lower(unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> ''))) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tc AS (
+        SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS hapax_tokens,
+           round(CAST(count(*) FILTER (c = 1) AS DOUBLE) / count(*), 6)
+               AS hapax_share,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS corpus_ttr
+    FROM tc GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "text", "vocab", "curation"),
+)
+def lexical_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary concentration: corpus type-token ratio and
+    hapax-legomenon share. Scale: ONE (source, token) shuffle whose
+    map-side combine collapses each partition to its distinct tokens; the
+    re-aggregation input is the per-source vocabulary, already far
+    smaller than the corpus."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("t"))
+        .select("source", F.lower("t").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.count("*").cast("bigint").alias("distinct_tokens"),
+            F.count_if(F.col("c") == 1).cast("bigint").alias("hapax_tokens"),
+            F.round(
+                F.count_if(F.col("c") == 1).cast("double") / F.count("*"), 6
+            ).alias("hapax_share"),
+            F.round(
+                F.count("*").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("corpus_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_token_savings",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    dupes AS (
+        SELECT DISTINCT id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.3
+    ),
+    dtok AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+           CAST(sum(n_tok) FILTER (doc_id NOT IN (SELECT id_b FROM dupes))
+                AS BIGINT) AS tokens_after,
+           round(1.0 - CAST(sum(n_tok) FILTER (doc_id NOT IN
+                     (SELECT id_b FROM dupes)) AS DOUBLE)
+                 / CAST(sum(n_tok) AS DOUBLE), 6) AS savings_share
+    FROM dtok GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline KPI a dedup pass reports: per source, token volume
+    before vs after the MinHash keep-first policy (the dedup_keep_list
+    rule) and the share of training tokens it saves. Scale: the keep
+    list is the banded-LSH pass the engine already runs; the savings
+    report adds one map-only token count + a (source) aggregate."""
+    from ..functions.text import token_count
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    drop = (
+        minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    dtok = docs.select(
+        "doc_id", "source", token_count("text").cast("bigint").alias("n_tok")
+    ).join(drop.withColumn("_dup", F.lit(True)), "doc_id", "left")
+    kept = F.when(F.col("_dup").isNull(), F.col("n_tok")).otherwise(F.lit(0))
+    return (
+        dtok.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("tokens_before"),
+            F.sum(kept).cast("bigint").alias("tokens_after"),
+            F.round(
+                1.0
+                - F.sum(kept).cast("double") / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("savings_share"),
+        )
+        .orderBy("source")
+    )

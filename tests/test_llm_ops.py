@@ -1008,3 +1008,113 @@ def test_registry_ann_tiers_hold_recall_floors(spark):
     }
     low = {n: (got[n], floors[n]) for n in floors if got[n] < floors[n]}
     assert not low, f"ANN recall below floor (got, floor): {low}"
+
+
+def test_kcenter_coreset_radius_sequence_and_seed(spark):
+    """Greedy k-center invariants: the coverage-radius sequence is
+    non-increasing (each pick is the current farthest point, so the next
+    max can only shrink), picks are distinct, and the seed is the
+    max-norm vector (ties to smallest id)."""
+    from spark_streaming_project_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    rows = kcenter_coreset(emb, "vec_id", "embedding", k=6).collect()
+    assert [r["sel_round"] for r in rows] == list(range(6))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 6
+    d = [r["dist2_q"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d, d[1:])), d
+    assert rows[0]["dist2_q"] == 0 and rows[0]["radius"] == 0.0
+    # seed = argmax quantized norm2, tie to min id — recompute exactly
+    best = emb.selectExpr(
+        "vec_id",
+        "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        " * 1000000) AS BIGINT)), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x * x) AS n2",
+    ).orderBy(F.desc("n2"), F.asc("vec_id")).first()
+    assert rows[0]["vec_id"] == best["vec_id"]
+
+
+def test_hard_negatives_labels_differ_and_scores_exact(spark):
+    """Every mined negative has a different label than its anchor, is
+    rank 1, and carries the EXACT brute-force cosine for that pair; the
+    banded candidate's score can never exceed the unblocked best."""
+    from spark_streaming_project_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from spark_streaming_project_spark.functions.vectors import (
+        as_double,
+        dot,
+        norm,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    got = hard_negatives(
+        emb, "vec_id", "embedding", "label", dim=64, bands=4, bits=8, k=1
+    ).collect()
+    assert got
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in got:
+        assert labels[r["anchor_id"]] == r["anchor_label"]
+        assert labels[r["negative_id"]] == r["negative_label"]
+        assert r["anchor_label"] != r["negative_label"]
+        assert r["neg_rank"] == 1
+    # exact-score + upper-bound check on a few anchors vs brute force
+    v = emb.select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    sample = {r["anchor_id"]: r for r in got[:5]}
+    a = v.filter(F.col("vec_id").isin(*sample)).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("al"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    pairs = (
+        a.join(v, F.col("label") != F.col("al"))
+        .select(
+            "aid",
+            "vec_id",
+            F.round(
+                dot(F.col("va"), F.col("v")) / (F.col("na") * F.col("n")), 6
+            ).alias("cos"),
+        )
+        .collect()
+    )
+    best = {}
+    exact = {}
+    for p in pairs:
+        exact[(p["aid"], p["vec_id"])] = p["cos"]
+        if p["aid"] not in best or p["cos"] > best[p["aid"]]:
+            best[p["aid"]] = p["cos"]
+    for aid, r in sample.items():
+        assert exact[(aid, r["negative_id"])] == r["cosine_sim"]
+        assert r["cosine_sim"] <= best[aid]
+
+
+def test_semantic_decontamination_split_and_flags(spark):
+    """The eval split is the deterministic md5 rule, best matches come
+    from the TRAIN side only, and the contaminated flag is exactly
+    (cosine >= threshold), FALSE for eval docs with no banded candidate."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.llm import _SDC_THRESHOLD
+
+    rows = REGISTRY["semantic_decontamination"].builder(
+        spark, SF_CORRECT
+    ).collect()
+    assert rows
+
+    def is_eval(i: int) -> bool:
+        import hashlib
+
+        return int(hashlib.md5(f"seval:{i}".encode()).hexdigest()[:4], 16) % 10 == 0
+
+    for r in rows:
+        assert is_eval(r["eval_id"])
+        if r["best_train_id"] is not None:
+            assert not is_eval(r["best_train_id"])
+            assert r["contaminated"] == (r["cosine_sim"] >= _SDC_THRESHOLD)
+        else:
+            assert r["contaminated"] is False
