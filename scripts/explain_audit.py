@@ -106,6 +106,17 @@ SHOWCASE = [
      "data-proportional work (map-side combined); the eigensolve is "
      "driver-side on the bounded frame; the projection pass is map-only "
      "zip_with over broadcast literal arrays + one label aggregate."),
+    ("coreset_kcenter_selection",
+     "Greedy k-center coreset: each round is one narrow zip_with "
+     "projection against a broadcast-literal center + TakeOrdered(1); "
+     "the running dmin frame is persisted between rounds "
+     "(InMemoryTableScan below) so round r never replays rounds "
+     "0..r-1 — k bounded passes, no shuffle, no join."),
+    ("hard_negative_mining",
+     "Hard-negative mining: banded-LSH skinny (id, band, bucket) "
+     "candidate keys, verify-once vector join, per-anchor ranking "
+     "window bounded by collision fan-out — never an anchor x "
+     "candidate product."),
 ]
 
 HEADER = """# PLANS — flagship physical plans (auto-generated)
