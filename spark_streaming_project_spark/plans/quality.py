@@ -2920,3 +2920,96 @@ def quality_logreg_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-percentile calibration (round 8): the FineWeb-style
+# question — does one GLOBAL quality cutoff keep the same documents as a
+# per-source top-50%? Sources whose score distributions sit low lose
+# disproportionately under a global threshold; the per-source percentile
+# rule equalizes keep rates. This query measures the drift per source.
+# ---------------------------------------------------------------------------
+
+_QPS_CUTOFF = 0.526  # ~global median quality at sf0.01 (probed 2026-08-15)
+
+_QPS_QUALITY = """
+        round(0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+              + 0.3 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * (1.0 - least(
+                    (CAST(list_sum(list_transform(words, t -> strlen(t)))
+                          AS DOUBLE) / len(words)) / 10.0, 1.0)), 6)
+"""
+
+
+@register(
+    "quality_percentile_by_source",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+                   AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    q AS (
+        SELECT doc_id, source, {_QPS_QUALITY} AS quality
+        FROM toks WHERE len(words) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, source, quality,
+               percent_rank() OVER (
+                   PARTITION BY source
+                   ORDER BY quality ASC, doc_id ASC) AS src_pr
+        FROM q
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (quality >= {_QPS_CUTOFF}) AS BIGINT)
+               AS kept_global,
+           CAST(count(*) FILTER (src_pr >= 0.5) AS BIGINT) AS kept_local,
+           CAST(count(*) FILTER (quality >= {_QPS_CUTOFF} AND src_pr >= 0.5)
+                AS BIGINT) AS kept_both,
+           round(CAST(count(*) FILTER (quality >= {_QPS_CUTOFF}) AS DOUBLE)
+                 / count(*), 6) AS global_keep_rate
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "quality", "curation", "calibration"),
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: documents kept by a fixed GLOBAL quality cutoff vs the
+    per-source top-50% (percent_rank within source, quality/doc_id total
+    order), and their intersection — the calibration-drift audit that
+    decides whether thresholds need per-domain normalization.
+
+    Scale: quality is the map-only doc_stats projection; the only window
+    is keyed BY SOURCE (bounded partitions, never a global sort); the
+    report is one (source) aggregate. percent_rank's (rank-1)/(n-1) is
+    exact integer-derived arithmetic — no quantile interpolation — so the
+    0.5 comparison is engine-portable."""
+    from ..operators.textstats import doc_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    q = doc_stats(docs, "text", "doc_id").select("doc_id", "quality").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("quality"), F.asc("doc_id"))
+    ranked = q.withColumn("src_pr", F.percent_rank().over(w))
+    kept_g = F.count_if(F.col("quality") >= _QPS_CUTOFF)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            kept_g.cast("bigint").alias("kept_global"),
+            F.count_if(F.col("src_pr") >= 0.5).cast("bigint").alias("kept_local"),
+            F.count_if(
+                (F.col("quality") >= _QPS_CUTOFF) & (F.col("src_pr") >= 0.5)
+            )
+            .cast("bigint")
+            .alias("kept_both"),
+            F.round(kept_g.cast("double") / F.count("*"), 6).alias(
+                "global_keep_rate"
+            ),
+        )
+        .orderBy("source")
+    )
