@@ -135,6 +135,13 @@ REPRESENTATIVES = [
     "ab_mde_planning",                  # power planning from moments
     "doc_length_median_ci",             # order-statistic median CI
     "quality_logreg_gains",             # score-decile lift table
+    # round-8 families
+    "coreset_kcenter_selection",        # integer k-center selection loop
+    "hard_negative_mining",             # banded different-label argmax
+    "semantic_decontamination",         # directional banded eval probe
+    "lexical_diversity_profile",        # per-source vocab aggregate
+    "dedup_token_savings",              # keep-list token KPI
+    "quality_percentile_by_source",     # keyed percent_rank calibration
 ]
 
 
