@@ -5577,17 +5577,29 @@ def lexical_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine collapses each partition to its distinct tokens; the
     re-aggregation input is the per-source vocabulary, already far
     smaller than the corpus."""
-    from ..functions.text import tokens
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    tc = (
+    return lexical_diversity_over_counts(token_counts_by_source(docs))
+
+
+def token_counts_by_source(docs: DataFrame) -> DataFrame:
+    """The (source, token, c) additive count frame — a sum-monoid, so the
+    incremental-agg sink maintains it per micro-batch and the streaming
+    profile equals batch (pinned in tests/test_streaming_llm.py)."""
+    from ..functions.text import tokens
+
+    return (
         docs.select("source", F.explode(tokens("text")).alias("t"))
         .select("source", F.lower("t").alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("c"))
     )
+
+
+def lexical_diversity_over_counts(tc: DataFrame) -> DataFrame:
+    """Read-side stage: diversity profile from any (source, token, c)
+    count frame — batch-computed or drained streaming state."""
     return (
         tc.groupBy("source")
         .agg(

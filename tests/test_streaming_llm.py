@@ -1981,3 +1981,57 @@ def test_streaming_holt_winters_over_hourly_state_matches_batch(
         .collect()
     ]
     assert got == want and len(got) > 600
+
+
+def test_streaming_lexical_diversity_over_token_state_matches_batch(
+    spark, tmp_path
+):
+    """Round-8 composition parity: the per-source diversity profile runs
+    over INCREMENTALLY-maintained (source, token) counts — an exact
+    sum-monoid through the incremental-agg sink — and must equal the
+    batch lexical_diversity_profile bit-for-bit."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.llm import (
+        lexical_diversity_over_counts,
+        token_counts_by_source,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    src = str(tmp_path / "lex_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state = str(tmp_path / "lex_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_lex"))
+    runner.add(
+        "lex_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, token_counts_by_source, ["source", "token"], ["c"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        tuple(r)
+        for r in lexical_diversity_over_counts(
+            spark.read.parquet(state)
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in REGISTRY["lexical_diversity_profile"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    assert got == want and got
