@@ -73,11 +73,17 @@ def main() -> None:
     spark = get_spark(app_name="scale-r07", shuffle_partitions=32)
     for name in QUERIES:
         for label, sf in (("sf0.1", SRC_SF), ("10x", OVERLAY)):
+            # noop sink, NOT .count(): Catalyst eliminates provably
+            # non-expanding joins under count() on a downstream
+            # aggregate, silently skipping the pipeline being measured
+            # (found round 8 via dedup_token_savings; SCALE.md note)
             t0 = time.monotonic()
-            n = REGISTRY[name].builder(spark, sf).count()
+            REGISTRY[name].builder(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = time.monotonic() - t0
             print(json.dumps({"tier": name, "scale": label,
-                              "rows": n, "sec": round(dt, 2)}), flush=True)
+                              "sec": round(dt, 2)}), flush=True)
 
 
 if __name__ == "__main__":

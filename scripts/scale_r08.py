@@ -91,11 +91,14 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in QUERIES:
         for label, sf in (("sf0.1", SRC_SF), ("10x", OVERLAY)):
+            # noop sink, NOT .count() — see scale_r07.py note
             t0 = time.monotonic()
-            n = REGISTRY[name].builder(spark, sf).count()
+            REGISTRY[name].builder(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = time.monotonic() - t0
             print(json.dumps({"tier": name, "scale": label,
-                              "rows": n, "sec": round(dt, 2)}), flush=True)
+                              "sec": round(dt, 2)}), flush=True)
 
 
 if __name__ == "__main__":
