@@ -52,3 +52,41 @@ def test_decile_plans_have_no_unpartitioned_window(spark):
             if m.count(",") <= 2  # (order-col, frame) only: no partition cols
         ]
         assert not unpart, f"{name}: unpartitioned window {unpart}"
+
+
+EXCHANGE_BUDGETS = {
+    # query -> max Exchange nodes allowed in its physical plan. Pinned at
+    # the round-8 measured counts: a future edit that adds a shuffle to a
+    # flagship plan must either justify raising the budget or fix the
+    # regression. Only corpus-proportional exchanges matter at 100 TB,
+    # but ANY new exchange is worth a human look.
+    "top_sugary_products_by_category": 1,
+    "pricing_summary": 1,
+    "nutriscore_counts": 1,
+    "dedup_minhash_pairs": 1,
+    "similarity_bruteforce_topk": 0,
+    "events_rollup_lattice": 4,
+    "orders_point_in_time_segment": 3,
+    "lexical_diversity_profile": 3,
+    "hard_negative_mining": 3,
+    "quality_percentile_by_source": 2,
+    "part_cf_neighbors": 12,
+    "top_tokens_per_source_sharded": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_flagship_exchange_budget(spark, name):
+    """Shuffle-count regression pin: each flagship plan's Exchange node
+    count must not grow past its measured budget."""
+    import re
+
+    df = REGISTRY[name].builder(spark, SF_CORRECT)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= EXCHANGE_BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {EXCHANGE_BUDGETS[name]}"
+    )
