@@ -419,3 +419,47 @@ def test_winnowing_selected_positions_cover_every_window(spark, texts):
         assert len(got) <= n_grams
         for start in range(1, n_grams - w + 2):
             assert got & set(range(start, start + w))
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=3,
+        max_size=8,
+        unique=True,
+    ),
+    k=st.integers(min_value=2, max_value=3),
+)
+@SETTINGS
+def test_kcenter_greedy_is_two_approx_of_bruteforce_opt(spark, vecs, k):
+    """The textbook guarantee on ANY input: greedy farthest-point
+    k-center coverage radius <= 2 * OPT, where OPT is found by brute
+    force over all C(n,k) center subsets (n <= 8 keeps that exact).
+    Distances are exact integers on both sides (quant=1 passes the
+    integer coordinates through), so the comparison is r^2 <= 4*OPT^2."""
+    import itertools
+
+    from spark_streaming_project_spark.operators.similarity import (
+        greedy_kcenter_centers,
+        quantize_vectors,
+    )
+
+    k = min(k, len(vecs) - 1)
+    df = spark.createDataFrame(
+        [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)],
+        schema="id BIGINT, v ARRAY<DOUBLE>",
+    )
+    pts = quantize_vectors(df, "id", "v", quant=1)
+    _, greedy_r2 = greedy_kcenter_centers(pts, k)
+
+    def d2(a, b):
+        return (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+
+    opt_r2 = min(
+        max(min(d2(p, c) for c in centers) for p in vecs)
+        for centers in itertools.combinations(vecs, k)
+    )
+    assert greedy_r2 <= 4 * opt_r2, (greedy_r2, opt_r2)
