@@ -5449,34 +5449,8 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never eval x train); its recall concentrates on HIGH-cosine leaks —
     exactly the memorization-relevant ones — and at 100 TB you raise
     bands, not bucket width."""
-    from ..operators.similarity import _multitable_buckets_udf
-    from ..functions.vectors import as_double, dot, norm
-
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets_arr = _multitable_buckets_udf(_DIM, _SDC_BITS, _SDC_BANDS, _SDC_SALT)
-    is_eval = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("seval:"), F.col("vec_id").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10
-        == 0
-    )
-    vecs = (
-        emb.select(
-            "vec_id",
-            as_double("embedding").alias("_v"),
-            buckets_arr(F.col("embedding")).alias("_bs"),
-            is_eval.alias("_is_eval"),
-        )
-        .withColumn("_nrm", norm(F.col("_v")))
-        .persist()
-    )
+    vecs = sdc_bucketed(emb).persist()
     keys = vecs.select(
         "vec_id", "_is_eval", F.posexplode("_bs").alias("_band", "_bucket")
     )
@@ -5492,6 +5466,62 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("eval_id", "train_id")
         .distinct()
     )
+    return sdc_flags(vecs, cand)
+
+
+def sdc_is_eval() -> Column:
+    """The deterministic ~10% md5 eval-split rule over ``vec_id``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("seval:"), F.col("vec_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+
+
+def sdc_bucketed(emb: DataFrame) -> DataFrame:
+    """Composition seam: vectors + banded buckets + split flag + norm —
+    shared by the batch query and the streaming maintenance leg."""
+    from ..operators.similarity import _multitable_buckets_udf
+    from ..functions.vectors import as_double, norm
+
+    buckets_arr = _multitable_buckets_udf(_DIM, _SDC_BITS, _SDC_BANDS, _SDC_SALT)
+    return emb.select(
+        "vec_id",
+        as_double("embedding").alias("_v"),
+        buckets_arr(F.col("embedding")).alias("_bs"),
+        sdc_is_eval().alias("_is_eval"),
+    ).withColumn("_nrm", norm(F.col("_v")))
+
+
+def sdc_train_bucket_keys(emb: DataFrame) -> DataFrame:
+    """(_band, _bucket, train_id) rows for the TRAIN side — an additive
+    set (maintained as count-monoid rows by the incremental-agg sink in
+    the streaming leg; parity pinned in tests/test_streaming_llm.py)."""
+    vecs = sdc_bucketed(emb)
+    return (
+        vecs.filter(~F.col("_is_eval"))
+        .select(
+            F.col("vec_id").alias("train_id"),
+            F.posexplode("_bs").alias("_band", "_bucket"),
+        )
+        .groupBy("_band", "_bucket", "train_id")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def sdc_flags(vecs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Read-side stage: exact verify + per-eval best + flag, from any
+    (eval_id, train_id) candidate frame."""
+    from ..functions.vectors import dot
+
     a = vecs.select(
         F.col("vec_id").alias("eval_id"),
         F.col("_v").alias("_va"),

@@ -2111,3 +2111,72 @@ def test_streaming_kcenter_doubling_invariants(spark, tmp_path):
     # picks are real point ids
     ids = {int(p["_id"]) for p in pts}
     assert all(cid in ids for cid, _, _ in got)
+
+
+def test_streaming_semantic_decontamination_matches_batch(spark, tmp_path):
+    """Round-8 streaming decontamination: the TRAIN side's banded bucket
+    membership is maintained incrementally (count-monoid rows through
+    the incremental-agg sink) as training vectors arrive; the read side
+    probes the drained state with the static eval split and must flag
+    exactly what the batch semantic_decontamination flags."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.llm import (
+        sdc_bucketed,
+        sdc_flags,
+        sdc_is_eval,
+        sdc_train_bucket_keys,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    # stream ONLY the training side (eval arrives separately in practice)
+    train = emb.filter(~sdc_is_eval())
+    src = str(tmp_path / "sdc_src")
+    for i in range(3):
+        train.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state = str(tmp_path / "sdc_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_sdc"))
+    runner.add(
+        "sdc_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state,
+            sdc_train_bucket_keys,
+            ["_band", "_bucket", "train_id"],
+            ["c"],
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    vecs = sdc_bucketed(emb).persist()
+    eval_keys = (
+        vecs.filter("_is_eval")
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.posexplode("_bs").alias("_band", "_bucket"),
+        )
+    )
+    cand = (
+        eval_keys.join(
+            spark.read.parquet(state).select("_band", "_bucket", "train_id"),
+            ["_band", "_bucket"],
+        )
+        .select("eval_id", "train_id")
+        .distinct()
+    )
+    got = {tuple(r) for r in sdc_flags(vecs, cand).collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["semantic_decontamination"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    assert got == want and got
