@@ -5722,3 +5722,122 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN probe sweep (round 8): the tuning table an IVF deployment reads
+# before picking n_probe — recall@10 at probes 1/2/4/8 from ONE query,
+# the ANN sibling of neardup_threshold_sweep's PR grid. Recall is
+# non-decreasing in n_probe by construction (probe sets are nested),
+# pinned by pytest; the driver-facing numbers let a 100 TB operator
+# trade scan fraction (n_probe/n_list) against recall with data, not
+# folklore.
+# ---------------------------------------------------------------------------
+
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def _ivf_sweep_oracle() -> str:
+    per_probe = []
+    for p in _SWEEP_PROBES:
+        per_probe.append(
+            f"""
+    probes_{p} AS (
+        SELECT cid FROM scored WHERE vec_id = {_QUERY_VEC_ID}
+        ORDER BY sim DESC, cid ASC LIMIT {p}
+    ),
+    got_{p} AS (
+        SELECT a.vec_id FROM assigned a JOIN probes_{p} USING (cid), q
+        WHERE a.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY round({_duck_dot('a.v', 'qv')}
+              / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('qv', 'qv')})),
+              6) DESC, a.vec_id ASC
+        LIMIT 10
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {p} AS n_probe, "
+        f"CAST((SELECT count(*) FROM got_{p} JOIN truth USING (vec_id)) AS BIGINT) AS hits"
+        for p in _SWEEP_PROBES
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+               v AS cv
+        FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_IVF_NLIST}
+    ),
+    scored AS (
+        SELECT vec_id, v, cid,
+               {_duck_dot('v', 'cv')}
+               / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('cv', 'cv')})) AS sim
+        FROM vecs, cents
+    ),
+    assigned AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_VEC_ID}),
+    truth AS (
+        SELECT vec_id FROM vecs, q
+        WHERE vec_id <> {_QUERY_VEC_ID}
+        ORDER BY round({_duck_dot('v', 'qv')}
+              / (sqrt({_duck_dot('v', 'v')}) * sqrt({_duck_dot('qv', 'qv')})),
+              6) DESC, vec_id ASC
+        LIMIT 10
+    ),{",".join(per_probe)}
+    SELECT n_probe, hits,
+           round(CAST(hits AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM ({unions})
+    ORDER BY n_probe
+    """
+
+
+@register(
+    "ann_probe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    tags=("llm", "similarity", "ivf", "tuning"),
+)
+def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 at n_probe in {1,2,4,8} against the exact brute-force
+    top-10 — four bounded probes of the same deterministic hash-centroid
+    index (``operators/similarity.ivf_topk``); each probe reads
+    ~n_probe/n_list of the corpus at scale."""
+    from ..operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = brute_force_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10).select(
+        "vec_id"
+    )
+    parts = []
+    for p in _SWEEP_PROBES:
+        got = ivf_topk(
+            emb,
+            "vec_id",
+            "embedding",
+            _QUERY_VEC_ID,
+            k=10,
+            n_list=_IVF_NLIST,
+            n_probe=p,
+        ).select("vec_id")
+        parts.append(
+            got.join(truth, "vec_id")
+            .agg(F.count("*").cast("bigint").alias("hits"))
+            .select(F.lit(p).alias("n_probe"), "hits")
+        )
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out.select(
+        "n_probe",
+        "hits",
+        F.round(F.col("hits").cast("double") / 10, 6).alias("recall_at_10"),
+    ).orderBy("n_probe")

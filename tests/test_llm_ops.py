@@ -1118,3 +1118,17 @@ def test_semantic_decontamination_split_and_flags(spark):
             assert r["contaminated"] == (r["cosine_sim"] >= _SDC_THRESHOLD)
         else:
             assert r["contaminated"] is False
+
+
+def test_ann_probe_sweep_monotone_and_exhaustive(spark):
+    """Probe sets are nested, so recall@10 is non-decreasing in n_probe;
+    at n_probe == n_list the probe is exhaustive, so recall is exactly
+    1.0 — the sweep's built-in sanity anchor."""
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["ann_probe_sweep"].builder(spark, SF_CORRECT).collect()
+    probes = [r["n_probe"] for r in rows]
+    rec = [r["recall_at_10"] for r in rows]
+    assert probes == sorted(probes) and len(probes) == 4
+    assert all(a <= b for a, b in zip(rec, rec[1:])), rec
+    assert rec[-1] == 1.0  # n_probe == n_list == 8: exhaustive

@@ -142,6 +142,7 @@ REPRESENTATIVES = [
     "lexical_diversity_profile",        # per-source vocab aggregate
     "dedup_token_savings",              # keep-list token KPI
     "quality_percentile_by_source",     # keyed percent_rank calibration
+    "ann_probe_sweep",                  # nested-probe recall grid
 ]
 
 
