@@ -348,39 +348,3 @@ def strategy_join(
         return fact.join(F.broadcast(dim), on)
     return fact.join(dim, on)
 
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_cols: list[str],
-    n_buckets: int = 16,
-    sort_cols: list[str] | None = None,
-) -> None:
-    """Persist ``df`` as a bucketed (and optionally sort-clustered) table:
-    ``bucketBy`` hash-clusters rows into ``n_buckets`` files per
-    partition keyed on ``bucket_cols``, so a later join or aggregation on
-    those keys needs NO exchange — the shuffle is paid ONCE at write time
-    and amortized over every subsequent query. The fourth planning
-    primitive next to broadcast choice, salting, and Bloom pruning: at
-    100 TB, fact tables that join repeatedly on the same key (orders by
-    custkey, lineitem by orderkey) should be stored this way.
-
-    Both join sides must use the SAME bucket count (Spark only aligns
-    equal or multiple counts); ``sortBy`` additionally orders within
-    buckets so sort-merge join skips its per-task sort."""
-    w = df.write.format("parquet").mode("overwrite").bucketBy(
-        n_buckets, *bucket_cols
-    )
-    if sort_cols:
-        w = w.sortBy(*sort_cols)
-    w.saveAsTable(table)
-
-
-def bucketed_join(
-    spark, left_table: str, right_table: str, on: str, how: str = "inner"
-) -> DataFrame:
-    """Join two co-bucketed tables on their bucket key: with matching
-    bucket counts the physical plan contains NO Exchange on either side
-    (asserted in tests/test_joins.py) — bucket i joins bucket i locally.
-    Results are identical to the plain join; only the shuffle is gone."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)

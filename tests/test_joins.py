@@ -248,48 +248,3 @@ def test_strategy_join_picks_broadcast_and_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
-
-def test_bucketed_join_has_no_exchange_and_matches_plain_join(spark, tmp_path):
-    """The bucketing planning primitive: two tables co-bucketed on the
-    join key sort-merge-join with ZERO Exchange nodes (the shuffle was
-    paid once at write time), and the result equals the plain join
-    row-for-row. Broadcast is disabled so the test sees the bucketed
-    SMJ, not a broadcast shortcut."""
-    import io
-    from contextlib import redirect_stdout
-
-    from spark_streaming_project_spark.operators.joins import (
-        bucketed_join,
-        write_bucketed,
-    )
-    from spark_streaming_project_spark.sources.batch import load_table
-
-    from .conftest import SF_CORRECT
-
-    sf = SF_CORRECT
-    orders = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    cust = load_table(spark, sf, "customer").select(
-        "c_custkey", "c_mktsegment"
-    ).withColumnRenamed("c_custkey", "o_custkey")
-
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        write_bucketed(orders, "t_orders_b", ["o_custkey"], n_buckets=8)
-        write_bucketed(cust, "t_cust_b", ["o_custkey"], n_buckets=8)
-        joined = bucketed_join(spark, "t_orders_b", "t_cust_b", "o_custkey")
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            joined.explain("formatted")
-        plan = buf.getvalue()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan, plan  # the whole point
-        got = sorted(tuple(r) for r in joined.collect())
-        want = sorted(tuple(r) for r in orders.join(cust, "o_custkey").collect())
-        assert got == want and got
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.sql("DROP TABLE IF EXISTS t_orders_b")
-        spark.sql("DROP TABLE IF EXISTS t_cust_b")
