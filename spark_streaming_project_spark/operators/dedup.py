@@ -1020,3 +1020,59 @@ def sorted_neighborhood_pairs(
         all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
     assert all_pairs is not None, "sort_keys must be non-empty"
     return all_pairs.distinct()
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    ``|A ∩ B| / min(|A|, |B|)`` — the quote/excerpt detector: a short doc
+    embedded verbatim in a long one scores containment ~1 while its
+    symmetric Jaccard (inter/union) stays low and slips under every
+    Jaccard threshold. Returns (id_a < id_b, jaccard, containment) for
+    banded candidates with containment >= threshold; both metrics ride
+    along so the caller can see exactly which pairs Jaccard would have
+    missed.
+
+    Scale shape: identical to ``minhash_lsh_pairs`` — sign once, skinny
+    band self-join, shingles joined back for candidates only. (Banding
+    recall is tuned to Jaccard; heavily size-skewed containment pairs
+    collide less often — the documented residual of reusing one index
+    for both metrics.)"""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm).persist()
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(num_perm, band_size)).alias("band"),
+    )
+    cand = (
+        bands.select(F.col(id_col).alias("id_a"), "band")
+        .join(bands.select(F.col(id_col).alias("id_b"), "band"), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sigs.select(F.col(id_col), "shingles")
+    cand = (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / F.size(F.array_union("sh_a", "sh_b"))
+    cont = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cand.select(
+            "id_a", "id_b", jac.alias("jaccard"), cont.alias("containment")
+        )
+        .filter(F.col("containment") >= threshold)
+    )

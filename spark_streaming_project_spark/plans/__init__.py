@@ -79,7 +79,6 @@ _R8_WINDOW = [
     "nova_group_classification",
     "top_token_docs",
     "top_sugary_products_by_category",
-    "weighted_nova_average",
     "tfidf_top_terms",
     # -- new round-8 queries (first recording)
     "coreset_kcenter_selection",
@@ -89,6 +88,7 @@ _R8_WINDOW = [
     "dedup_token_savings",
     "quality_percentile_by_source",
     "ann_probe_sweep",
+    "dedup_containment_pairs",
 ]
 # The 6 declared rows-only tiers (approx_stats, bpe_merge_table,
 # neardup_centrality, similarity_ivf_kmeans_topk, similarity_pq_topk,

@@ -5841,3 +5841,54 @@ def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         F.round(F.col("hits").cast("double") / 10, 6).alias("recall_at_10"),
     ).orderBy("n_probe")
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (round 8): the asymmetric metric |A∩B|/min(|A|,|B|)
+# next to the symmetric Jaccard tier — quotes/excerpts embedded in
+# longer documents score containment ~1 at low Jaccard, so a
+# Jaccard-only dedup keeps both copies of the duplicated content.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                 AS jaccard,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / least(len(sa.shingles), len(sb.shingles)) AS containment
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, jaccard, containment
+    FROM scored WHERE containment >= 0.6
+    """,
+    tags=("llm", "dedup", "containment", "minhash"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded candidates re-verified by shingle CONTAINMENT >= 0.6 with
+    the symmetric Jaccard alongside — see
+    ``operators/dedup.containment_pairs`` for why excerpt-shaped
+    duplication needs the asymmetric metric."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "text", "doc_id", threshold=0.6)

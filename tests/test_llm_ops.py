@@ -1132,3 +1132,29 @@ def test_ann_probe_sweep_monotone_and_exhaustive(spark):
     assert probes == sorted(probes) and len(probes) == 4
     assert all(a <= b for a, b in zip(rec, rec[1:])), rec
     assert rec[-1] == 1.0  # n_probe == n_list == 8: exhaustive
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """The asymmetric metric's reason to exist, pinned on a planted
+    excerpt: a doc fully contained in a longer one has containment
+    exactly 1.0 while its symmetric Jaccard (0.76 here) would slip under
+    a strict Jaccard dedup threshold. Shingling and banding are
+    md5-deterministic, so this fixture's collision outcome is stable."""
+    from spark_streaming_project_spark.operators.dedup import (
+        containment_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    longdoc = base + " " + " ".join(f"extra{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, base), (2, longdoc)], "doc_id BIGINT, text STRING"
+    )
+    got = containment_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] == 1.0
+    assert got[0]["jaccard"] < 0.8
+    # the strict symmetric tier misses the same pair
+    assert (
+        minhash_lsh_pairs(df, "text", "doc_id", threshold=0.8).collect() == []
+    )

@@ -143,6 +143,7 @@ REPRESENTATIVES = [
     "dedup_token_savings",              # keep-list token KPI
     "quality_percentile_by_source",     # keyed percent_rank calibration
     "ann_probe_sweep",                  # nested-probe recall grid
+    "dedup_containment_pairs",          # asymmetric containment verify
 ]
 
 
