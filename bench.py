@@ -83,7 +83,9 @@ def main() -> None:
         "similarity_ivf_kmeans_topk": 0.4,
         "similarity_quantized_topk": 0.8,
         "similarity_pq_topk": 0.8,
-        "similarity_ivfpq_topk": 0.4,
+        # r09: retuned to n_probe=3/rerank=300 (VERDICT r8 ask #2) —
+        # deterministic 0.8 at sf0.1, floor raised so it cannot slide back
+        "similarity_ivfpq_topk": 0.8,
     }
     ann_recall = {}
     try:

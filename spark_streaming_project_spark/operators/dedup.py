@@ -1044,6 +1044,12 @@ def containment_pairs(
     recall is tuned to Jaccard; heavily size-skewed containment pairs
     collide less often — the documented residual of reusing one index
     for both metrics.)"""
+    # persist: sigs feeds band generation + two verification joins in ONE
+    # downstream action. Unpersisting inside this lazy builder would drop
+    # the CacheManager entry before the caller's action plans, silently
+    # disabling the reuse — lifetime is instead bounded by the harness
+    # contract (per-query spark.catalog.clearCache(), bench.py) and LRU
+    # eviction under the unified memory manager (ADVICE r8 adjudication).
     sigs = minhash_signatures(df, text_col, id_col, num_perm).persist()
     bands = sigs.select(
         F.col(id_col),

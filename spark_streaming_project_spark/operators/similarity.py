@@ -1644,8 +1644,17 @@ def kcenter_coreset(
         base.select("_id", "_qv", norm2.alias("_n2"))
         .orderBy(F.desc("_n2"), F.asc("_id"))
         .limit(1)
-        .collect()[0]
+        .first()
     )
+    if seed is None:  # empty/all-NULL input: empty result, like the oracle
+        base.unpersist()
+        return spark.createDataFrame(
+            [],
+            schema=(
+                f"sel_round INT, {id_col} BIGINT, dist2_q BIGINT, "
+                "radius DOUBLE"
+            ),
+        )
     picks = [(0, seed["_id"], 0)]
     cur = base.select("_id", "_qv", dist2_to(seed["_qv"]).alias("_dmin")).persist()
     cur.count()  # materialize before the argmax so the persist is warm
@@ -1702,6 +1711,8 @@ def hard_negatives(
     raise ``bands`` (OR-amplification) instead of widening buckets.
     """
     buckets_arr = _multitable_buckets_udf(dim, bits, bands, salt)
+    # persist lifetime: see containment_pairs — harness-scoped, not
+    # builder-scoped (an in-builder unpersist would disable the reuse).
     bucketed = (
         df.select(
             F.col(id_col),
@@ -1766,6 +1777,10 @@ def hard_negatives(
                 round_decimals,
             ).alias("cosine_sim"),
         )
+        # Zero-norm vectors have undefined cosine; drop the pair (the
+        # DuckDB oracle's WHERE norm-product > 0 does the same) instead of
+        # letting a NULL cosine win rank 1 (ADVICE r8).
+        .filter(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine_sim"), F.asc("negative_id")
@@ -1819,8 +1834,10 @@ def greedy_kcenter_centers(
         pts.select("_id", "_qv", norm2.alias("_n2"))
         .orderBy(F.desc("_n2"), F.asc("_id"))
         .limit(1)
-        .collect()[0]
+        .first()
     )
+    if seed is None:  # empty/all-NULL input: no centers, zero radius
+        return [], 0
     centers = [(seed["_id"], list(seed["_qv"]))]
     cur = pts.select(
         "_id", "_qv", dist2_to_center(centers[0][1]).alias("_dmin")

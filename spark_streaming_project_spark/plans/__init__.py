@@ -22,86 +22,84 @@ from . import warehouse  # noqa: E402,F401
 
 DRIVER_WINDOW = 50  # rows the driver's correctness gate records per round
 
-# The intended round-8 recorded window, in priority order (same asserted-
-# list mechanism as r5-r7 — VERDICT r4 "What's wrong #2"): an explicit list
-# asserted to be EXACTLY DRIVER_WINDOW long and duplicate-free, pinned by
-# tests/test_plans.py against list(REGISTRY)[:DRIVER_WINDOW].
+# The intended round-9 recorded window, in priority order (same asserted-
+# list mechanism as r5-r8): an explicit list asserted to be EXACTLY
+# DRIVER_WINDOW long and duplicate-free, pinned by tests/test_plans.py
+# against list(REGISTRY)[:DRIVER_WINDOW].
 #
-# VERDICT r7 ask #1: the 34 registry queries with no driver-recorded row
-# ever (computed against CORRECTNESS_r01-r07, matching ROADMAP.md's list of
-# 28 plus the 6 post-rotation additions). After these, every registry query
-# has at least one driver-recorded row — zero recorded-proof debt.
-_R8_WINDOW = [
-    # -- the six most architecturally novel never-recorded queries lead
-    "attribution_markov_removal",
-    "embedding_top_pc",
-    "events_rollup_lattice",
-    "orders_point_in_time_segment",
-    "rerank_crossencoder_topk",
-    "hourly_holt_winters",
-    # -- the remaining 28 never-recorded queries
-    "cdc_chunk_dedup",
-    "cdc_chunk_doc_clusters",
-    "cdc_cross_source_matrix",
-    "cdc_decontamination",
-    "embedding_pc1_label_profile",
-    "embedding_pc1_variance_share",
-    "neardup_hub_distances",
-    "packed_sequences_ffd",  # rows-only: FFD bin state is not SQL-expressible
-    "media_phash_near_dups",
-    "hourly_autocorrelation",
-    "hourly_ewma_trend",
-    "seasonal_hourly_baseline",
-    "event_markov_stationary",
-    "event_markov_entropy_rate",
-    "purchase_attribution",
-    "purchase_attribution_time_decay",
-    "error_burn_rate",
-    "hourly_token_bucket",
-    "conversion_sprt",
-    "ab_cuped_adjustment",
-    "ab_mde_planning",
-    "part_cf_neighbors",
-    "sampled_revenue_estimate",
-    "join_size_estimate_cms",
-    "readability_profile",
-    "preference_pairs",
-    "doc_length_median_ci",
-    "quality_logreg_gains",
-    # -- 16 filler slots: refreshes of the queries whose newest record is
-    #    the oldest (r03) — the reference-parity headline family plus the
-    #    perf-adjudicated tfidf query. New round-8 queries swap in here as
-    #    they land (new rows beat refreshing already-green ones).
-    "nutriscore_counts",
-    "category_counts",
-    "brand_counts",
-    "packaging_distribution",
-    "nova_group_classification",
-    "top_token_docs",
-    "top_sugary_products_by_category",
-    "tfidf_top_terms",
-    # -- new round-8 queries (first recording)
-    "coreset_kcenter_selection",
-    "hard_negative_mining",
-    "semantic_decontamination",
-    "lexical_diversity_profile",
-    "dedup_token_savings",
-    "quality_percentile_by_source",
-    "ann_probe_sweep",
-    "dedup_containment_pairs",
+# VERDICT r8 ask #1: after r08, every registry query has a recorded row,
+# so r09 is pure refresh rotation — the 38 queries whose newest record is
+# still r03 (computed from CORRECTNESS_r01-r08; ROADMAP.md r09 guidance
+# lists 36 + the two reference-parity queries top_brands /
+# weighted_nova_average) — plus the two rows-only tiers being promoted to
+# full oracles this round (VERDICT r8 ask #4) and slots for new r09
+# queries (r04 refreshes fill any slot a new query does not claim).
+_R9_WINDOW = [
+    # -- promoted from rows-only to full DuckDB oracle this round
+    "neardup_centrality",  # 6-iteration PageRank as an unrolled CTE
+    "bpe_merge_table",  # deterministic merge sequence as a recursive CTE
+    # -- the 38 r03-stale refreshes (newest record = r03)
+    "corpus_split_counts",
+    "curated_corpus",
+    "dedup_canonical_keep",
+    "dedup_canonical_map",
+    "dedup_exact_groups",
+    "dedup_keep_list",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_ngram_jaccard_pairs_prefix",
+    "dedup_simhash_pairs",
+    "doc_stats",
+    "document_chunks",
+    "embedding_label_centroids",
+    "error_aftermath_clicks",
+    "events_hourly",
+    "events_props_buckets",
+    "events_sliding_2h",
+    "lang_agreement",
+    "lang_source_rank",
+    "language_id",
+    "media_byte_stats",
+    "media_frame_sample",
+    "packed_sequences",
+    "pii_scrub_stats",
+    "pricing_summary",
+    "purchase_asof_view",
+    "shipping_priority",
+    "simhash_fingerprints",
+    "similarity_ann_lsh_multitable_topk",
+    "similarity_ann_lsh_topk",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "token_fingerprints",
+    "top_brands",
+    "top_packaging",
+    "user_sessions",
+    "vocab_top_tokens",
+    "weighted_nova_average",
+    # -- new round-9 queries (first recording; these swapped in for the
+    #    oldest r04 refreshes as they landed — new rows beat refreshes)
+    "dedup_component_sizes",  # swap-out slot for similarity_ivfpq_rerank_topk
+        "bloom_pruned_order_join",
+    "bm25_search",
+    "clickers_not_buyers",
+    "cohort_retention",
+    "conjunctive_search",
+    "contrastive_negatives",
+    "conversion_delay",
+    "customer_order_distribution",
+    "customers_without_orders",
 ]
-# The 6 declared rows-only tiers (approx_stats, bpe_merge_table,
-# neardup_centrality, similarity_ivf_kmeans_topk, similarity_pq_topk,
-# similarity_ivfpq_topk) had their markers recorded in r05's window and
-# stay OUT; packed_sequences_ffd (rows-only, added r07) gets its first
-# recorded marker this round.
+# The 4 still-rows-only tiers (approx_stats, similarity_ivf_kmeans_topk,
+# similarity_pq_topk, similarity_ivfpq_topk) had their markers recorded in
+# r05 and stay OUT; packed_sequences_ffd's marker was recorded in r08.
 
 
 def _reorder() -> None:
     """Rotate the registry so the driver's recorded window (the first
-    ``DRIVER_WINDOW`` entries) is exactly ``_R8_WINDOW`` — computed and
+    ``DRIVER_WINDOW`` entries) is exactly ``_R9_WINDOW`` — computed and
     asserted, never prose arithmetic."""
-    window = list(_R8_WINDOW)
+    window = list(_R9_WINDOW)
     if len(window) != DRIVER_WINDOW or len(set(window)) != len(window):
         raise ValueError(
             f"intended window has {len(window)} names "

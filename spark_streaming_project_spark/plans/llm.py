@@ -1965,18 +1965,94 @@ def eval_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fpr_cte(iters: int = 6, damping: float = 0.85) -> str:
+    """Float PageRank over the symmetrized ``jpairs`` edge CTE, one
+    MATERIALIZED CTE per power iteration (the quantized-twin recipe at
+    ``_qpr_cte`` lifted to doubles). The damping base is written as
+    ``(1.0 - {damping})`` so DuckDB folds the SAME double Python computes
+    for the Spark builder (0.15 and 1.0-0.85 differ by one ulp); last-ulp
+    summation-order drift is absorbed by the 1e-6 output rounding."""
+    parts = [
+        f""",
+    sym AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM jpairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM jpairs
+    ),
+    deg AS MATERIALIZED (SELECT s, count(*) AS dg FROM sym GROUP BY s),
+    nn AS MATERIALIZED (SELECT count(*) AS c FROM deg),
+    fr0 AS MATERIALIZED (
+        SELECT s AS node, 1.0 / (SELECT c FROM nn) AS rank FROM deg
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    fc{i} AS (
+        SELECT e.d AS node, sum(r.rank / g.dg) AS cin
+        FROM sym e JOIN deg g ON e.s = g.s
+        JOIN fr{i - 1} r ON r.node = e.s
+        GROUP BY e.d
+    ),
+    fr{i} AS MATERIALIZED (
+        SELECT n0.node,
+               (1.0 - {damping}) / (SELECT c FROM nn)
+                 + {damping} * coalesce(c.cin, 0.0) AS rank
+        FROM fr{i - 1} n0 LEFT JOIN fc{i} c USING (node)
+    )"""
+        )
+    return "".join(parts)
+
+
+# MinHash-LSH pair graph at the 0.5 verification threshold — same banded
+# candidate scheme as _MINHASH_ORACLE, stricter exact-Jaccard verify.
+_MINHASH05_PAIRS_CTE = f"""{_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    mcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    jpairs AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM mcand
+        JOIN sh sa ON sa.doc_id = mcand.id_a
+        JOIN sh sb ON sb.doc_id = mcand.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+              >= 0.5
+    )"""
+
+
 @register(
     "neardup_centrality",
-    tags=("llm", "dedup", "graph", "rows-only"),
+    oracle=f"""
+    WITH {_MINHASH05_PAIRS_CTE}{_fpr_cte()}
+    SELECT node AS doc_id, round(rank, 6) AS centrality
+    FROM fr6
+    ORDER BY centrality DESC, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("llm", "dedup", "graph"),
 )
 def neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the MinHash near-dup graph: documents with
     high rank sit at the center of large duplicate neighborhoods — the
     'template/boilerplate detector' view of the dedup graph (a canonical
-    map says WHICH cluster; centrality says WHO anchors it). Declared
-    rows-only (power iteration has no SQL twin; pytest pins the algorithm
-    against a pure-Python reference to 1e-9). Top-20 by rank, rounded for
-    a stable total order."""
+    map says WHICH cluster; centrality says WHO anchors it). Promoted
+    from rows-only to a full oracle in r09 (VERDICT r8 ask #4): the
+    6-iteration power loop unrolls to chained MATERIALIZED CTEs — on the
+    symmetrized graph every node has out-degree >= 1, so the dangling
+    term is identically zero and each round is one join + one keyed sum;
+    the 1e-6 rounding absorbs engine summation-order ulps. The algorithm
+    is additionally pinned against a pure-Python reference to 1e-9 in
+    pytest. Top-20 by rank, rounded for a stable total order."""
     from ..operators.dedup import minhash_lsh_pairs
     from ..operators.graph import pagerank
 
@@ -2004,13 +2080,20 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes to n_probe/n_list lists, residual-PQ codes score the survivors
     by ADC (per-list lookup tables as plan literals), exact re-rank on the
     shortlist. The tier that holds when neither the vectors nor a flat
-    code table fit: 2/8 of the rows touched, 8 bytes read per candidate.
-    Rows-only (two k-means fits); pytest pins recall >= 0.5 at n_probe=2,
-    exact scores, and probe monotonicity; bench reports recall."""
+    code table fit: 3/8 of the rows touched, 8 bytes read per candidate.
+    Operating point retuned in r09 (VERDICT r8 ask #2) from the
+    ann_probe_sweep curve: n_probe 2->3 (the 0.5-recall misses were
+    simply outside the two probed lists) and exact-rerank shortlist
+    100->300 (ADC ranked true neighbors below 100) — recall@10 0.5->0.8
+    at sf0.1 within 2x the prior latency; floors raised in bench.py and
+    tests/test_llm_ops.py so it cannot slide back. Rows-only (two k-means
+    fits); pytest pins recall, exact scores, and probe monotonicity."""
     from ..operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10)
+    return ivfpq_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10, n_probe=3, rerank=300
+    )
 
 _PQ_DET_ORACLE = f"""
     WITH vecs AS (
@@ -5395,6 +5478,7 @@ _SDC_ORACLE = f"""
                     CAST(vec_id AS VARCHAR))), 1, 4)) AS BIGINT) % 10 = 0
                    AS is_eval
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     bucketed AS (
         SELECT vec_id, v, is_eval,
@@ -5493,6 +5577,9 @@ def sdc_bucketed(emb: DataFrame) -> DataFrame:
     from ..functions.vectors import as_double, norm
 
     buckets_arr = _multitable_buckets_udf(_DIM, _SDC_BITS, _SDC_BANDS, _SDC_SALT)
+    # A NULL embedding would crash the Arrow bucket UDF (np.asarray on
+    # None); the kcenter path filters the same way (ADVICE r8).
+    emb = emb.filter(F.col("embedding").isNotNull())
     return emb.select(
         "vec_id",
         as_double("embedding").alias("_v"),
@@ -5543,6 +5630,10 @@ def sdc_flags(vecs: DataFrame, cand: DataFrame) -> DataFrame:
                 F.when(n > 0, dot(F.col("_va"), F.col("_vb")) / n), 6
             ).alias("cosine_sim"),
         )
+        # Zero-norm pairs have undefined cosine; drop them (the oracle's
+        # WHERE norm-product > 0 does the same) instead of letting a NULL
+        # cosine win the per-eval rank (ADVICE r8).
+        .filter(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy("eval_id").orderBy(
         F.desc("cosine_sim"), F.asc("train_id")
@@ -5679,10 +5770,12 @@ def lexical_diversity_over_counts(tc: DataFrame) -> DataFrame:
     )
     SELECT source,
            CAST(sum(n_tok) AS BIGINT) AS tokens_before,
-           CAST(sum(n_tok) FILTER (doc_id NOT IN (SELECT id_b FROM dupes))
-                AS BIGINT) AS tokens_after,
-           round(1.0 - CAST(sum(n_tok) FILTER (doc_id NOT IN
-                     (SELECT id_b FROM dupes)) AS DOUBLE)
+           -- coalesce: a source whose every doc is dropped keeps 0 tokens
+           -- (matching the Spark builder), not NULL (ADVICE r8)
+           CAST(coalesce(sum(n_tok) FILTER (doc_id NOT IN
+                    (SELECT id_b FROM dupes)), 0) AS BIGINT) AS tokens_after,
+           round(1.0 - CAST(coalesce(sum(n_tok) FILTER (doc_id NOT IN
+                     (SELECT id_b FROM dupes)), 0) AS DOUBLE)
                  / CAST(sum(n_tok) AS DOUBLE), 6) AS savings_share
     FROM dtok GROUP BY 1 ORDER BY 1
     """,

@@ -612,15 +612,80 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# BPE tokenizer training (rows-only: the iterative argmax loop has no SQL
-# twin — pinned by tests/test_bpe.py exact-match vs the pure-Python
-# reference, the same pattern as the k-means ANN tier).
+# BPE tokenizer training. Promoted from rows-only to a full oracle in r09
+# (VERDICT r8 ask #4): the merge loop is deterministic (lexicographic
+# tie-break), so 8 rounds unroll to chained MATERIALIZED CTEs. The greedy
+# left-to-right merge application — Spark's array fold — becomes a single
+# string replace() per round by wrapping every symbol in chr(30)/chr(31)
+# sentinels: adjacent matches share no boundary characters, so one
+# non-overlapping left-to-right replace pass IS the fold (verified
+# exact-match vs both the Spark builder and the pure-Python reference in
+# tests/test_bpe.py; sentinels proven absent from the corpus).
 # ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    parts = [
+        r"""
+    wdict AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      t -> t <> '')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ) GROUP BY 1
+    ),
+    w0 AS MATERIALIZED (
+        SELECT array_to_string(
+                 [chr(30) || word[i] || chr(31)
+                  for i in range(1, length(word) + 1)], '') AS s,
+               cnt
+        FROM wdict
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    pc{k} AS (
+        SELECT p.l || ' ' || p.r AS pair,
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM (
+            SELECT string_split(s[2:length(s)-1],
+                                chr(31) || chr(30)) AS syms, cnt
+            FROM w{k - 1}
+        ), unnest([{{'l': syms[i], 'r': syms[i+1]}}
+                   for i in range(1, len(syms))]) AS u(p)
+        WHERE len(syms) >= 2
+        GROUP BY 1
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT {k} AS merge_rank,
+               split_part(pair, ' ', 1) AS lft,
+               split_part(pair, ' ', 2) AS rgt,
+               pair_count
+        FROM pc{k} ORDER BY pair_count DESC, pair ASC LIMIT 1
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT replace(s,
+                 chr(30) || lft || chr(31) || chr(30) || rgt || chr(31),
+                 chr(30) || lft || rgt || chr(31)) AS s,
+               cnt
+        FROM w{k - 1}, m{k}
+    )"""
+        )
+    sel = " UNION ALL ".join(
+        f'SELECT merge_rank, lft AS "left", rgt AS "right", '
+        f"lft || rgt AS merged, pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + "".join(parts) + (
+        f" SELECT * FROM ({sel}) ORDER BY merge_rank"
+    )
 
 
 @register(
     "bpe_merge_table",
-    tags=("llm", "tokenizer", "rows-only"),
+    oracle=_bpe_oracle(8),
+    tags=("llm", "tokenizer"),
 )
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first 8 BPE merge rules learned from the corpus word-frequency
@@ -628,7 +693,9 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_count), deterministic under lexicographic tie-break. Training
     rounds aggregate the VOCAB-sized dict and ship one argmax row to the
     driver per round — the k-means/connected-components coordination
-    pattern, corpus touched exactly once."""
+    pattern, corpus touched exactly once. Oracled via unrolled
+    MATERIALIZED CTEs with a sentinel-wrapped replace() as the greedy
+    merge fold (see ``_bpe_oracle``)."""
     from ..operators.bpe import bpe_train_merges
     from ..sources.batch import load_table as _lt
 

@@ -400,13 +400,20 @@ def foreach_batch_kcenter_update(
         if _already_applied(path, batch_id):
             return
         pts = quantize_vectors(batch_df, id_col, vec_col, quant).persist()
-        if _state_exists(path):
-            srows = spark.read.parquet(path).collect()
+        srows = (
+            spark.read.parquet(path).collect() if _state_exists(path) else []
+        )
+        if srows:
             centers = [(int(r["id"]), list(r["qv"])) for r in srows]
-            r2 = int(srows[0]["r2"]) if srows else 1
+            r2 = int(srows[0]["r2"])
         else:
+            # No state OR a zero-row state file (ADVICE r8: [] centers
+            # would make F.least(*[]) raise): bootstrap from this batch.
             centers, r2 = greedy_kcenter_centers(pts, k)
             r2 = max(r2, 1)
+        if not centers:  # empty first batch: nothing to cover yet
+            pts.unpersist()
+            return
         cur = pts.select(
             "_id",
             "_qv",
@@ -415,7 +422,18 @@ def foreach_batch_kcenter_update(
             ),
         ).persist()
         cur.count()
-        for _ in range(64):  # merges double r2: terminates long before this
+        # Iteration bound DERIVED from the batch's dynamic range, not a
+        # magic constant (ADVICE r8): each round either inserts a center
+        # (<= k inserts between doublings) or quadruples r2, and r2 only
+        # needs ceil(log4(max_dmin / r2)) doublings before everything is
+        # covered — so k * (doublings + 2) rounds always suffice.
+        head = cur.orderBy(F.desc("_dmin")).limit(1).collect()
+        max_d = int(head[0]["_dmin"]) if head else 0
+        doublings = 0
+        while r2 * (4 ** (doublings + 1)) < max_d:
+            doublings += 1
+        bound = max(8, k * (doublings + 2))
+        for _ in range(bound):
             top = cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()
             if not top or top[0]["_dmin"] <= 4 * r2:
                 break
@@ -445,7 +463,18 @@ def foreach_batch_kcenter_update(
             cur.unpersist()
             cur = nxt
         else:
-            raise RuntimeError("kcenter update did not converge in 64 rounds")
+            # Publish the partial state and continue rather than failing
+            # the stream (ADVICE r8): the doubling invariant degrades to
+            # "covered at the next batch", which replays the same points'
+            # region via their neighbors — recoverable, not fatal.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kcenter update hit its derived %d-round bound at batch "
+                "%d; publishing partial state",
+                bound,
+                batch_id,
+            )
         cur.unpersist()
         pts.unpersist()
         out = spark.createDataFrame(

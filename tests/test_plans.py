@@ -309,60 +309,55 @@ def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
 
 
 def test_driver_window_is_exactly_the_intended_fifty():
-    """VERDICT r7 ask #1: the recorded window must be COMPUTED, not
+    """VERDICT r8 ask #1: the recorded window must be COMPUTED, not
     prose — the registry's first DRIVER_WINDOW names are exactly the
-    intended round-8 list: the 34 queries with no driver-recorded row in
-    CORRECTNESS_r01-r07 (6 most novel front-loaded), then 16 filler
-    slots (r03-era refreshes / new round-8 queries)."""
+    intended round-9 list: the two rows-only tiers promoted to full
+    oracles this round lead, then ALL queries whose newest driver record
+    is r03 (the refresh rotation), then new-r09 / oldest-r04 fillers."""
     import glob
     import json
     import os
+    import re as _re
 
     from spark_streaming_project_spark.plans import (
         DRIVER_WINDOW,
         REGISTRY,
-        _R8_WINDOW,
+        _R9_WINDOW,
     )
 
     head = list(REGISTRY)[:DRIVER_WINDOW]
-    assert head == _R8_WINDOW
-    assert len(_R8_WINDOW) == DRIVER_WINDOW == 50
-    # the 6 most architecturally novel never-recorded queries lead
-    assert head[:6] == [
-        "attribution_markov_removal",
-        "embedding_top_pc",
-        "events_rollup_lattice",
-        "orders_point_in_time_segment",
-        "rerank_crossencoder_topk",
-        "hourly_holt_winters",
-    ]
-    # COMPUTED, not prose: every query never recorded in r01-r07 is in
-    # the window (zero recorded-proof debt once the r08 gate runs)
+    assert head == _R9_WINDOW
+    assert len(_R9_WINDOW) == DRIVER_WINDOW == 50
+    # the two rows-only -> oracle promotions lead (VERDICT r8 ask #4)
+    assert head[:2] == ["neardup_centrality", "bpe_merge_table"]
+    # COMPUTED, not prose: every query whose NEWEST record is r03 must be
+    # in the window (the r09 refresh-rotation contract)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    recorded = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json")):
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-8].json"))):
+        rnd = int(_re.search(r"r0(\d)", os.path.basename(path)).group(1))
         with open(path) as fh:
-            recorded |= set(json.load(fh))
-    never = {n for n in REGISTRY if n not in recorded}
-    assert never <= set(head), sorted(never - set(head))
-    # every window entry carries an oracle except the FFD packer, whose
-    # sequential bin state is not SQL-expressible (python-reference
-    # parity pinned by pytest); it gets its rows-only marker this round
-    assert all(
-        REGISTRY[n].oracle is not None
-        for n in head
-        if n != "packed_sequences_ffd"
-    )
-    # the rest of the registry keeps its oracles too, except the 6
-    # declared rows-only tiers whose markers were recorded in r05
+            for name in json.load(fh):
+                newest[name] = rnd
+    stale = {n for n in REGISTRY if newest.get(n) == 3}
+    assert stale <= set(head), sorted(stale - set(head))
+    # zero recorded-proof debt stays discharged: nothing is unrecorded
+    assert all(n in newest for n in REGISTRY), [
+        n for n in REGISTRY if n not in newest
+    ]
+    # every window entry carries an oracle — including the two promotions
+    assert all(REGISTRY[n].oracle is not None for n in head), [
+        n for n in head if REGISTRY[n].oracle is None
+    ]
+    # the rest of the registry keeps its oracles too, except the 5
+    # legitimately oracle-less tiers (markers recorded in r05/r08)
     rows_only = {
         n for n in list(REGISTRY)[DRIVER_WINDOW:]
         if REGISTRY[n].oracle is None
     }
     assert rows_only == {
         "approx_stats",
-        "bpe_merge_table",
-        "neardup_centrality",
+        "packed_sequences_ffd",
         "similarity_ivf_kmeans_topk",
         "similarity_pq_topk",
         "similarity_ivfpq_topk",
