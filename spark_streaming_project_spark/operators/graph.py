@@ -46,6 +46,7 @@ def connected_components(
     max_iter: int = 25,
     driver_threshold: int = 100_000,
     stats: dict | None = None,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; ``component``
     is the minimum node id reachable through any chain of edges.
@@ -98,7 +99,16 @@ def connected_components(
             ).schema
             return edges.sparkSession.createDataFrame(rows or [], schema)
 
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # symmetrized=True: the caller already provides BOTH edge directions
+    # (e.g. a pre-written bucketed table, connected_components_bucketed) —
+    # skipping the union preserves the input's physical layout, which is
+    # the whole point of feeding a bucketed scan: the per-round join on
+    # "v" then needs no Exchange on the edge side.
+    if not symmetrized:
+        sym = sym.union(
+            sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    sym = sym.persist()
 
     try:
         # localCheckpoint (not persist): each round's frame must TRUNCATE
@@ -150,6 +160,48 @@ def connected_components(
     raise RuntimeError(
         f"connected_components: no convergence after {max_iter} rounds "
         f"(pathological graph or max_iter too small)"
+    )
+
+
+def connected_components_bucketed(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    table: str = "cc_edges_bucketed",
+    num_buckets: int = 16,
+    max_iter: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Write-once bucketed co-located connected components (VERDICT r8
+    ask #7): persist the SYMMETRIZED edge list as a parquet table
+    bucketed (and sorted) by ``v`` — the per-round join key — then run
+    the pointer-jumping loop over the bucketed scan.
+
+    Why: in the plain loop every round re-Exchanges the EDGE-sized frame
+    to join labels on ``v`` (the cached pair graph carries the pair
+    generator's partitioning, not the join key's). A bucketed scan
+    reports HashPartitioning(v, num_buckets), so the edge side joins with
+    NO Exchange in every round — only the node-sized label frame
+    shuffles. The bucketing shuffle is paid ONCE at the write; at 100 TB
+    that is the classic ingest-amortized layout (the edge list is the
+    data-sized side; labels are node-sized). Exchange counts are pinned
+    in tests/test_plan_audit.py.
+    """
+    from ..sources.bucketed import write_bucketed
+
+    spark = edges.sparkSession
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    write_bucketed(sym, table, ["v"], num_buckets, sort_keys=["v"])
+    symb = spark.table(table)
+    return connected_components(
+        symb,
+        "u",
+        "v",
+        max_iter=max_iter,
+        driver_threshold=0,  # the point is the distributed loop's layout
+        stats=stats,
+        symmetrized=True,
     )
 
 

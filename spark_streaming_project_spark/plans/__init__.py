@@ -79,8 +79,8 @@ _R9_WINDOW = [
     "weighted_nova_average",
     # -- new round-9 queries (first recording; these swapped in for the
     #    oldest r04 refreshes as they landed — new rows beat refreshes)
-    "dedup_component_sizes",  # swap-out slot for similarity_ivfpq_rerank_topk
-        "bloom_pruned_order_join",
+    "dedup_component_sizes_bucketed",  # r09: bucketed co-located CC rounds
+    "bloom_pruned_order_join",
     "bm25_search",
     "clickers_not_buyers",
     "cohort_retention",

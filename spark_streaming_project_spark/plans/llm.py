@@ -134,6 +134,159 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_novelty_by_source",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    occ AS (
+        SELECT doc_id, unnest(shingles) AS gram FROM sh
+    ),
+    firsts AS (
+        SELECT gram, min(doc_id) AS first_doc FROM occ GROUP BY gram
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS gram_occurrences,
+           CAST(sum(CASE WHEN occ.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           round(CAST(sum(CASE WHEN occ.doc_id = f.first_doc
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS novelty_share
+    FROM occ
+    JOIN firsts f USING (gram)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("llm", "curation", "dedup", "text"),
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty audit (r09): per source, what fraction of its
+    distinct-per-doc word trigrams are FIRST corpus occurrences (first =
+    min doc_id)? The curation signal behind 'which feeds actually add
+    new content vs recycle it' — a source whose novelty share collapses
+    is re-crawling what the corpus already holds, and its acquisition
+    budget should say so. Scale shape: one explode to (doc, gram)
+    occurrences, one gram-keyed min (combinable), one join back on gram —
+    the span-dedup first-occurrence discipline lifted from spans to
+    trigram vocabulary; no pair join anywhere."""
+    from ..functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    occ = docs.select(
+        "doc_id", "source", F.explode(word_shingles("text")).alias("gram")
+    )
+    firsts = occ.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    return (
+        occ.join(firsts, "gram")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("gram_occurrences"),
+            F.sum(novel).cast("bigint").alias("novel_grams"),
+            F.round(
+                F.sum(novel).cast("double") / F.count("*"), 6
+            ).alias("novelty_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_EST_MATCHES = " + ".join(
+    f"(CASE WHEN sa.sig_{p} = sb.sig_{p} THEN 1 ELSE 0 END)"
+    for p in range(NUM_PERM)
+)
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(({_EST_MATCHES}) / {NUM_PERM}.0, 6) AS est_jaccard,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                 6) AS jaccard,
+           round(abs(({_EST_MATCHES}) / {NUM_PERM}.0
+                 - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles)))),
+                 6) AS abs_error
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.id_a
+    JOIN sigs sb ON sb.doc_id = cand.id_b
+    """,
+    tags=("llm", "dedup", "minhash", "calibration"),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration table (r09): for every banded candidate pair,
+    the SIGNATURE-estimated Jaccard (matching permutations / NUM_PERM —
+    the only similarity a signature-only pipeline ever sees) next to the
+    EXACT shingle Jaccard and their absolute error. This is the table
+    that justifies a NUM_PERM choice with data: at 8 permutations the
+    estimator is +-0.125-granular, and the error distribution tells you
+    whether the verify-with-exact-Jaccard stage is load-bearing (it is)
+    before you spend 128 permutations at 100 TB. Same banded candidate
+    envelope as dedup_minhash_pairs — signatures ride the join that
+    already happens, so the calibration is FREE at scale (one extra
+    comparison per signature position per candidate)."""
+    from ..operators.dedup import lsh_band_keys, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id").persist()
+    bands = sigs.select(
+        "doc_id", F.explode(lsh_band_keys()).alias("band")
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band")
+        .join(bands.select(F.col("doc_id").alias("id_b"), "band"), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_cols = [f"sig_{p}" for p in range(NUM_PERM)]
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("_sha"),
+        *[F.col(c).alias(f"_a{p}") for p, c in enumerate(sig_cols)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("_shb"),
+        *[F.col(c).alias(f"_b{p}") for p, c in enumerate(sig_cols)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{p}") == F.col(f"_b{p}"), 1).otherwise(0)
+        for p in range(NUM_PERM)
+    )
+    est = matches / float(NUM_PERM)
+    exact = F.size(F.array_intersect("_sha", "_shb")).cast("double") / F.size(
+        F.array_union("_sha", "_shb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_error"),
+        )
+    )
+
+
+@register(
     "dedup_keep_list",
     oracle=f"""
     WITH {_SHINGLES_CTE},
@@ -1854,6 +2007,55 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC output with two combinable aggregates; singletons count as size-1
     components."""
     cmap = dedup_canonical_map(spark, sf_dir)
+    return (
+        cmap.groupBy("canonical_id")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+@register(
+    "dedup_component_sizes_bucketed",
+    oracle=f"""
+    WITH cmap AS ({_CANONICAL_ORACLE}),
+    comps AS (
+        SELECT canonical_id, count(*) AS component_size
+        FROM cmap GROUP BY 1
+    )
+    SELECT component_size, count(*) AS n_components
+    FROM comps GROUP BY 1
+    """,
+    tags=("llm", "dedup", "graph", "bucketed"),
+)
+def dedup_component_sizes_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The component-size histogram computed over the WRITE-ONCE BUCKETED
+    pair graph (VERDICT r8 ask #7): the symmetrized near-dup edges are
+    persisted bucketed+sorted by the per-round join key, so every
+    pointer-jumping round joins labels to edges with NO Exchange on the
+    edge side — the data-sized frame at 100 TB; only the node-sized label
+    frame shuffles per round (Exchange budget pinned in
+    tests/test_plan_audit.py). Identical result to dedup_component_sizes
+    (same oracle); the bucketing write is the classic pay-once-at-ingest
+    layout the warehouse tier already uses (sources/bucketed.py)."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import connected_components_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(docs, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components_bucketed(
+        pairs, "id_a", "id_b", table="cc_edges_bucketed_dedup"
+    )
+    cmap = (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("u").alias("doc_id"), "component"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
     return (
         cmap.groupBy("canonical_id")
         .agg(F.count("*").alias("component_size"))

@@ -27,6 +27,18 @@ def write_bucketed(
     tables sharing the bucket spec then plan without an Exchange; sorted
     buckets additionally drop the Sort below a SortMergeJoin.
     """
+    # Idempotent under stale warehouse dirs: a table directory left by a
+    # previous session (not in this session's catalog) makes saveAsTable
+    # fail with LOCATION_ALREADY_EXISTS even in overwrite mode.
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    location = (
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        + f"/{table.lower()}"
+    )
+    import shutil
+
+    shutil.rmtree(location, ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

@@ -90,3 +90,72 @@ def test_flagship_exchange_budget(spark, name):
     assert n <= EXCHANGE_BUDGETS[name], (
         f"{name}: {n} exchanges > budget {EXCHANGE_BUDGETS[name]}"
     )
+
+
+def test_bucketed_cc_round_join_has_no_edge_side_exchange(spark):
+    """VERDICT r8 ask #7 pin: the bucketed co-located CC round join. The
+    symmetrized pair graph written bucketed+sorted by the per-round join
+    key must feed the label join with NO Exchange on the edge side — the
+    data-sized frame at 100 TB — leaving exactly two Exchanges per round
+    (label re-key + the groupBy("u") aggregate) vs three for the plain
+    lineage-free twin. Pinned with broadcast joins disabled: the scale
+    regime is exactly the one where the node-label frame does NOT fit in
+    a broadcast (at sf0.01 AQE would broadcast it and mask the layout)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.dedup import (
+        ngram_jaccard_pairs_adaptive,
+    )
+    from spark_streaming_project_spark.sources.batch import load_table
+    from spark_streaming_project_spark.sources.bucketed import write_bucketed
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pairs = ngram_jaccard_pairs_adaptive(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    write_bucketed(sym, "cc_audit_bucketed", ["v"], 16, sort_keys=["v"])
+    symb = spark.table("cc_audit_bucketed")
+    symp = sym.localCheckpoint(eager=True)
+    lbl = (
+        symb.select("u")
+        .distinct()
+        .withColumn("lbl", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+
+    def exchanges(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1
+            for ln in s.splitlines()
+            if "Exchange" in ln and "Reused" not in ln
+        )
+
+    keyed = lbl.select(F.col("u").alias("v"), "lbl")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        round_bucketed = (
+            symb.join(keyed, "v").groupBy("u").agg(F.min("lbl").alias("m"))
+        )
+        round_plain = (
+            symp.join(keyed, "v").groupBy("u").agg(F.min("lbl").alias("m"))
+        )
+        nb, np_ = exchanges(round_bucketed), exchanges(round_plain)
+        plan_b = round_bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_b, "edge scan not using buckets"
+        assert nb == 2, f"bucketed round join: {nb} exchanges, expected 2"
+        assert np_ == 3, f"plain round join: {np_} exchanges, expected 3"
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -390,12 +390,17 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert got == want
 
 
-def test_checkpoint_recovery_accumulates_state(spark, tmp_path):
+@pytest.mark.parametrize("provider", [None, "rocksdb"])
+def test_checkpoint_recovery_accumulates_state(spark, tmp_path, provider):
     """X6: a restarted query resumes from its checkpoint. Phase 1 drains two
     files into a complete-mode count; phase 2 deletes those source files,
     adds a third, and restarts with the SAME checkpoint — the final counts
     still include phase 1's contribution, which can only come from the
-    recovered state store."""
+    recovered state store. Parametrized over the state-store provider
+    (VERDICT r8 ask #6): the default HDFS-backed store AND RocksDB — the
+    out-of-heap provider the 100 TB story names — must both survive the
+    restart with identical results (restart-from-a-RocksDB-checkpoint is
+    the leg the plain provider smoke test does not cover)."""
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     chunks = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
     src = str(tmp_path / "ckrec_src")
@@ -408,7 +413,7 @@ def test_checkpoint_recovery_accumulates_state(spark, tmp_path):
     chunks[0].coalesce(1).write.mode("append").parquet(src)
     chunks[1].coalesce(1).write.mode("append").parquet(src)
 
-    runner1 = StreamRunner(spark, ckpt)
+    runner1 = StreamRunner(spark, ckpt, state_store_provider=provider)
     runner1.add("ckrec_stream", counts(stream_parquet_dir(spark, src, schema)),
                 output_mode="complete")
     runner1.start_all(available_now=True)
@@ -426,7 +431,7 @@ def test_checkpoint_recovery_accumulates_state(spark, tmp_path):
         os.remove(f)
     chunks[2].coalesce(1).write.mode("append").parquet(src)
 
-    runner2 = StreamRunner(spark, ckpt)
+    runner2 = StreamRunner(spark, ckpt, state_store_provider=provider)
     runner2.add("ckrec_stream", counts(stream_parquet_dir(spark, src, schema)),
                 output_mode="complete")
     runner2.start_all(available_now=True)
