@@ -117,6 +117,23 @@ SHOWCASE = [
      "candidate keys, verify-once vector join, per-anchor ranking "
      "window bounded by collision fan-out — never an anchor x "
      "candidate product."),
+    ("dedup_component_sizes_bucketed",
+     "Bucketed co-located CC (r09): the final histogram plan reads the "
+     "checkpointed label frame; the per-round join shape — bucketed "
+     "edge scan with NO edge-side Exchange — is pinned separately in "
+     "tests/test_plan_audit.py (2 vs 3 exchanges, Bucketed:true)."),
+    ("minhash_estimate_error",
+     "MinHash calibration (r09): signature columns ride the SAME banded "
+     "candidate join dedup_minhash_pairs already pays; est-vs-exact "
+     "comparison is a per-row expression, no extra shuffle."),
+    ("ngram_novelty_by_source",
+     "Novelty by source (r09): explode to (doc, gram), gram-keyed "
+     "combinable min, join back on gram — first-occurrence discipline, "
+     "no pair join anywhere."),
+    ("hourly_cusum_alarms",
+     "CUSUM drift (r09): the ordered window runs on the HOURS frame "
+     "(bounded), never the event log; events contribute one combinable "
+     "hourly count aggregate."),
 ]
 
 HEADER = """# PLANS — flagship physical plans (auto-generated)

@@ -36,18 +36,23 @@ DERIVED = os.path.join(REPO, "_scale", "sf1x")
 OVERLAY = os.path.join(REPO, "_scale", "sf1x_overlay")
 REPLICAS = 10
 
+# Ordered cheap-first; the two entity-resolution tiers run LAST (and can
+# be selected alone via argv) because the 10x supplier catalog is the
+# measured worst case for q-gram count-filter blocking: near-identical
+# names share almost every bigram, so candidates grow ~quadratically in
+# catalog size — the finding itself is the point of the row.
 QUERIES = [
     "neardup_centrality",
-    "supplier_entity_clusters",
     "curation_verdicts",
     "neardup_centrality_quantized",
     "neardup_triangle_census",
-    "snm_blocking_eval",
     "dedup_method_agreement",
     "split_leakage_check",
     "neardup_degree_assortativity",
     "cdc_cross_source_matrix",
     "dedup_component_sizes_bucketed",  # new r09 flagship rides along
+    "snm_blocking_eval",
+    "supplier_entity_clusters",
 ]
 
 
@@ -56,6 +61,8 @@ def build_supplier_tier() -> None:
     if os.path.exists(dst):
         return
     src = pq.read_table(os.path.join(SRC_SF, "supplier.parquet"))
+    import pyarrow.compute as pc
+
     replicas = []
     for r in range(REPLICAS):
         cols = {}
@@ -64,6 +71,17 @@ def build_supplier_tier() -> None:
             if name == "s_suppkey":
                 vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
                 cols[name] = pa.array(vals * 16 + r, pa.int64())
+            elif name == "s_name":
+                # two-char replica tag: cross-replica name distance is 2,
+                # above the Levenshtein<=1 verify, so suppliers grow 10x
+                # LINEARLY (the honest "more suppliers" axis). Replicating
+                # names verbatim makes every name a 10-clique and the
+                # verified pair set grows ~100x — measured to thrash the
+                # sf0.1-sized heap; that clique axis is the documents
+                # overlay's job, not the entity-resolution tier's.
+                cols[name] = pc.binary_join_element_wise(
+                    pa.array([f"r{r}"] * len(col)), col.cast(pa.string()), ""
+                )
             else:
                 cols[name] = col
         replicas.append(pa.table(cols))
@@ -84,6 +102,9 @@ def ensure_overlay() -> None:
 
 
 def main() -> None:
+    import sys as _sys
+
+    only = set(_sys.argv[1:])
     ensure_overlay()
     from spark_streaming_project_spark.plans import REGISTRY
     from spark_streaming_project_spark.session import get_spark
@@ -91,6 +112,8 @@ def main() -> None:
     spark = get_spark(app_name="scale-r09", shuffle_partitions=32)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in QUERIES:
+        if only and name not in only:
+            continue
         for label, sf in (("sf0.1", SRC_SF), ("10x", OVERLAY)):
             spark.catalog.clearCache()
             t0 = time.monotonic()

@@ -102,16 +102,30 @@ def bpe_train_merges(
 
 
 def bpe_train_merges_from_dict(
-    word_counts: DataFrame, n_merges: int = 10
+    word_counts: DataFrame,
+    n_merges: int = 10,
+    token_curve: list[tuple[int, int]] | None = None,
 ) -> list[tuple[str, str, int]]:
     """Full-recompute trainer over an explicit (word, cnt) dictionary —
     the corpus-independent entry point (a dictionary can be maintained
     incrementally by ``merge_agg_state`` and retrained without touching
-    the corpus)."""
+    the corpus). When ``token_curve`` is a list it receives
+    ``(merge_rank, corpus_tokens)`` after round 0 (characters) and each
+    merge — one extra scalar aggregate per round on the already-
+    checkpointed dict, nothing corpus-sized."""
+
+    def _tokens(frame: DataFrame) -> int:
+        row = frame.agg(
+            F.sum(F.col("cnt") * F.size("symbols")).alias("t")
+        ).collect()[0]
+        return int(row["t"] or 0)
+
     words = word_counts.select(
         F.expr("split(word, '')").alias("symbols"), F.col("cnt")
     ).localCheckpoint()
     words = _rightsize_dict(words)
+    if token_curve is not None:
+        token_curve.append((0, _tokens(words)))
     merges: list[tuple[str, str, int]] = []
     for i in range(n_merges):
         top = (
@@ -127,6 +141,8 @@ def bpe_train_merges_from_dict(
         prev = words
         words = _apply_merge(words, left, right).localCheckpoint()
         prev.unpersist()
+        if token_curve is not None:
+            token_curve.append((i + 1, _tokens(words)))
     words.unpersist()
     return merges
 

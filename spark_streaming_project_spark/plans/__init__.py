@@ -79,16 +79,16 @@ _R9_WINDOW = [
     "weighted_nova_average",
     # -- new round-9 queries (first recording; these swapped in for the
     #    oldest r04 refreshes as they landed — new rows beat refreshes)
-    "dedup_component_sizes_bucketed",  # r09: bucketed co-located CC rounds
-    "bloom_pruned_order_join",
-    "bm25_search",
-    "clickers_not_buyers",
-    "cohort_retention",
-    "conjunctive_search",
-    "contrastive_negatives",
-    "conversion_delay",
-    "customer_order_distribution",
-    "customers_without_orders",
+    "dedup_component_sizes_bucketed",  # bucketed co-located CC rounds
+    "minhash_estimate_error",  # signature-vs-exact Jaccard calibration
+    "ngram_novelty_by_source",  # first-occurrence novelty share
+    "embedding_quantization_error",  # int8 scalar-quantization audit
+    "bpe_compression_curve",  # merge-budget planning curve
+    "hourly_cusum_alarms",  # prefix-sum CUSUM drift detection
+    "session_gap_sensitivity",  # sessionization threshold sweep
+    "exact_dup_arrival_curve",  # marginal-novelty by arrival decile
+    "quality_filter_kappa",  # rule-vs-model filter agreement
+    "bloom_pruned_order_join",  # oldest-r04 refresh fills the last slot
 ]
 # The 4 still-rows-only tiers (approx_stats, similarity_ivf_kmeans_topk,
 # similarity_pq_topk, similarity_ivfpq_topk) had their markers recorded in

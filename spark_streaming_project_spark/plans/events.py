@@ -2981,3 +2981,176 @@ def ab_mde_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.alias("mde_abs_cents"),
         (mde / (F.col("s").cast("double") / F.col("n"))).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (r09): the change-point sibling of the EWMA /
+# Holt-Winters / autocorrelation tier. The one-sided CUSUM recursion
+# S_t = max(0, S_{t-1} + dev_t) is sequential, but equals the prefix-sum
+# identity S_t = P_t - min(0, min_{i<=t} P_i) — pure window functions,
+# so both engines replay it exactly. All arithmetic is INTEGER (mu is the
+# floored mean hourly count, allowance k = max(1, mu/20)), so there is no
+# FP boundary to flip an alarm between engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_cusum_alarms",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    params AS (
+        SELECT CAST(floor(sum(n) / count(*)) AS BIGINT) AS mu,
+               greatest(CAST(1 AS BIGINT),
+                        CAST(floor(sum(n) / count(*) / 20) AS BIGINT)) AS k
+        FROM hourly
+    ),
+    pref AS (
+        SELECT hour, n,
+               sum(n - mu - k) OVER (ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING) AS p,
+               mu, k
+        FROM hourly, params
+    ),
+    stat AS (
+        SELECT hour, n,
+               p - least(CAST(0 AS BIGINT),
+                         min(p) OVER (ORDER BY hour
+                             ROWS UNBOUNDED PRECEDING)) AS cusum,
+               5 * (mu + k) / 10 AS h
+        FROM pref
+    )
+    SELECT hour, n AS n_events, cusum AS cusum_stat,
+           cusum > h AS alarm
+    FROM stat ORDER BY hour
+    """,
+    tags=("events", "timeseries", "drift"),
+)
+def hourly_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over hourly event volume: alarms when the
+    cumulative positive deviation from the baseline rate exceeds the
+    decision interval — the classic 'slow drift the threshold alarm
+    misses' detector (a +10% sustained shift alarms in a few hours while
+    staying under any per-hour threshold). Expressed as prefix sums +
+    running min (the max-reset recursion's closed form), one ordered
+    window over the HOURS frame — bounded at 100 TB because the window
+    runs on the hourly aggregate, never the event log; integer
+    arithmetic end-to-end so the oracle replays bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_over_hourly(hourly_event_counts(ev))
+
+
+def hourly_event_counts(ev: DataFrame) -> DataFrame:
+    """(hour, n) additive count frame — a sum-monoid, so the
+    incremental-agg sink maintains it per micro-batch and the streaming
+    CUSUM equals batch exactly (tests/test_streaming_llm.py)."""
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+def cusum_over_hourly(hourly: DataFrame) -> DataFrame:
+    """Read-side stage: CUSUM statistic + alarms from any (hour, n)
+    count frame — batch-computed or drained streaming state."""
+    params = hourly.agg(
+        F.floor(F.sum("n") / F.count("*")).cast("bigint").alias("mu"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.sum("n") / F.count("*") / 20).cast("bigint"),
+        ).alias("k"),
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    pref = hourly.crossJoin(F.broadcast(params)).select(
+        "hour",
+        "n",
+        F.sum(F.col("n") - F.col("mu") - F.col("k")).over(w).alias("p"),
+        "mu",
+        "k",
+    )
+    cusum = F.col("p") - F.least(
+        F.lit(0).cast("bigint"), F.min("p").over(w)
+    )
+    h = 5 * (F.col("mu") + F.col("k")) / 10
+    return pref.select(
+        "hour",
+        F.col("n").alias("n_events"),
+        cusum.alias("cusum_stat"),
+        (cusum > h).alias("alarm"),
+    ).orderBy("hour")
+
+
+@register(
+    "session_gap_sensitivity",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN NULL
+                    ELSE date_diff('second', lag(ts) OVER w, ts) END AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    agg AS (
+        SELECT count(DISTINCT user_id) AS users,
+               sum(CASE WHEN gap IS NULL OR gap > 900 THEN 1 ELSE 0 END) AS s15,
+               sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS s30,
+               sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END) AS s60
+        FROM g
+    )
+    SELECT 15 AS gap_minutes, CAST(s15 AS BIGINT) AS n_sessions,
+           round(s15 / CAST(users AS DOUBLE), 6) AS sessions_per_user
+    FROM agg
+    UNION ALL
+    SELECT 30, CAST(s30 AS BIGINT), round(s30 / CAST(users AS DOUBLE), 6)
+    FROM agg
+    UNION ALL
+    SELECT 60, CAST(s60 AS BIGINT), round(s60 / CAST(users AS DOUBLE), 6)
+    FROM agg
+    ORDER BY gap_minutes
+    """,
+    tags=("events", "sessionization", "calibration"),
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization tuning table (r09): total session count and
+    sessions-per-user at inactivity gaps of 15/30/60 minutes — the
+    calibration a team reads before hard-coding '30 minutes' into every
+    downstream metric (if the count is still moving fast at 30m, the
+    choice is load-bearing and deserves a decision record). ONE window
+    pass computes all three thresholds as conditional sums — the
+    ann_probe_sweep discipline applied to sessionization; at 100 TB this
+    is the same user-keyed sort user_sessions already pays, amortized
+    over every threshold probed."""
+    from ..functions.timeutil import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    sec = epoch_seconds(ev, "ts")
+    gap = sec - F.lag(sec).over(w)
+    flags = ev.select(
+        "user_id",
+        *[
+            F.when(gap.isNull() | (gap > m * 60), 1)
+            .otherwise(0)
+            .alias(f"_s{m}")
+            for m in (15, 30, 60)
+        ],
+    )
+    agg = flags.agg(
+        F.countDistinct("user_id").alias("users"),
+        *[F.sum(f"_s{m}").alias(f"s{m}") for m in (15, 30, 60)],
+    )
+    rows = [
+        agg.select(
+            F.lit(m).alias("gap_minutes"),
+            F.col(f"s{m}").cast("bigint").alias("n_sessions"),
+            F.round(
+                F.col(f"s{m}") / F.col("users").cast("double"), 6
+            ).alias("sessions_per_user"),
+        )
+        for m in (15, 30, 60)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("gap_minutes")

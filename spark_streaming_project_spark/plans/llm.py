@@ -38,6 +38,8 @@ from ..sources.batch import load_table
 from .registry import register
 from ..operators.pca import PCA_ITERS, pca_solve_from_moments
 
+_DIM = 64  # embedding dimensionality of the synthetic embeddings table
+
 # Shared DuckDB CTE: whitespace tokens / distinct word-3-gram shingles.
 _TOKS_CTE = r"""
 toks AS (
@@ -133,6 +135,92 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
 
 
+_QERR_TERM = (
+    "(v[i] - (CASE WHEN sv[i] > 0 "
+    "THEN round(v[i] / sv[i] * 127) * sv[i] / 127 ELSE 0 END))"
+)
+
+
+@register(
+    "embedding_quantization_error",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dims AS (
+        SELECT u.i AS pos, max(abs(v[u.i])) AS s
+        FROM vecs, unnest(range(1, {_DIM} + 1)) u(i)
+        GROUP BY u.i
+    ),
+    sarr AS (SELECT list(s ORDER BY pos) AS sv FROM dims),
+    errs AS (
+        SELECT label,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [{_QERR_TERM} * {_QERR_TERM}
+                    for i in range(1, {_DIM} + 1)]),
+                   (acc, x) -> acc + x) AS err
+        FROM vecs, sarr
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(err), 6) AS mse,
+           round(max(err), 6) AS max_sq_err
+    FROM errs GROUP BY label ORDER BY label
+    """,
+    tags=("llm", "vectors", "quantization", "calibration"),
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit (r09): per label, the squared
+    reconstruction error of symmetric per-dimension int8 quantization
+    (scale = per-dim max|x|, code = round(x/s*127)) — the table you read
+    BEFORE shipping a quantized vector store: if one label's mse is an
+    outlier, its vectors live in a different dynamic range and per-label
+    (or per-block) scales are warranted. Scale shape: one posexplode ->
+    per-dim max (64 combinable cells, the PCA moment-pass discipline,
+    collected as a bounded 64-value literal), then ONE map pass computing
+    each vector's error with the same left-to-right fold the oracle uses
+    (bit-exact per row; the cross-row mean rounds at 1e-6)."""
+    from ..functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vecs = emb.select("vec_id", "label", as_double("embedding").alias("_v"))
+    scales = (
+        vecs.select(F.posexplode("_v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    sv = F.array(*[F.lit(float(r["s"])) for r in scales])
+
+    def sq_diff(x: Column, s: Column) -> Column:
+        recon = F.when(s > 0, F.round(x / s * 127) * s / 127).otherwise(
+            F.lit(0.0)
+        )
+        d = x - recon
+        return d * d
+
+    err = F.aggregate(
+        F.zip_with(F.col("_v"), sv, sq_diff),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.select("label", err.alias("_err"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("_err"), 6).alias("mse"),
+            F.round(F.max("_err"), 6).alias("max_sq_err"),
+        )
+        .orderBy("label")
+    )
+
+
 @register(
     "ngram_novelty_by_source",
     oracle=f"""
@@ -188,6 +276,57 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_share"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "exact_dup_arrival_curve",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id,
+               ntile(10) OVER (ORDER BY doc_id ASC) AS decile,
+               CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY md5(text))
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM documents
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_exact_dups,
+           round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def exact_dup_arrival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve (r09): exact-duplicate rate by arrival
+    decile (doc_id order) — a doc is a dup if an EARLIER doc carries the
+    same content hash. This is the scaling-laws-facing dedup readout:
+    when the marginal decile's dup rate climbs, additional crawl volume
+    is buying repeats, not tokens, and the acquisition budget should
+    move. Two windows — a content-hash-keyed min (bounded partitions)
+    and the decile ntile over doc_id (the bounded global sort a decile
+    report always pays) — then one combinable aggregate; integer
+    arithmetic end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = Window.partitionBy(F.md5("text"))
+    is_dup = F.when(
+        F.col("doc_id") > F.min("doc_id").over(first), 1
+    ).otherwise(0)
+    ranked = docs.select(
+        "doc_id",
+        F.ntile(10).over(Window.orderBy(F.asc("doc_id"))).alias("decile"),
+        is_dup.alias("_dup"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_dup").cast("bigint").alias("n_exact_dups"),
+            F.round(
+                F.sum("_dup") / F.count("*").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("decile")
     )
 
 
@@ -392,7 +531,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _QUERY_VEC_ID = 0
-_DIM = 64
 def _duck_dot(a: str, b: str, dim: int = _DIM) -> str:
     """Left-to-right fold dot product (same accumulation order as the Spark
     ``F.aggregate`` fold, so the doubles match bit-for-bit)."""

@@ -682,6 +682,20 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     )
 
 
+def _bpe_curve_oracle(n_merges: int = 8) -> str:
+    """Same chained-CTE replay, different read-out: corpus token count
+    after each merge round (symbol count = chr(30) sentinel count)."""
+    body = _bpe_oracle(n_merges)
+    with_part = body[: body.rindex(" SELECT * FROM (")]
+    nsym = "(length(s) - length(replace(s, chr(30), '')))"
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, "
+        f"CAST(sum(cnt * {nsym}) AS BIGINT) AS corpus_tokens FROM w{k}"
+        for k in range(0, n_merges + 1)
+    )
+    return with_part + f" SELECT * FROM ({sel}) ORDER BY merge_rank"
+
+
 @register(
     "bpe_merge_table",
     oracle=_bpe_oracle(8),
@@ -707,6 +721,35 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (left, right, cnt) in enumerate(merges)
         ],
         "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+@register(
+    "bpe_compression_curve",
+    oracle=_bpe_curve_oracle(8),
+    tags=("llm", "tokenizer", "calibration"),
+)
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-budget planning curve (r09): corpus token count after
+    each of the first 8 BPE merges (rank 0 = raw characters). This is
+    how a tokenizer team sizes n_merges with data — the curve's knee
+    says where additional merges stop buying compression on THIS corpus.
+    Costs one extra scalar aggregate per training round on the
+    vocab-sized dict (``token_curve`` out-param of the trainer); the
+    corpus itself is still touched exactly once for the word dictionary.
+    Oracle replays the identical curve from the sentinel-wrapped CTE
+    chain (symbol count = chr(30) count per encoded word)."""
+    from ..operators.bpe import bpe_train_merges_from_dict, word_freq_dict
+    from ..sources.batch import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    curve: list[tuple[int, int]] = []
+    bpe_train_merges_from_dict(
+        word_freq_dict(docs, "text"), n_merges=8, token_curve=curve
+    )
+    return spark.createDataFrame(
+        [(rank, int(toks)) for rank, toks in curve],
+        "merge_rank int, corpus_tokens bigint",
     )
 
 
@@ -961,11 +1004,9 @@ def winnowing_hot_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_perplexity",
-    oracle=f"""
-    WITH {_TOKS_CTE},
-    bg AS (
+# Shared bigram-LM CTE chain: (doc_id, k, logp) under the corpus add-1
+# bigram model — consumed by bigram_perplexity and quality_filter_kappa.
+_BIGRAM_SCORED_CTE = """bg AS (
         SELECT doc_id,
                unnest(CASE WHEN len(words) >= 2
                       THEN [array_to_string(words[i:i+1], ' ')
@@ -989,7 +1030,14 @@ def winnowing_hot_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM doc_bg d
         JOIN model m USING (bg)
         JOIN ctx c ON string_split(d.bg, ' ')[1] = c.w1, voc
-    )
+    )"""
+
+
+@register(
+    "bigram_perplexity",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_BIGRAM_SCORED_CTE}
     SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
            round(sum(logp * k) / sum(k), 6) AS avg_logprob,
            round(exp(-sum(logp * k) / sum(k)), 6) AS perplexity
@@ -1320,6 +1368,102 @@ def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_quality_flags(docs, "text", "doc_id", stopwords=_GOPHER_SW)
+
+
+@register(
+    "quality_filter_kappa",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_BIGRAM_SCORED_CTE},
+    ppl AS (
+        SELECT doc_id, round(exp(-sum(logp * k) / sum(k)), 6) AS ppl
+        FROM scored GROUP BY doc_id
+    ),
+    med AS (SELECT median(ppl) AS m FROM ppl),
+    {{gopher}},
+    joined AS (
+        SELECT g.doc_id,
+               (g.pass_word_count AND g.pass_avg_word_len
+                AND g.pass_symbol_ratio AND g.pass_stopwords) AS a,
+               (p.ppl <= med.m) AS b
+        FROM gflags g JOIN ppl p USING (doc_id), med
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n11,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00,
+               CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM joined
+    )
+    SELECT n AS n_docs,
+           round(na / CAST(n AS DOUBLE), 6) AS gopher_keep_rate,
+           round(nb / CAST(n AS DOUBLE), 6) AS ppl_keep_rate,
+           round((n11 + n00) / CAST(n AS DOUBLE), 6) AS observed_agreement,
+           round((na * nb + (n - na) * (n - nb))
+                 / (CAST(n AS DOUBLE) * n), 6) AS expected_agreement,
+           round(((n11 + n00) / CAST(n AS DOUBLE)
+                  - (na * nb + (n - na) * (n - nb))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (na * nb + (n - na) * (n - nb))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS cohen_kappa
+    FROM c
+    """.format(gopher=_GOPHER_FLAGS_SQL.strip()),
+    tags=("llm", "quality", "calibration"),
+)
+def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-filter agreement audit (r09): Cohen's kappa between the two
+    quality-filter FAMILIES the engine ships — the rule-based Gopher
+    conjunctive keep and the model-based bigram-perplexity filter (keep =
+    perplexity <= corpus median of the ROUNDED per-doc values, so the
+    threshold is engine-exact). Kappa near 0 means the model filter adds
+    an independent signal (ensembling is worth its cost); kappa near 1
+    means it re-derives the rules and one of the two passes can be
+    dropped at 100 TB. Contingency cells are exact integers from one
+    combinable aggregate over the doc_id-keyed join of two map-only
+    frames; every rate is a single division of exact counts."""
+    from ..operators.quality import bigram_logprob, gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    gop = gopher_quality_flags(docs, "text", "doc_id", stopwords=_GOPHER_SW)
+    ppl = bigram_logprob(docs, "text", "doc_id").select(
+        "doc_id", "perplexity"
+    )
+    med = ppl.agg(F.median("perplexity").alias("m"))
+    joined = (
+        gop.select("doc_id", F.col("keep").alias("a"))
+        .join(ppl, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .select("doc_id", "a", (F.col("perplexity") <= F.col("m")).alias("b"))
+    )
+    c = joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / nd
+    pe = (
+        F.col("na") * F.col("nb")
+        + (F.col("n") - F.col("na")) * (F.col("n") - F.col("nb"))
+    ) / (nd * F.col("n"))
+    return c.select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("na") / nd, 6).alias("gopher_keep_rate"),
+        F.round(F.col("nb") / nd, 6).alias("ppl_keep_rate"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("cohen_kappa"),
+    )
+
 
 
 @register(

@@ -144,6 +144,18 @@ REPRESENTATIVES = [
     "quality_percentile_by_source",     # keyed percent_rank calibration
     "ann_probe_sweep",                  # nested-probe recall grid
     "dedup_containment_pairs",          # asymmetric containment verify
+    # round-9 families
+    "neardup_centrality",               # float PageRank (oracle-promoted)
+    "bpe_merge_table",                  # sentinel-replay merge table
+    "bpe_compression_curve",            # merge-budget token curve
+    "dedup_component_sizes_bucketed",   # bucketed co-located CC rounds
+    "minhash_estimate_error",           # signature-vs-exact calibration
+    "ngram_novelty_by_source",          # first-occurrence novelty share
+    "embedding_quantization_error",     # int8 reconstruction audit
+    "hourly_cusum_alarms",              # prefix-sum CUSUM alarms
+    "session_gap_sensitivity",          # gap-threshold session sweep
+    "exact_dup_arrival_curve",          # dup rate by arrival decile
+    "quality_filter_kappa",             # rule-vs-model agreement
 ]
 
 

@@ -2180,3 +2180,52 @@ def test_streaming_semantic_decontamination_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_cusum_over_hourly_state_matches_batch(spark, tmp_path):
+    """Round-9 composition parity: the CUSUM drift readout runs over
+    INCREMENTALLY-maintained (hour, n) counts — an exact sum-monoid
+    through the incremental-agg sink — and must equal the batch
+    hourly_cusum_alarms bit-for-bit (integer arithmetic end-to-end, so
+    'equal' means identical rows, not approximately)."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.events import (
+        cusum_over_hourly,
+        hourly_event_counts,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    src = str(tmp_path / "cusum_src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state = str(tmp_path / "cusum_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_cusum"))
+    runner.add(
+        "cusum_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, hourly_event_counts, ["hour"], ["n"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {
+        tuple(r)
+        for r in cusum_over_hourly(spark.read.parquet(state)).collect()
+    }
+    want = {
+        tuple(r)
+        for r in REGISTRY["hourly_cusum_alarms"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    assert got == want and got
