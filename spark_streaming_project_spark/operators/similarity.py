@@ -1165,44 +1165,53 @@ def ivfpq_topk(
     # per-probed-list ADC: approx dot(q, v) = dot(q, centroid_l) +
     # sum_s dot(q_s, codeword); approx |v|^2 = |centroid_l + reconstructed
     # residual|^2 expanded with cross terms folded into the tables:
-    # |c|^2 + 2*dot(c_s, w_s) + |w_s|^2 per subspace
-    sim_expr = None
+    # |c|^2 + 2*dot(c_s, w_s) + |w_s|^2 per subspace.
+    #
+    # The tables are shipped as an Arrow-batched numpy kernel, not plan
+    # literals: at n_probe>=3 the literal CASE tree (n_probe x n_sub x
+    # n_codes x 3 doubles) exceeds Janino's 64 KB method limit, so the
+    # whole stage silently fell back to interpreted per-row evaluation —
+    # the numpy gather is both the faster and the honest 100 TB shape
+    # (FAISS keeps the LUT in registers; Arrow batches are our registers).
+    lut = np.zeros((n_list, n_sub, n_codes))  # dot(q_s, codeword)
+    cross2 = np.zeros((n_list, n_sub, n_codes))  # 2*dot(c_s, w_s) + |w_s|^2
+    qdc = np.zeros(n_list)
+    c2 = np.zeros(n_list)
     for l in probes:
         c = cents[l]
-        q_dot_c = float(qv @ c)
-        luts = [
-            [float(qv[s * sub : (s + 1) * sub] @ books[s][j]) for j in range(n_codes)]
-            for s in range(n_sub)
-        ]
-        cross = [
-            [float(c[s * sub : (s + 1) * sub] @ books[s][j]) for j in range(n_codes)]
-            for s in range(n_sub)
-        ]
-        n2s = [
-            [float(books[s][j] @ books[s][j]) for j in range(n_codes)]
-            for s in range(n_sub)
-        ]
-        dot_e = F.lit(q_dot_c)
-        norm2_e = F.lit(float(c @ c))
+        qdc[l] = float(qv @ c)
+        c2[l] = float(c @ c)
         for s in range(n_sub):
-            code = F.col("_codes").getItem(s) + 1
-            dot_e = dot_e + F.element_at(F.array(*[F.lit(v) for v in luts[s]]), code)
-            norm2_e = (
-                norm2_e
-                + 2.0 * F.element_at(F.array(*[F.lit(v) for v in cross[s]]), code)
-                + F.element_at(F.array(*[F.lit(v) for v in n2s[s]]), code)
-            )
-        denom = F.lit(qn) * F.sqrt(F.greatest(norm2_e, F.lit(0.0)))
-        this = F.when(denom > 0, dot_e / denom)
-        sim_expr = (
-            F.when(F.col("_list") == l, this)
-            if sim_expr is None
-            else sim_expr.when(F.col("_list") == l, this)
-        )
+            for j in range(n_codes):
+                w = books[s][j]
+                lut[l, s, j] = float(qv[s * sub : (s + 1) * sub] @ w)
+                cross2[l, s, j] = 2.0 * float(
+                    c[s * sub : (s + 1) * sub] @ w
+                ) + float(w @ w)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _adc_score(lists: pd.Series, codes: pd.Series) -> pd.Series:
+        ls = lists.to_numpy()
+        cd = np.stack(codes.to_numpy()).astype(np.int64)  # (rows, n_sub)
+        srange = np.arange(n_sub)[None, :]  # broadcast vs (rows, 1) lists
+        dots = qdc[ls] + lut[ls[:, None], srange, cd].sum(axis=1)
+        norm2 = c2[ls] + cross2[ls[:, None], srange, cd].sum(axis=1)
+        denom = qn * np.sqrt(np.maximum(norm2, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom > 0, dots / denom, np.nan)
+        return pd.Series(sim)
 
     shortlist = (
         coded.filter(F.col("_list").isin(probes) & (F.col(id_col) != query_id))
-        .select(F.col(id_col), F.round(sim_expr, ROUND_DECIMALS).alias("_adc"))
+        .select(
+            F.col(id_col),
+            F.round(
+                _adc_score(F.col("_list"), F.col("_codes")), ROUND_DECIMALS
+            ).alias("_adc"),
+        )
         .orderBy(F.desc("_adc"), F.asc(id_col))
         .limit(rerank)
         .select(id_col)

@@ -307,15 +307,18 @@ def exact_dup_arrival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the decile ntile over doc_id (the bounded global sort a decile
     report always pays) — then one combinable aggregate; integer
     arithmetic end-to-end."""
+    from ..operators.windows import range_partitioned_ntile
+
     docs = load_table(spark, sf_dir, "documents")
     first = Window.partitionBy(F.md5("text"))
     is_dup = F.when(
         F.col("doc_id") > F.min("doc_id").over(first), 1
     ).otherwise(0)
-    ranked = docs.select(
-        "doc_id",
-        F.ntile(10).over(Window.orderBy(F.asc("doc_id"))).alias("decile"),
-        is_dup.alias("_dup"),
+    flagged = docs.select("doc_id", is_dup.alias("_dup"))
+    # range-partitioned exact ntile — a bare Window.orderBy(doc_id) would
+    # funnel the corpus through ONE task (the r4 perf-weak shape)
+    ranked = range_partitioned_ntile(
+        flagged, 10, [F.asc("doc_id")], out_col="decile"
     )
     return (
         ranked.groupBy("decile")
