@@ -3015,10 +3015,12 @@ def ab_mde_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hourly, params
     ),
     stat AS (
+        -- CAST: DuckDB's windowed sum over BIGINT is HUGEINT, which
+        -- degrades to float in pandas readers and breaks the hash gate
         SELECT hour, n,
-               p - least(CAST(0 AS BIGINT),
+               CAST(p - least(CAST(0 AS BIGINT),
                          min(p) OVER (ORDER BY hour
-                             ROWS UNBOUNDED PRECEDING)) AS cusum,
+                             ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum,
                5 * (mu + k) / 10 AS h
         FROM pref
     )

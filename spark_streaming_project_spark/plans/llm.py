@@ -333,6 +333,72 @@ def exact_dup_arrival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_source_matrix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{_BAND_EXPRS}]) AS band FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+              >= 0.3
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM verified
+    JOIN documents da ON da.doc_id = verified.id_a
+    JOIN documents db ON db.doc_id = verified.id_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "dedup", "minhash", "curation"),
+)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup matrix (r09): verified MinHash pairs rolled
+    up by unordered source pair — the DOCUMENT-level view next to
+    cdc_cross_source_matrix's chunk-level one. Off-diagonal mass says
+    two feeds are mirroring each other (dedup before mixing, or one
+    feed's acquisition budget is paying for the other's content);
+    diagonal mass is within-feed duplication. Pair generation is the
+    banded-LSH pass the engine already runs; the rollup adds two
+    doc_id-keyed source joins + one combinable aggregate."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(src.select(F.col("doc_id").alias("id_a"),
+                         F.col("source").alias("_sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"),
+                         F.col("source").alias("_sb")), "id_b")
+    )
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 _EST_MATCHES = " + ".join(
     f"(CASE WHEN sa.sig_{p} = sb.sig_{p} THEN 1 ELSE 0 END)"
     for p in range(NUM_PERM)
@@ -526,6 +592,49 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only joins on 16-bit band keys, the 100 TB shape)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return simhash_near_dup_pairs(docs, "text", "doc_id", bits=_SIMHASH_BITS, max_hamming=1)
+
+
+@register(
+    "simhash_hamming_histogram",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    hashed AS (
+        SELECT doc_id,
+               [CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                for t in list_distinct(words)] AS hs
+        FROM toks WHERE len(words) > 0
+    ),
+    shh AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM hashed)
+    SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "dedup", "simhash", "calibration"),
+)
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash threshold-placement calibration (r09): pair counts by
+    Hamming distance 0..3 — the table you read before hard-coding the
+    near-dup cutoff (a cliff between buckets marks the dup/organic
+    boundary; a smooth ramp means SimHash at this bit width can't
+    separate them and the Jaccard tier should decide). Uses the same
+    exact pigeonhole banding as dedup_simhash_pairs with 4 8-bit bands —
+    still a band-key equi-join, never all-pairs; the oracle brute-forces
+    to prove the banding misses nothing at this radius."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    pairs = simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=_SIMHASH_BITS, max_hamming=3
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -50,10 +50,11 @@ def duck_views():
 
 
 def test_every_registered_oracle_has_an_oracle_or_is_declared():
-    # exactly the 7 declared rows-only tiers may omit an oracle (the
-    # set itself is pinned by name in test_plans.py) — everything else
-    # must be gated here.
-    assert len(_ORACLES) == len(REGISTRY) - 7
+    # exactly the 5 declared rows-only tiers may omit an oracle (the
+    # set itself is pinned by name in test_plans.py; r09 promoted
+    # neardup_centrality and bpe_merge_table to full oracles) —
+    # everything else must be gated here.
+    assert len(_ORACLES) == len(REGISTRY) - 5
 
 
 def test_no_oracle_emits_128bit_integer_columns(duck_views):

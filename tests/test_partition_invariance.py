@@ -156,6 +156,8 @@ REPRESENTATIVES = [
     "session_gap_sensitivity",          # gap-threshold session sweep
     "exact_dup_arrival_curve",          # dup rate by arrival decile
     "quality_filter_kappa",             # rule-vs-model agreement
+    "neardup_source_matrix",            # cross-source near-dup rollup
+    "simhash_hamming_histogram",        # pigeonhole-banded distance grid
 ]
 
 
