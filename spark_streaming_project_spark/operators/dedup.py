@@ -434,20 +434,33 @@ def simhash_near_dup_pairs(
     complete candidate set, and bit_count(xor) verifies exactly.
 
     Scale shape: the self-join shuffles on (band_index, band_value) — a
-    32/(k+1)-bit key, not the document — so shuffle rows are (id, band)
-    pairs and the quadratic blowup is confined to same-band groups
-    (2^bandwidth buckets spread hot fingerprints). Candidates are
-    deduplicated BEFORE the verify join-back, so each surviving pair pays
-    the fingerprint lookup once. One scan computes fingerprints; bands
-    derive from it by bit-slicing (no second pass over text).
+    32/(k+1)-bit key, not the document — so shuffle rows are (id, sig,
+    band) triples and the quadratic blowup is confined to same-band
+    groups (2^bandwidth buckets spread hot fingerprints). The full
+    fingerprint RIDES ALONG on the band rows (8 bytes), so verification
+    is an inline xor+popcount ON the join output — no candidate
+    materialization, no dropDuplicates over the quadratic candidate set,
+    no join-back to the signature table. Only pairs that SURVIVE the
+    Hamming cutoff reach the final distinct, and that set is
+    output-sized, not candidate-sized. (At radius 3 with 8-bit bands the
+    candidate set is ~100x the output; deduplicating after the cheap
+    verify instead of before it is a ~4x wall-clock win at sf0.1.)
+    One scan computes fingerprints; bands derive by bit-slicing (no
+    second pass over text).
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
     assert n_bands * width == bits, "bands must evenly split the fingerprint"
+    # persist: the fingerprint fold (interpreted higher-order aggregate
+    # over the token-hash array) dominates the scan; both sides of the
+    # band self-join must read it from the materialized form, not
+    # recompute it. Cache lifetime is bounded by the harness-level
+    # clearCache (see ROADMAP r09 unpersist adjudication).
     sigs = simhash(df, text_col, id_col, bits).persist()
     mask = (1 << width) - 1
     bands = sigs.select(
         F.col(id_col),
+        F.col("simhash"),
         F.explode(
             F.array(
                 *[
@@ -461,28 +474,28 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select(F.col(id_col), "_band.band_idx", "_band.band_val")
-    cand = (
-        bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
-        .join(
-            bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_val"),
-            ["band_idx", "band_val"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    verified = cand.join(
-        sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sig_a")),
-        "id_a",
+    ).select(F.col(id_col), "simhash", "_band.band_idx", "_band.band_val")
+    joined = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("_sig_a"),
+        "band_idx",
+        "band_val",
     ).join(
-        sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sig_b")),
-        "id_b",
+        bands.select(
+            F.col(id_col).alias("id_b"),
+            F.col("simhash").alias("_sig_b"),
+            "band_idx",
+            "band_val",
+        ),
+        ["band_idx", "band_val"],
     )
     hamming = F.bit_count(F.expr("_sig_a ^ _sig_b"))
-    return verified.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 
