@@ -94,6 +94,22 @@ _R9_WINDOW = [
 # similarity_pq_topk, similarity_ivfpq_topk) had their markers recorded in
 # r05 and stay OUT; packed_sequences_ffd's marker was recorded in r08.
 
+# Queries built AFTER the r09 window froze (the 50 slots above were already
+# claimed by the refresh-rotation contract: 2 promotions + all 38 r03-stale
+# + 10 flex). These are the declared FIRST entries of the r10 window — the
+# driver records them next round. Pinned by tests/test_plans.py: the set of
+# unrecorded registry queries outside the r09 window must be EXACTLY this
+# list, so a new query can never silently fall out of the recording
+# rotation.
+_R10_FIRSTS = [
+    "neardup_source_matrix",  # cross-source near-dup rollup
+    "simhash_hamming_histogram",  # pigeonhole-banded distance calibration
+    "source_psi_drift",  # PSI drift gate on integer length buckets
+    "interarrival_profile",  # gap-level Poisson/burstiness lens
+    "source_centroid_similarity",  # mixture-design redundancy matrix
+    "jl_projection_distortion",  # Rademacher JL re-index audit
+]
+
 
 def _reorder() -> None:
     """Rotate the registry so the driver's recorded window (the first

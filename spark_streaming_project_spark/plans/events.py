@@ -3156,3 +3156,116 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("gap_minutes")
+
+
+# ---------------------------------------------------------------------------
+# Interarrival profile: is each event type Poisson-like or bursty at the
+# ARRIVAL level? Complements event_burstiness (hourly Fano factor) with the
+# gap-level lens: lag() deltas in exact integer seconds, CV and tail share
+# from exact sums only (tail test is the integer cross-multiplied form of
+# gap > 2 * mean — no division, no FP drift).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interarrival_profile",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id),
+                         ts) AS gap
+        FROM events
+    ),
+    g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+    agg AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(gap AS DECIMAL(38,0))) AS sx,
+               sum(CAST(gap * gap AS DECIMAL(38,0))) AS sxx
+        FROM g GROUP BY 1
+    ),
+    tail AS (
+        SELECT g.event_type,
+               count(*) FILTER (WHERE CAST(g.gap AS DECIMAL(38,0)) * a.n
+                                      > 2 * a.sx) AS n_tail
+        FROM g JOIN agg a ON a.event_type = g.event_type
+        GROUP BY 1
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_gaps,
+           round(CAST(a.sx AS DOUBLE) / a.n, 6) AS mean_gap_sec,
+           round(CASE WHEN a.sx > 0 THEN
+                   sqrt(greatest(CAST(a.n AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+                        - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE), 0))
+                   / CAST(a.sx AS DOUBLE)
+                 ELSE 0 END, 6) AS gap_cv,
+           round(CAST(t.n_tail AS DOUBLE) / a.n, 6) AS tail_share
+    FROM agg a JOIN tail t ON t.event_type = a.event_type
+    ORDER BY 1
+    """,
+    tags=("events", "window", "profiling"),
+)
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: interarrival mean, coefficient of variation, and
+    the share of gaps exceeding twice the mean. A Poisson arrival process
+    has CV ~ 1 and tail_share ~ e^-2; CV >> 1 flags bursty types whose
+    windows/watermarks need wider lateness budgets.
+
+    Determinism: gaps are exact integer seconds from a total order
+    (ts, event_id); CV uses the n*sxx - sx^2 identity over DECIMAL sums;
+    the tail predicate is cross-multiplied (gap * n > 2 * sx) so both
+    engines compare exact integers — the only FP is the final single-pass
+    divisions.
+
+    Scale shape: one keyed window sort per event type (the lag), then
+    combinable aggregates. Few huge types make the sort partitions wide —
+    at 100 TB, pre-bucket by (event_type, day) and stitch the one
+    boundary gap per bucket from per-bucket first/last timestamps; the
+    aggregate identities above are unchanged by that decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn(
+            "gap",
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+        )
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("gap") * F.col("gap")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    tail = (
+        gaps.join(agg, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count_if(
+                F.col("gap").cast("decimal(38,0)") * F.col("n") > 2 * F.col("sx")
+            ).alias("n_tail")
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    return (
+        agg.join(tail, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.round(sx_d / n_d, 6).alias("mean_gap_sec"),
+            F.round(
+                F.when(
+                    F.col("sx") > 0,
+                    F.sqrt(F.greatest(n_d * sxx_d - sx_d * sx_d, F.lit(0.0)))
+                    / sx_d,
+                ).otherwise(0.0),
+                6,
+            ).alias("gap_cv"),
+            F.round(F.col("n_tail").cast("double") / n_d, 6).alias("tail_share"),
+        )
+        .orderBy("event_type")
+    )

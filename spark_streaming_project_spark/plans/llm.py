@@ -6437,3 +6437,262 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Source-centroid similarity: which ingestion sources occupy the same
+# embedding region? The pairwise-cosine matrix over per-source centroids is
+# the curation dashboard for mixture design (two sources with cosine ~ 1
+# are redundant; a source orthogonal to all others is unique signal).
+# Same grid-rounding determinism contract as embedding_label_centroids.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_centroid_similarity",
+    oracle="""
+    WITH elems AS (
+        SELECT d.source,
+               unnest(list_transform(e.embedding,
+                                     x -> round(CAST(x AS DOUBLE), 3))) AS v,
+               generate_subscripts(e.embedding, 1) AS pos
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE e.embedding IS NOT NULL
+    ),
+    cent AS (
+        SELECT source, pos, sum(v) / count(*) AS c
+        FROM elems GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               sum(a.c * b.c) AS dot,
+               sum(a.c * a.c) AS na2,
+               sum(b.c * b.c) AS nb2
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           round(CASE WHEN na2 * nb2 > 0
+                      THEN dot / sqrt(na2 * nb2) ELSE 0 END, 6)
+               AS centroid_cosine
+    FROM pairs
+    ORDER BY 1, 2
+    """,
+    tags=("llm", "embedding", "similarity"),
+)
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-source embedding centroids.
+
+    Scale shape: posexplode -> (source, pos) partial sums is one
+    map-side-combinable aggregate over the fact scan; everything after
+    operates on a sources x dim frame (KBs at any corpus size), so the
+    pairwise self-join is broadcast-trivial. Elements are rounded to the
+    1e-3 grid before summing (embedding_label_centroids contract) so the
+    engines' different partial-sum orders cannot diverge."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    elems = (
+        emb.join(docs, "vec_id")
+        .select("source", F.posexplode("embedding").alias("pos", "raw"))
+        .select(
+            "source", "pos", F.round(F.col("raw").cast("double"), 3).alias("v")
+        )
+    )
+    cent = elems.groupBy("source", "pos").agg(
+        (F.sum("v") / F.count("*")).alias("c")
+    )
+    a = cent.select(
+        F.col("source").alias("src_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("source").alias("src_b"), "pos", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.round(
+            F.when(
+                F.col("na2") * F.col("nb2") > 0,
+                F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")),
+            ).otherwise(0.0),
+            6,
+        ).alias("centroid_cosine"),
+    ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection audit: project 64-d embeddings to 16-d
+# with a fixed Rademacher (+-1/sqrt(k)) sign matrix and measure pairwise
+# squared-distance distortion on a deterministic linear sample of pairs.
+# The audit a pipeline runs before swapping its ANN index to a cheaper
+# projected space. Sign matrix is md5-derived in PYTHON once and inlined
+# into both engines as literals; every dot/distance is a left-to-right
+# fold (same order both sides), so ratios are bit-identical.
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_OFFSETS = (1, 2, 3)  # pair i with i+1..i+3: O(3n) pairs, never quadratic
+
+
+def _jl_signs() -> list[list[float]]:
+    """sign[k][pos] in {-1.0, +1.0} from md5('jl:pos:k') parity."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl:{pos}:{k}".encode()).hexdigest()[:4], 16) % 2
+            else -1.0
+            for pos in range(_DIM)
+        ]
+        for k in range(_JL_K)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    # build per-k fold expressions with inlined sign literals
+    proj_exprs = []
+    for k, row in enumerate(signs):
+        lits = ", ".join("1.0" if s > 0 else "-1.0" for s in row)
+        proj_exprs.append(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[v[i] * ([{lits}])[i] for i in range(1, {_DIM} + 1)]), "
+            f"(acc, x) -> acc + x) / 4.0 AS p{k}"
+        )
+    proj_sql = ",\n               ".join(proj_exprs)
+    p_list = ", ".join(f"p{k}" for k in range(_JL_K))
+    offs = ", ".join(str(o) for o in _JL_OFFSETS)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    proj AS (
+        SELECT vec_id, v,
+               {proj_sql}
+        FROM vecs
+    ),
+    pv AS (SELECT vec_id, v, [{p_list}] AS p FROM proj),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                    for i in range(1, {_DIM} + 1)]),
+                   (acc, x) -> acc + x) AS d2_orig,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(a.p[i] - b.p[i]) * (a.p[i] - b.p[i])
+                    for i in range(1, {_JL_K} + 1)]),
+                   (acc, x) -> acc + x) AS d2_proj
+        FROM pv a
+        JOIN unnest([{offs}]) AS t(off) ON TRUE
+        JOIN pv b ON b.vec_id = a.vec_id + t.off
+    ),
+    ratios AS (
+        SELECT d2_proj / d2_orig AS ratio FROM pairs WHERE d2_orig > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(ratio) / count(*), 6) AS mean_ratio,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio,
+           round(CAST(count(*) FILTER (WHERE ratio BETWEEN 0.7 AND 1.3)
+                      AS DOUBLE) / count(*), 6) AS share_within_30pct
+    FROM ratios
+    """
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=_jl_oracle(),
+    tags=("llm", "embedding", "projection"),
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-distance distortion of a fixed Rademacher JL projection
+    (64-d -> 16-d, +-1/sqrt(16) entries): pair count, mean/min/max of
+    d2_proj/d2_orig, and the share inside the +-30% JL band (E[ratio] = 1,
+    sd ~ sqrt(2/k) ~ 0.35 at k=16).
+
+    Pair sample is id-adjacent (i with i+1..i+3) — an equi-join on
+    vec_id + offset, so the pair set grows LINEARLY with the table and
+    ships as an ordinary keyed shuffle (never an all-pairs blowup; at
+    100 TB raise offsets, not the join shape). The projection itself is
+    one map-side fold per vector — the exact pattern a 1000-executor
+    pipeline would run to re-index a corpus."""
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    proj = vecs.select(
+        "vec_id",
+        "v",
+        F.array(
+            *[
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            "v",
+                            F.array(*[F.lit(s) for s in signs[k]]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / 4.0
+                )
+                for k in range(_JL_K)
+            ]
+        ).alias("p"),
+    )
+    # offsets via explode on the left side, then equi-join on id_a + off
+    left = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+        F.explode(F.array(*[F.lit(o) for o in _JL_OFFSETS])).alias("off"),
+    )
+    right = proj.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    pairs = left.join(
+        right, F.col("id_a") + F.col("off") == F.col("id_b")
+    ).select(
+        fold(
+            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y))
+        ).alias("d2_orig"),
+        fold(
+            F.zip_with("pa", "pb", lambda x, y: (x - y) * (x - y))
+        ).alias("d2_proj"),
+    )
+    ratios = pairs.filter(F.col("d2_orig") > 0).select(
+        (F.col("d2_proj") / F.col("d2_orig")).alias("ratio")
+    )
+    return ratios.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("ratio") / F.count("*"), 6).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(
+            F.count_if(F.col("ratio").between(0.7, 1.3)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("share_within_30pct"),
+    )

@@ -3224,3 +3224,106 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index per source: the production drift score risk
+# teams run next to KL. Buckets are DIGIT COUNTS of n_chars (pure integer /
+# string arithmetic — no log-boundary ulp hazard between engines), shares
+# are Laplace-smoothed from exact counts, and only the final ln/sum is FP.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_psi_drift",
+    oracle="""
+    WITH docs AS (
+        SELECT source,
+               length(CAST(n_chars AS VARCHAR)) * 10
+               + CAST(substring(CAST(n_chars AS VARCHAR), 1, 1) AS INTEGER)
+                   AS bucket
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    corpus AS (SELECT bucket, count(*) AS c_b FROM docs GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_b) AS DOUBLE) AS n_all,
+                   CAST(count(*) AS DOUBLE) AS nb
+            FROM corpus),
+    per_src AS (
+        SELECT source, bucket, count(*) AS c_sb FROM docs GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.source, c.bucket, c.c_b, coalesce(p.c_sb, 0) AS c_sb
+        FROM (SELECT DISTINCT source FROM docs) s
+        CROSS JOIN corpus c
+        LEFT JOIN per_src p ON p.source = s.source AND p.bucket = c.bucket
+    ),
+    ns AS (SELECT source, CAST(sum(c_sb) AS DOUBLE) AS n_s
+           FROM grid GROUP BY 1)
+    SELECT g.source,
+           CAST(ns.n_s AS BIGINT) AS n_docs,
+           round(sum(
+               (((g.c_sb + 0.5) / (ns.n_s + 0.5 * tot.nb))
+                - ((g.c_b + 0.5) / (tot.n_all + 0.5 * tot.nb)))
+               * ln(((g.c_sb + 0.5) / (ns.n_s + 0.5 * tot.nb))
+                    / ((g.c_b + 0.5) / (tot.n_all + 0.5 * tot.nb)))
+           ), 6) AS psi
+    FROM grid g JOIN ns ON ns.source = g.source CROSS JOIN tot
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+    tags=("llm", "quality", "drift"),
+)
+def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the whole corpus — the standard go/no-go drift
+    gate (PSI < 0.1 stable, 0.1-0.25 watch, > 0.25 act) a training-data
+    pipeline evaluates per ingestion source before admitting a batch.
+
+    Buckets are (digit count, leading digit) of ``n_chars`` — a ~9-cell
+    log-like grid per decade from pure integer/string arithmetic that both
+    engines compute identically, unlike a float log-bucket whose boundary
+    docs could land differently per ulp. Shares are Laplace-smoothed
+    (+0.5) from exact counts so an absent bucket contributes a finite,
+    engine-identical term.
+
+    Scale shape: two combinable count aggregates over one scan each, a
+    sources x buckets grid from two BOUNDED frames (buckets <= 20 ever,
+    sources is the dimension), and one per-source sum. Nothing is
+    data-sized except the two scans; at 100 TB the grid is still KBs."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            (
+                F.length(F.col("n_chars").cast("string")) * 10
+                + F.substring(F.col("n_chars").cast("string"), 1, 1).cast("int")
+            ).alias("bucket"),
+        )
+    )
+    corpus = docs.groupBy("bucket").agg(F.count("*").alias("c_b"))
+    tot = corpus.agg(
+        F.sum("c_b").cast("double").alias("n_all"),
+        F.count("*").cast("double").alias("nb"),
+    )
+    per_src = docs.groupBy("source", "bucket").agg(F.count("*").alias("c_sb"))
+    grid = (
+        docs.select("source")
+        .distinct()
+        .join(F.broadcast(corpus))
+        .join(per_src, ["source", "bucket"], "left")
+        .select(
+            "source", "bucket", "c_b",
+            F.coalesce(F.col("c_sb"), F.lit(0)).alias("c_sb"),
+        )
+    )
+    ns = grid.groupBy("source").agg(F.sum("c_sb").cast("double").alias("n_s"))
+    p_s = (F.col("c_sb") + 0.5) / (F.col("n_s") + 0.5 * F.col("nb"))
+    p_c = (F.col("c_b") + 0.5) / (F.col("n_all") + 0.5 * F.col("nb"))
+    return (
+        grid.join(ns, "source")
+        .join(F.broadcast(tot))
+        .groupBy("source", F.col("n_s").cast("bigint").alias("n_docs"))
+        .agg(F.round(F.sum((p_s - p_c) * F.log(p_s / p_c)), 6).alias("psi"))
+        .orderBy("source")
+    )

@@ -323,6 +323,7 @@ def test_driver_window_is_exactly_the_intended_fifty():
         DRIVER_WINDOW,
         REGISTRY,
         _R9_WINDOW,
+        _R10_FIRSTS,
     )
 
     head = list(REGISTRY)[:DRIVER_WINDOW]
@@ -342,10 +343,19 @@ def test_driver_window_is_exactly_the_intended_fifty():
     stale = {n for n in REGISTRY if newest.get(n) == 3}
     assert stale <= set(head), sorted(stale - set(head))
     # zero recorded-proof debt stays discharged: any query without a
-    # recorded row must be NEW this round, i.e. inside the window so the
-    # r09 gate records it
+    # recorded row is either inside the r09 window (recorded this round)
+    # or in the DECLARED _R10_FIRSTS list (built after the 50 slots were
+    # claimed by the refresh-rotation contract; they lead the r10 window).
+    # Equality, not subset: a new query can't silently skip the rotation.
     unrecorded = {n for n in REGISTRY if n not in newest}
-    assert unrecorded <= set(head), sorted(unrecorded - set(head))
+    assert unrecorded - set(head) == set(_R10_FIRSTS), sorted(
+        (unrecorded - set(head)) ^ set(_R10_FIRSTS)
+    )
+    # the deferred queries carry oracles so their r10 recording is the
+    # full rows+schema+hash gate, not a rows-only marker
+    assert all(REGISTRY[n].oracle is not None for n in _R10_FIRSTS), [
+        n for n in _R10_FIRSTS if REGISTRY[n].oracle is None
+    ]
     # every window entry carries an oracle — including the two promotions
     assert all(REGISTRY[n].oracle is not None for n in head), [
         n for n in head if REGISTRY[n].oracle is None
