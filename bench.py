@@ -79,7 +79,8 @@ def main() -> None:
         "similarity_ann_lsh_topk": 0.1,
         "similarity_lsh_multiprobe_topk": 0.4,
         "similarity_ann_lsh_multitable_topk": 0.9,
-        "similarity_ivf_topk": 0.3,
+        # r09 in-round retune: n_probe 2 -> 3, recall 0.4 -> 0.6 at sf0.1
+        "similarity_ivf_topk": 0.5,
         "similarity_ivf_kmeans_topk": 0.4,
         "similarity_quantized_topk": 0.8,
         "similarity_pq_topk": 0.8,
