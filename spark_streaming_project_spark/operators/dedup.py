@@ -380,14 +380,21 @@ def ngram_jaccard_pairs_adaptive(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprints: sign-sum of per-token hash bits.
 
-    Token hashes come from the first 8 hex chars of md5 (32-bit), so the
-    whole computation is engine-portable. Bit i of the fingerprint is 1 iff
-    the number of tokens with bit i set exceeds half the token count.
+    Token hashes come from the first ceil(bits/4) hex chars of md5 (min 8,
+    i.e. 32-bit; up to 15 chars = 60 bits, still inside signed BIGINT), so
+    the whole computation is engine-portable. Bit i of the fingerprint is 1
+    iff the number of tokens with bit i set exceeds half the token count.
+    Wider fingerprints exist for the banding math: at Hamming radius r the
+    pigeonhole band key is bits/(r+1) wide, and the band-join candidate
+    volume scales with n^2 / 2^(bits/(r+1)) — at corpus scale you buy
+    headroom with bits, not with a different join.
 
     Single aggregate fold over the hash array (one interpreted pass) instead
     of ``bits`` separate filter passes — ~2.5x cheaper, and the vote vector
     shape is what a Pandas-UDF batch version would use at higher dims.
     """
+    assert bits <= 60, "15 md5 hex chars (60 bits) is the signed-BIGINT cap"
+    hex_chars = max(8, (bits + 3) // 4)
     base = (
         df.select(F.col(id_col), F.col(text_col).alias("_text"))
         .withColumn(
@@ -398,7 +405,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         .withColumn(
             "_hs",
             F.expr(
-                "transform(_toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+                "transform(_toks, t -> cast(conv(substring(md5(t), 1, "
+                f"{hex_chars}), 16, 10) AS BIGINT))"
             ),
         )
     )

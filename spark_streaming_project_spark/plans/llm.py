@@ -538,11 +538,26 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIMHASH_BITS = 32
-_SIMHASH_BIT_TERMS = " + ".join(
-    f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {i}) & 1 = 1)) > len(hs) "
-    f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-    for i in range(_SIMHASH_BITS)
-)
+
+
+def _simhash_bit_terms(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {i}) & 1 = 1)) > len(hs) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+_SIMHASH_BIT_TERMS = _simhash_bit_terms(_SIMHASH_BITS)
+
+# The radius-3 calibration histogram uses a WIDER fingerprint than the
+# radius-1 dedup tier: pigeonhole banding at radius r gives bits/(r+1)-bit
+# band keys, and candidate volume grows ~n^2 / 2^(band bits). 32-bit
+# fingerprints at radius 3 mean 8-bit bands (256 buckets) — measured
+# quadratic collapse at the 10x overlay (4 s -> 98 s). 60 bits (the
+# signed-BIGINT cap at 15 md5 hex chars) gives 15-bit bands: 128x more
+# buckets for the same join shape.
+_SIMHASH_HIST_BITS = 60
 
 
 @register(
@@ -600,11 +615,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_TOKS_CTE},
     hashed AS (
         SELECT doc_id,
-               [CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+               [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
                 for t in list_distinct(words)] AS hs
         FROM toks WHERE len(words) > 0
     ),
-    shh AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS simhash FROM hashed)
+    shh AS (SELECT doc_id, {_simhash_bit_terms(_SIMHASH_HIST_BITS)} AS simhash
+            FROM hashed)
     SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM shh a JOIN shh b ON a.doc_id < b.doc_id
@@ -619,16 +635,19 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cutoff (a cliff between buckets marks the dup/organic
     boundary; a smooth ramp means SimHash at this bit width can't
     separate them and the Jaccard tier should decide). Uses the same
-    exact pigeonhole banding as dedup_simhash_pairs with 4 8-bit bands —
-    still a band-key equi-join, never all-pairs; the oracle brute-forces
-    to prove the banding misses nothing at this radius."""
+    exact pigeonhole banding as dedup_simhash_pairs but on a 60-BIT
+    fingerprint: radius 3 means 4 bands, and 15-bit band keys keep the
+    band-join candidate volume ~n^2/32768 instead of ~n^2/256 (the
+    32-bit version measured 24x growth at the 10x overlay — the band
+    space, not the join shape, was the bottleneck). The oracle
+    brute-forces to prove the banding misses nothing at this radius."""
     from ..operators.dedup import simhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     pairs = simhash_near_dup_pairs(
-        docs, "text", "doc_id", bits=_SIMHASH_BITS, max_hamming=3
+        docs, "text", "doc_id", bits=_SIMHASH_HIST_BITS, max_hamming=3
     )
     return (
         pairs.groupBy("hamming")
