@@ -10,7 +10,7 @@ to 6 decimals at the comparison surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_ngrams
@@ -3289,29 +3289,42 @@ def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two combinable count aggregates over one scan each, a
     sources x buckets grid from two BOUNDED frames (buckets <= 20 ever,
     sources is the dimension), and one per-source sum. Nothing is
-    data-sized except the two scans; at 100 TB the grid is still KBs."""
+    data-sized except the two scans; at 100 TB the grid is still KBs.
+
+    The report is a pure function of the (source, bucket) count-monoid
+    state (``psi_from_counts``), so the STREAMING twin — counts maintained
+    additively per micro-batch by ``foreach_batch_incremental_agg`` —
+    reproduces this query exactly (tests/test_streaming_llm.py)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars").isNotNull())
-        .select(
-            "source",
-            (
-                F.length(F.col("n_chars").cast("string")) * 10
-                + F.substring(F.col("n_chars").cast("string"), 1, 1).cast("int")
-            ).alias("bucket"),
-        )
+        .select("source", length_digit_bucket(F.col("n_chars")).alias("bucket"))
     )
-    corpus = docs.groupBy("bucket").agg(F.count("*").alias("c_b"))
+    counts = docs.groupBy("source", "bucket").agg(F.count("*").alias("c_sb"))
+    return psi_from_counts(counts)
+
+
+def length_digit_bucket(n_chars: Column) -> Column:
+    """(digit count, leading digit) length bucket: pure integer/string
+    arithmetic, identical in Spark and DuckDB (no float-log boundaries)."""
+    s = n_chars.cast("string")
+    return F.length(s) * 10 + F.substring(s, 1, 1).cast("int")
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI report from additive (source, bucket, c_sb) counts — the exact
+    frame ``foreach_batch_incremental_agg`` maintains, which makes the
+    streaming PSI monitor equal the batch query bit-for-bit."""
+    corpus = counts.groupBy("bucket").agg(F.sum("c_sb").alias("c_b"))
     tot = corpus.agg(
         F.sum("c_b").cast("double").alias("n_all"),
         F.count("*").cast("double").alias("nb"),
     )
-    per_src = docs.groupBy("source", "bucket").agg(F.count("*").alias("c_sb"))
     grid = (
-        docs.select("source")
+        counts.select("source")
         .distinct()
         .join(F.broadcast(corpus))
-        .join(per_src, ["source", "bucket"], "left")
+        .join(counts, ["source", "bucket"], "left")
         .select(
             "source", "bucket", "c_b",
             F.coalesce(F.col("c_sb"), F.lit(0)).alias("c_sb"),

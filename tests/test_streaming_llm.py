@@ -2229,3 +2229,56 @@ def test_streaming_cusum_over_hourly_state_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_psi_over_incremental_state_matches_batch(spark, tmp_path):
+    """Drift monitoring over streaming state: (source, length-bucket)
+    counts maintained additively per trigger; the PSI report recomputed
+    from the streamed state equals the batch source_psi_drift exactly
+    (the report is a pure function of the count-monoid state)."""
+    from spark_streaming_project_spark.plans.quality import (
+        length_digit_bucket,
+        psi_from_counts,
+    )
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    sf = SF_CORRECT
+    docs = load_table(spark, sf, "documents")
+    src = str(tmp_path / "psi_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def bucket_counts(df):
+        return (
+            df.filter(F.col("n_chars").isNotNull())
+            .groupBy(
+                "source", length_digit_bucket(F.col("n_chars")).alias("bucket")
+            )
+            .agg(F.count("*").alias("c_sb"))
+        )
+
+    state = str(tmp_path / "psi_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_psi"))
+    runner.add(
+        "psi_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, bucket_counts, ["source", "bucket"], ["c_sb"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = {tuple(r) for r in psi_from_counts(spark.read.parquet(state)).collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["source_psi_drift"].builder(spark, sf).collect()
+    }
+    assert got == want and got
