@@ -28,6 +28,8 @@ QUERIES = [
     "jl_projection_distortion",
     "neardup_source_matrix",
     "simhash_hamming_histogram",
+    "monthly_revenue_seasonality",
+    "label_silhouette",
 ]
 
 

@@ -108,6 +108,8 @@ _R10_FIRSTS = [
     "interarrival_profile",  # gap-level Poisson/burstiness lens
     "source_centroid_similarity",  # mixture-design redundancy matrix
     "jl_projection_distortion",  # Rademacher JL re-index audit
+    "monthly_revenue_seasonality",  # 13-month centered-MA seasonal ratio
+    "label_silhouette",  # centroid-form cluster-quality audit
 ]
 
 

@@ -6718,3 +6718,137 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_within_30pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label silhouette (centroid form): per-label clustering quality of the
+# embedding space — mean (d_other - d_own)/max(...) per vector against
+# label centroids, plus the share of vectors closer to a FOREIGN centroid
+# (the mislabel/collapse alarm). Centroid components round to the 1e-6
+# grid before distances so both engines fold identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_silhouette",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    elems AS (
+        SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM e
+    ),
+    cent AS (
+        SELECT label, pos, round(sum(val) / count(*), 6) AS c
+        FROM elems GROUP BY 1, 2
+    ),
+    cent_arr AS (
+        SELECT label AS c_label, list(c ORDER BY pos) AS cv
+        FROM cent GROUP BY 1
+    ),
+    d AS (
+        SELECT e.vec_id, e.label, ca.c_label,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(e.v[i] - ca.cv[i]) * (e.v[i] - ca.cv[i])
+                    for i in range(1, {_DIM} + 1)]),
+                   (acc, x) -> acc + x) AS d2
+        FROM e CROSS JOIN cent_arr ca
+    ),
+    pv AS (
+        SELECT vec_id, label,
+               max(CASE WHEN c_label = label THEN d2 END) AS d_own,
+               min(CASE WHEN c_label <> label THEN d2 END) AS d_other
+        FROM d GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT label,
+               round(CASE WHEN greatest(d_own, d_other) > 0
+                          THEN (d_other - d_own) / greatest(d_own, d_other)
+                          ELSE 0 END, 6) AS sil
+        FROM pv
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(sil) / count(*), 6) AS mean_silhouette,
+           round(CAST(count(*) FILTER (WHERE sil < 0) AS DOUBLE)
+                 / count(*), 6) AS share_negative
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "embedding", "evaluation"),
+)
+def label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-form silhouette per label: for each vector, squared
+    distance to its own label centroid vs the nearest foreign centroid;
+    silhouette = (d_other - d_own)/max(d_own, d_other). mean_silhouette
+    near 1 = tight separated clusters; share_negative is the fraction of
+    vectors sitting closer to a foreign centroid — the label-noise /
+    embedding-collapse alarm an eval pipeline tracks per training run.
+
+    Scale shape: centroids are one map-combinable (label, pos) aggregate;
+    the distance pass is a broadcast of the labels x dim centroid table
+    (KBs) against one fact scan with a per-row fold — no shuffle keyed on
+    anything data-sized except the final per-label aggregate. Centroid
+    components and input elements round to fixed grids (1e-6 / 1e-3) so
+    the fold consumes identical doubles in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 3)
+        ).alias("v"),
+    )
+    elems = vecs.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    )
+    cent = elems.groupBy("label", "pos").agg(
+        F.round(F.sum("val") / F.count("*"), 6).alias("c")
+    )
+    cent_arr = cent.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x.getField("c"),
+        ).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = vecs.join(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "c_label", d2.alias("d2")
+    )
+    pv = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("d2"))).alias(
+            "d_own"
+        ),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d2"))).alias(
+            "d_other"
+        ),
+    )
+    big = F.greatest(F.col("d_own"), F.col("d_other"))
+    s = pv.select(
+        "label",
+        F.round(
+            F.when(big > 0, (F.col("d_other") - F.col("d_own")) / big)
+            .otherwise(0.0),
+            6,
+        ).alias("sil"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.sum("sil") / F.count("*"), 6).alias("mean_silhouette"),
+            F.round(
+                F.count_if(F.col("sil") < 0).cast("double") / F.count("*"), 6
+            ).alias("share_negative"),
+        )
+        .orderBy("label")
+    )

@@ -2465,3 +2465,82 @@ def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / actual_cents) AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality decomposition: monthly revenue, 13-month centered moving-
+# average trend, and the detrended seasonal ratio. The window is over the
+# MONTH series (bounded by the calendar: ~80 rows at any corpus size), so
+# the global orderBy window is driver-safe; all sums are exact DECIMAL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_revenue_seasonality",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+               CAST(date_part('month', o_orderdate) AS INTEGER) AS mth,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT yr, mth, revenue,
+               sum(revenue) OVER w AS win_sum,
+               count(*) OVER w AS win_n
+        FROM monthly
+        WINDOW w AS (ORDER BY yr, mth ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    )
+    SELECT yr, mth,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CASE WHEN win_n = 13
+                      THEN CAST(revenue AS DOUBLE)
+                           / (CAST(win_sum AS DOUBLE) / 13)
+                 END, 6) AS seasonal_ratio
+    FROM trended
+    ORDER BY yr, mth
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonality read-out: monthly order revenue, a 13-month
+    centered moving-average trend, and revenue/trend — the seasonal ratio
+    a demand-planning dashboard charts (ratio > 1 = above-trend month).
+    Months without the full +-6 neighborhood get a NULL ratio instead of
+    a biased partial average.
+
+    Scale shape: the month aggregate is map-side combinable and collapses
+    the fact table to a calendar-bounded series (~80 rows for 7 years),
+    so the unpartitioned ORDER BY window that follows is a deliberate
+    single-task pass over a bounded frame — the exception the plan-audit
+    notes allow, same as the other calendar-series queries."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mth"),
+    ).agg(F.sum(_dec("o_totalprice")).cast("decimal(18,6)").alias("revenue_dec"))
+    # named-window twin: exact DECIMAL sums in the frame, one division out
+    w = (
+        Window.orderBy("yr", "mth")
+        .rowsBetween(-6, 6)
+    )
+    trended = monthly.select(
+        "yr",
+        "mth",
+        F.col("revenue_dec"),
+        F.sum("revenue_dec").over(w).alias("win_sum"),
+        F.count("*").over(w).alias("win_n"),
+    )
+    return trended.select(
+        "yr",
+        "mth",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.round(
+            F.when(
+                F.col("win_n") == 13,
+                F.col("revenue_dec").cast("double")
+                / (F.col("win_sum").cast("double") / 13),
+            ),
+            6,
+        ).alias("seasonal_ratio"),
+    ).orderBy("yr", "mth")
