@@ -87,6 +87,8 @@ def main() -> None:
         # r09: retuned to n_probe=3/rerank=300 (VERDICT r8 ask #2) —
         # deterministic 0.8 at sf0.1, floor raised so it cannot slide back
         "similarity_ivfpq_topk": 0.8,
+        # r09: 16-d JL shortlist-300 + exact re-rank — 0.9 at sf0.1
+        "similarity_jl_rerank_topk": 0.8,
     }
     ann_recall = {}
     try:

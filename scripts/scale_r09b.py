@@ -30,6 +30,7 @@ QUERIES = [
     "simhash_hamming_histogram",
     "monthly_revenue_seasonality",
     "label_silhouette",
+    "similarity_jl_rerank_topk",
 ]
 
 

@@ -110,6 +110,7 @@ _R10_FIRSTS = [
     "jl_projection_distortion",  # Rademacher JL re-index audit
     "monthly_revenue_seasonality",  # 13-month centered-MA seasonal ratio
     "label_silhouette",  # centroid-form cluster-quality audit
+    "similarity_jl_rerank_topk",  # 16-d JL shortlist + exact re-rank ANN
 ]
 
 

@@ -6852,3 +6852,139 @@ def label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# JL-rerank ANN tier: score ALL vectors in the cheap 16-d projected space,
+# shortlist top-C, then exact-cosine re-rank the shortlist in 64-d. The
+# production "reduce precision to shortlist, restore it to rank" pattern —
+# and the ANN-ladder companion of jl_projection_distortion. Fully
+# deterministic (fixed sign matrix), so the oracle replays it end-to-end.
+# ---------------------------------------------------------------------------
+
+_JL_SHORTLIST = 300
+
+
+def _jl_rerank_oracle() -> str:
+    signs = _jl_signs()
+    proj_exprs = []
+    for k, row in enumerate(signs):
+        lits = ", ".join("1.0" if s > 0 else "-1.0" for s in row)
+        proj_exprs.append(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[v[i] * ([{lits}])[i] for i in range(1, {_DIM} + 1)]), "
+            f"(acc, x) -> acc + x) / 4.0 AS p{k}"
+        )
+    proj_sql = ",\n               ".join(proj_exprs)
+    p_list = ", ".join(f"p{k}" for k in range(_JL_K))
+
+    def dot(a: str, b: str, dim: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[{a}[i] * {b}[i] for i in range(1, {dim} + 1)]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    proj AS (
+        SELECT vec_id, v,
+               {proj_sql}
+        FROM vecs
+    ),
+    pv AS (SELECT vec_id, v, [{p_list}] AS p FROM proj),
+    q AS (SELECT v AS qv, p AS qp FROM pv WHERE vec_id = {_QUERY_VEC_ID}),
+    shortlist AS (
+        SELECT pv.vec_id, pv.v,
+               {dot('pv.p', 'qp', _JL_K)}
+               / (sqrt({dot('pv.p', 'pv.p', _JL_K)})
+                  * sqrt({dot('qp', 'qp', _JL_K)})) AS psim
+        FROM pv, q
+        WHERE pv.vec_id <> {_QUERY_VEC_ID}
+          AND sqrt({dot('pv.p', 'pv.p', _JL_K)}) > 0
+        ORDER BY psim DESC, pv.vec_id ASC
+        LIMIT {_JL_SHORTLIST}
+    )
+    SELECT s.vec_id,
+           round({dot('s.v', 'qv', _DIM)}
+                 / (sqrt({dot('s.v', 's.v', _DIM)})
+                    * sqrt({dot('qv', 'qv', _DIM)})), 6) AS cosine_sim
+    FROM shortlist s, q
+    ORDER BY cosine_sim DESC, s.vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "similarity_jl_rerank_topk",
+    oracle=_jl_rerank_oracle(),
+    tags=("llm", "similarity", "projection"),
+)
+def similarity_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by exact cosine over a top-{_JL_SHORTLIST} shortlist ranked in
+    the 16-d JL space. Unlike the bucketed tiers this scans every vector,
+    but each scan row costs a 16-d fold instead of 64-d — the arithmetic-
+    reduction ANN axis (4x less work per row), orthogonal to the
+    scan-reduction axis (IVF/LSH buckets); production indexes stack both.
+    Shortlist then exact re-rank bounds the error: a true neighbor is
+    missed only if JL distortion pushes it out of the top-{_JL_SHORTLIST}.
+
+    Scale shape: projection is a per-row map; the shortlist is a
+    TakeOrderedAndProject (size-{_JL_SHORTLIST} heap per partition, no
+    shuffle of the fact table); re-rank touches {_JL_SHORTLIST} rows."""
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    proj = vecs.select(
+        "vec_id",
+        "v",
+        F.array(
+            *[
+                (
+                    fold(
+                        F.zip_with(
+                            "v",
+                            F.array(*[F.lit(s) for s in signs[k]]),
+                            lambda x, y: x * y,
+                        )
+                    )
+                    / 4.0
+                )
+                for k in range(_JL_K)
+            ]
+        ).alias("p"),
+    )
+    q = proj.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("p").alias("qp")
+    )
+    pdot = fold(F.zip_with("p", "qp", lambda x, y: x * y))
+    pnorm = F.sqrt(fold(F.zip_with("p", "p", lambda x, y: x * y)))
+    qpnorm = F.sqrt(fold(F.zip_with("qp", "qp", lambda x, y: x * y)))
+    shortlist = (
+        proj.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .filter(pnorm > 0)
+        .select("vec_id", "v", "qv", (pdot / (pnorm * qpnorm)).alias("psim"))
+        .orderBy(F.desc("psim"), F.asc("vec_id"))
+        .limit(_JL_SHORTLIST)
+    )
+    vdot = fold(F.zip_with("v", "qv", lambda x, y: x * y))
+    vnorm = F.sqrt(fold(F.zip_with("v", "v", lambda x, y: x * y)))
+    qvnorm = F.sqrt(fold(F.zip_with("qv", "qv", lambda x, y: x * y)))
+    return (
+        shortlist.select(
+            "vec_id",
+            F.round(vdot / (vnorm * qvnorm), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -991,6 +991,8 @@ def test_registry_ann_tiers_hold_recall_floors(spark):
         "similarity_quantized_topk": 0.9,
         "similarity_pq_topk": 0.9,
         "similarity_ivfpq_topk": 0.7,
+        # 16-d JL shortlist-300 + exact re-rank: 1.0 at sf0.01
+        "similarity_jl_rerank_topk": 0.9,
     }
     truth = {
         r["vec_id"]
