@@ -31,6 +31,7 @@ QUERIES = [
     "monthly_revenue_seasonality",
     "label_silhouette",
     "similarity_jl_rerank_topk",
+    "dup_quality_correlation",
 ]
 
 

@@ -111,6 +111,7 @@ _R10_FIRSTS = [
     "monthly_revenue_seasonality",  # 13-month centered-MA seasonal ratio
     "label_silhouette",  # centroid-form cluster-quality audit
     "similarity_jl_rerank_topk",  # 16-d JL shortlist + exact re-rank ANN
+    "dup_quality_correlation",  # near-dup cluster size x quality profile
 ]
 
 

@@ -3340,3 +3340,96 @@ def psi_from_counts(counts: DataFrame) -> DataFrame:
         .agg(F.round(F.sum((p_s - p_c) * F.log(p_s / p_c)), 6).alias("psi"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Does duplication predict low quality? The curation cross-check: NEAR-dup
+# cluster size (transitive canonical clusters, capped bucket) x quality-
+# score profile. A corpus where the big clusters score high is boilerplate-
+# heavy (templates, legal footers); one where they score low is scraping
+# noise — the answer decides whether keep-one-per-cluster also needs a
+# quality override. (Exact-digest clustering is degenerate on this corpus:
+# its duplicates are token-resampled near-dups, never byte-identical.)
+# ---------------------------------------------------------------------------
+
+
+def _dup_quality_oracle() -> str:
+    from .llm import _CANONICAL_CTE
+
+    return f"""
+    WITH RECURSIVE {_CANONICAL_CTE},
+    q AS (
+        SELECT doc_id, {_QPS_QUALITY} AS quality
+        FROM toks WHERE len(words) > 0
+    ),
+    sizes AS (SELECT canonical_id, count(*) AS sz FROM cmap GROUP BY 1),
+    j AS (
+        SELECT q.quality,
+               CAST(least(s.sz, 5) AS INTEGER) AS size_bucket,
+               q.quality >= {_QPS_CUTOFF} AS keeps
+        FROM q
+        JOIN cmap ON cmap.doc_id = q.doc_id
+        JOIN sizes s ON s.canonical_id = cmap.canonical_id
+    )
+    SELECT size_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(quality) / count(*), 6) AS mean_quality,
+           round(CAST(count(*) FILTER (WHERE keeps) AS DOUBLE)
+                 / count(*), 6) AS keep_rate
+    FROM j GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "dup_quality_correlation",
+    oracle=_dup_quality_oracle(),
+    tags=("llm", "quality", "dedup", "curation"),
+)
+def dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality profile by transitive near-dup cluster size (bucket capped
+    at 5+): doc count, mean quality score, and the share clearing the
+    global quality cutoff. Read next to dedup_token_savings: if keep_rate
+    falls with size_bucket, dedup and quality filtering agree and
+    compose; if not, the pipeline needs a boilerplate-specific rule.
+
+    Scale shape: reuses the canonical-map pipeline (banded Jaccard pairs
+    -> pointer-jumping CC — every stage keyed, never all-pairs) plus one
+    combinable size aggregate and two doc_id/cluster-keyed joins; quality
+    is one more combinable pass over the same token scan."""
+    from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import connected_components
+    from ..operators.textstats import doc_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    nn = docs.filter(F.col("text").isNotNull())
+    pairs = ngram_jaccard_pairs_adaptive(nn, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    cmap = (
+        docs.select("doc_id")
+        .join(cc.select(F.col("u").alias("doc_id"), "component"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("canonical_id")
+        )
+    )
+    sizes = cmap.groupBy("canonical_id").agg(F.count("*").alias("sz"))
+    q = doc_stats(nn, "text", "doc_id").select("doc_id", "quality")
+    j = (
+        q.join(cmap, "doc_id")
+        .join(sizes, "canonical_id")
+        .select(
+            "quality",
+            F.least(F.col("sz"), F.lit(5)).cast("int").alias("size_bucket"),
+            (F.col("quality") >= _QPS_CUTOFF).alias("keeps"),
+        )
+    )
+    return (
+        j.groupBy("size_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("quality") / F.count("*"), 6).alias("mean_quality"),
+            F.round(
+                F.count_if(F.col("keeps")).cast("double") / F.count("*"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("size_bucket")
+    )
