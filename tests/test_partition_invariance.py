@@ -158,6 +158,15 @@ REPRESENTATIVES = [
     "quality_filter_kappa",             # rule-vs-model agreement
     "neardup_source_matrix",            # cross-source near-dup rollup
     "simhash_hamming_histogram",        # pigeonhole-banded distance grid
+    # round-9 session-2 families
+    "source_psi_drift",                 # smoothed PSI over integer buckets
+    "interarrival_profile",             # lag-gap CV + integer tail test
+    "source_centroid_similarity",       # grid-rounded centroid cosines
+    "jl_projection_distortion",         # fixed-fold JL ratio stats
+    "monthly_revenue_seasonality",      # calendar-bounded centered MA
+    "label_silhouette",                 # centroid-form silhouette
+    "similarity_jl_rerank_topk",        # JL shortlist + exact re-rank
+    "dup_quality_correlation",          # cluster-size quality profile
 ]
 
 
