@@ -134,6 +134,15 @@ SHOWCASE = [
      "CUSUM drift (r09): the ordered window runs on the HOURS frame "
      "(bounded), never the event log; events contribute one combinable "
      "hourly count aggregate."),
+    ("similarity_jl_rerank_topk",
+     "JL-rerank ANN (r09): per-row 16-d projection folds (arithmetic "
+     "reduction, no index), size-300 TakeOrderedAndProject shortlist "
+     "(per-partition heap, no fact shuffle), exact re-rank on 300 rows."),
+    ("source_psi_drift",
+     "PSI drift gate (r09): two map-combinable count aggregates; the "
+     "sources x buckets grid is broadcast nested-loop over two BOUNDED "
+     "dims (buckets <= 20) — BNLJ of bounded frames is the idiom, not "
+     "an accident."),
 ]
 
 HEADER = """# PLANS — flagship physical plans (auto-generated)
