@@ -6626,11 +6626,13 @@ def _jl_oracle() -> str:
         SELECT d2_proj / d2_orig AS ratio FROM pairs WHERE d2_orig > 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           round(sum(ratio) / count(*), 6) AS mean_ratio,
+           round(CASE WHEN count(*) > 0
+                      THEN sum(ratio) / count(*) END, 6) AS mean_ratio,
            round(min(ratio), 6) AS min_ratio,
            round(max(ratio), 6) AS max_ratio,
-           round(CAST(count(*) FILTER (WHERE ratio BETWEEN 0.7 AND 1.3)
-                      AS DOUBLE) / count(*), 6) AS share_within_30pct
+           round(CASE WHEN count(*) > 0 THEN
+                   CAST(count(*) FILTER (WHERE ratio BETWEEN 0.7 AND 1.3)
+                        AS DOUBLE) / count(*) END, 6) AS share_within_30pct
     FROM ratios
     """
 
@@ -6707,14 +6709,17 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = pairs.filter(F.col("d2_orig") > 0).select(
         (F.col("d2_proj") / F.col("d2_orig")).alias("ratio")
     )
+    # n > 0 guards: an empty pair sample (found by the 100x overlay probe
+    # before its id-block fix) must yield a (0, NULL, ...) row, not an
+    # ANSI divide-by-zero — matching the oracle's CASE WHEN semantics
+    n = F.count("*")
     return ratios.agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.round(F.sum("ratio") / F.count("*"), 6).alias("mean_ratio"),
+        n.cast("bigint").alias("n_pairs"),
+        F.round(F.when(n > 0, F.sum("ratio") / n), 6).alias("mean_ratio"),
         F.round(F.min("ratio"), 6).alias("min_ratio"),
         F.round(F.max("ratio"), 6).alias("max_ratio"),
         F.round(
-            F.count_if(F.col("ratio").between(0.7, 1.3)).cast("double")
-            / F.count("*"),
+            F.when(n > 0, F.count_if(F.col("ratio").between(0.7, 1.3)).cast("double") / n),
             6,
         ).alias("share_within_30pct"),
     )
