@@ -3176,7 +3176,7 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                          lag(ts) OVER (PARTITION BY event_type
                                        ORDER BY ts, event_id),
                          ts) AS gap
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
     agg AS (
@@ -3226,9 +3226,14 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs over the bounded types x days frame. day = date(ts) is
     monotone in ts, so the bucketed gap MULTISET equals the global-sort
     one and every aggregate below is unchanged (the DuckDB oracle keeps
-    the simple global form)."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "_day", F.to_date("ts")
+    the simple global form). NULL timestamps are filtered in BOTH
+    engines before the window (Spark orders NULLS FIRST, DuckDB NULLS
+    LAST — an unfiltered NULL row would sit next to a different
+    neighbor in each engine and change one gap)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("_day", F.to_date("ts"))
     )
     w_in = Window.partitionBy("event_type", "_day").orderBy("ts", "event_id")
     in_gaps = (

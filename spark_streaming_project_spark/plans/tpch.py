@@ -2482,7 +2482,7 @@ def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
                CAST(date_part('month', o_orderdate) AS INTEGER) AS mth,
                sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     trended AS (
         SELECT yr, mth, revenue,
@@ -2513,8 +2513,13 @@ def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table to a calendar-bounded series (~80 rows for 7 years),
     so the unpartitioned ORDER BY window that follows is a deliberate
     single-task pass over a bounded frame — the exception the plan-audit
-    notes allow, same as the other calendar-series queries."""
-    orders = load_table(spark, sf_dir, "orders")
+    notes allow, same as the other calendar-series queries. NULL order
+    dates are filtered in BOTH engines before the window: Spark sorts
+    NULLS FIRST ascending, DuckDB NULLS LAST, so an unfiltered NULL month
+    would land at opposite ends of the centered-MA frame."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = orders.groupBy(
         F.year("o_orderdate").cast("int").alias("yr"),
         F.month("o_orderdate").cast("int").alias("mth"),
