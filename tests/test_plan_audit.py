@@ -72,6 +72,14 @@ EXCHANGE_BUDGETS = {
     "quality_percentile_by_source": 2,
     "part_cf_neighbors": 12,
     "top_tokens_per_source_sharded": 4,
+    # round-9 session-2 flagships (measured at introduction)
+    "similarity_jl_rerank_topk": 0,   # TakeOrdered heaps + broadcasts only
+    "jl_projection_distortion": 1,    # one id-keyed pair join
+    "monthly_revenue_seasonality": 2, # month agg + bounded series window
+    "label_silhouette": 5,            # centroid agg + broadcast dist pass
+    "source_centroid_similarity": 6,  # (source,pos) partials + tiny joins
+    "source_psi_drift": 11,           # bounded-grid joins (flat at 100x)
+    "interarrival_profile": 12,       # (type,day) windows + tail join
 }
 
 
