@@ -373,3 +373,69 @@ def test_driver_window_is_exactly_the_intended_fifty():
         "similarity_pq_topk",
         "similarity_ivfpq_topk",
     }
+
+
+def test_interarrival_bucketed_gaps_equal_global_sort(spark, tmp_path):
+    """The day-bucket decomposition (in-bucket lag + one boundary gap per
+    bucket) must produce the SAME aggregates as a single global-sort lag.
+    Adversarial fixture: events straddling midnight, exact-midnight
+    timestamps, duplicate timestamps (event_id tiebreak), an empty day
+    between two active days, and a type with a single event (no gaps)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    rows = [
+        # type "a": dense day 1, straddle to day 2, skip day 3, day 4
+        (1, dt.datetime(2024, 1, 1, 23, 58), 10, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 23, 59), 10, "a", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 0, 0), 10, "a", 1.0, "{}"),   # midnight
+        (4, dt.datetime(2024, 1, 2, 0, 0), 10, "a", 1.0, "{}"),   # same ts
+        (5, dt.datetime(2024, 1, 4, 12, 0), 10, "a", 1.0, "{}"),  # day gap
+        # type "b": single event -> no gaps at all
+        (6, dt.datetime(2024, 1, 2, 9, 0), 11, "b", 1.0, "{}"),
+        # type "c": two events same day
+        (7, dt.datetime(2024, 1, 3, 9, 0), 12, "c", 1.0, "{}"),
+        (8, dt.datetime(2024, 1, 3, 10, 30), 12, "c", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    sf = str(tmp_path)
+    # single-FILE parquet, the testdata layout load_table reads
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(df.toPandas()), f"{sf}/events.parquet"
+    )
+
+    got = {
+        r["event_type"]: (r["n_gaps"], r["mean_gap_sec"], r["tail_share"])
+        for r in REGISTRY["interarrival_profile"].builder(spark, sf).collect()
+    }
+
+    # pure-Python global-sort reference
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for eid, ts, *_rest in rows:
+        by_type[_rest[1]].append((ts, eid))
+    want = {}
+    for t, evs in by_type.items():
+        evs.sort()
+        gaps = [
+            int((b[0] - a[0]).total_seconds()) for a, b in zip(evs, evs[1:])
+        ]
+        if not gaps:
+            continue  # a single event yields no gap row in either form
+        n, sx = len(gaps), sum(gaps)
+        tail = sum(1 for g in gaps if g * n > 2 * sx)
+        want[t] = (n, round(sx / n, 6), round(tail / n, 6))
+    assert got == want
+    # type "b" must be absent (no gaps), types with midnight/tie/empty-day
+    # structure must be present
+    assert "b" not in got and {"a", "c"} <= set(got)
