@@ -439,3 +439,38 @@ def test_interarrival_bucketed_gaps_equal_global_sort(spark, tmp_path):
     # type "b" must be absent (no gaps), types with midnight/tie/empty-day
     # structure must be present
     assert "b" not in got and {"a", "c"} <= set(got)
+
+
+def test_psi_from_counts_semantics(spark):
+    """PSI sanity on crafted count tables: (a) sources with IDENTICAL
+    bucket distributions score ~0 (only smoothing residue), (b) a source
+    concentrated in a bucket the corpus rarely uses scores large, and
+    (c) PSI is non-negative everywhere — each (p-q)*ln(p/q) term is."""
+    from spark_streaming_project_spark.plans.quality import psi_from_counts
+
+    # corpus == every source -> psi ~ 0 (smoothing residue only)
+    uniform = spark.createDataFrame(
+        [
+            ("u1", 21, 50), ("u1", 22, 50),
+            ("u2", 21, 50), ("u2", 22, 50),
+        ],
+        "source string, bucket int, c_sb long",
+    )
+    got_u = {r["source"]: r["psi"] for r in psi_from_counts(uniform).collect()}
+    assert all(0 <= v < 0.01 for v in got_u.values()), got_u
+
+    # mixed corpus: equal-shape sources score equal; the source whose mass
+    # sits in a bucket the others never use scores strictly larger;
+    # everything non-negative (each (p-q)ln(p/q) term is)
+    mixed = spark.createDataFrame(
+        [
+            ("s_same_1", 21, 50), ("s_same_1", 22, 50),
+            ("s_same_2", 21, 50), ("s_same_2", 22, 50),
+            ("s_skew", 39, 100),
+        ],
+        "source string, bucket int, c_sb long",
+    )
+    got = {r["source"]: r["psi"] for r in psi_from_counts(mixed).collect()}
+    assert all(v >= 0 for v in got.values()), got
+    assert got["s_same_1"] == got["s_same_2"], got
+    assert got["s_skew"] > got["s_same_1"], got
