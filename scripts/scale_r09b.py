@@ -32,6 +32,8 @@ QUERIES = [
     "label_silhouette",
     "similarity_jl_rerank_topk",
     "dup_quality_correlation",
+    "lang_length_kruskal",
+    "minhash_band_sweep",
 ]
 
 

@@ -112,6 +112,8 @@ _R10_FIRSTS = [
     "label_silhouette",  # centroid-form cluster-quality audit
     "similarity_jl_rerank_topk",  # 16-d JL shortlist + exact re-rank ANN
     "dup_quality_correlation",  # near-dup cluster size x quality profile
+    "lang_length_kruskal",  # k-group rank omnibus (tie-corrected H)
+    "minhash_band_sweep",  # LSH (bands x rows) S-curve tuning table
 ]
 
 

@@ -6993,3 +6993,191 @@ def similarity_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-structure sweep: the (bands x rows) tuning table. With 8
+# permutations, rows-per-band r in {1,2,4,8} spans the S-curve from
+# cheap-and-permissive (r=1: any single matching perm) to strict (r=8: all
+# perms match). Bands NEST when r divides NUM_PERM (equality of a wide
+# band implies equality of its sub-bands), so the r=1 candidate set is a
+# superset of every other config — verification runs ONCE on it and each
+# config's recall/precision reads off by a pair semi-join. The companion
+# of ann_probe_sweep / neardup_threshold_sweep for the banding axis.
+# ---------------------------------------------------------------------------
+
+_SWEEP_ROWS = (1, 2, 4, 8)
+
+
+def _band_sweep_oracle() -> str:
+    def band_exprs(r: int) -> str:
+        return ", ".join(
+            "md5('b{b}:' || {cat})".format(
+                b=b, cat=" || ".join(f"sig_{i}" for i in range(b, b + r))
+            )
+            for b in range(0, NUM_PERM, r)
+        )
+
+    per_r_ctes = ",\n    ".join(
+        f"""bands_{r} AS (
+        SELECT doc_id, unnest([{band_exprs(r)}]) AS band FROM sigs
+    ),
+    cand_{r} AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands_{r} a JOIN bands_{r} b
+          ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    agg_{r} AS (
+        SELECT {r} AS band_rows, {NUM_PERM // r} AS n_bands,
+               count(*) AS nc,
+               count(*) FILTER (WHERE j >= 0.5) AS nv
+        FROM cand_{r} JOIN scored USING (id_a, id_b)
+    )"""
+        for r in _SWEEP_ROWS
+    )
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM agg_{r}" for r in _SWEEP_ROWS
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, shingles,
+           {_SIG_COLS}
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands_base AS (
+        SELECT doc_id, unnest([{band_exprs(1)}]) AS band FROM sigs
+    ),
+    cand_base AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands_base a JOIN bands_base b
+          ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                   AS j
+        FROM cand_base
+        JOIN sigs sa ON sa.doc_id = cand_base.id_a
+        JOIN sigs sb ON sb.doc_id = cand_base.id_b
+    ),
+    {per_r_ctes},
+    truth AS (SELECT nv AS nv1 FROM agg_1),
+    u AS ({union})
+    SELECT CAST(band_rows AS INTEGER) AS band_rows,
+           CAST(n_bands AS INTEGER) AS n_bands,
+           CAST(nc AS BIGINT) AS n_candidates,
+           CAST(nv AS BIGINT) AS n_verified,
+           round(CASE WHEN truth.nv1 > 0
+                      THEN CAST(nv AS DOUBLE) / truth.nv1 END, 6) AS recall,
+           round(CASE WHEN nc > 0
+                      THEN CAST(nv AS DOUBLE) / nc END, 6) AS precision
+    FROM u CROSS JOIN truth
+    ORDER BY band_rows
+    """
+
+
+@register(
+    "minhash_band_sweep",
+    oracle=_band_sweep_oracle(),
+    tags=("llm", "dedup", "minhash", "calibration"),
+)
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate volume, verified near-dups (Jaccard >= 0.5), recall vs
+    the most permissive config, and precision for each LSH band layout
+    (rows-per-band 1/2/4/8 at 8 perms) — the table that decides where on
+    the S-curve the production banding sits before anyone hard-codes it.
+
+    Scale shape: signatures compute ONCE (persisted — the standard
+    sign-once/band-many LSH table); each config's self-join runs on
+    skinny (id, band) rows; Jaccard verification touches only the r=1
+    candidate set (a superset of all others by band nesting), and the
+    per-config rollups are pair-keyed joins against that one scored
+    frame. The r=1 end is quadratic in duplicate-clique size BY DESIGN
+    (it is the permissive extreme being audited) — at corpus scale run
+    the sweep on a deterministic doc sample (md5 mod), since the
+    S-curve is a property of the data distribution, not corpus size."""
+    from ..operators.dedup import lsh_band_keys, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", NUM_PERM).persist()
+
+    def cand_for(r: int) -> DataFrame:
+        bands = sigs.select(
+            "doc_id", F.explode(lsh_band_keys(NUM_PERM, r)).alias("band")
+        )
+        return (
+            bands.select(F.col("doc_id").alias("id_a"), "band")
+            .join(bands.select(F.col("doc_id").alias("id_b"), "band"), "band")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    sets = sigs.select("doc_id", "shingles")
+    scored = (
+        cand_for(1)
+        .join(
+            sets.select(
+                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("j"),
+        )
+        .persist()
+    )
+    per_r = []
+    for r in _SWEEP_ROWS:
+        sc = cand_for(r).join(scored, ["id_a", "id_b"])
+        per_r.append(
+            sc.agg(
+                F.lit(r).cast("int").alias("band_rows"),
+                F.lit(NUM_PERM // r).cast("int").alias("n_bands"),
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.count_if(F.col("j") >= 0.5).cast("bigint").alias("n_verified"),
+            )
+        )
+    u = per_r[0]
+    for frame in per_r[1:]:
+        u = u.unionByName(frame)
+    truth = per_r[0].select(F.col("n_verified").alias("nv1"))
+    return (
+        u.join(F.broadcast(truth))
+        .select(
+            "band_rows",
+            "n_bands",
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.when(
+                    F.col("nv1") > 0,
+                    F.col("n_verified").cast("double") / F.col("nv1"),
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_verified").cast("double") / F.col("n_candidates"),
+                ),
+                6,
+            ).alias("precision"),
+        )
+        .orderBy("band_rows")
+    )

@@ -1436,3 +1436,122 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H: the k-group omnibus rank test (does ANY language's
+# length distribution differ?) next to the two-group Mann-Whitney. Same
+# x2-integer tie-averaged-rank discipline: ranks come from a cumulative
+# window over the DISTINCT-VALUE frame (bounded by the value domain, not
+# the corpus), every rank sum is exact DECIMAL, and only the final H
+# arithmetic is double.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_length_kruskal",
+    oracle="""
+    WITH base AS (
+        SELECT lang, n_chars AS v FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    per_vl AS (
+        SELECT v, lang, count(*) AS c_vl FROM base GROUP BY 1, 2
+    ),
+    per_v AS (SELECT v, sum(c_vl) AS c FROM per_vl GROUP BY 1),
+    cum AS (
+        SELECT v, c,
+               sum(c) OVER (ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        FROM per_v
+    ),
+    scaled AS (SELECT v, c, 2 * (cum_c - c) + c + 1 AS avg2 FROM cum),
+    per_lang AS (
+        SELECT p.lang,
+               sum(CAST(p.c_vl AS DECIMAL(38,0)) * s.avg2) AS r2,
+               sum(CAST(p.c_vl AS BIGINT)) AS n_l
+        FROM per_vl p JOIN scaled s ON s.v = p.v
+        GROUP BY 1
+    ),
+    ties AS (
+        SELECT sum(CAST(c AS DECIMAL(38,0)) * c * c
+                   - CAST(c AS DECIMAL(38,0))) AS t,
+               sum(CAST(c AS BIGINT)) AS n
+        FROM per_v
+    ),
+    hsum AS (
+        SELECT sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                   / (4.0 * n_l)) AS s,
+               count(*) AS k
+        FROM per_lang
+    )
+    SELECT CAST(ties.n AS BIGINT) AS n_docs,
+           CAST(hsum.k AS BIGINT) AS n_groups,
+           round((12.0 * hsum.s / (CAST(ties.n AS DOUBLE) * (ties.n + 1))
+                  - 3.0 * (ties.n + 1))
+                 / (1.0 - CAST(ties.t AS DOUBLE)
+                    / (CAST(ties.n AS DOUBLE) * ties.n * ties.n - ties.n)),
+                 6) AS h_statistic
+    FROM hsum, ties
+    """,
+    tags=("profiling", "statistics", "rank"),
+)
+def lang_length_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H over document length by language —
+    the k-group omnibus the two-group Mann-Whitney can't answer: is at
+    least one language's length distribution shifted? (Compare H against
+    chi-square with n_groups-1 df downstream.)
+
+    Scale shape: counts aggregate per (value, lang) map-side; the rank
+    window runs over the DISTINCT length frame (bounded by the value
+    domain — max doc length — not corpus size); rank sums are exact
+    DECIMAL; only the closed-form H is double, computed from identical
+    exact inputs in both engines."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    ).select("lang", F.col("n_chars").alias("v"))
+    per_vl = base.groupBy("v", "lang").agg(F.count("*").alias("c_vl"))
+    per_v = per_vl.groupBy("v").agg(F.sum("c_vl").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    scaled = per_v.select(
+        "v",
+        "c",
+        (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias("avg2"),
+    )
+    per_lang = (
+        per_vl.join(scaled, "v")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("c_vl").cast("decimal(38,0)") * F.col("avg2")).alias("r2"),
+            F.sum(F.col("c_vl")).cast("bigint").alias("n_l"),
+        )
+    )
+    ties = per_v.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c").cast("decimal(38,0)")
+        ).alias("t"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    hsum = per_lang.agg(
+        F.sum(
+            F.col("r2").cast("double") * F.col("r2").cast("double")
+            / (4.0 * F.col("n_l"))
+        ).alias("s"),
+        F.count("*").alias("k"),
+    )
+    n_d = F.col("n").cast("double")
+    t_d = F.col("t").cast("double")
+    return hsum.join(ties).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.round(
+            (12.0 * F.col("s") / (n_d * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1))
+            / (1.0 - t_d / (n_d * F.col("n") * F.col("n") - F.col("n"))),
+            6,
+        ).alias("h_statistic"),
+    )

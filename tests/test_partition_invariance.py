@@ -167,6 +167,8 @@ REPRESENTATIVES = [
     "label_silhouette",                 # centroid-form silhouette
     "similarity_jl_rerank_topk",        # JL shortlist + exact re-rank
     "dup_quality_correlation",          # cluster-size quality profile
+    "lang_length_kruskal",              # x2-integer k-group rank test
+    "minhash_band_sweep",               # nested-band candidate rollups
 ]
 
 
