@@ -34,6 +34,7 @@ QUERIES = [
     "dup_quality_correlation",
     "lang_length_kruskal",
     "minhash_band_sweep",
+    "session_conversion_rate",
 ]
 
 

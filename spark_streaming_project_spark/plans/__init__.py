@@ -114,6 +114,7 @@ _R10_FIRSTS = [
     "dup_quality_correlation",  # near-dup cluster size x quality profile
     "lang_length_kruskal",  # k-group rank omnibus (tie-corrected H)
     "minhash_band_sweep",  # LSH (bands x rows) S-curve tuning table
+    "session_conversion_rate",  # in-session ordered view->purchase funnel
 ]
 
 

@@ -3296,3 +3296,96 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-session ordered conversion: the product metric sessionization exists
+# FOR — of sessions that saw a view, how many purchased AFTER that view in
+# the SAME session? Composes the 30-minute-gap sessionizer with a
+# per-session conditional-min funnel (the funnel_conversion discipline at
+# session grain instead of user grain).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_conversion_rate",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessioned AS (
+        SELECT user_id, ts, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               max(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS last_purchase
+        FROM sessioned GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE first_view IS NOT NULL) AS BIGINT)
+               AS sessions_with_view,
+           CAST(count(*) FILTER (WHERE last_purchase > first_view)
+                AS BIGINT) AS converted_sessions,
+           round(CAST(count(*) FILTER (WHERE last_purchase > first_view)
+                      AS DOUBLE)
+                 / nullif(count(*) FILTER (WHERE first_view IS NOT NULL), 0),
+                 6) AS view_to_purchase_rate
+    FROM per_session
+    """,
+    tags=("events", "sessionization", "funnel"),
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Of sessions containing a view, the share that purchased strictly
+    AFTER the first view within the same 30-minute-gap session — the
+    ordered in-session funnel (a purchase before any view does not
+    count; comparison is on exact timestamps so both engines agree).
+
+    Scale shape: one user-keyed sessionization window pass (the same
+    exchange user_sessions pays), then per-session conditional min/max —
+    map-side combinable — and a global count fold. Nothing wider than the
+    user key ever shuffles."""
+    from ..functions.timeutil import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    sec = epoch_seconds(ev, "ts")
+    gap = sec - F.lag(sec).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    converted = F.count_if(F.col("last_purchase") > F.col("first_view"))
+    with_view = F.count_if(F.col("first_view").isNotNull())
+    return per_session.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        with_view.cast("bigint").alias("sessions_with_view"),
+        converted.cast("bigint").alias("converted_sessions"),
+        F.round(
+            converted.cast("double")
+            / F.nullif(with_view.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )

@@ -169,6 +169,7 @@ REPRESENTATIVES = [
     "dup_quality_correlation",          # cluster-size quality profile
     "lang_length_kruskal",              # x2-integer k-group rank test
     "minhash_band_sweep",               # nested-band candidate rollups
+    "session_conversion_rate",          # session funnel conditional mins
 ]
 
 
