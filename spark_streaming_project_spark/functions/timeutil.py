@@ -55,3 +55,31 @@ def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
     if isinstance(df.schema[col].dataType, TimestampNTZType):
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def trunc_hour(df: DataFrame, col: str) -> Column:
+    """Top-of-hour truncation in the column's OWN time domain.
+
+    TIMESTAMP_NTZ: pure wall-clock arithmetic — subtract the
+    seconds-past-the-hour obtained by interval subtraction from the epoch
+    wall clock — so the result is session-timezone independent. Spark's
+    ``date_trunc`` round-trips NTZ through the session zone: under
+    America/New_York every truncated hour shifts by the offset (and
+    straddles DST transitions), which the r09 timezone sweep caught as
+    oracle mismatches in every query that OUTPUTS truncated hours.
+    TIMESTAMP (with local time zone): ``date_trunc``, the defined
+    instant semantics. Whole-stage codegen both ways — no UDF.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampNTZType):
+        # field extraction is zone-free on NTZ; rebuilding from fields
+        # also drops sub-second precision exactly
+        return F.expr(
+            f"make_timestamp_ntz(year(`{col}`), month(`{col}`), "
+            f"day(`{col}`), hour(`{col}`), 0, 0)"
+        )
+    if isinstance(dt, TimestampType):
+        return F.date_trunc("hour", F.col(col))
+    raise TypeError(
+        f"trunc_hour: column {col!r} has non-timestamp type {dt.simpleString()}"
+    )

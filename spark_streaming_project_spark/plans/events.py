@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import trunc_hour
 from ..sources.batch import load_table
 from .registry import register
 
@@ -885,7 +886,7 @@ def late_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late = (F.col("sec") + 600 < F.col("runmax_sec")).cast("long")
     return (
-        rm.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        rm.groupBy(trunc_hour(rm, "ts").alias("hour_start"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum(late).alias("n_late"),
@@ -929,7 +930,7 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly aggregate then a per-type fold."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
+        "event_type", trunc_hour(ev, "ts").alias("h")
     ).agg(F.count("*").alias("c"))
     dec = lambda c: c.cast("decimal(38,0)")
     agg = hourly.groupBy("event_type").agg(
@@ -3048,8 +3049,10 @@ def hourly_event_counts(ev: DataFrame) -> DataFrame:
     """(hour, n) additive count frame — a sum-monoid, so the
     incremental-agg sink maintains it per micro-batch and the streaming
     CUSUM equals batch exactly (tests/test_streaming_llm.py)."""
+    from ..functions.timeutil import trunc_hour
+
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour")
+        trunc_hour(ev, "ts").alias("hour")
     ).agg(F.count("*").cast("bigint").alias("n"))
 
 

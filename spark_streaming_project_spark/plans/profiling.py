@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import trunc_hour
 from ..sources.batch import load_table
 from .registry import register
 
@@ -506,7 +507,7 @@ def sliding_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
-    hour = F.date_trunc("hour", F.col("ts"))
+    hour = trunc_hour(ev, "ts")
     hrs = ev.select(hour.alias("h")).distinct()
 
     reg = hll_build(ev.withColumn("h", hour), "user_id", ["h"], m=_HLL_M)
@@ -638,7 +639,7 @@ def sliding_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
-    hour = F.date_trunc("hour", F.col("ts"))
+    hour = trunc_hour(ev, "ts")
     hrs = ev.select(hour.alias("h")).distinct()
 
     def back3(col):
@@ -743,7 +744,7 @@ def sliding_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    hour = F.date_trunc("hour", F.col("ts"))
+    hour = trunc_hour(ev, "ts")
     hrs = ev.select(hour.alias("h")).distinct()
     hsk = ddsketch_build(
         ev.withColumn("h", hour), "value", ["h"], alpha=_DD_ALPHA
