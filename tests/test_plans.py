@@ -474,3 +474,39 @@ def test_psi_from_counts_semantics(spark):
     assert all(v >= 0 for v in got.values()), got
     assert got["s_same_1"] == got["s_same_2"], got
     assert got["s_skew"] > got["s_same_1"], got
+
+
+def test_hour_bucketed_queries_are_session_timezone_invariant(spark):
+    """r09 TZ-sweep regression pin: results must be a pure function of the
+    DATA, not spark.sql.session.timeZone. date_trunc on TIMESTAMP_NTZ
+    round-trips through the session zone — every query OUTPUTTING
+    truncated hours shifted under America/New_York until trunc_hour
+    (zone-free field extraction) replaced it. Runs each affected query
+    under UTC and under a DST-bearing zone and requires identical rows."""
+    names = [
+        "hourly_cusum_alarms",
+        "late_event_profile",
+        "sliding_distinct_sketch",
+        "event_burstiness",
+        "events_hourly",  # F.window-based control: was always invariant
+    ]
+
+    def rows_under(tz):
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            out = {}
+            for n in names:
+                df = REGISTRY[n].builder(spark, SF_CORRECT)
+                cols = sorted(df.columns)
+                out[n] = sorted(
+                    tuple(str(r[c]) for c in cols) for r in df.collect()
+                )
+            return out
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    utc = rows_under("UTC")
+    ny = rows_under("America/New_York")
+    for n in names:
+        assert utc[n] == ny[n], f"{n}: result depends on session timezone"
