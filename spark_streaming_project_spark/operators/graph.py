@@ -311,7 +311,13 @@ def triangle_stats(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     outputs, orders of magnitude smaller than the corpus.
 
     Returns a single row (n_edges, n_wedges, n_triangles, clustering).
+
+    ``pairs`` is persisted (same reasoning as degree_assortativity): the
+    plan reads it six ways (three triangle-join copies, two degree
+    orientations, the edge count), and an un-materialized banded pair
+    pipeline would re-run per consumer.
     """
+    pairs = pairs.persist()
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     deg = degree_counts(pairs, src, dst)
     wedges = deg.agg(
@@ -466,7 +472,11 @@ def local_clustering(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     unrelated docs — exactly the rows a dedup reviewer audits first.
     Same oriented a<b<c triangle join, then each triangle credits its
     three corners via one explode; per-node counts join the degree
-    frame. Divisions are single double ops over exact integers."""
+    frame. Divisions are single double ops over exact integers.
+
+    ``pairs`` is persisted (same reasoning as degree_assortativity /
+    triangle_stats): five consumers, one expensive upstream pipeline."""
+    pairs = pairs.persist()
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
@@ -504,7 +514,16 @@ def degree_assortativity(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     template farms); negative: hubs stitch leaves (star-shaped
     boilerplate). All sums are DECIMAL(38,0)-exact over integer degrees
     with one terminal double expression — order-free, engine-exact.
-    Returns one row (n_edges, assortativity; NULL when degenerate)."""
+    Returns one row (n_edges, assortativity; NULL when degenerate).
+
+    ``pairs`` is persisted here: the plan consumes it four ways (degree
+    counts over both endpoint columns + both orientations of the edge
+    union), and when the caller passes the banded near-dup pair pipeline
+    un-materialized, Spark would re-run that whole pass per consumer —
+    measured as the widest jitter band on the bench board (3.4-11.1 s at
+    sf0.1 depending on heap pressure). Cache lifetime is bounded by the
+    harness-level clearCache (ROADMAP r09 unpersist adjudication)."""
+    pairs = pairs.persist()
     deg = degree_counts(pairs, src, dst)
     du = deg.select(F.col("node").alias("_u"), F.col("degree").alias("dx"))
     dv = deg.select(F.col("node").alias("_v"), F.col("degree").alias("dy"))

@@ -3996,14 +3996,25 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     — provably ZERO, the split is a function of the shared cluster id —
     vs (b) the naive per-doc hash split, which leaks near-duplicates of
     training documents into eval. One row; the pair frame and CC map are
-    the audited dedup plans."""
+    the audited dedup plans — the SAME persisted pair frame feeds both
+    (building the canonical map through its own registry entry would run
+    the banded pipeline a second time; measured ~2x on this query)."""
     from ..operators.dedup import ngram_jaccard_pairs_adaptive
+    from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_adaptive(
         docs, "text", "doc_id", n=3, threshold=0.5
+    ).persist()
+    cc = connected_components(pairs, "id_a", "id_b")
+    cmap = (
+        docs.select("doc_id")
+        .join(cc.select(F.col("u").alias("doc_id"), "component"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
     )
-    cmap = dedup_canonical_map(spark, sf_dir)
     asg = cmap.select(
         "doc_id",
         _split_expr(F.col("canonical_id")).alias("cluster_split"),
