@@ -60,9 +60,11 @@ def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
 def trunc_hour(df: DataFrame, col: str) -> Column:
     """Top-of-hour truncation in the column's OWN time domain.
 
-    TIMESTAMP_NTZ: pure wall-clock arithmetic — subtract the
-    seconds-past-the-hour obtained by interval subtraction from the epoch
-    wall clock — so the result is session-timezone independent. Spark's
+    TIMESTAMP_NTZ: pure wall-clock arithmetic — rebuild the timestamp
+    from its own year/month/day/hour fields via ``make_timestamp_ntz``
+    (field extraction is zone-free on NTZ; minutes, seconds, and
+    sub-second precision drop to zero exactly) — so the result is
+    session-timezone independent and stays TIMESTAMP_NTZ. Spark's
     ``date_trunc`` round-trips NTZ through the session zone: under
     America/New_York every truncated hour shifts by the offset (and
     straddles DST transitions), which the r09 timezone sweep caught as

@@ -393,7 +393,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     of ``bits`` separate filter passes — ~2.5x cheaper, and the vote vector
     shape is what a Pandas-UDF batch version would use at higher dims.
     """
-    assert bits <= 60, "15 md5 hex chars (60 bits) is the signed-BIGINT cap"
+    if bits > 60:  # not assert: must survive python -O (silent overflow)
+        raise ValueError(
+            f"bits={bits}: 15 md5 hex chars (60 bits) is the signed-BIGINT "
+            "cap — conv() would overflow and corrupt fingerprints"
+        )
     hex_chars = max(8, (bits + 3) // 4)
     base = (
         df.select(F.col(id_col), F.col(text_col).alias("_text"))
@@ -458,7 +462,11 @@ def simhash_near_dup_pairs(
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
-    assert n_bands * width == bits, "bands must evenly split the fingerprint"
+    if n_bands * width != bits:  # not assert: must survive python -O
+        raise ValueError(
+            f"bits={bits} is not divisible by max_hamming+1={n_bands}: "
+            "the pigeonhole bands must evenly split the fingerprint"
+        )
     # persist: the fingerprint fold (interpreted higher-order aggregate
     # over the token-hash array) dominates the scan; both sides of the
     # band self-join must read it from the materialized form, not

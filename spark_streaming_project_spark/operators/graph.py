@@ -315,7 +315,11 @@ def triangle_stats(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     ``pairs`` is persisted (same reasoning as degree_assortativity): the
     plan reads it six ways (three triangle-join copies, two degree
     orientations, the edge count), and an un-materialized banded pair
-    pipeline would re-run per consumer.
+    pipeline would re-run per consumer. Cache lifetime: the persisted
+    input outlives the returned LAZY frame, so it cannot be unpersisted
+    here — callers composing several graph ops outside the bench harness
+    (which calls ``spark.catalog.clearCache()`` between queries) should
+    ``pairs.unpersist()`` after materializing the result.
     """
     pairs = pairs.persist()
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -475,7 +479,10 @@ def local_clustering(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     frame. Divisions are single double ops over exact integers.
 
     ``pairs`` is persisted (same reasoning as degree_assortativity /
-    triangle_stats): five consumers, one expensive upstream pipeline."""
+    triangle_stats): five consumers, one expensive upstream pipeline.
+    Cache lifetime: the persisted input outlives the returned LAZY frame —
+    callers outside the bench harness (which clearCache()s between
+    queries) should ``pairs.unpersist()`` after materializing."""
     pairs = pairs.persist()
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))

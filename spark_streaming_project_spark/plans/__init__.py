@@ -117,12 +117,63 @@ _R10_FIRSTS = [
     "session_conversion_rate",  # in-session ordered view->purchase funnel
 ]
 
+# The intended round-10 recorded window (VERDICT r9 ask #1): the 13
+# _R10_FIRSTS lead (first-ever driver recording for each), then the 37
+# alphabetically-first of the 45 queries whose newest record is r04 (the
+# stalest refresh rotation; the remaining 8 r04-stale queries are the
+# declared head of the r11 refresh list). Computed-and-asserted by
+# tests/test_plans.py exactly as in r5-r9.
+_R10_WINDOW = list(_R10_FIRSTS) + [
+    "bm25_search",
+    "clickers_not_buyers",
+    "cohort_retention",
+    "conjunctive_search",
+    "contrastive_negatives",
+    "conversion_delay",
+    "customer_order_distribution",
+    "customers_without_orders",
+    "dedup_component_sizes",
+    "dedup_embedding_pairs",
+    "disjunctive_part_revenue",
+    "doc_length_spearman",
+    "dominant_part_suppliers",
+    "dq_core_violations",
+    "eval_quota_split",
+    "events_hourly_gapfill",
+    "funnel_conversion",
+    "hourly_anomalies",
+    "idle_rich_customers",
+    "lineitem_measures_long",
+    "local_supplier_volume",
+    "nation_market_share",
+    "nation_trade_volume",
+    "nation_year_profit",
+    "order_marginals_grouping_sets",
+    "part_supplier_counts",
+    "parts_with_orders",
+    "pmi_collocations",
+    "returned_item_customers",
+    "returnflag_pivot",
+    "returns_rollup",
+    "scd2_customer_segment",
+    "segment_nation_stats",
+    "segment_revenue_percentiles",
+    "similarity_lsh_multiprobe_topk",
+    "small_quantity_revenue",
+    "sole_late_suppliers",
+]
+
+# Queries built AFTER the r10 window froze; they lead the r11 window.
+# Pinned by tests/test_plans.py: the set of unrecorded registry queries
+# outside the r10 window must be EXACTLY this list.
+_R11_FIRSTS: list[str] = []
+
 
 def _reorder() -> None:
     """Rotate the registry so the driver's recorded window (the first
-    ``DRIVER_WINDOW`` entries) is exactly ``_R9_WINDOW`` — computed and
+    ``DRIVER_WINDOW`` entries) is exactly ``_R10_WINDOW`` — computed and
     asserted, never prose arithmetic."""
-    window = list(_R9_WINDOW)
+    window = list(_R10_WINDOW)
     if len(window) != DRIVER_WINDOW or len(set(window)) != len(window):
         raise ValueError(
             f"intended window has {len(window)} names "

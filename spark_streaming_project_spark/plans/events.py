@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.timeutil import trunc_hour
+from ..functions.timeutil import epoch_seconds, trunc_hour
 from ..sources.batch import load_table
 from .registry import register
 
@@ -3238,18 +3238,22 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull())
         .withColumn("_day", F.to_date("ts"))
     )
+    # epoch seconds via the NTZ-safe helper: unix_timestamp() on an NTZ
+    # column round-trips through the session timezone and would shift
+    # gaps straddling a DST transition by +-3600 s under a non-UTC
+    # session (functions/timeutil.py; pinned by the tz-invariance test)
+    ev = ev.withColumn("_sec", epoch_seconds(ev, "ts"))
     w_in = Window.partitionBy("event_type", "_day").orderBy("ts", "event_id")
     in_gaps = (
-        ev.withColumn(
-            "gap",
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_in)),
-        )
+        ev.withColumn("gap", F.col("_sec") - F.lag("_sec").over(w_in))
         .filter(F.col("gap").isNotNull())
         .select("event_type", "gap")
     )
+    # _sec rides LAST in the ordering structs so min/max still compare by
+    # (ts, event_id) and merely carry the precomputed epoch along
     per_bucket = ev.groupBy("event_type", "_day").agg(
-        F.min(F.struct("ts", "event_id")).alias("_first"),
-        F.max(F.struct("ts", "event_id")).alias("_last"),
+        F.min(F.struct("ts", "event_id", "_sec")).alias("_first"),
+        F.max(F.struct("ts", "event_id", "_sec")).alias("_last"),
     )
     w_b = Window.partitionBy("event_type").orderBy("_day")
     boundary = (
@@ -3257,10 +3261,7 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_prev_last").isNotNull())
         .select(
             "event_type",
-            (
-                F.unix_timestamp(F.col("_first.ts"))
-                - F.unix_timestamp(F.col("_prev_last.ts"))
-            ).alias("gap"),
+            (F.col("_first._sec") - F.col("_prev_last._sec")).alias("gap"),
         )
     )
     gaps = in_gaps.unionByName(boundary)

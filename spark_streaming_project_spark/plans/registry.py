@@ -5,6 +5,14 @@ SQL-expressible) a DuckDB oracle string over the driver's pre-registered
 views (region nation customer supplier part orders lineitem events documents
 embeddings). Column aliases MUST match between builder output and oracle —
 the correctness gate hashes values under name-sorted columns.
+
+Cache-lifetime contract: builders MAY ``persist()`` intermediate frames
+that the returned LAZY plan still references (multi-consumer pair graphs,
+signature tables), so they cannot unpersist before returning. The bench
+harness and the driver call ``spark.catalog.clearCache()`` between
+queries; direct callers composing many builders in one session should do
+the same after materializing each result, or cached partitions accumulate
+under memory pressure.
 """
 
 from __future__ import annotations

@@ -309,11 +309,12 @@ def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
 
 
 def test_driver_window_is_exactly_the_intended_fifty():
-    """VERDICT r8 ask #1: the recorded window must be COMPUTED, not
+    """VERDICT r9 ask #1: the recorded window must be COMPUTED, not
     prose — the registry's first DRIVER_WINDOW names are exactly the
-    intended round-9 list: the two rows-only tiers promoted to full
-    oracles this round lead, then ALL queries whose newest driver record
-    is r03 (the refresh rotation), then new-r09 / oldest-r04 fillers."""
+    intended round-10 list: the 13 _R10_FIRSTS (declared in r09, never
+    yet driver-recorded) lead, then the 37 alphabetically-first of the
+    45 queries whose newest driver record is r04 (the stalest refresh
+    rotation; the 8 left over are the declared head of the r11 list)."""
     import glob
     import json
     import os
@@ -322,39 +323,47 @@ def test_driver_window_is_exactly_the_intended_fifty():
     from spark_streaming_project_spark.plans import (
         DRIVER_WINDOW,
         REGISTRY,
-        _R9_WINDOW,
         _R10_FIRSTS,
+        _R10_WINDOW,
+        _R11_FIRSTS,
     )
 
     head = list(REGISTRY)[:DRIVER_WINDOW]
-    assert head == _R9_WINDOW
-    assert len(_R9_WINDOW) == DRIVER_WINDOW == 50
-    # the two rows-only -> oracle promotions lead (VERDICT r8 ask #4)
-    assert head[:2] == ["neardup_centrality", "bpe_merge_table"]
-    # COMPUTED, not prose: every query whose NEWEST record is r03 must be
-    # in the window (the r09 refresh-rotation contract)
+    assert head == _R10_WINDOW
+    assert len(_R10_WINDOW) == DRIVER_WINDOW == 50
+    # the 13 never-recorded r09 additions lead (first-ever recording)
+    assert head[: len(_R10_FIRSTS)] == _R10_FIRSTS
+    # COMPUTED, not prose: rebuild newest-record per query from the
+    # committed driver artifacts r01-r09
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-8].json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))):
         rnd = int(_re.search(r"r0(\d)", os.path.basename(path)).group(1))
         with open(path) as fh:
             for name in json.load(fh):
                 newest[name] = rnd
-    stale = {n for n in REGISTRY if newest.get(n) == 3}
-    assert stale <= set(head), sorted(stale - set(head))
-    # zero recorded-proof debt stays discharged: any query without a
-    # recorded row is either inside the r09 window (recorded this round)
-    # or in the DECLARED _R10_FIRSTS list (built after the 50 slots were
-    # claimed by the refresh-rotation contract; they lead the r10 window).
-    # Equality, not subset: a new query can't silently skip the rotation.
+    # the _R10_FIRSTS are exactly the queries with NO record at all that
+    # existed before this round (equality via the _R11_FIRSTS clause below)
+    assert all(n not in newest for n in _R10_FIRSTS), [
+        n for n in _R10_FIRSTS if n in newest
+    ]
+    # the 37 refresh slots are exactly the alphabetically-first 37 of the
+    # r04-stale set (newest record == r04)
+    stale_r04 = sorted(n for n in REGISTRY if newest.get(n) == 4)
+    assert head[len(_R10_FIRSTS):] == stale_r04[: 50 - len(_R10_FIRSTS)]
+    # zero recorded-proof debt: any query without a recorded row is either
+    # inside the r10 window (recorded this round) or in the DECLARED
+    # _R11_FIRSTS list (built after the 50 slots were claimed; they lead
+    # the r11 window). Equality, not subset: a new query can never
+    # silently skip the recording rotation.
     unrecorded = {n for n in REGISTRY if n not in newest}
-    assert unrecorded - set(head) == set(_R10_FIRSTS), sorted(
-        (unrecorded - set(head)) ^ set(_R10_FIRSTS)
+    assert unrecorded - set(head) == set(_R11_FIRSTS), sorted(
+        (unrecorded - set(head)) ^ set(_R11_FIRSTS)
     )
-    # the deferred queries carry oracles so their r10 recording is the
-    # full rows+schema+hash gate, not a rows-only marker
-    assert all(REGISTRY[n].oracle is not None for n in _R10_FIRSTS), [
-        n for n in _R10_FIRSTS if REGISTRY[n].oracle is None
+    # deferred queries carry oracles so their r11 recording is the full
+    # rows+schema+hash gate, not a rows-only marker
+    assert all(REGISTRY[n].oracle is not None for n in _R11_FIRSTS), [
+        n for n in _R11_FIRSTS if REGISTRY[n].oracle is None
     ]
     # every window entry carries an oracle — including the two promotions
     assert all(REGISTRY[n].oracle is not None for n in head), [
@@ -489,6 +498,9 @@ def test_hour_bucketed_queries_are_session_timezone_invariant(spark):
         "sliding_distinct_sketch",
         "event_burstiness",
         "events_hourly",  # F.window-based control: was always invariant
+        # ADVICE r9: gap arithmetic must use epoch_seconds, not
+        # unix_timestamp, or DST-straddling gaps shift by +-3600 s
+        "interarrival_profile",
     ]
 
     def rows_under(tz):
