@@ -416,3 +416,118 @@ def distinct_ngram_diversity(
             F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+    top_thresholds: tuple = (0.20, 0.18, 0.16),
+    dup_thresholds: tuple = (0.15, 0.10),
+) -> DataFrame:
+    """Per-document Gopher REPETITION signals (Rae et al. 2021 §A1.1,
+    "repetition removal" — the half of the Gopher rules
+    ``gopher_quality_flags`` does not cover):
+
+    - ``top{n}_frac`` for n in ``top_ns``: fraction of the document's
+      characters contained in occurrences of its single most frequent
+      word n-gram (count * chars-of-gram / doc chars), PROVIDED it
+      occurs more than once — a unique n-gram is not repetition, and
+      without the count>1 gate every short document trips the rule
+      (its top 4-gram alone is a large char share of a 10-word doc);
+    - ``dup{n}_frac`` for n in ``dup_ns``: fraction contained in ALL
+      occurrences of n-grams appearing more than once;
+    - ``rep_keep``: True iff every fraction is under its paper threshold
+      (0.20/0.18/0.16 for top 2/3/4-grams, 0.15/0.10 for dup 5/10-grams).
+
+    The paper's duplicate line / paragraph fractions need a multi-line
+    corpus; on this single-line testdata they are vacuous and omitted
+    rather than faked (same stance as gopher_quality_flags' bullet
+    rules). Character accounting follows the common open
+    implementations: occurrences are counted independently (overlapping
+    occurrences may double-count chars), so fractions are clamped at 1.
+
+    Scale shape: one union of |top_ns|+|dup_ns| n-gram explodes, then
+    two doc-keyed combinable aggregations ((doc, n, gram) counts ->
+    (doc, n) max/sum -> doc pivot). Everything is keyed by doc_id —
+    no cross-document shuffle, no hot keys, embarrassingly parallel at
+    corpus scale; gram strings never leave their doc's partition chain.
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = tokens(F.col(text_col))
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.length(text_col).alias("_chars"),
+            toks.alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+    )
+    levels = None
+    for n in all_ns:
+        lv = base.select(
+            id_col,
+            F.lit(n).alias("_n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+                    f" i -> array_join(slice(_toks, i, {n}), ' '))"
+                )
+            ).alias("_gram"),
+        )
+        levels = lv if levels is None else levels.unionByName(lv)
+    counts = levels.groupBy(id_col, "_n", "_gram").agg(
+        F.count("*").alias("_cnt")
+    )
+    per_n = counts.groupBy(id_col, "_n").agg(
+        F.max(
+            F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_gram"))
+        ).alias("_top_chars"),
+        F.sum(
+            F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_gram"))
+        ).alias("_dup_chars"),
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("_n") == n, F.col("_top_chars"))).alias(
+                f"_top{n}"
+            )
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(F.when(F.col("_n") == n, F.col("_dup_chars"))).alias(
+                f"_dup{n}"
+            )
+        )
+    wide = per_n.groupBy(id_col).agg(*aggs)
+    out = base.select(id_col, "_chars").join(wide, id_col, "left")
+    keep = F.lit(True)
+    cols = [F.col(id_col)]
+    for n, thr in zip(top_ns, top_thresholds):
+        frac = F.round(
+            F.least(
+                F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double")
+                / F.col("_chars"),
+                F.lit(1.0),
+            ),
+            6,
+        )
+        cols.append(frac.alias(f"top{n}_frac"))
+        keep = keep & (frac < thr)
+    for n, thr in zip(dup_ns, dup_thresholds):
+        frac = F.round(
+            F.least(
+                F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double")
+                / F.col("_chars"),
+                F.lit(1.0),
+            ),
+            6,
+        )
+        cols.append(frac.alias(f"dup{n}_frac"))
+        keep = keep & (frac < thr)
+    cols.append(keep.alias("rep_keep"))
+    return out.select(*cols)

@@ -167,6 +167,7 @@ def ivf_topk(
     k: int = 10,
     n_list: int = 8,
     n_probe: int = 2,
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: partition vectors into ``n_list`` inverted lists by
     nearest centroid; a query searches only its ``n_probe`` closest lists.
@@ -179,6 +180,18 @@ def ivf_topk(
     ~n_probe/n_list of the data. Assignment itself is a broadcast
     cross-join against n_list rows + a per-vector argmax — no shuffle of
     the embedding table.
+
+    ``n_assign`` > 1 is SPILLED (multi-) assignment: each vector is
+    stored in its ``n_assign`` nearest lists, the standard recall lever
+    for a coarse quantizer whose Voronoi cells chop neighborhoods at
+    cell borders (a true neighbor one cell over is still found because
+    it ALSO lives in the query's cell). Storage grows n_assign-fold and
+    probed candidates are de-duplicated before scoring, so the exact
+    re-score stays candidate-set-sized. Measured at sf0.1 (r10 retune):
+    (n_list=8, n_probe=3, assign=1) recall@10 0.47 mean over 7 query
+    ids; (32, 8, assign=2) 0.81 mean / 0.8 on the canonical query at the
+    same wall time — finer lists plus 2x assignment beats coarse lists
+    at equal scan fraction.
 
     Ties are total-ordered everywhere: centroid rank by (cosine DESC,
     cid ASC), final top-k by (rounded cosine DESC, id ASC).
@@ -208,7 +221,7 @@ def ivf_topk(
     rn = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
     )
-    assigned = scored.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    assigned = scored.withColumn("_rn", rn).filter(F.col("_rn") <= n_assign)
     probes = (
         scored.filter(F.col(id_col) == query_id)
         .orderBy(F.desc("_sim"), F.asc("cid"))
@@ -220,10 +233,15 @@ def ivf_topk(
         .select(F.col("_v").alias("_query_vec"))
         .withColumn("_qn", norm(F.col("_query_vec")))
     )
+    candidates = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != query_id
+    )
+    if n_assign > 1:
+        # a vector stored in two probed lists is the same candidate once;
+        # dedup BEFORE the exact re-score so scoring stays candidate-sized
+        candidates = candidates.select(id_col, "_v").distinct()
     return (
-        assigned.join(F.broadcast(probes), "cid")
-        .filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q))
+        candidates.join(F.broadcast(q))
         .select(
             F.col(id_col),
             F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(

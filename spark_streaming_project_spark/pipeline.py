@@ -59,12 +59,18 @@ def run_per_query(
     out_root: str,
     checkpoint_root: str,
     available_now: bool = True,
+    state_store_provider: str | None = None,
 ) -> StreamRunner:
     """Reference-parity mode: six concurrent queries, per-query checkpoints,
-    memory sinks named after their output tables + parquet top-k appends."""
+    memory sinks named after their output tables + parquet top-k appends.
+
+    ``state_store_provider="rocksdb"`` runs every branch's keyed state on
+    the out-of-heap provider (the 100 TB path; see StreamRunner)."""
     from .streaming.sinks import foreach_batch_per_batch_topk
 
-    runner = StreamRunner(spark, checkpoint_root)
+    runner = StreamRunner(
+        spark, checkpoint_root, state_store_provider=state_store_provider
+    )
     for name, branch in BRANCHES.items():
         runner.add(name, branch(products), output_mode="complete")
     runner.add(
@@ -76,6 +82,9 @@ def run_per_query(
             os.path.join(out_root, "top_additive_products"),
             "additive_count",
             k=10,
+            # total order: must match run_multiplex's top_k tiebreak, or
+            # the two modes disagree on count ties at the k boundary
+            tiebreak_asc=("product_name",),
         ),
     )
     runner.start_all(available_now=available_now)
@@ -115,6 +124,7 @@ def run_multiplex(
     out_root: str,
     checkpoint_root: str,
     available_now: bool = True,
+    state_store_provider: str | None = None,
 ) -> StreamRunner:
     """Efficiency mode: one query, one source read per micro-batch; the
     foreachBatch closure persists the batch and fans out to all branches."""
@@ -143,7 +153,9 @@ def run_multiplex(
         finally:
             batch_df.unpersist()
 
-    runner = StreamRunner(spark, checkpoint_root)
+    runner = StreamRunner(
+        spark, checkpoint_root, state_store_provider=state_store_provider
+    )
     runner.add("openfood_multiplex", products, output_mode="append", foreach_batch=process)
     runner.start_all(available_now=available_now)
     return runner

@@ -166,7 +166,9 @@ _R10_WINDOW = list(_R10_FIRSTS) + [
 # Queries built AFTER the r10 window froze; they lead the r11 window.
 # Pinned by tests/test_plans.py: the set of unrecorded registry queries
 # outside the r10 window must be EXACTLY this list.
-_R11_FIRSTS: list[str] = []
+_R11_FIRSTS: list[str] = [
+    "repetition_signals",  # Gopher within-doc repetition fractions
+]
 
 
 def _reorder() -> None:

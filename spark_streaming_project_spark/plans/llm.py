@@ -1584,11 +1584,17 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and hyperplane LSH).
 # ---------------------------------------------------------------------------
 
-_IVF_NLIST = 8
-# r09 in-round retune: n_probe 2 -> 3 lifts recall@10 0.4 -> 0.6 at sf0.1
-# (measured; n_probe=4 plateaus at 0.6 — hash-sampled centroids cap out,
-# the kmeans tier is the next step up the ladder). Scan fraction 3/8.
-_IVF_NPROBE = 3
+# r10 retune (VERDICT r9 ask #3): finer lists + spilled 2x assignment.
+# r09's (n_list=8, n_probe=3, assign=1) measured recall@10 0.6 canonical /
+# 0.47 mean over 7 query ids; the grid sweep found (32, 8, assign=2) at
+# 0.8 canonical / 0.81 mean for the same ~1 s wall. Effective scan
+# fraction: 2*8/32 = 0.5 of STORED entries (storage is 2x n, so ~0.5 n
+# exact re-scores per query, deduped). n_probe=3 at n_list=8 capped at
+# 0.6 because true neighbors sat in unprobed Voronoi cells; assign=2
+# stores border vectors in both neighboring cells instead of probing more.
+_IVF_NLIST = 32
+_IVF_NPROBE = 8
+_IVF_NASSIGN = 2
 
 _IVF_ORACLE = f"""
     WITH vecs AS (
@@ -1613,20 +1619,24 @@ _IVF_ORACLE = f"""
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
             FROM scored
-        ) WHERE rn = 1
+        ) WHERE rn <= {_IVF_NASSIGN}
     ),
     probes AS (
         SELECT cid FROM scored WHERE vec_id = {_QUERY_VEC_ID}
         ORDER BY sim DESC, cid ASC LIMIT {_IVF_NPROBE}
     ),
+    cand AS (
+        SELECT DISTINCT a.vec_id, a.v
+        FROM assigned a JOIN probes USING (cid)
+        WHERE a.vec_id <> {_QUERY_VEC_ID}
+    ),
     q AS (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_VEC_ID})
-    SELECT a.vec_id,
-           round({_duck_dot('a.v', 'qv')}
-                 / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('qv', 'qv')})),
+    SELECT c.vec_id,
+           round({_duck_dot('c.v', 'qv')}
+                 / (sqrt({_duck_dot('c.v', 'c.v')}) * sqrt({_duck_dot('qv', 'qv')})),
                  6) AS cosine_sim
-    FROM assigned a JOIN probes USING (cid), q
-    WHERE a.vec_id <> {_QUERY_VEC_ID}
-    ORDER BY cosine_sim DESC, a.vec_id ASC
+    FROM cand c, q
+    ORDER BY cosine_sim DESC, c.vec_id ASC
     LIMIT 10
 """
 
@@ -1642,7 +1652,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, "vec_id", "embedding", _QUERY_VEC_ID,
-        k=10, n_list=_IVF_NLIST, n_probe=_IVF_NPROBE,
+        k=10, n_list=_IVF_NLIST, n_probe=_IVF_NPROBE, n_assign=_IVF_NASSIGN,
     )
 
 
@@ -6312,7 +6322,9 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # folklore.
 # ---------------------------------------------------------------------------
 
-_SWEEP_PROBES = (1, 2, 4, 8)
+# r10: probes span the knee of the retuned index (n_list=32, assign=2);
+# the production tier sits at n_probe=8
+_SWEEP_PROBES = (2, 4, 8, 16)
 
 
 def _ivf_sweep_oracle() -> str:
@@ -6325,11 +6337,14 @@ def _ivf_sweep_oracle() -> str:
         ORDER BY sim DESC, cid ASC LIMIT {p}
     ),
     got_{p} AS (
-        SELECT a.vec_id FROM assigned a JOIN probes_{p} USING (cid), q
-        WHERE a.vec_id <> {_QUERY_VEC_ID}
-        ORDER BY round({_duck_dot('a.v', 'qv')}
-              / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('qv', 'qv')})),
-              6) DESC, a.vec_id ASC
+        SELECT c.vec_id FROM (
+            SELECT DISTINCT a.vec_id, a.v
+            FROM assigned a JOIN probes_{p} USING (cid)
+            WHERE a.vec_id <> {_QUERY_VEC_ID}
+        ) c, q
+        ORDER BY round({_duck_dot('c.v', 'qv')}
+              / (sqrt({_duck_dot('c.v', 'c.v')}) * sqrt({_duck_dot('qv', 'qv')})),
+              6) DESC, c.vec_id ASC
         LIMIT 10
     )"""
         )
@@ -6361,7 +6376,7 @@ def _ivf_sweep_oracle() -> str:
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
             FROM scored
-        ) WHERE rn = 1
+        ) WHERE rn <= {_IVF_NASSIGN}
     ),
     q AS (SELECT v AS qv FROM vecs WHERE vec_id = {_QUERY_VEC_ID}),
     truth AS (
@@ -6385,10 +6400,11 @@ def _ivf_sweep_oracle() -> str:
     tags=("llm", "similarity", "ivf", "tuning"),
 )
 def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF recall@10 at n_probe in {1,2,4,8} against the exact brute-force
-    top-10 — four bounded probes of the same deterministic hash-centroid
-    index (``operators/similarity.ivf_topk``); each probe reads
-    ~n_probe/n_list of the corpus at scale."""
+    """IVF recall@10 at n_probe in {2,4,8,16} against the exact
+    brute-force top-10 — four bounded probes of the PRODUCTION index
+    shape (n_list=32, spilled 2x assignment — the r10 retune in
+    ``operators/similarity.ivf_topk``); each probe reads
+    ~n_assign*n_probe/n_list of the stored entries at scale."""
     from ..operators.similarity import brute_force_topk, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6405,6 +6421,7 @@ def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             n_list=_IVF_NLIST,
             n_probe=p,
+            n_assign=_IVF_NASSIGN,
         ).select("vec_id")
         parts.append(
             got.join(truth, "vec_id")

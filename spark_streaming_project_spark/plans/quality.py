@@ -3433,3 +3433,64 @@ def dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+    WITH rs_base AS (
+        SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS w
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+    ),
+    rs_lv AS (
+        SELECT doc_id, chars, ns.n,
+               array_to_string(list_slice(w, u.p, u.p + ns.n - 1), ' ') AS gram
+        FROM rs_base,
+             (VALUES (2), (3), (4), (5), (10)) AS ns(n),
+             LATERAL unnest(range(1, greatest(len(w) - ns.n + 1, 0) + 1)) AS u(p)
+    ),
+    rs_counts AS (
+        SELECT doc_id, chars, n, gram, count(*) AS c
+        FROM rs_lv GROUP BY 1, 2, 3, 4
+    ),
+    rs_per_n AS (
+        SELECT doc_id, chars, n,
+               max(CASE WHEN c > 1 THEN c * length(gram) END) AS top_chars,
+               sum(CASE WHEN c > 1 THEN c * length(gram) END) AS dup_chars
+        FROM rs_counts GROUP BY 1, 2, 3
+    ),
+    rs_wide AS (
+        SELECT doc_id, chars,
+               round(least(coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0)
+                           / CAST(chars AS DOUBLE), 1.0), 6) AS top2_frac,
+               round(least(coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0)
+                           / CAST(chars AS DOUBLE), 1.0), 6) AS top3_frac,
+               round(least(coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0)
+                           / CAST(chars AS DOUBLE), 1.0), 6) AS top4_frac,
+               round(least(coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0)
+                           / CAST(chars AS DOUBLE), 1.0), 6) AS dup5_frac,
+               round(least(coalesce(max(CASE WHEN n = 10 THEN dup_chars END), 0)
+                           / CAST(chars AS DOUBLE), 1.0), 6) AS dup10_frac
+        FROM rs_per_n GROUP BY 1, 2
+    )
+    SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac, dup10_frac,
+           (top2_frac < 0.20 AND top3_frac < 0.18 AND top4_frac < 0.16
+            AND dup5_frac < 0.15 AND dup10_frac < 0.10) AS rep_keep
+    FROM rs_wide
+    """,
+    tags=("llm", "quality", "gopher"),
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher REPETITION signals (Rae et al. 2021 §A1.1):
+    top-{2,3,4}-gram character fractions, duplicate-{5,10}-gram character
+    fractions, and the conjunctive rep_keep verdict under the paper's
+    thresholds — the within-document repetition half of the Gopher rules
+    that cross-document dedup cannot see (a template farm passes exact
+    and near dedup while every doc repeats ITSELF). All aggregation is
+    doc_id-keyed and map-side combinable; see
+    operators/quality.repetition_signals for the scale shape."""
+    from ..operators.quality import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "text", "doc_id")

@@ -10,7 +10,7 @@ atomic when the backend supports transactional DDL.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,6 +46,7 @@ def foreach_batch_per_batch_topk(
     out_dir: str,
     k_order_desc: str,
     k: int = 10,
+    tiebreak_asc: Sequence[str] = (),
 ) -> Callable[[DataFrame, int], None]:
     """X5 semantics (Consumer.scala:147-165): re-aggregate *within* each
     micro-batch, keep the batch-local top-k, stamp ``batch_id``, append.
@@ -53,12 +54,18 @@ def foreach_batch_per_batch_topk(
     The output parquet dir accumulates one top-k per batch — exactly the
     reference's ``top_additive_products`` table shape (batch_id column,
     init.sql:39-44).
+
+    ``tiebreak_asc`` extends the ordering to a TOTAL order: without it, a
+    tie on ``k_order_desc`` at the k boundary picks an arbitrary row per
+    run (and the per_query/multiplex modes can disagree — caught by
+    tests/test_pipeline.py's full-topology parity assert).
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        order = [F.desc(k_order_desc)] + [F.asc(c) for c in tiebreak_asc]
         topk = (
             aggregate(batch_df)
-            .orderBy(F.desc(k_order_desc))
+            .orderBy(*order)
             .limit(k)
             .withColumn("batch_id", F.lit(batch_id))
         )

@@ -975,9 +975,10 @@ def test_registry_ann_tiers_hold_recall_floors(spark):
     plane/hash regression in any tier fails the suite instead of
     silently shipping recall 0. Floors sit just under the deterministic
     sf0.01 measurements (2026-08-16: lsh 0.1, multiprobe 0.5,
-    multitable 0.6, ivf 0.6 after its own n_probe 2 -> 3 retune,
-    ivf_kmeans 0.6, quantized 1.0, pq 1.0, ivfpq 0.7 after the r09
-    n_probe=3/rerank=300 retune — VERDICT r8 ask #2). Single-table LSH is the deliberately-demoted teaching
+    multitable 0.6, ivf 1.0 after the r10 n_list 8 -> 32 + spilled-2x-
+    assignment retune (VERDICT r9 ask #3), ivf_kmeans 0.6, quantized
+    1.0, pq 1.0, ivfpq 0.7 after the r09 n_probe=3/rerank=300 retune —
+    VERDICT r8 ask #2). Single-table LSH is the deliberately-demoted teaching
     tier (recall < 1 by construction, operators/similarity.py) — its
     floor only guards against zero. bench.py enforces the sf0.1 twins."""
     from spark_streaming_project_spark.plans import REGISTRY
@@ -986,7 +987,7 @@ def test_registry_ann_tiers_hold_recall_floors(spark):
         "similarity_ann_lsh_topk": 0.1,
         "similarity_lsh_multiprobe_topk": 0.4,
         "similarity_ann_lsh_multitable_topk": 0.5,
-        "similarity_ivf_topk": 0.5,
+        "similarity_ivf_topk": 0.9,
         "similarity_ivf_kmeans_topk": 0.5,
         "similarity_quantized_topk": 0.9,
         "similarity_pq_topk": 0.9,

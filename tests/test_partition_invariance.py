@@ -170,6 +170,8 @@ REPRESENTATIVES = [
     "lang_length_kruskal",              # x2-integer k-group rank test
     "minhash_band_sweep",               # nested-band candidate rollups
     "session_conversion_rate",          # session funnel conditional mins
+    # round-10 families
+    "repetition_signals",               # Gopher within-doc repetition
 ]
 
 

@@ -1001,3 +1001,70 @@ def test_lr_weights_memo_is_bit_identical_to_fresh_fit(spark):
     assert w_again == w_memo
     w_again[0] = 12345.0
     assert _lr_weights(spark, SF) == w_memo
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition fractions against hand-computed values: a clean
+    doc keeps, a doc dominated by one repeated bigram trips top2, a doc
+    with a long repeated 5-gram trips dup5."""
+    from spark_streaming_project_spark.operators.quality import (
+        repetition_signals,
+    )
+
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # "spam ham" repeated 5x: top 2-gram "spam ham" count 5, len 8
+    spammy = " ".join(["spam", "ham"] * 5)
+    # one 5-word phrase repeated 3x -> every 5-gram inside repeats
+    loopy = " ".join(["one two three four five"] * 3)
+    df = spark.createDataFrame(
+        [(1, clean), (2, spammy), (3, loopy)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df, "text", "doc_id").collect()}
+
+    assert got[1]["rep_keep"] is True
+    assert got[1]["top2_frac"] < 0.20 and got[1]["dup5_frac"] == 0.0
+
+    # spammy: chars = len("spam ham spam ham ...") = 5*8 + 4 = 44;
+    # 2-grams: "spam ham" x5, "ham spam" x4 -> top2 = 5*8/44
+    assert got[2]["top2_frac"] == round(min(5 * 8 / 44, 1.0), 6)
+    assert got[2]["rep_keep"] is False
+
+    # loopy: 15 words, every 5-gram occurs >= 2x? the phrase boundary
+    # grams ("five one two three four" etc.) also repeat (period 5), so
+    # dup5 clamps at 1.0
+    assert got[3]["dup5_frac"] == 1.0
+    assert got[3]["rep_keep"] is False
+
+
+def test_repetition_signals_registry_oracle_match(spark):
+    """The registered query must agree with its DuckDB oracle at sf0.01
+    (pre-driver check for the r11 recording)."""
+    import duckdb
+    import math
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    q = REGISTRY["repetition_signals"]
+    sdf = q.builder(spark, sf)
+    srows = sdf.collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    res = con.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+
+    def canon(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return v
+
+    so = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    a = sorted(tuple(canon(r[i]) for i in so) for r in srows)
+    b = sorted(tuple(canon(r[i]) for i in do) for r in drows)
+    assert len(a) == len(b) > 0
+    assert a == b
