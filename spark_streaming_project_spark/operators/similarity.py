@@ -783,6 +783,7 @@ def ivf_kmeans_topk(
     n_probe: int = 2,
     sample_size: int = 1024,
     iters: int = 5,
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF ANN with LEARNED centroids: a sampled spherical k-means fit
     replaces ``ivf_topk``'s hash-picked pseudo-centroids, so inverted
@@ -801,6 +802,11 @@ def ivf_kmeans_topk(
     float64 matmul), but no SQL oracle can replay Lloyd iterations — the
     registry entry is declared rows-only and pytest pins recall + exact
     agreement of returned scores with brute force.
+
+    ``n_assign`` > 1 applies the same spilled multi-assignment as
+    ``ivf_topk`` (each vector stored in its n nearest learned lists;
+    candidates deduped before the exact re-score) — the recall lever for
+    border vectors the coarse quantizer would otherwise hide.
 
     Ties total-ordered by (rounded cosine DESC, id ASC) as everywhere.
     """
@@ -822,15 +828,21 @@ def ivf_kmeans_topk(
     cn = np.linalg.norm(cents, axis=1, keepdims=True)
     cu = cents / np.where(cn > 0, cn, 1.0)
 
-    @pandas_udf(T.IntegerType())
-    def assign_cid(vecs: pd.Series) -> pd.Series:
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign_cids(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
         nrm = np.linalg.norm(m, axis=1, keepdims=True)
         mu = m / np.where(nrm > 0, nrm, 1.0)
-        return pd.Series(np.argmax(mu @ cu.T, axis=1).astype(np.int32))
+        sims = mu @ cu.T
+        # top-n_assign list ids per vector, best first (argsort on -sims
+        # is deterministic: ties broken by ascending cid)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_assign]
+        return pd.Series(list(top.astype(np.int32)))
 
     vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
-    assigned = vecs.withColumn("cid", assign_cid(F.col("_v")))
+    assigned = vecs.withColumn(
+        "cid", F.explode(assign_cids(F.col("_v")))
+    )
 
     qrow = assigned.filter(F.col(id_col) == query_id).select("_v").collect()
     if not qrow:
@@ -847,16 +859,17 @@ def ivf_kmeans_topk(
         .select(F.col("_v").alias("_query_vec"))
         .withColumn("_qn", norm(F.col("_query_vec")))
     )
-    scored = (
-        assigned.filter(F.col("cid").isin(probe_cids))
-        .filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q))
-        .select(
-            F.col(id_col),
-            F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(
-                "cosine_sim"
-            ),
-        )
+    candidates = assigned.filter(F.col("cid").isin(probe_cids)).filter(
+        F.col(id_col) != query_id
+    )
+    if n_assign > 1:
+        # a vector stored in two probed lists is one candidate
+        candidates = candidates.select(id_col, "_v").distinct()
+    scored = candidates.join(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(
+            "cosine_sim"
+        ),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 

@@ -168,6 +168,7 @@ _R10_WINDOW = list(_R10_FIRSTS) + [
 # outside the r10 window must be EXACTLY this list.
 _R11_FIRSTS: list[str] = [
     "repetition_signals",  # Gopher within-doc repetition fractions
+    "source_temperature_weights",  # tau=2 mixture weights + epoch audit
 ]
 
 

@@ -988,7 +988,7 @@ def test_registry_ann_tiers_hold_recall_floors(spark):
         "similarity_lsh_multiprobe_topk": 0.4,
         "similarity_ann_lsh_multitable_topk": 0.5,
         "similarity_ivf_topk": 0.9,
-        "similarity_ivf_kmeans_topk": 0.5,
+        "similarity_ivf_kmeans_topk": 0.7,
         "similarity_quantized_topk": 0.9,
         "similarity_pq_topk": 0.9,
         "similarity_ivfpq_topk": 0.7,
