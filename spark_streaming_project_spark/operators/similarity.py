@@ -259,6 +259,7 @@ def write_ivf_partitioned(
     vec_col: str,
     path: str,
     n_list: int = 8,
+    n_assign: int = 1,
 ) -> None:
     """Materialize the IVF index as ``list_id``-PARTITIONED parquet plus a
     centroid sidecar — the storage layout that makes ANN probing a
@@ -273,6 +274,12 @@ def write_ivf_partitioned(
     sidecar and the scan's PartitionFilters prune to n_probe/n_list of the
     files — the physical realization of the pruning that ``ivf_topk`` can
     only do logically.
+
+    ``n_assign`` > 1 stores each vector in its n nearest list
+    DIRECTORIES (spilled multi-assignment — the r10 recall retune;
+    storage grows n_assign-fold, probes stay directory-pruned). The
+    sidecar carries ``n_assign`` so readers and appenders dedup and
+    assign consistently without a separate metadata file.
     """
     vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
     hashed = vecs.withColumn("_h", F.md5(F.col(id_col).cast("string")))
@@ -283,20 +290,27 @@ def write_ivf_partitioned(
         .select("cid", F.col("_v").alias("_cv"))
         .withColumn("_cn", norm(F.col("_cv")))
     )
-    assigned = _assign_to_centroids(vecs, cents, id_col, vec_col)
+    assigned = _assign_to_centroids(vecs, cents, id_col, vec_col, n_assign)
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
-    cents.select("cid", F.col("_cv").alias("centroid")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/_ivf_centroids")
+    cents.select(
+        "cid",
+        F.col("_cv").alias("centroid"),
+        F.lit(n_assign).alias("n_assign"),
+    ).write.mode("overwrite").parquet(f"{path}/_ivf_centroids")
 
 
 def _assign_to_centroids(
-    vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    vecs: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_assign: int = 1,
 ) -> DataFrame:
-    """(id, vec, list_id) with list_id = argmax-cosine centroid — broadcast
-    cross-join against ≤ n_list rows + per-vector argmax; ties broken by
-    (cosine DESC, cid ASC) so assignment is total-ordered. ``vecs`` must
-    carry (id_col, _v); ``cents`` (cid, _cv, _cn)."""
+    """(id, vec, list_id) with list_id = the ``n_assign`` top-cosine
+    centroids — broadcast cross-join against ≤ n_list rows + per-vector
+    rank; ties broken by (cosine DESC, cid ASC) so assignment is
+    total-ordered. ``vecs`` must carry (id_col, _v); ``cents``
+    (cid, _cv, _cn)."""
     _n = F.col("_vn") * F.col("_cn")
     scored = (
         vecs.withColumn("_vn", norm(F.col("_v")))
@@ -313,7 +327,7 @@ def _assign_to_centroids(
     )
     return (
         scored.withColumn("_rn", rn)
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_assign)
         .select(F.col(id_col), F.col("_v").alias(vec_col), F.col("cid").alias("list_id"))
     )
 
@@ -338,14 +352,22 @@ def append_ivf_partitioned(
     caller's concern (appends are blind, like parquet appends anywhere).
     """
     spark = df.sparkSession
-    cents = (
-        spark.read.parquet(f"{path}/_ivf_centroids")
-        .select("cid", as_double("centroid").alias("_cv"))
-        .withColumn("_cn", norm(F.col("_cv")))
-    )
+    sidecar = spark.read.parquet(f"{path}/_ivf_centroids")
+    n_assign = _sidecar_n_assign(sidecar)
+    cents = sidecar.select(
+        "cid", as_double("centroid").alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
     vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
-    assigned = _assign_to_centroids(vecs, cents, id_col, vec_col)
+    assigned = _assign_to_centroids(vecs, cents, id_col, vec_col, n_assign)
     assigned.write.partitionBy("list_id").mode("append").parquet(path)
+
+
+def _sidecar_n_assign(sidecar: DataFrame) -> int:
+    """The index's assignment multiplicity from its centroid sidecar;
+    pre-r10 sidecars carry no n_assign column and mean 1."""
+    if "n_assign" not in sidecar.columns:
+        return 1
+    return int(sidecar.select(F.max("n_assign")).first()[0] or 1)
 
 
 def ivf_partitioned_topk(
@@ -371,7 +393,9 @@ def ivf_partitioned_topk(
     the caller sees)."""
     import math
 
-    cents = spark.read.parquet(f"{path}/_ivf_centroids").collect()
+    sidecar = spark.read.parquet(f"{path}/_ivf_centroids")
+    n_assign = _sidecar_n_assign(sidecar)
+    cents = sidecar.collect()
     qn = math.sqrt(sum(x * x for x in query_vec))
 
     def _cos(c) -> float:
@@ -386,6 +410,10 @@ def ivf_partitioned_topk(
     data = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
     if exclude_id is not None:
         data = data.filter(F.col(id_col) != exclude_id)
+    if n_assign > 1:
+        # a vector stored in two probed list directories is one candidate;
+        # dedup is candidate-set-sized (post-prune), never index-sized
+        data = data.dropDuplicates([id_col])
     q_arr = F.array(*[F.lit(float(x)) for x in query_vec])
     q = (
         spark.range(1)

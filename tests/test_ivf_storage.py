@@ -289,3 +289,67 @@ def test_ivfpq_append_parity_with_single_pass(spark, tmp_path):
         ).collect()
     ]
     assert a == b and len(a) == 10
+
+
+def test_ivf_partitioned_multi_assign_matches_logical_and_prunes(spark, tmp_path):
+    """r10 spilled multi-assignment at the STORAGE level: an n_assign=2
+    index must (a) store each vector in exactly two list directories,
+    (b) record n_assign in the centroid sidecar, (c) still prune at the
+    partition level, (d) dedup probed candidates so top-k never repeats
+    an id, and (e) match the logical ivf_topk(n_assign=2) bit-for-bit."""
+    import os
+
+    from spark_streaming_project_spark.operators.similarity import (
+        append_ivf_partitioned,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    path = str(tmp_path / "ivf_ma")
+    write_ivf_partitioned(
+        emb, "vec_id", "embedding", path, n_list=N_LIST, n_assign=2
+    )
+
+    n = emb.count()
+    stored = spark.read.parquet(path)
+    assert stored.count() == 2 * n  # every vector in exactly two lists
+    assert stored.select("vec_id").distinct().count() == n
+    side = spark.read.parquet(os.path.join(path, "_ivf_centroids"))
+    assert side.select(F.max("n_assign")).first()[0] == 2
+
+    query_id = emb.select(F.min("vec_id")).collect()[0][0]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_id)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    got_df = ivf_partitioned_topk(
+        spark, path, "vec_id", "embedding", qvec,
+        n_probe=N_PROBE, exclude_id=query_id,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    got = [(r["vec_id"], r["cosine_sim"]) for r in got_df.collect()]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", query_id,
+            n_list=N_LIST, n_probe=N_PROBE, n_assign=2,
+        ).collect()
+    ]
+    assert got == want
+    assert len(got) == 10
+    assert len({i for i, _ in got}) == 10  # no duplicate ids past dedup
+
+    # append path reads n_assign back from the sidecar: growing the index
+    # keeps the two-directories-per-vector invariant
+    extra = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).limit(7)
+    append_ivf_partitioned(extra, "vec_id", "embedding", path)
+    grown = spark.read.parquet(path)
+    assert grown.count() == 2 * n + 14
