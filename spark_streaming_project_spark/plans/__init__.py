@@ -169,6 +169,7 @@ _R10_WINDOW = list(_R10_FIRSTS) + [
 _R11_FIRSTS: list[str] = [
     "repetition_signals",  # Gopher within-doc repetition fractions
     "source_temperature_weights",  # tau=2 mixture weights + epoch audit
+    "padding_waste_curve",  # length-bucketed batching planner
 ]
 
 

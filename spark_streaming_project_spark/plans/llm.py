@@ -7288,3 +7288,96 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PAD_BUCKETS = (1, 2, 4, 8, 16)
+
+
+@register(
+    "padding_waste_curve",
+    oracle=f"""
+    WITH pw_docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+    ),
+    pw_assign AS (
+        SELECT n_tok,
+               {", ".join(f"ntile({b}) OVER (ORDER BY n_tok, doc_id) AS bk_{b}" for b in _PAD_BUCKETS)}
+        FROM pw_docs
+    ),
+    pw_lv AS (
+        {" UNION ALL ".join(f"SELECT {b} AS n_buckets, bk_{b} AS bucket, n_tok FROM pw_assign" for b in _PAD_BUCKETS)}
+    ),
+    pw_per_bucket AS (
+        SELECT n_buckets, bucket,
+               count(*) AS n_docs, max(n_tok) AS max_tok,
+               sum(n_tok) AS sum_tok
+        FROM pw_lv GROUP BY 1, 2
+    )
+    SELECT n_buckets,
+           CAST(sum(n_docs * max_tok) AS BIGINT) AS padded_tokens,
+           CAST(sum(n_docs * max_tok) - sum(sum_tok) AS BIGINT) AS wasted_tokens,
+           round(CAST(sum(n_docs * max_tok) - sum(sum_tok) AS DOUBLE)
+                 / CAST(sum(n_docs * max_tok) AS DOUBLE), 6) AS waste_frac
+    FROM pw_per_bucket
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "packing", "tuning"),
+)
+def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding waste at 1/2/4/8/16 length buckets — the planning
+    table behind length-bucketed batching (every doc in a bucket pads to
+    the bucket max, the upper bound a bucketed batcher pays): padded
+    tokens, wasted tokens, and waste fraction per bucket count. One
+    bucket = naive global batching; the curve's knee says how many
+    buckets buy most of the padding back (the ann_probe_sweep discipline
+    applied to the batching constant). Counterpart to packed_sequences,
+    which removes padding entirely by concatenation — bucketing is what
+    serving / fixed-format fine-tuning stacks use instead.
+
+    Determinism: ntile over the total order (n_tok, doc_id); integer
+    token sums with one terminal division. Scale: the ntile ranks ALL
+    docs in one global sort — at corpus scale you'd swap in
+    range_partitioned_ntile (operators/windows.py) which ranks within
+    range-partitioned slices; the 5 assignments share one sort here.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    from ..functions.text import token_count
+
+    base = docs.select(
+        "doc_id", token_count("text").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = Window.orderBy("n_tok", "doc_id")
+    assign = base.select(
+        "n_tok",
+        *[F.ntile(b).over(w).alias(f"bk_{b}") for b in _PAD_BUCKETS],
+    )
+    lv = None
+    for b in _PAD_BUCKETS:
+        part = assign.select(
+            F.lit(b).alias("n_buckets"),
+            F.col(f"bk_{b}").alias("bucket"),
+            "n_tok",
+        )
+        lv = part if lv is None else lv.unionByName(part)
+    per_bucket = lv.groupBy("n_buckets", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("sum_tok"),
+    )
+    padded = F.sum(F.col("n_docs") * F.col("max_tok"))
+    wasted = padded - F.sum("sum_tok")
+    return (
+        per_bucket.groupBy("n_buckets")
+        .agg(
+            padded.cast("bigint").alias("padded_tokens"),
+            wasted.cast("bigint").alias("wasted_tokens"),
+            F.round(
+                wasted.cast("double") / padded.cast("double"), 6
+            ).alias("waste_frac"),
+        )
+        .orderBy("n_buckets")
+    )

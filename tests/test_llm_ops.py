@@ -1162,3 +1162,38 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert (
         minhash_lsh_pairs(df, "text", "doc_id", threshold=0.8).collect() == []
     )
+
+
+def test_padding_waste_curve_invariants(spark):
+    """More buckets can only cut padding (ntile refines the partition of
+    the length-sorted order, so every bucket max is <= its parent's);
+    b=1 equals the closed form n*max(len) - sum(len); waste hits 0 iff
+    every bucket is constant-length."""
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    rows = {
+        r["n_buckets"]: r
+        for r in REGISTRY["padding_waste_curve"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8, 16]
+    wastes = [rows[b]["wasted_tokens"] for b in (1, 2, 4, 8, 16)]
+    assert wastes == sorted(wastes, reverse=True)
+
+    from spark_streaming_project_spark.sources.batch import load_table
+    from spark_streaming_project_spark.functions.text import token_count
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(token_count("text").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    agg = docs.agg(
+        F.count("*").alias("c"), F.max("n").alias("m"), F.sum("n").alias("s")
+    ).first()
+    assert rows[1]["padded_tokens"] == agg["c"] * agg["m"]
+    assert rows[1]["wasted_tokens"] == agg["c"] * agg["m"] - agg["s"]
+    for b in (1, 2, 4, 8, 16):
+        assert 0 <= rows[b]["waste_frac"] < 1

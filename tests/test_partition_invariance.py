@@ -172,6 +172,8 @@ REPRESENTATIVES = [
     "session_conversion_rate",          # session funnel conditional mins
     # round-10 families
     "repetition_signals",               # Gopher within-doc repetition
+    "source_temperature_weights",       # decimal-summed mixture weights
+    "padding_waste_curve",              # ntile bucket padding planner
 ]
 
 
