@@ -172,12 +172,78 @@ _R11_FIRSTS: list[str] = [
     "padding_waste_curve",  # length-bucketed batching planner
 ]
 
+# The intended round-11 recorded window (VERDICT r10 ask #1): the 3
+# _R11_FIRSTS lead (first-ever driver recording for each), then the 8
+# remaining r04-stale queries (the declared head of the r11 refresh list
+# since r10 froze), then the alphabetically-first 39 of the 44
+# ORACLE-BEARING queries whose newest record is r05 (the next-stalest
+# rotation; the 4 rows-only r05 markers — approx_stats,
+# similarity_{ivf_kmeans,pq,ivfpq}_topk — stay out of refresh rotation as
+# in r09, so every window row is the full rows+schema+hash gate).
+# Computed-and-asserted by tests/test_plans.py exactly as in r5-r10.
+_R11_WINDOW = list(_R11_FIRSTS) + [
+    # -- the 8 r04-stale holdovers (newest record = r04)
+    "status_priority_cube",
+    "top_customer_per_nation",
+    "top_revenue_supplier",
+    "user_value_locf",
+    "value_winsorized",
+    "viewers_and_buyers",
+    "weighted_doc_sample",
+    "zipf_profile",
+    # -- the 39 alphabetically-first oracle-bearing r05-stale refreshes
+    "cross_doc_gram_share",
+    "customer_order_history",
+    "decontamination_overlap",
+    "dedup_exact_substring_pairs",
+    "dedup_substring_trim_plan",
+    "distinct_sketch",
+    "doc_length_corr",
+    "dsir_bucket_model",
+    "dsir_selected_sample",
+    "event_transition_matrix",
+    "event_user_skew",
+    "exact_stats",
+    "heavy_hitters_cms",
+    "incremental_dedup_verdicts",
+    "large_volume_orders",
+    "late_shipment_priority",
+    "media_dedup_groups",
+    "mixture_epoch_counts",
+    "nation_spend_deciles",
+    "neardup_degree_histogram",
+    "neardup_triangle_census",
+    "orders_by_year_month",
+    "priority_shipment_counts",
+    "promo_revenue_ratio",
+    "quantity_histogram",
+    "quantity_percentiles",
+    "repetition_profile",
+    "revenue_concentration",
+    "semdedup_audit",
+    "similarity_ivfpq_det_topk",
+    "similarity_mmr_topk",
+    "similarity_pq_det_topk",
+    "similarity_quantized_topk",
+    "source_capped_docs",
+    "source_drift_kl",
+    "stratified_source_sample",
+    "token_budget_sample",
+    "tokenized_fingerprints",
+    "tokenizer_compression",
+]
+
+# Queries built AFTER the r11 window froze; they lead the r12 window.
+# Pinned by tests/test_plans.py: the set of never-recorded registry
+# queries outside the r11 window must be EXACTLY this list.
+_R12_FIRSTS: list[str] = []
+
 
 def _reorder() -> None:
     """Rotate the registry so the driver's recorded window (the first
-    ``DRIVER_WINDOW`` entries) is exactly ``_R10_WINDOW`` — computed and
+    ``DRIVER_WINDOW`` entries) is exactly ``_R11_WINDOW`` — computed and
     asserted, never prose arithmetic."""
-    window = list(_R10_WINDOW)
+    window = list(_R11_WINDOW)
     if len(window) != DRIVER_WINDOW or len(set(window)) != len(window):
         raise ValueError(
             f"intended window has {len(window)} names "

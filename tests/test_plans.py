@@ -309,12 +309,14 @@ def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
 
 
 def test_driver_window_is_exactly_the_intended_fifty():
-    """VERDICT r9 ask #1: the recorded window must be COMPUTED, not
+    """VERDICT r10 ask #1: the recorded window must be COMPUTED, not
     prose — the registry's first DRIVER_WINDOW names are exactly the
-    intended round-10 list: the 13 _R10_FIRSTS (declared in r09, never
-    yet driver-recorded) lead, then the 37 alphabetically-first of the
-    45 queries whose newest driver record is r04 (the stalest refresh
-    rotation; the 8 left over are the declared head of the r11 list)."""
+    intended round-11 list: the 3 _R11_FIRSTS (declared in r10, never
+    yet driver-recorded) lead, then the 8 remaining r04-stale queries,
+    then the alphabetically-first 39 of the 44 oracle-bearing queries
+    whose newest driver record is r05 (the next-stalest rotation; the
+    4 rows-only r05 markers stay out of refresh rotation as in r09,
+    and the 5 oracle-bearing leftovers head the r12 refresh list)."""
     import glob
     import json
     import os
@@ -323,49 +325,57 @@ def test_driver_window_is_exactly_the_intended_fifty():
     from spark_streaming_project_spark.plans import (
         DRIVER_WINDOW,
         REGISTRY,
-        _R10_FIRSTS,
-        _R10_WINDOW,
         _R11_FIRSTS,
+        _R11_WINDOW,
+        _R12_FIRSTS,
     )
 
     head = list(REGISTRY)[:DRIVER_WINDOW]
-    assert head == _R10_WINDOW
-    assert len(_R10_WINDOW) == DRIVER_WINDOW == 50
-    # the 13 never-recorded r09 additions lead (first-ever recording)
-    assert head[: len(_R10_FIRSTS)] == _R10_FIRSTS
+    assert head == _R11_WINDOW
+    assert len(_R11_WINDOW) == DRIVER_WINDOW == 50
+    # the 3 never-recorded r10 additions lead (first-ever recording)
+    assert head[: len(_R11_FIRSTS)] == _R11_FIRSTS
     # COMPUTED, not prose: rebuild newest-record per query from the
-    # committed driver artifacts r01-r09
+    # committed driver artifacts r01-r10
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))):
-        rnd = int(_re.search(r"r0(\d)", os.path.basename(path)).group(1))
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(_re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as fh:
             for name in json.load(fh):
-                newest[name] = rnd
-    # the _R10_FIRSTS are exactly the queries with NO record at all that
-    # existed before this round (equality via the _R11_FIRSTS clause below)
-    assert all(n not in newest for n in _R10_FIRSTS), [
-        n for n in _R10_FIRSTS if n in newest
+                newest[name] = max(rnd, newest.get(name, 0))
+    # the _R11_FIRSTS are exactly the queries with NO record at all that
+    # existed before this round (equality via the _R12_FIRSTS clause below)
+    assert all(n not in newest for n in _R11_FIRSTS), [
+        n for n in _R11_FIRSTS if n in newest
     ]
-    # the 37 refresh slots are exactly the alphabetically-first 37 of the
-    # r04-stale set (newest record == r04)
+    # next 8 slots: the full r04-stale set (newest record == r04)
     stale_r04 = sorted(n for n in REGISTRY if newest.get(n) == 4)
-    assert head[len(_R10_FIRSTS):] == stale_r04[: 50 - len(_R10_FIRSTS)]
+    assert head[len(_R11_FIRSTS): len(_R11_FIRSTS) + len(stale_r04)] == stale_r04
+    # remaining 39 slots: the alphabetically-first 39 of the oracle-
+    # bearing r05-stale set (rows-only markers excluded, as in r09)
+    stale_r05 = sorted(
+        n
+        for n in REGISTRY
+        if newest.get(n) == 5 and REGISTRY[n].oracle is not None
+    )
+    n_flex = 50 - len(_R11_FIRSTS) - len(stale_r04)
+    assert head[len(_R11_FIRSTS) + len(stale_r04):] == stale_r05[:n_flex]
     # zero recorded-proof debt: any query without a recorded row is either
-    # inside the r10 window (recorded this round) or in the DECLARED
-    # _R11_FIRSTS list (built after the 50 slots were claimed; they lead
-    # the r11 window). Equality, not subset: a new query can never
+    # inside the r11 window (recorded this round) or in the DECLARED
+    # _R12_FIRSTS list (built after the 50 slots were claimed; they lead
+    # the r12 window). Equality, not subset: a new query can never
     # silently skip the recording rotation.
     unrecorded = {n for n in REGISTRY if n not in newest}
-    assert unrecorded - set(head) == set(_R11_FIRSTS), sorted(
-        (unrecorded - set(head)) ^ set(_R11_FIRSTS)
+    assert unrecorded - set(head) == set(_R12_FIRSTS), sorted(
+        (unrecorded - set(head)) ^ set(_R12_FIRSTS)
     )
-    # deferred queries carry oracles so their r11 recording is the full
+    # deferred queries carry oracles so their r12 recording is the full
     # rows+schema+hash gate, not a rows-only marker
-    assert all(REGISTRY[n].oracle is not None for n in _R11_FIRSTS), [
-        n for n in _R11_FIRSTS if REGISTRY[n].oracle is None
+    assert all(REGISTRY[n].oracle is not None for n in _R12_FIRSTS), [
+        n for n in _R12_FIRSTS if REGISTRY[n].oracle is None
     ]
-    # every window entry carries an oracle — including the two promotions
+    # every window entry carries an oracle — the full hash gate for all 50
     assert all(REGISTRY[n].oracle is not None for n in head), [
         n for n in head if REGISTRY[n].oracle is None
     ]
