@@ -60,7 +60,10 @@ def main() -> None:
             # can separate machine crowding (both repeats inflated, high
             # spread) from a code regression (both repeats consistently
             # slower than the prior round) without builder narrative.
-            if timings[name] >= 0.5:
+            # ADVICE r10: skip the repeat in cold mode — the second run
+            # would read the first run's persisted intermediates and bias
+            # the ratio below 1 in exactly the mode that times cold paths
+            if timings[name] >= 0.5 and not cold:
                 t0 = time.perf_counter()
                 REGISTRY[name].builder(spark, SF_DIR).write.format(
                     "noop"
@@ -90,7 +93,11 @@ def main() -> None:
     # the pedagogical baseline the multi-table/multi-probe tiers improve
     # on) reports under ann_teaching_tiers, NOT here (VERDICT r9 ask #8).
     ann_floors = {
-        "similarity_lsh_multiprobe_topk": 0.4,
+        # r11 (VERDICT r10 ask #4): ranked multi-bit perturbation masks
+        # (Lv et al. squared-margin ordering) + n_flip 5 -> 9: recall
+        # 0.4 -> 0.9 at sf0.1, latency flat; floor raised with one step
+        # of slack so it cannot slide back
+        "similarity_lsh_multiprobe_topk": 0.8,
         "similarity_ann_lsh_multitable_topk": 0.9,
         # r10 retune (VERDICT r9 ask #3): n_list 8 -> 32 with spilled 2x
         # assignment, recall 0.6 -> 0.8 canonical (0.81 mean over 7 query
@@ -158,7 +165,13 @@ def main() -> None:
         "protocol": "second timed in-process repeat for queries >= 0.5 s",
         "n_repeated": len(ratios),
         "median_ratio": round(ratios[len(ratios) // 2], 4) if ratios else None,
-        "p90_ratio": round(ratios[(len(ratios) * 9) // 10], 4) if ratios else None,
+        # proper nearest-rank percentile: ceil(0.9*n)-1, clamped — the old
+        # (n*9)//10 index returned the MAXIMUM for small n (ADVICE r10)
+        "p90_ratio": (
+            round(ratios[min(len(ratios) - 1, -(-9 * len(ratios) // 10) - 1)], 4)
+            if ratios
+            else None
+        ),
         "repeat2": repeat2,
     }
 

@@ -111,6 +111,9 @@ def minhash_lsh_pairs(
     # share subplans — without persist the whole shingle+digest pass would
     # re-run per consumer. At warehouse scale this persist is a signature
     # TABLE (the standard LSH-dedup shape: sign once, band-join many).
+    # Cache lifetime: the signatures back the returned LAZY pair frame,
+    # so no in-function unpersist is possible; the caller releases after
+    # its terminal action (bench.py/driver sim clearCache between queries).
     sigs = minhash_signatures(df, text_col, id_col, num_perm).persist()
     # the band self-join runs on SKINNY (id, band) rows — shingle arrays are
     # joined back only for the (small) candidate set, so the shuffle volume
@@ -174,6 +177,8 @@ def ngram_jaccard_pairs(
     # (the most expensive expression in the pipeline) and this frame feeds
     # three consumers (sizes + both self-join sides) — unpersisted, Spark
     # recomputes it per consumer. MEMORY_AND_DISK, skinny (id, gram) rows.
+    # Cache lifetime: backs the returned LAZY frame; caller releases after
+    # its terminal action (bench.py/driver sim clearCache between queries).
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     ).persist()
@@ -229,7 +234,9 @@ def ngram_jaccard_pairs_prefix(
     sh = (
         df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .persist()  # consumed by prefix generation + two verification joins
+        .persist()  # consumed by prefix generation + two verification
+        # joins. Cache lifetime: backs the returned LAZY pair frame;
+        # caller releases (bench.py/driver sim clearCache between queries)
     )
     # _ng rides along from size(shingles) — cheaper than a count() window
     # over the exploded frame (one whole window aggregation removed).
@@ -252,7 +259,8 @@ def ngram_jaccard_pairs_prefix(
             F.col("_rn")
             <= F.col("_ng") - F.ceil(F.lit(threshold) * F.col("_ng")) + 1
         )
-        .persist()  # both sides of the candidate self-join
+        .persist()  # both sides of the candidate self-join (same
+        # Cache lifetime contract as the shingle frame above)
     )
     # Overlap threshold: J >= t  <=>  inter >= t/(1+t) * (na+nb).
     alpha = F.ceil(
@@ -537,9 +545,10 @@ def incremental_dedup_verdicts(
     candidate pairs. The streaming twin with the same state shape is
     ``streaming/stateful.py``'s digest + band-member state.
 
-    The two signature frames are persist()ed (each feeds a band join plus a
-    verification lookup); release is the caller's job after its terminal
-    action — bench.py clears cache between queries.
+    Cache lifetime: the two signature frames are persist()ed (each feeds
+    a band join plus a verification lookup) and back the returned LAZY
+    frame; release is the caller's job after its terminal action —
+    bench.py/driver sim clearCache between queries.
     """
     bdig = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("_dg"))
     cdig = corpus.select(F.md5(F.col(text_col)).alias("_dg")).distinct()
@@ -635,7 +644,8 @@ def _exact_substring_runs(
     # persist: the self-join would otherwise regenerate + re-md5 every
     # window on BOTH sides (the generator sits below the join's exchanges,
     # so no ReusedExchange) — the same shared-intermediate pattern as the
-    # persisted shingle pass in the n-gram tiers
+    # persisted shingle pass in the n-gram tiers. Cache lifetime: backs
+    # the returned LAZY frame; caller releases (harness clearCache)
     wins = wins.persist()
     a = wins.select(
         F.col("_id").alias("id_a"), F.col("pos").alias("pa"), "wk"

@@ -54,8 +54,9 @@ def repetition_stats(
     toks = tokens(text_col)
     grams = _word_grams(toks, gram_n)
     # the tokenized frame feeds THREE consumers (dup fractions + two
-    # frequency passes); persist so the split/zip passes run once — caller
-    # releases after its terminal action (bench clears between queries)
+    # frequency passes); persist so the split/zip passes run once.
+    # Cache lifetime: backs the returned LAZY frame; caller releases
+    # after its terminal action (bench.py/driver sim clearCache)
     base = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), toks.alias("_toks"), grams.alias("_grams"))
@@ -154,7 +155,9 @@ def cross_doc_gram_stats(
     from ..functions.text import word_shingles
 
     # the exploded gram frame feeds the df aggregate AND the join probe;
-    # persist so the (expensive) shingle pass runs once — caller releases
+    # persist so the (expensive) shingle pass runs once.
+    # Cache lifetime: backs the returned LAZY frame; caller releases
+    # after its terminal action (bench.py/driver sim clearCache)
     g = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     ).persist()
@@ -471,10 +474,16 @@ def repetition_signals(
         lv = base.select(
             id_col,
             F.lit(n).alias("_n"),
+            # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark (step
+            # defaults to -1 when stop < start), which would feed slice a
+            # start of 0 and crash on any doc shorter than n tokens —
+            # emit an empty gram array for such docs instead
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
-                    f" i -> array_join(slice(_toks, i, {n}), ' '))"
+                    f"if(size(_toks) >= {n},"
+                    f" transform(sequence(1, size(_toks) - {n - 1}),"
+                    f" i -> array_join(slice(_toks, i, {n}), ' ')),"
+                    f" array())"
                 )
             ).alias("_gram"),
         )

@@ -477,22 +477,40 @@ def lsh_multiprobe_topk(
     salt: str = "plane",
 ) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al., VLDB 2007): search the query's
-    bucket PLUS the ``n_flip`` buckets reached by flipping the planes with
-    the smallest |margin| — the planes the query sits closest to, where
-    true neighbors most likely landed on the other side.
+    bucket PLUS the ``n_flip`` best perturbed buckets, where EVERY subset
+    of planes is a candidate perturbation ranked by its score — the sum
+    of squared margins of the flipped planes (the paper's success-
+    likelihood ordering). Single-bit flips of low-|margin| planes rank
+    first, but a 2-bit flip of two near-zero margins beats a 1-bit flip
+    of a confident plane — exactly the probes the r10 single-bit variant
+    could never reach (its recall plateaued at 0.4 because the remaining
+    true neighbors sat >= 2 plane flips away).
 
     Same storage as single-table LSH (ONE bucket id per vector — unlike
     multi-table OR-amplification, which stores L ids), recall between the
     single-table and multi-table tiers at (1+n_flip)/2^bits candidate
     fraction. The probe set is a deterministic expression of the query
-    vector: per-plane margins are computed inside the broadcast one-row
-    query frame, ranked with array_sort on (|margin|, plane) structs, and
-    EXPLODED into (1+n_flip) probe rows so the candidate join stays a hash
-    EQUI-join on bucket — no nested-loop, no driver-side math.
+    vector: per-plane squared margins are computed once inside the
+    broadcast one-row query frame, all 2^bits (score, mask) structs are
+    ranked with array_sort (score asc, mask asc — the home bucket's empty
+    mask scores 0 and always leads), and the top (1+n_flip) masks XOR
+    against the home bucket and EXPLODE into probe rows so the candidate
+    join stays a hash EQUI-join on bucket — no nested-loop, no
+    driver-side math.
 
     At scale: identical shape to ``lsh_bucket_topk`` — bucket is the
     partition key, probes multiply the scanned buckets by (1+n_flip).
+    The mask enumeration is 2^bits expression terms, fine for the
+    bucket-count regimes this tier targets (<= 256 buckets per table);
+    a wide-bits index (bits > 8) should enumerate subsets of only its
+    lowest-margin ~8 planes instead — guarded loudly below.
     """
+    if bits > 8:
+        raise ValueError(
+            f"lsh_multiprobe_topk enumerates 2^bits perturbation masks "
+            f"(bits={bits} -> {1 << bits}); for wide-bits indexes restrict "
+            "the mask space to the lowest-|margin| <= 8 planes"
+        )
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -509,26 +527,31 @@ def lsh_multiprobe_topk(
         )
         for b in range(bits)
     ]
-    flip_struct = (
-        "array_sort(array("
-        + ", ".join(
-            f"struct(abs({m}) AS am, {b} AS b)" for b, m in enumerate(margin_sql)
+    # squared margins once as columns; every mask's score is then a tiny
+    # sum over them (terms in ascending plane order — the DuckDB oracle
+    # must emit the identical term order for float parity)
+    sq_cols = {f"_s{b}": F.expr(f"({m}) * ({m})") for b, m in enumerate(margin_sql)}
+    mask_structs = [
+        "struct("
+        + (
+            " + ".join(f"_s{b}" for b in range(bits) if (m >> b) & 1)
+            or "CAST(0.0 AS DOUBLE)"
         )
-        + "))"
-    )
+        + f" AS sc, {m} AS m)"
+        for m in range(1 << bits)
+    ]
     probes = (
-        f"array_union(array(_query_bucket), transform(slice({flip_struct}, 1, "
-        f"{n_flip}), s -> _query_bucket ^ shiftleft(1, s.b)))"
+        f"transform(slice(array_sort(array({', '.join(mask_structs)})), 1, "
+        f"{n_flip + 1}), s -> _query_bucket ^ s.m)"
     )
-    q = (
-        bucketed.filter(F.col(id_col) == query_id)
-        .select(
-            as_double(vec_col).alias("_query_vec"),
-            F.col("bucket").alias("_query_bucket"),
-        )
-        .withColumn("_qn", norm(F.col("_query_vec")))
-        .select("_query_vec", "_qn", F.explode(F.expr(probes)).alias("_probe"))
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        as_double(vec_col).alias("_query_vec"),
+        F.col("bucket").alias("_query_bucket"),
     )
+    q = q.withColumn("_qn", norm(F.col("_query_vec")))
+    for c, e in sq_cols.items():
+        q = q.withColumn(c, e)
+    q = q.select("_query_vec", "_qn", F.explode(F.expr(probes)).alias("_probe"))
     scored = (
         bucketed.join(F.broadcast(q), F.col("bucket") == F.col("_probe"))
         .filter(F.col(id_col) != query_id)
@@ -942,6 +965,9 @@ def semdedup_prune(
             hyperplane_bucket(vec_col, dim, bits=bits, salt=salt).alias("cluster"),
         )
         .withColumn("_vr", F.transform("_v", lambda x: F.round(x, 3)))
+        # Cache lifetime (this and the scored frame below): both back
+        # the returned LAZY frame; caller releases after its terminal
+        # action (bench.py/driver sim clearCache between queries)
         .persist()
     )
     # cluster centroid: elementwise mean over the 1e-3-rounded members

@@ -3439,9 +3439,13 @@ def dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repetition_signals",
     oracle="""
     WITH rs_base AS (
-        SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS w
+        SELECT doc_id, length(text) AS chars,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS w
         FROM documents
-        WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+        WHERE text IS NOT NULL
+          AND len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t <> '')) > 0
     ),
     rs_lv AS (
         SELECT doc_id, chars, ns.n,
@@ -3461,18 +3465,23 @@ def dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rs_counts GROUP BY 1, 2, 3
     ),
     rs_wide AS (
-        SELECT doc_id, chars,
-               round(least(coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0)
-                           / CAST(chars AS DOUBLE), 1.0), 6) AS top2_frac,
-               round(least(coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0)
-                           / CAST(chars AS DOUBLE), 1.0), 6) AS top3_frac,
-               round(least(coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0)
-                           / CAST(chars AS DOUBLE), 1.0), 6) AS top4_frac,
-               round(least(coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0)
-                           / CAST(chars AS DOUBLE), 1.0), 6) AS dup5_frac,
-               round(least(coalesce(max(CASE WHEN n = 10 THEN dup_chars END), 0)
-                           / CAST(chars AS DOUBLE), 1.0), 6) AS dup10_frac
-        FROM rs_per_n GROUP BY 1, 2
+        -- output universe driven by rs_base (every doc with >= 1 token),
+        -- not rs_per_n: a 1-token doc has ZERO n-grams at every n and
+        -- would otherwise vanish, while the engine's left join emits it
+        -- with all-zero fractions and rep_keep = true (ADVICE r10)
+        SELECT b.doc_id, b.chars,
+               round(least(coalesce(max(CASE WHEN p.n = 2 THEN p.top_chars END), 0)
+                           / CAST(b.chars AS DOUBLE), 1.0), 6) AS top2_frac,
+               round(least(coalesce(max(CASE WHEN p.n = 3 THEN p.top_chars END), 0)
+                           / CAST(b.chars AS DOUBLE), 1.0), 6) AS top3_frac,
+               round(least(coalesce(max(CASE WHEN p.n = 4 THEN p.top_chars END), 0)
+                           / CAST(b.chars AS DOUBLE), 1.0), 6) AS top4_frac,
+               round(least(coalesce(max(CASE WHEN p.n = 5 THEN p.dup_chars END), 0)
+                           / CAST(b.chars AS DOUBLE), 1.0), 6) AS dup5_frac,
+               round(least(coalesce(max(CASE WHEN p.n = 10 THEN p.dup_chars END), 0)
+                           / CAST(b.chars AS DOUBLE), 1.0), 6) AS dup10_frac
+        FROM rs_base b LEFT JOIN rs_per_n p ON b.doc_id = p.doc_id
+        GROUP BY 1, 2
     )
     SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac, dup10_frac,
            (top2_frac < 0.20 AND top3_frac < 0.18 AND top4_frac < 0.16

@@ -974,7 +974,8 @@ def test_registry_ann_tiers_hold_recall_floors(spark):
     REGISTRY-level ANN queries (the exact builders bench measures), so a
     plane/hash regression in any tier fails the suite instead of
     silently shipping recall 0. Floors sit just under the deterministic
-    sf0.01 measurements (2026-08-16: lsh 0.1, multiprobe 0.5,
+    sf0.01 measurements (2026-08-16: lsh 0.1, multiprobe 0.8 after the
+    r11 ranked multi-bit mask upgrade,
     multitable 0.6, ivf 1.0 after the r10 n_list 8 -> 32 + spilled-2x-
     assignment retune (VERDICT r9 ask #3), ivf_kmeans 0.6, quantized
     1.0, pq 1.0, ivfpq 0.7 after the r09 n_probe=3/rerank=300 retune —
@@ -985,7 +986,9 @@ def test_registry_ann_tiers_hold_recall_floors(spark):
 
     floors = {
         "similarity_ann_lsh_topk": 0.1,
-        "similarity_lsh_multiprobe_topk": 0.4,
+        # r11: ranked multi-bit perturbation masks + n_flip 9 — 0.8 at
+        # sf0.01 (0.9 at sf0.1; bench.py enforces that twin)
+        "similarity_lsh_multiprobe_topk": 0.7,
         "similarity_ann_lsh_multitable_topk": 0.5,
         "similarity_ivf_topk": 0.9,
         "similarity_ivf_kmeans_topk": 0.7,

@@ -1068,3 +1068,69 @@ def test_repetition_signals_registry_oracle_match(spark):
     b = sorted(tuple(canon(r[i]) for i in do) for r in drows)
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_token_domain_oracles_agree_on_adversarial_docs(spark, tmp_path):
+    """ADVICE r10 pins: (a) repetition_signals' oracle must emit the SAME
+    doc universe as the engine — a 1-token doc (zero n-grams at every n)
+    appears with all-zero fractions and rep_keep=true on both sides; (b)
+    padding_waste_curve / source_temperature_weights oracles must count
+    tokens with the filtered-split idiom so multi-space / leading-space /
+    empty / whitespace-only texts agree with token_count. Runs the three
+    registered queries against an adversarial documents table and the
+    driver-gate compare."""
+    import duckdb
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    from .conftest import assert_matches_oracle
+
+    rows = [
+        (1, "alpha", "en", "web", 5),                    # 1 token, 0 grams
+        (2, "a  b   c", "en", "web", 8),                 # multi-space runs
+        (3, "  lead and trail  ", "en", "wiki", 18),     # edge spaces
+        (4, "", "en", "wiki", 0),                        # empty -> excluded
+        (5, "   ", "en", "books", 3),                    # spaces-only -> excluded
+        (6, None, "en", "books", 0),                     # NULL -> excluded
+        (7, "x y x y x y x y x y x y", "en", "books", 23),  # real repetition
+        (8, "one two", "en", "code", 7),                 # 2 tokens, one 2-gram
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    table = pa.table(
+        {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "documents.parquet")  # single FILE, like testdata
+    pq.write_table(table, path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    for name in (
+        "repetition_signals",
+        "padding_waste_curve",
+        "source_temperature_weights",
+    ):
+        q = REGISTRY[name]
+        assert_matches_oracle(
+            q.builder(spark, str(tmp_path)), con, q.oracle, name
+        )
+    # the 1-token doc is PRESENT on both sides with the zero profile
+    rep = {
+        r["doc_id"]: r.asDict()
+        for r in REGISTRY["repetition_signals"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(rep) == {1, 2, 3, 7, 8}
+    assert rep[1]["rep_keep"] is True and rep[1]["dup10_frac"] == 0.0
+    con.close()
