@@ -127,9 +127,25 @@ SHOWCASE = [
      "candidate join dedup_minhash_pairs already pays; est-vs-exact "
      "comparison is a per-row expression, no extra shuffle."),
     ("ngram_novelty_by_source",
-     "Novelty by source (r09): explode to (doc, gram), gram-keyed "
-     "combinable min, join back on gram — first-occurrence discipline, "
-     "no pair join anywhere."),
+     "Novelty by source (r11 aggregate-only rework): gram-keyed "
+     "min(struct(doc_id, source)) carries the first doc's source, so "
+     "novel counts fold straight down — no |grams|-sized join-back; the "
+     "only join is the bounded per-source merge."),
+    ("padding_waste_curve",
+     "Padding-waste planner (r11 rework): ONE range-partitioned exact "
+     "rank (contiguous slices + bounded offset sidecar, no single-task "
+     "global sort) feeds all five ntile assignments as pure remainder "
+     "arithmetic; plan-audited against unpartitioned WindowExec."),
+    ("vocab_coverage_curve",
+     "Vocabulary coverage curve (r11): token explode collapses map-side "
+     "to (term, freq); exact cumulative mass via the range-partitioned "
+     "running sum; 5-row broadcast threshold join; everything after the "
+     "first exchange is |V|-bounded."),
+    ("similarity_lsh_multiprobe_topk",
+     "Multi-probe LSH (r11): all 2^bits perturbation masks scored by "
+     "squared flipped margins INSIDE the one-row broadcast query frame; "
+     "probes explode to a hash equi-join on bucket — recall 0.9 at 10/16 "
+     "buckets probed, no nested-loop, no driver math."),
     ("hourly_cusum_alarms",
      "CUSUM drift (r09): the ordered window runs on the HOURS frame "
      "(bounded), never the event log; events contribute one combinable "

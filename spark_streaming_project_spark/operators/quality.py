@@ -239,24 +239,38 @@ def gram_novelty_by_doc(
     curation reads it to decide when another snapshot stops adding
     content (cross_doc_gram_stats's symmetric cousin, made directional).
 
-    Inverted-index shape: distinct (id, gram) -> gram-min aggregate ->
-    join back; volume ~|grams| both sides, no pair expansion. Returns
+    Aggregate-only shape (r11 rework): a gram's minimum id IS the doc it
+    is novel for, so instead of joining the gram->min frame back onto the
+    |grams|-sized explode (the r10 shape — a second full shingle pass
+    plus a gram-keyed shuffle of both sides), fold it straight down:
+    per-doc gram counts from one pass, gram -> min(id) from the same
+    pass, then count the min-ids — and the only join left is doc-keyed
+    over |docs| rows. Volume crossing exchanges drops from ~3|grams| to
+    ~2|grams|, and nothing |grams|-sized is ever joined. Fresh-JVM
+    measurement in BENCH_NOTES round 11. Returns
     (id, n_grams, novel_grams, novelty_frac).
     """
     from ..functions.text import word_shingles
 
+    # Cache lifetime: the exploded gram frame feeds both aggregates and
+    # backs the returned LAZY frame; caller releases after its terminal
+    # action (bench.py/driver sim clearCache between queries)
     g = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    ).persist()
+    per_doc = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    novel = (
+        g.groupBy("gram")
+        .agg(F.min(id_col).alias("_first"))
+        .groupBy(F.col("_first").alias(id_col))
+        .agg(F.count("*").cast("long").alias("novel_grams"))
     )
-    first = g.groupBy("gram").agg(F.min(id_col).alias("_first"))
     return (
-        g.join(first, "gram")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
-            )
+        per_doc.join(novel, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("novel_grams"), F.lit(0))
             .cast("long")
             .alias("novel_grams"),
         )

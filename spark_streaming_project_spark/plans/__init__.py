@@ -236,7 +236,9 @@ _R11_WINDOW = list(_R11_FIRSTS) + [
 # Queries built AFTER the r11 window froze; they lead the r12 window.
 # Pinned by tests/test_plans.py: the set of never-recorded registry
 # queries outside the r11 window must be EXACTLY this list.
-_R12_FIRSTS: list[str] = []
+_R12_FIRSTS: list[str] = [
+    "vocab_coverage_curve",  # top-k vocabulary token-mass planning table
+]
 
 
 def _reorder() -> None:

@@ -1200,3 +1200,40 @@ def test_padding_waste_curve_invariants(spark):
     assert rows[1]["wasted_tokens"] == agg["c"] * agg["m"] - agg["s"]
     for b in (1, 2, 4, 8, 16):
         assert 0 <= rows[b]["waste_frac"] < 1
+
+
+def test_vocab_coverage_curve_invariants(spark):
+    """Coverage is a CDF over the frequency-sorted vocabulary: strictly
+    positive, non-decreasing in k, <= 1; covered_tokens at k must equal
+    the brute-force sum of the k largest type frequencies (independent
+    recomputation, no running-sum machinery); vocab_types = min(k, |V|)."""
+    from spark_streaming_project_spark.functions.text import tokens as _toks
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    rows = {
+        r["top_k"]: r
+        for r in REGISTRY["vocab_coverage_curve"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8, 16]
+    fracs = [rows[k]["covered_frac"] for k in (1, 2, 4, 8, 16)]
+    assert fracs == sorted(fracs) and 0 < fracs[0] and fracs[-1] <= 1
+
+    counts = sorted(
+        (
+            r["freq"]
+            for r in load_table(spark, SF_CORRECT, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(F.explode(_toks("text")).alias("t"))
+            .select(F.lower("t").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("freq"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    for k in (1, 2, 4, 8, 16):
+        assert rows[k]["vocab_types"] == min(k, len(counts))
+        assert rows[k]["covered_tokens"] == sum(counts[:k])

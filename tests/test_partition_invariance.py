@@ -174,6 +174,8 @@ REPRESENTATIVES = [
     "repetition_signals",               # Gopher within-doc repetition
     "source_temperature_weights",       # decimal-summed mixture weights
     "padding_waste_curve",              # ntile bucket padding planner
+    # round-11 families
+    "vocab_coverage_curve",             # range-partitioned coverage mass
 ]
 
 
