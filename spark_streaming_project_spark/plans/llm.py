@@ -1862,7 +1862,6 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     only float, so Spark/DuckDB agree bit-for-bit at round-6.
     """
     from ..functions.text import tokens
-    from ..operators.windows import range_partitioned_running_sum
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
@@ -1873,6 +1872,19 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
+    return coverage_curve_over_counts(counts)
+
+
+def coverage_curve_over_counts(counts: DataFrame) -> DataFrame:
+    """The coverage-curve core over ANY (term, freq) frame — reused by the
+    batch query above and by the streaming composition ((term, freq) is an
+    additive monoid, so foreach_batch_incremental_agg maintains it per
+    micro-batch and the curve over the state equals batch exactly;
+    parity-tested in tests/test_streaming_llm.py). Same seam discipline as
+    autocorrelation_over_dense."""
+    from ..operators.windows import range_partitioned_running_sum
+
+    spark = counts.sparkSession
     ranked = range_partitioned_running_sum(
         counts.withColumn("_one", F.lit(1).cast("long")),
         order=[F.desc("freq"), F.asc("term")],

@@ -26,6 +26,13 @@ def write_bucketed(
     sort-ordered) by ``keys``. Joins/aggregations on ``keys`` between
     tables sharing the bucket spec then plan without an Exchange; sorted
     buckets additionally drop the Sort below a SortMergeJoin.
+
+    Concurrency caveat: table names are caller-fixed, so TWO sessions
+    sharing one spark.sql.warehouse.dir and writing the same name race
+    (the drop+rmtree below is idempotent against STALE leftovers, not
+    against a live concurrent writer). Run registry sims/benches that
+    exercise bucketed queries one at a time per warehouse, or namespace
+    the table per session — the production posture at scale anyway.
     """
     # Idempotent under stale warehouse dirs: a table directory left by a
     # previous session (not in this session's catalog) makes saveAsTable

@@ -463,3 +463,52 @@ def test_kcenter_greedy_is_two_approx_of_bruteforce_opt(spark, vecs, k):
         for centers in itertools.combinations(vecs, k)
     )
     assert greedy_r2 <= 4 * opt_r2, (greedy_r2, opt_r2)
+
+
+nz = st.integers(-4, 4).filter(lambda x: x != 0)
+_mp_vec = st.tuples(nz, st.integers(-4, 4), st.integers(-4, 4), st.integers(-4, 4))
+_mp_vecs = st.lists(_mp_vec, min_size=4, max_size=12)
+
+
+@given(vecs=_mp_vecs, n_flip=st.integers(0, 7))
+@SETTINGS
+def test_multiprobe_probes_exactly_the_ranked_masks(spark, vecs, n_flip):
+    """r11 ranked multi-bit perturbation (Lv et al.): on ANY vector set the
+    candidate ids returned by lsh_multiprobe_topk must be exactly the
+    non-query vectors whose bucket lies in the reference probe set — home
+    bucket XOR each of the top-(1+n_flip) masks under (sum of squared
+    flipped margins asc, mask asc), margins/buckets recomputed by an
+    independent Python model sharing only the coefficient function. Pins
+    the mask enumeration, the score term order, and the tie-break."""
+    from spark_streaming_project_spark.operators.similarity import (
+        _pseudo_coef,
+        lsh_multiprobe_topk,
+    )
+
+    dim, bits = 4, 3
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def margins(v):
+        return [
+            sum(v[i] * _pseudo_coef(f"plane:{b}:{i}") for i in range(dim))
+            for b in range(bits)
+        ]
+
+    def bucket(v):
+        return sum(1 << b for b, m in enumerate(margins(v)) if m > 0)
+
+    qv = rows[0][1]
+    sq = [m * m for m in margins(qv)]
+    score = {
+        m: sum(sq[b] for b in range(bits) if (m >> b) & 1)
+        for m in range(1 << bits)
+    }
+    ranked = sorted(range(1 << bits), key=lambda m: (score[m], m))
+    probes = {bucket(qv) ^ m for m in ranked[: n_flip + 1]}
+    expected = {i for i, v in rows if i != 0 and bucket(v) in probes}
+
+    got = lsh_multiprobe_topk(
+        df, "vec_id", "embedding", 0, dim=dim, k=1000, bits=bits, n_flip=n_flip
+    ).collect()
+    assert {r["vec_id"] for r in got} == expected

@@ -2282,3 +2282,60 @@ def test_streaming_psi_over_incremental_state_matches_batch(spark, tmp_path):
         for r in REGISTRY["source_psi_drift"].builder(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_streaming_vocab_coverage_matches_batch(spark, tmp_path):
+    """r11 vocab_coverage_curve streaming twin: (term, freq) is an additive
+    monoid, so the incremental-agg sink maintains the vocabulary state per
+    micro-batch in O(|batch|), and the coverage curve computed over the
+    drained state must equal the one-shot batch curve EXACTLY (same
+    coverage_curve_over_counts core — the batch/stream seam)."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.llm import coverage_curve_over_counts
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "vc_src")
+    for i in range(3):  # three micro-batches
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def term_counts(df):
+        from spark_streaming_project_spark.functions.text import tokens
+
+        return (
+            df.filter(F.col("text").isNotNull())
+            .select(F.explode(tokens("text")).alias("t"))
+            .select(F.lower("t").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("freq"))
+        )
+
+    state = str(tmp_path / "vc_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_vc"))
+    runner.add(
+        "vocab_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, term_counts, ["term"], ["freq"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = [
+        tuple(r)
+        for r in coverage_curve_over_counts(
+            spark.read.parquet(state)
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in REGISTRY["vocab_coverage_curve"].builder(spark, SF).collect()
+    ]
+    assert got == want and len(got) == 5
