@@ -238,6 +238,8 @@ _R11_WINDOW = list(_R11_FIRSTS) + [
 # queries outside the r11 window must be EXACTLY this list.
 _R12_FIRSTS: list[str] = [
     "vocab_coverage_curve",  # top-k vocabulary token-mass planning table
+    "shard_balance_stats",  # hash-shard token-skew write planner
+    "lang_entropy_by_source",  # language-mix entropy mixture readout
 ]
 
 

@@ -1912,6 +1912,172 @@ def coverage_curve_over_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+_SHARD_KS = (8, 32, 128)
+
+_TOKC = (
+    "len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))"
+)
+
+
+@register(
+    "shard_balance_stats",
+    oracle=f"""
+    WITH sb_docs AS (
+        SELECT doc_id, {_TOKC} AS n_tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sb_lv AS (
+        SELECT ks.k,
+               CAST(concat('0x', substr(md5(concat('shard:',
+                    CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+                   % ks.k AS shard,
+               n_tok
+        FROM sb_docs, (VALUES {", ".join(f"({k})" for k in _SHARD_KS)}) ks(k)
+    ),
+    sb_per AS (
+        SELECT k, shard, sum(n_tok) AS toks
+        FROM sb_lv GROUP BY 1, 2
+    )
+    SELECT k AS n_shards,
+           CAST(count(*) AS BIGINT) AS used_shards,
+           CAST(max(toks) AS BIGINT) AS max_tokens,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           round(CAST(max(toks) AS DOUBLE) * k
+                 / CAST(sum(toks) AS DOUBLE), 6) AS skew
+    FROM sb_per GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "planning", "storage"),
+)
+def shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard balance planning table: hash-assign every document to
+    k shards (deterministic md5 bucket of doc_id — the reshuffle-proof
+    idiom corpus_split_counts uses) for k in {8, 32, 128} and report the
+    token skew (max shard / ideal shard = max * k / total). The table a
+    materialization step reads before picking its shard count: skew ~1
+    means hash sharding balances the write; skew drifting up at large k
+    means shards are token-starved and long-document placement dominates.
+
+    Scale shape: ONE scan computes per-doc token counts and all three
+    shard ids as columns; an inline array explode stacks the k-levels
+    (3x skinny rows, no re-scan), then two map-side-combinable
+    aggregates — (k, shard) token sums (at most 8+32+128 groups) and the
+    per-k rollup. Integer token arithmetic; one terminal double division.
+    """
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    lv = docs.select(
+        token_count("text").alias("n_tok"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), (bucket % k).alias("shard")
+                    )
+                    for k in _SHARD_KS
+                ]
+            )
+        ).alias("_ks"),
+    ).select("n_tok", F.col("_ks.k").alias("k"), F.col("_ks.shard").alias("shard"))
+    per_shard = lv.groupBy("k", "shard").agg(F.sum("n_tok").alias("toks"))
+    return (
+        per_shard.groupBy(F.col("k").alias("n_shards"))
+        .agg(
+            F.count("*").cast("bigint").alias("used_shards"),
+            F.max("toks").cast("bigint").alias("max_tokens"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.max("toks").cast("double")
+                * F.col("n_shards")
+                / F.sum("toks").cast("double"),
+                6,
+            ).alias("skew"),
+        )
+        .orderBy("n_shards")
+    )
+
+
+@register(
+    "lang_entropy_by_source",
+    oracle="""
+    WITH le_counts AS (
+        SELECT source, lang, count(*) AS c
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    le_tot AS (
+        SELECT source, lang, c, sum(c) OVER (PARTITION BY source) AS t
+        FROM le_counts
+    ),
+    le_terms AS (
+        SELECT source, c, t,
+               CAST(round(-(c / CAST(t AS DOUBLE))
+                          * ln(c / CAST(t AS DOUBLE)), 9)
+                    AS DECIMAL(20, 9)) AS term
+        FROM le_tot
+    )
+    SELECT source,
+           CAST(max(t) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(CAST(max(c) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6)
+               AS dominant_share,
+           round(CAST(sum(term) AS DOUBLE), 6) AS lang_entropy_nats
+    FROM le_terms GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "mixture", "profiling"),
+)
+def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix health per source: doc count, distinct languages,
+    dominant-language share, and the Shannon entropy (nats) of the
+    language distribution — the mixture-design readout next to
+    source_temperature_weights (a source whose entropy collapses to 0 is
+    monolingual; one whose dominant share sinks is a crawl-quality flag).
+
+    Determinism: each -p*ln(p) term is rounded to 1e-9 BEFORE a
+    DECIMAL(20,9) sum (the source_temperature_weights
+    round-before-DECIMAL-sum discipline), so the cross-engine result is
+    partition-order-free. Scale shape: one combinable (source, lang)
+    count, a window partitioned by source over that BOUNDED grid (never
+    the doc table), one grouped rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    t = F.sum("c").over(Window.partitionBy("source"))
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    terms = counts.withColumn("t", t).withColumn(
+        "term",
+        F.round(-p * F.log(p), 9).cast("decimal(20,9)"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.round(
+                F.max("c").cast("double") / F.max("t").cast("double"), 6
+            ).alias("dominant_share"),
+            F.round(F.sum("term").cast("double"), 6).alias(
+                "lang_entropy_nats"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "pii_scrub_stats",
     oracle=r"""

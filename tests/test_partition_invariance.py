@@ -176,6 +176,8 @@ REPRESENTATIVES = [
     "padding_waste_curve",              # ntile bucket padding planner
     # round-11 families
     "vocab_coverage_curve",             # range-partitioned coverage mass
+    "shard_balance_stats",              # hash-shard token-skew planner
+    "lang_entropy_by_source",           # round-before-DECIMAL entropy
 ]
 
 
