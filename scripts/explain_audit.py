@@ -146,6 +146,15 @@ SHOWCASE = [
      "squared flipped margins INSIDE the one-row broadcast query frame; "
      "probes explode to a hash equi-join on bucket — recall 0.9 at 10/16 "
      "buckets probed, no nested-loop, no driver math."),
+    ("shard_balance_stats",
+     "Shard-balance planner (r11): ONE scan computes tokens + all three "
+     "md5 shard ids; inline-array explode stacks the k-levels (no "
+     "re-scan) and both aggregates are map-side combinable over at most "
+     "168 groups."),
+    ("lang_entropy_by_source",
+     "Language-mix entropy (r11): combinable (source, lang) count, then "
+     "a window partitioned by source over that BOUNDED grid; -p ln p "
+     "terms rounded before a DECIMAL sum — partition-order-free floats."),
     ("hourly_cusum_alarms",
      "CUSUM drift (r09): the ordered window runs on the HOURS frame "
      "(bounded), never the event log; events contribute one combinable "

@@ -1942,8 +1942,10 @@ _TOKC = (
            CAST(count(*) AS BIGINT) AS used_shards,
            CAST(max(toks) AS BIGINT) AS max_tokens,
            CAST(sum(toks) AS BIGINT) AS total_tokens,
-           round(CAST(max(toks) AS DOUBLE) * k
-                 / CAST(sum(toks) AS DOUBLE), 6) AS skew
+           CASE WHEN sum(toks) > 0 THEN
+               round(CAST(max(toks) AS DOUBLE) * k
+                     / CAST(sum(toks) AS DOUBLE), 6)
+           END AS skew
     FROM sb_per GROUP BY 1 ORDER BY 1
     """,
     tags=("llm", "planning", "storage"),
@@ -1997,11 +1999,16 @@ def shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("used_shards"),
             F.max("toks").cast("bigint").alias("max_tokens"),
             F.sum("toks").cast("bigint").alias("total_tokens"),
-            F.round(
-                F.max("toks").cast("double")
-                * F.col("n_shards")
-                / F.sum("toks").cast("double"),
-                6,
+            # NULL when the corpus has zero tokens — skew is undefined
+            # and ANSI mode would otherwise crash on the division
+            F.when(
+                F.sum("toks") > 0,
+                F.round(
+                    F.max("toks").cast("double")
+                    * F.col("n_shards")
+                    / F.sum("toks").cast("double"),
+                    6,
+                ),
             ).alias("skew"),
         )
         .orderBy("n_shards")
@@ -7552,11 +7559,15 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stw
     )
     SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
-           round(CAST(w6 AS DOUBLE)
-                 / CAST((SELECT sum(w6) FROM w) AS DOUBLE), 6) AS weight,
-           round(round(CAST(w6 AS DOUBLE)
-                       / CAST((SELECT sum(w6) FROM w) AS DOUBLE), 6)
-                 * 1000000.0 / tokens, 6) AS epochs_at_1m
+           CASE WHEN (SELECT sum(w6) FROM w) > 0 THEN
+               round(CAST(w6 AS DOUBLE)
+                     / CAST((SELECT sum(w6) FROM w) AS DOUBLE), 6)
+           END AS weight,
+           CASE WHEN tokens > 0 AND (SELECT sum(w6) FROM w) > 0 THEN
+               round(round(CAST(w6 AS DOUBLE)
+                           / CAST((SELECT sum(w6) FROM w) AS DOUBLE), 6)
+                     * 1000000.0 / tokens, 6)
+           END AS epochs_at_1m
     FROM w
     ORDER BY source
     """,
@@ -7591,8 +7602,15 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     total = w.agg(F.sum("_w6").alias("_tot"))
-    weight = F.round(
-        F.col("_w6").cast("double") / F.col("_tot").cast("double"), 6
+    # NULL guards (r11 degenerate-corpus pin): an all-zero-token corpus
+    # makes the normalizing total 0 and tokens 0 — ANSI mode turns the
+    # divisions into DIVIDE_BY_ZERO crashes; both ratios are undefined
+    # there, so emit NULL (the oracle mirrors with CASE guards)
+    weight = F.when(
+        F.col("_tot") > 0,
+        F.round(
+            F.col("_w6").cast("double") / F.col("_tot").cast("double"), 6
+        ),
     )
     return (
         w.crossJoin(F.broadcast(total))
@@ -7601,7 +7619,10 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "tokens",
             weight.alias("weight"),
-            F.round(weight * 1_000_000.0 / F.col("tokens"), 6).alias(
+            F.when(
+                F.col("tokens") > 0,
+                F.round(weight * 1_000_000.0 / F.col("tokens"), 6),
+            ).alias(
                 "epochs_at_1m"
             ),
         )

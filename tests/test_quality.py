@@ -1134,3 +1134,56 @@ def test_token_domain_oracles_agree_on_adversarial_docs(spark, tmp_path):
     assert set(rep) == {1, 2, 3, 7, 8}
     assert rep[1]["rep_keep"] is True and rep[1]["dup10_frac"] == 0.0
     con.close()
+
+
+def test_planner_queries_survive_degenerate_corpus(spark, tmp_path):
+    """Regenerated-testdata guard: on a corpus where EVERY text is NULL or
+    whitespace-only (zero tokens everywhere), the planner/profiling
+    queries must return empty-but-valid results that still match their
+    oracles — not crash in sequence/slice/division. (repetition_signals'
+    r11 short-doc crash motivated pinning the whole family.)"""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    from .conftest import assert_matches_oracle
+
+    rows = [
+        (1, None, "en", "web", 0),
+        (2, "", "en", "web", 0),
+        (3, "   ", "en", "wiki", 3),
+        (4, "\t\t", None, None, 2),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    table = pa.table(
+        {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(table, path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    for name in (
+        "repetition_signals",
+        "padding_waste_curve",
+        "vocab_coverage_curve",
+        "shard_balance_stats",
+        "source_temperature_weights",
+        "lang_entropy_by_source",
+        "gram_novelty_by_doc",
+    ):
+        q = REGISTRY[name]
+        assert_matches_oracle(
+            q.builder(spark, str(tmp_path)), con, q.oracle, name
+        )
+    con.close()
