@@ -278,10 +278,18 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("_first.source").alias("source"))
         .agg(F.count("*").cast("bigint").alias("novel_grams"))
     )
+    # NULL-SAFE source join (r11 review fix): source is nullable and both
+    # aggregates keep a NULL group (matching the oracle's GROUP BY); a
+    # plain equi-join would never match the NULL keys and silently zero
+    # that group's novel count while the oracle counts it
     return (
-        per_source.join(novel, "source", "left")
+        per_source.join(
+            novel.withColumnRenamed("source", "_nsrc"),
+            per_source["source"].eqNullSafe(F.col("_nsrc")),
+            "left",
+        )
         .select(
-            "source",
+            per_source["source"],
             "gram_occurrences",
             F.coalesce(F.col("novel_grams"), F.lit(0))
             .cast("bigint")
@@ -1885,6 +1893,12 @@ def coverage_curve_over_counts(counts: DataFrame) -> DataFrame:
     from ..operators.windows import range_partitioned_running_sum
 
     spark = counts.sparkSession
+    # Persist the |V|-sized counts: they feed the running sum's EAGER
+    # per-slice sidecar job, the final ranked plan, AND the total
+    # aggregate — unpersisted, the full token explode upstream re-runs
+    # per consumer (r11 review fix). Cache lifetime: backs the returned
+    # LAZY frame; caller releases (bench.py/driver sim clearCache).
+    counts = counts.persist()
     ranked = range_partitioned_running_sum(
         counts.withColumn("_one", F.lit(1).cast("long")),
         order=[F.desc("freq"), F.asc("term")],
@@ -7698,9 +7712,16 @@ def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count
     from ..operators.windows import range_partitioned_running_sum
 
-    base = docs.select(
-        "doc_id", token_count("text").alias("n_tok")
-    ).filter(F.col("n_tok") > 0)
+    # Persist the per-doc token counts: they feed the running sum's EAGER
+    # sidecar job, the ranked plan, and the total aggregate (r11 review
+    # fix — unpersisted, the tokenize scan re-runs per consumer). Cache
+    # lifetime: backs the returned LAZY frame; caller releases
+    # (bench.py/driver sim clearCache between queries).
+    base = (
+        docs.select("doc_id", token_count("text").alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .persist()
+    )
     order = [F.asc("n_tok"), F.asc("doc_id")]
     ranked = range_partitioned_running_sum(
         base.withColumn("_one", F.lit(1).cast("long")),

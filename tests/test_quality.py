@@ -1187,3 +1187,49 @@ def test_planner_queries_survive_degenerate_corpus(spark, tmp_path):
             q.builder(spark, str(tmp_path)), con, q.oracle, name
         )
     con.close()
+
+
+def test_ngram_novelty_counts_null_source_group(spark, tmp_path):
+    """r11 review fix pin: the aggregate-only ngram_novelty_by_source must
+    keep the NULL-source group's novel count (source is nullable; a plain
+    equi-join on source silently zeroed it while the oracle counted it).
+    Fixture: two NULL-source docs own 5 of 6 first-occurrence grams."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    from .conftest import assert_matches_oracle
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", None, 22),
+        (2, "alpha beta gamma delta epsilon", "en", "web", 30),
+        (3, "zeta eta theta iota", "en", None, 19),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    table = pa.table(
+        {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(table, path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    q = REGISTRY["ngram_novelty_by_source"]
+    df = q.builder(spark, str(tmp_path))
+    assert_matches_oracle(df, con, q.oracle, "ngram_novelty_by_source")
+    got = {r["source"]: r for r in df.collect()}
+    # doc 1 owns its 2 trigrams, doc 3 its 2; doc 2's only novel gram is
+    # "gamma delta epsilon" -> NULL group 4/4 novel, web 1/3
+    assert got[None]["novel_grams"] == 4 and got[None]["novelty_share"] == 1.0
+    assert got["web"]["novel_grams"] == 1
+    con.close()
