@@ -159,11 +159,23 @@ def range_partitioned_running_sum(
     ``order`` must be a TOTAL order (include a tiebreaker): the running
     value at a tie would otherwise be partition-dependent. Output adds
     ``{prefix}{col}`` per value column; input columns pass through.
+
+    The post-``repartitionByRange`` frame is PERSISTED (r11 ADVICE, low):
+    the sidecar collect and the caller's final query are two separate
+    Spark jobs, and range-boundary sampling re-runs per job (sampler seed
+    is tied to the RDD id), so with a sub-sampled key set a row near a
+    boundary could land in different slices across the two jobs and
+    silently corrupt the exact offsets. Persisting ``sliced`` (which the
+    sidecar aggregate fully materializes) pins one set of slice
+    assignments for both jobs — the guarantee is structural, not
+    scale-dependent. Cache lifetime: the persisted frame backs the
+    RETURNED lazy plan and cannot be released in-function; the bench
+    harness / driver sim clearCache between queries.
     """
     parts = list(partition_cols or [])
     sliced = df.repartitionByRange(*parts, *order).withColumn(
         "_slice", F.spark_partition_id()
-    )
+    ).persist()
     counts = (
         sliced.groupBy(*parts, "_slice")
         .agg(*[F.sum(c).alias(c) for c in value_cols])

@@ -242,12 +242,80 @@ _R12_FIRSTS: list[str] = [
     "lang_entropy_by_source",  # language-mix entropy mixture readout
 ]
 
+# The intended round-12 recorded window (VERDICT r11 ask #1): the 3
+# _R12_FIRSTS lead (first-ever driver recording for each), then the 5
+# oracle-bearing r05-stale leftovers (the declared head of the r12
+# refresh list since r11 froze), then ALL 38 oracle-bearing queries whose
+# newest record is r06, then the alphabetically-first 4 of the 50
+# oracle-bearing r07-stale queries. Rows-only tiers stay out of refresh
+# rotation as in r09-r11, so every window row is the full
+# rows+schema+hash gate. Computed-and-asserted by tests/test_plans.py
+# from the committed CORRECTNESS_r01..r11 artifacts (rounds < 12 only,
+# so the suite stays green before AND after the driver records r12).
+_R12_WINDOW = list(_R12_FIRSTS) + [
+    # -- the 5 oracle-bearing r05-stale leftovers (newest record = r05)
+    "training_shuffle_order",
+    "unigram_quality",
+    "user_trailing_1h",
+    "valuable_parts",
+    "value_quantile_sketch",
+    # -- all 38 oracle-bearing r06-stale refreshes (newest record = r06)
+    "bigram_perplexity",
+    "bloom_dedup_verdicts",
+    "corpus_duplicate_spans",
+    "curation_verdicts",
+    "curriculum_order",
+    "dedup_keep_longest",
+    "dedup_method_agreement",
+    "distinct_ngram_diversity",
+    "entropy_profile",
+    "eval_containment_audit",
+    "gopher_quality_flags",
+    "gram_novelty_by_doc",
+    "hourly_cusum_changepoints",
+    "hybrid_rrf_search",
+    "k_anonymity_audit",
+    "nb_lang_confusion",
+    "neardup_centrality_quantized",
+    "neardup_kcore",
+    "nearest_duplicate_per_doc",
+    "order_snapshot_cdc",
+    "phrase_search",
+    "quality_logreg_scores",
+    "similarity_filtered_topk",
+    "simple_revenue",
+    "sliding_distinct_sketch",
+    "snm_blocking_eval",
+    "source_quality_scorecard",
+    "source_vocab_overlap_sketch",
+    "supplier_name_near_matches",
+    "temperature_mixture_sample",
+    "temperature_mixture_targets",
+    "text_embedding_topk",
+    "top_categories_donut",
+    "top_categories_with_other",
+    "vocab_growth_curve",
+    "winnowing_hot_fingerprints",
+    "winnowing_matches",
+    "winnowing_profile",
+    # -- the alphabetically-first 4 oracle-bearing r07-stale refreshes
+    "benford_price_digits",
+    "bloom_filter_words",
+    "brand_affinity_rules",
+    "conversion_ztest",
+]
+
+# Queries built AFTER the r12 window froze; they lead the r13 window.
+# Pinned by tests/test_plans.py: the set of never-recorded registry
+# queries outside the r12 window must be EXACTLY this list.
+_R13_FIRSTS: list[str] = []
+
 
 def _reorder() -> None:
     """Rotate the registry so the driver's recorded window (the first
-    ``DRIVER_WINDOW`` entries) is exactly ``_R11_WINDOW`` — computed and
+    ``DRIVER_WINDOW`` entries) is exactly ``_R12_WINDOW`` — computed and
     asserted, never prose arithmetic."""
-    window = list(_R11_WINDOW)
+    window = list(_R12_WINDOW)
     if len(window) != DRIVER_WINDOW or len(set(window)) != len(window):
         raise ValueError(
             f"intended window has {len(window)} names "

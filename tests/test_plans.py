@@ -309,14 +309,17 @@ def test_compact_parquet_zorder_multi_dim_pruning(spark, tmp_path):
 
 
 def test_driver_window_is_exactly_the_intended_fifty():
-    """VERDICT r10 ask #1: the recorded window must be COMPUTED, not
+    """VERDICT r11 ask #1: the recorded window must be COMPUTED, not
     prose — the registry's first DRIVER_WINDOW names are exactly the
-    intended round-11 list: the 3 _R11_FIRSTS (declared in r10, never
-    yet driver-recorded) lead, then the 8 remaining r04-stale queries,
-    then the alphabetically-first 39 of the 44 oracle-bearing queries
-    whose newest driver record is r05 (the next-stalest rotation; the
-    4 rows-only r05 markers stay out of refresh rotation as in r09,
-    and the 5 oracle-bearing leftovers head the r12 refresh list)."""
+    intended round-12 list: the 3 _R12_FIRSTS (declared in r11, never
+    yet driver-recorded) lead, then the 5 oracle-bearing r05-stale
+    leftovers, then all 38 oracle-bearing r06-stale queries, then the
+    alphabetically-first 4 of the r07-stale rotation.
+
+    PHASE-ROBUST (r11 ADVICE, medium): the staleness rebuild reads ONLY
+    artifacts from rounds < the pinned round (12), i.e. the artifacts
+    that existed when the window was pinned — so the suite stays green
+    both before and after the driver writes CORRECTNESS_r12.json."""
     import glob
     import json
     import os
@@ -325,55 +328,71 @@ def test_driver_window_is_exactly_the_intended_fifty():
     from spark_streaming_project_spark.plans import (
         DRIVER_WINDOW,
         REGISTRY,
-        _R11_FIRSTS,
-        _R11_WINDOW,
         _R12_FIRSTS,
+        _R12_WINDOW,
+        _R13_FIRSTS,
     )
 
+    PINNED_ROUND = 12
+
     head = list(REGISTRY)[:DRIVER_WINDOW]
-    assert head == _R11_WINDOW
-    assert len(_R11_WINDOW) == DRIVER_WINDOW == 50
-    # the 3 never-recorded r10 additions lead (first-ever recording)
-    assert head[: len(_R11_FIRSTS)] == _R11_FIRSTS
+    assert head == _R12_WINDOW
+    assert len(_R12_WINDOW) == DRIVER_WINDOW == 50
+    # the 3 never-recorded r11 additions lead (first-ever recording)
+    assert head[: len(_R12_FIRSTS)] == _R12_FIRSTS
     # COMPUTED, not prose: rebuild newest-record per query from the
-    # committed driver artifacts r01-r10
+    # committed driver artifacts of rounds BEFORE the pinned round only
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         rnd = int(_re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if rnd >= PINNED_ROUND:  # exclude the in-flight round's artifact
+            continue
         with open(path) as fh:
             for name in json.load(fh):
                 newest[name] = max(rnd, newest.get(name, 0))
-    # the _R11_FIRSTS are exactly the queries with NO record at all that
-    # existed before this round (equality via the _R12_FIRSTS clause below)
-    assert all(n not in newest for n in _R11_FIRSTS), [
-        n for n in _R11_FIRSTS if n in newest
+    # the _R12_FIRSTS are exactly the queries with NO record at all that
+    # existed before this round (equality via the _R13_FIRSTS clause below)
+    assert all(n not in newest for n in _R12_FIRSTS), [
+        n for n in _R12_FIRSTS if n in newest
     ]
-    # next 8 slots: the full r04-stale set (newest record == r04)
-    stale_r04 = sorted(n for n in REGISTRY if newest.get(n) == 4)
-    assert head[len(_R11_FIRSTS): len(_R11_FIRSTS) + len(stale_r04)] == stale_r04
-    # remaining 39 slots: the alphabetically-first 39 of the oracle-
-    # bearing r05-stale set (rows-only markers excluded, as in r09)
+    # next 5 slots: the oracle-bearing r05-stale leftovers (newest == r05)
     stale_r05 = sorted(
         n
         for n in REGISTRY
         if newest.get(n) == 5 and REGISTRY[n].oracle is not None
     )
-    n_flex = 50 - len(_R11_FIRSTS) - len(stale_r04)
-    assert head[len(_R11_FIRSTS) + len(stale_r04):] == stale_r05[:n_flex]
-    # zero recorded-proof debt: any query without a recorded row is either
-    # inside the r11 window (recorded this round) or in the DECLARED
-    # _R12_FIRSTS list (built after the 50 slots were claimed; they lead
-    # the r12 window). Equality, not subset: a new query can never
-    # silently skip the recording rotation.
-    unrecorded = {n for n in REGISTRY if n not in newest}
-    assert unrecorded - set(head) == set(_R12_FIRSTS), sorted(
-        (unrecorded - set(head)) ^ set(_R12_FIRSTS)
+    assert head[len(_R12_FIRSTS): len(_R12_FIRSTS) + len(stale_r05)] == stale_r05
+    # next 38 slots: ALL oracle-bearing r06-stale refreshes
+    stale_r06 = sorted(
+        n
+        for n in REGISTRY
+        if newest.get(n) == 6 and REGISTRY[n].oracle is not None
     )
-    # deferred queries carry oracles so their r12 recording is the full
+    base = len(_R12_FIRSTS) + len(stale_r05)
+    assert head[base: base + len(stale_r06)] == stale_r06
+    # remaining 4 slots: the alphabetically-first of the oracle-bearing
+    # r07-stale rotation (rows-only markers excluded, as in r09-r11)
+    stale_r07 = sorted(
+        n
+        for n in REGISTRY
+        if newest.get(n) == 7 and REGISTRY[n].oracle is not None
+    )
+    n_flex = 50 - base - len(stale_r06)
+    assert head[base + len(stale_r06):] == stale_r07[:n_flex]
+    # zero recorded-proof debt: any query without a pre-r12 record is
+    # either inside the r12 window (recorded this round) or in the
+    # DECLARED _R13_FIRSTS list (built after the 50 slots were claimed;
+    # they lead the r13 window). Equality, not subset: a new query can
+    # never silently skip the recording rotation.
+    unrecorded = {n for n in REGISTRY if n not in newest}
+    assert unrecorded - set(head) == set(_R13_FIRSTS), sorted(
+        (unrecorded - set(head)) ^ set(_R13_FIRSTS)
+    )
+    # deferred queries carry oracles so their r13 recording is the full
     # rows+schema+hash gate, not a rows-only marker
-    assert all(REGISTRY[n].oracle is not None for n in _R12_FIRSTS), [
-        n for n in _R12_FIRSTS if REGISTRY[n].oracle is None
+    assert all(REGISTRY[n].oracle is not None for n in _R13_FIRSTS), [
+        n for n in _R13_FIRSTS if REGISTRY[n].oracle is None
     ]
     # every window entry carries an oracle — the full hash gate for all 50
     assert all(REGISTRY[n].oracle is not None for n in head), [
