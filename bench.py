@@ -93,24 +93,25 @@ def main() -> None:
     # the pedagogical baseline the multi-table/multi-probe tiers improve
     # on) reports under ann_teaching_tiers, NOT here (VERDICT r9 ask #8).
     ann_floors = {
-        # r11 (VERDICT r10 ask #4): ranked multi-bit perturbation masks
-        # (Lv et al. squared-margin ordering) + n_flip 5 -> 9: recall
-        # 0.4 -> 0.9 at sf0.1, latency flat; floor raised with one step
-        # of slack so it cannot slide back
-        "similarity_lsh_multiprobe_topk": 0.8,
+        # r12 (VERDICT r11 ask #4): n_flip 9 -> 11 from the sf0.01 sweep
+        # (recall 1.0 at sf0.1, 0.9 at sf0.01, latency flat ~1.1 s);
+        # floor raised 0.8 -> 0.9 with one step of slack
+        "similarity_lsh_multiprobe_topk": 0.9,
         "similarity_ann_lsh_multitable_topk": 0.9,
         # r10 retune (VERDICT r9 ask #3): n_list 8 -> 32 with spilled 2x
         # assignment, recall 0.6 -> 0.8 canonical (0.81 mean over 7 query
         # ids) at ~1.4 s warm — floor raised so it cannot slide back
-        "similarity_ivf_topk": 0.8,
-        # r10: same (32, 8, assign=2) shape as the hash tier — recall
-        # 0.6 -> 0.8 canonical / 0.84 mean; floor keeps one step of slack
-        # for the learned fit under future testdata regen
-        "similarity_ivf_kmeans_topk": 0.7,
+        # r12 (VERDICT r11 ask #7): n_probe 8 -> 12 — recall 1.0
+        # canonical at sf0.1; deterministic index, floor raised to 0.9
+        "similarity_ivf_topk": 0.9,
+        # r12: n_probe 8 -> 12 with the hash tier — recall 0.8 -> 0.9
+        # canonical / 0.90 mean; floor keeps one step of slack for the
+        # learned fit under future testdata regen
+        "similarity_ivf_kmeans_topk": 0.8,
         "similarity_quantized_topk": 0.8,
         "similarity_pq_topk": 0.8,
-        # r09: retuned to n_probe=3/rerank=300 (VERDICT r8 ask #2) —
-        # deterministic 0.8 at sf0.1, floor raised so it cannot slide back
+        # r12: (n_probe, rerank) 3/300 -> 6/500 — recall 0.8 -> 0.9
+        # canonical at sf0.1; one step of slack for the two k-means fits
         "similarity_ivfpq_topk": 0.8,
         # r09: 16-d JL shortlist-300 + exact re-rank — 0.9 at sf0.1
         "similarity_jl_rerank_topk": 0.8,

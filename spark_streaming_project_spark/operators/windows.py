@@ -74,11 +74,20 @@ def range_partitioned_ntile(
 
     Matches ``ntile`` bit-for-bit (property-tested vs ``Window.orderBy``
     at every n/partitioning), so DuckDB ``ntile`` oracles stay valid.
+
+    The post-``repartitionByRange`` frame is PERSISTED (r11 ADVICE, low —
+    same structural guarantee as ``range_partitioned_running_sum``): the
+    sidecar collect and the caller's final query are two separate jobs
+    and range-boundary sampling re-runs per job, so without the pin a
+    boundary row could change slices between them and corrupt the exact
+    offsets. Cache lifetime: the persisted frame backs the RETURNED lazy
+    plan and cannot be released in-function; the bench harness / driver
+    sim clearCache between queries.
     """
     parts = list(partition_cols or [])
     sliced = df.repartitionByRange(*parts, *order).withColumn(
         "_slice", F.spark_partition_id()
-    )
+    ).persist()
     counts = (
         sliced.groupBy(*parts, "_slice")
         .count()
@@ -294,11 +303,20 @@ def range_partitioned_running_max(
 
     ``value_cols`` must be BIGINT-compatible (cast timestamps to epoch
     seconds first). ``order`` must be total for deterministic output.
+
+    The post-``repartitionByRange`` frame is PERSISTED (r11 ADVICE, low —
+    same structural guarantee as ``range_partitioned_running_sum``): the
+    sidecar collect and the caller's final query are two separate jobs
+    and range-boundary sampling re-runs per job, so without the pin a
+    boundary row could change slices between them and corrupt the exact
+    offsets. Cache lifetime: the persisted frame backs the RETURNED lazy
+    plan and cannot be released in-function; the bench harness / driver
+    sim clearCache between queries.
     """
     parts = list(partition_cols or [])
     sliced = df.repartitionByRange(*parts, *order).withColumn(
         "_slice", F.spark_partition_id()
-    )
+    ).persist()
     counts = (
         sliced.groupBy(*parts, "_slice")
         .agg(*[F.max(c).alias(c) for c in value_cols])

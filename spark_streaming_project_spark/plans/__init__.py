@@ -90,9 +90,20 @@ _R9_WINDOW = [
     "quality_filter_kappa",  # rule-vs-model filter agreement
     "bloom_pruned_order_join",  # oldest-r04 refresh fills the last slot
 ]
-# The 4 still-rows-only tiers (approx_stats, similarity_ivf_kmeans_topk,
-# similarity_pq_topk, similarity_ivfpq_topk) had their markers recorded in
-# r05 and stay OUT; packed_sequences_ffd's marker was recorded in r08.
+# The rows-only tiers had their markers recorded in r05
+# (similarity_{ivf_kmeans,pq,ivfpq}_topk) / r08 (packed_sequences_ffd) and
+# stay OUT of refresh rotation. Why each MUST stay rows-only (VERDICT r11
+# ask #6): the three ANN tiers return engine-specific approximate top-k
+# sets (learned k-means centroids / PQ codebooks have no DuckDB twin —
+# their quality gate is the recall@10 floor enforced by bench.py at sf0.1
+# and tests/test_llm_ops.py at sf0.01, strictly stronger than a value
+# hash of one engine's candidate list; their deterministic-projection
+# twins similarity_{pq,ivfpq}_det_topk ARE hash-gated); packed_sequences_ffd
+# is sequential bin-state by construction (first-fit-decreasing packing is
+# order-dependent and not SQL-expressible — its gate is the bit-exact
+# Python-parity pytest plus the bins<=next-fit bound). approx_stats LEFT
+# this tier in r12: it now emits an invariant-verdict table (exact counts
+# + sketch-within-declared-error booleans) that the full hash gate checks.
 
 # Queries built AFTER the r09 window froze (the 50 slots above were already
 # claimed by the refresh-rotation contract: 2 promotions + all 38 r03-stale
@@ -253,7 +264,10 @@ _R12_FIRSTS: list[str] = [
 # from the committed CORRECTNESS_r01..r11 artifacts (rounds < 12 only,
 # so the suite stays green before AND after the driver records r12).
 _R12_WINDOW = list(_R12_FIRSTS) + [
-    # -- the 5 oracle-bearing r05-stale leftovers (newest record = r05)
+    # -- the 6 oracle-bearing r05-stale leftovers (newest record = r05;
+    #    approx_stats joined the oracle-bearing rotation in r12 when its
+    #    rows-only marker was upgraded to the invariant-verdict oracle)
+    "approx_stats",
     "training_shuffle_order",
     "unigram_quality",
     "user_trailing_1h",
@@ -298,11 +312,10 @@ _R12_WINDOW = list(_R12_FIRSTS) + [
     "winnowing_hot_fingerprints",
     "winnowing_matches",
     "winnowing_profile",
-    # -- the alphabetically-first 4 oracle-bearing r07-stale refreshes
+    # -- the alphabetically-first 3 oracle-bearing r07-stale refreshes
     "benford_price_digits",
     "bloom_filter_words",
     "brand_affinity_rules",
-    "conversion_ztest",
 ]
 
 # Queries built AFTER the r12 window froze; they lead the r13 window.

@@ -837,11 +837,13 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force, and bench reports its recall each run. r10: same index
     shape as the retuned hash tier — n_list 32, n_probe 8, spilled 2x
     assignment; recall@10 0.6 -> 0.8 canonical (0.49 -> 0.84 mean over 7
-    query ids at sf0.1)."""
+    query ids at sf0.1). r12 (VERDICT r11 ask #7): n_probe 8 -> 12 with
+    the hash tier — recall@10 0.8 -> 0.9 canonical / 0.90 mean / 0.8 min
+    at sf0.1 (0.9/0.93/0.8 at sf0.01), wall flat."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_kmeans_topk(
         emb, "vec_id", "embedding", _QUERY_VEC_ID,
-        k=10, n_list=32, n_probe=8, n_assign=2,
+        k=10, n_list=32, n_probe=12, n_assign=2,
     )
 
 
@@ -860,12 +862,15 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # indexes (bits 5/6) are WORSE at equal probes on this near-uniform
 # synthetic table (recall 0.5/0.4 at 16-20 probes) — the per-plane
 # margin signal is too weak to concentrate neighbors, so the honest
-# lever is the probe budget, not more planes. n_flip=9 probes 10/16
+# lever is the probe budget, not more planes. n_flip=11 probes 12/16
 # buckets: a large fraction HERE because the synthetic embeddings
 # barely cluster (single-bucket recall 0.1); on clustered real
 # corpora the same ranked-mask machinery reaches the same recall at
-# a far smaller probed fraction.
-_N_FLIP = 9
+# a far smaller probed fraction. r12 (VERDICT r11 ask #4): 9 -> 11
+# after the sf0.01 sweep (n_flip 9/11/13 -> recall 0.8/0.9/1.0 at
+# sf0.01, 0.9/1.0/1.0 at sf0.1, latency flat ~1.1 s) — floors raised
+# to 0.8 (pytest, sf0.01) / 0.9 (bench, sf0.1).
+_N_FLIP = 11
 
 _PROBE_MARGINS = [
     " + ".join(
@@ -1456,29 +1461,112 @@ def dedup_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates (engine surface; algorithms are engine-specific so
-# the driver records a rows-only check — intentionally no oracle).
+# Approximate aggregates: sketch outputs are engine-specific, so the gate
+# cannot compare the sketch VALUES cross-engine — instead the query emits an
+# invariant VERDICT (is each sketch within its declared error guarantee of
+# the Spark-exact answer?) next to the exact doc counts, and the oracle
+# emits the same shape with TRUE literals. The driver's rows+schema+hash
+# gate then asserts both that the exact columns match cross-engine and that
+# every sketch honors its guarantee (VERDICT r11 ask #6 — this query left
+# the rows-only tier in r12).
 # ---------------------------------------------------------------------------
 
 
 @register(
     "approx_stats",
-    tags=("llm", "approx", "rows-only"),
+    oracle="""
+    SELECT lang,
+           count(*) AS doc_count,
+           TRUE AS sources_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "approx"),
 )
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct + approximate percentiles per language (sketch-based —
-    the 100 TB path where exact distinct/percentile would shuffle raw data).
+    the 100 TB path where exact distinct/percentile would shuffle raw
+    data), emitted as a BOUNDS-VERDICT table (VERDICT r11 ask #6):
 
-    The percentile pair is emitted as two scalar columns (not one ARRAY
-    column) so rows-only artifact checks can sort/hash the rows.
+    - ``sources_ok``: |approx_count_distinct - exact| <= max(1, 15% of
+      exact) — 3x the HLL++ default rsd (0.05).
+    - ``p50_ok``/``p95_ok``: percentile_approx(accuracy=10000) guarantees
+      the returned element's rank r satisfies |r - q*n| <= n/accuracy;
+      the check recovers v's exact rank interval [#(<v)+1, #(<=v)] with
+      one more combinable aggregate and asserts it intersects
+      [q*n - tol, q*n + tol] at tol = max(1, 2n/accuracy) (2x guarantee
+      slack) — the sketch's OWN contract, no interpolation slop, valid
+      at any group size.
+
+    Scale shape: two combinable passes over documents (the sketch pass,
+    then the rank-count pass against the broadcast per-lang sketch row) —
+    never a raw-value shuffle; the verdict join is broadcast (|langs|
+    rows). The exact count_distinct in the check is dimension-bounded
+    (source cardinality), kept OUT of the emitted columns so the output
+    stays stable while the sketches stay the 100 TB plan.
     """
     docs = load_table(spark, sf_dir, "documents")
     pcts = F.percentile_approx("n_chars", [0.5, 0.95], 10_000)
-    return docs.groupBy("lang").agg(
-        F.approx_count_distinct("source").alias("approx_sources"),
-        F.element_at(pcts, 1).alias("chars_p50"),
-        F.element_at(pcts, 2).alias("chars_p95"),
+    sk = docs.groupBy("lang").agg(
+        F.approx_count_distinct("source").alias("_approx_sources"),
+        F.element_at(pcts, 1).alias("_p50"),
+        F.element_at(pcts, 2).alias("_p95"),
         F.count("*").alias("doc_count"),
+        F.count_distinct("source").alias("_exact_sources"),
+        F.count("n_chars").alias("_n"),  # non-null ranks only
+    )
+    # eqNullSafe, not a plain equi-join: a NULL-lang group is a real
+    # group for both engines, and a null-keyed inner join would silently
+    # drop it (the exact bug class the r11 novelty-by-source fix caught;
+    # regression-pinned in tests/test_llm_ops.py on a NULL-lang corpus)
+    j = docs.join(
+        F.broadcast(sk.withColumnRenamed("lang", "_sk_lang")),
+        F.col("lang").eqNullSafe(F.col("_sk_lang")),
+        "inner",
+    ).drop("_sk_lang")
+    ranks = j.groupBy("lang").agg(
+        F.first("doc_count").alias("doc_count"),
+        F.first("_approx_sources").alias("_approx_sources"),
+        F.first("_exact_sources").alias("_exact_sources"),
+        F.first("_p50").alias("_p50"),
+        F.first("_p95").alias("_p95"),
+        F.first("_n").alias("_n"),
+        F.count_if(F.col("n_chars") < F.col("_p50")).alias("_lt50"),
+        F.count_if(F.col("n_chars") <= F.col("_p50")).alias("_le50"),
+        F.count_if(F.col("n_chars") < F.col("_p95")).alias("_lt95"),
+        F.count_if(F.col("n_chars") <= F.col("_p95")).alias("_le95"),
+    )
+    tol = F.greatest(F.lit(1.0), 2.0 * F.col("_n") / F.lit(10_000.0))
+
+    def rank_ok(q: float, lt: str, le: str):
+        target = F.lit(q) * F.col("_n")
+        # vacuously true when the group has no non-null values (the
+        # sketch returns NULL and there is no rank contract to check —
+        # without this guard the NULL comparison would emit NULL vs the
+        # oracle's TRUE on an all-NULL corpus)
+        return F.when(F.col("_n") == 0, F.lit(True)).otherwise(
+            (F.col(lt) + 1 <= target + tol) & (F.col(le) >= target - tol)
+        )
+
+    src_tol = F.greatest(
+        F.lit(1.0), F.round(0.15 * F.col("_exact_sources")).cast("double")
+    )
+    return (
+        ranks.select(
+            "lang",
+            "doc_count",
+            (
+                F.abs(
+                    F.col("_approx_sources").cast("double")
+                    - F.col("_exact_sources").cast("double")
+                )
+                <= src_tol
+            ).alias("sources_ok"),
+            rank_ok(0.5, "_lt50", "_le50").alias("p50_ok"),
+            rank_ok(0.95, "_lt95", "_le95").alias("p95_ok"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -1649,8 +1737,17 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact re-scores per query, deduped). n_probe=3 at n_list=8 capped at
 # 0.6 because true neighbors sat in unprobed Voronoi cells; assign=2
 # stores border vectors in both neighboring cells instead of probing more.
+# r12 retune (VERDICT r11 ask #7): n_probe 8 -> 12 from the (n_probe,
+# n_assign) sweep — recall@10 0.8 -> 1.0 canonical / 0.84 mean / 0.8 min
+# over 7 query ids at sf0.1 (1.0/0.91/0.8 at sf0.01), wall flat ~1 s.
+# Probe budget, not storage: n_assign=3 bought +0.05 mean at 1.5x
+# storage, the wrong trade when the probe budget alone reaches the
+# floor. 12/32 lists probed is a large fraction HERE because the
+# synthetic embeddings barely cluster (the multiprobe tier documents the
+# same effect); on clustered real corpora the same machinery reaches the
+# floor at a far smaller probed fraction.
 _IVF_NLIST = 32
-_IVF_NPROBE = 8
+_IVF_NPROBE = 12
 _IVF_NASSIGN = 2
 
 _IVF_ORACLE = f"""
@@ -2007,6 +2104,16 @@ def shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_ks"),
     ).select("n_tok", F.col("_ks.k").alias("k"), F.col("_ks.shard").alias("shard"))
     per_shard = lv.groupBy("k", "shard").agg(F.sum("n_tok").alias("toks"))
+    return shard_balance_over_counts(per_shard)
+
+
+def shard_balance_over_counts(per_shard: DataFrame) -> DataFrame:
+    """The shard-balance core over ANY (k, shard, toks) frame — reused by
+    the batch query above and by the streaming composition ((k, shard)
+    token sums are an additive monoid, so foreach_batch_incremental_agg
+    maintains them per micro-batch and the rollup over the state equals
+    batch exactly; parity-tested in tests/test_streaming_llm.py). Same
+    seam discipline as coverage_curve_over_counts."""
     return (
         per_shard.groupBy(F.col("k").alias("n_shards"))
         .agg(
@@ -2077,6 +2184,17 @@ def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isNotNull() & F.col("lang").isNotNull()
     )
     counts = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    return lang_entropy_over_counts(counts)
+
+
+def lang_entropy_over_counts(counts: DataFrame) -> DataFrame:
+    """The language-entropy core over ANY (source, lang, c) frame —
+    reused by the batch query above and by the streaming composition
+    ((source, lang) doc counts are an additive monoid, so
+    foreach_batch_incremental_agg maintains them per micro-batch and the
+    entropy rollup over the state equals batch exactly; parity-tested in
+    tests/test_streaming_llm.py). Same seam discipline as
+    coverage_curve_over_counts."""
     t = F.sum("c").over(Window.partitionBy("source"))
     p = F.col("c").cast("double") / F.col("t").cast("double")
     terms = counts.withColumn("t", t).withColumn(
@@ -2907,13 +3025,21 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     simply outside the two probed lists) and exact-rerank shortlist
     100->300 (ADC ranked true neighbors below 100) — recall@10 0.5->0.8
     at sf0.1 within 2x the prior latency; floors raised in bench.py and
-    tests/test_llm_ops.py so it cannot slide back. Rows-only (two k-means
-    fits); pytest pins recall, exact scores, and probe monotonicity."""
+    tests/test_llm_ops.py so it cannot slide back. r12 (VERDICT r11 ask
+    #7): (n_probe, rerank) 3/300 -> 6/500 — recall@10 0.8 -> 0.9
+    canonical at BOTH sf0.1 and sf0.01 (sf0.01 min over 7 query ids
+    0.9), wall flat ~0.8 s. 6/8 lists probed is the measured knee on
+    this barely-clustered synthetic table (a finer n_list=32 quantizer
+    at n_probe=16 — half the scan fraction — holds the same 0.9
+    canonical, but its sf0.1 mean is 0.86 for 4x the fit cost; on
+    clustered real corpora the scan fraction drops, not the recall).
+    Rows-only (two k-means fits); pytest pins recall, exact scores, and
+    probe monotonicity."""
     from ..operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
-        emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10, n_probe=3, rerank=300
+        emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10, n_probe=6, rerank=500
     )
 
 _PQ_DET_ORACLE = f"""
@@ -6663,7 +6789,8 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # r10: probes span the knee of the retuned index (n_list=32, assign=2);
-# the production tier sits at n_probe=8
+# the production tier sits at n_probe=12 since the r12 retune (between
+# the sweep's 8 and 16 anchors)
 _SWEEP_PROBES = (2, 4, 8, 16)
 
 

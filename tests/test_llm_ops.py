@@ -977,24 +977,26 @@ def test_registry_ann_tiers_hold_recall_floors(spark):
     sf0.01 measurements (2026-08-16: lsh 0.1, multiprobe 0.8 after the
     r11 ranked multi-bit mask upgrade,
     multitable 0.6, ivf 1.0 after the r10 n_list 8 -> 32 + spilled-2x-
-    assignment retune (VERDICT r9 ask #3), ivf_kmeans 0.6, quantized
-    1.0, pq 1.0, ivfpq 0.7 after the r09 n_probe=3/rerank=300 retune —
-    VERDICT r8 ask #2). Single-table LSH is the deliberately-demoted teaching
+    assignment retune (VERDICT r9 ask #3), ivf_kmeans 0.9 and ivfpq 0.9
+    after the r12 probe-budget retunes (VERDICT r11 ask #7), quantized
+    1.0, pq 1.0). Single-table LSH is the deliberately-demoted teaching
     tier (recall < 1 by construction, operators/similarity.py) — its
     floor only guards against zero. bench.py enforces the sf0.1 twins."""
     from spark_streaming_project_spark.plans import REGISTRY
 
     floors = {
         "similarity_ann_lsh_topk": 0.1,
-        # r11: ranked multi-bit perturbation masks + n_flip 9 — 0.8 at
-        # sf0.01 (0.9 at sf0.1; bench.py enforces that twin)
-        "similarity_lsh_multiprobe_topk": 0.7,
+        # r12 (VERDICT r11 ask #4): n_flip 9 -> 11 — 0.9 at sf0.01
+        # (1.0 at sf0.1; bench.py enforces that twin at floor 0.9)
+        "similarity_lsh_multiprobe_topk": 0.8,
         "similarity_ann_lsh_multitable_topk": 0.5,
         "similarity_ivf_topk": 0.9,
-        "similarity_ivf_kmeans_topk": 0.7,
+        # r12 (VERDICT r11 ask #7): n_probe 8 -> 12 — 0.9 at sf0.01
+        "similarity_ivf_kmeans_topk": 0.8,
         "similarity_quantized_topk": 0.9,
         "similarity_pq_topk": 0.9,
-        "similarity_ivfpq_topk": 0.7,
+        # r12: (n_probe, rerank) 3/300 -> 6/500 — 0.9 at sf0.01
+        "similarity_ivfpq_topk": 0.8,
         # 16-d JL shortlist-300 + exact re-rank: 1.0 at sf0.01
         "similarity_jl_rerank_topk": 0.9,
     }
@@ -1309,3 +1311,53 @@ def test_lang_entropy_bounds_and_hand_case(spark):
     assert got["mono"]["lang_entropy_nats"] == 0.0
     assert abs(got["uni"]["lang_entropy_nats"] - round(math.log(4), 6)) < 2e-6
     assert got["uni"]["dominant_share"] == 0.25
+
+
+def test_approx_stats_counts_null_lang_group(spark, tmp_path):
+    """r12 pin for the invariant-verdict approx_stats (VERDICT r11 ask
+    #6): lang is nullable, and the verdict join back to documents must be
+    null-safe — a plain equi-join on lang would silently drop the
+    NULL-lang group while the oracle counts it (the exact bug class the
+    r11 ngram_novelty_by_source fix caught). Fixture: two NULL-lang docs,
+    one with a NULL n_chars (exercises the vacuous-rank guard path on a
+    group whose non-null count differs from its doc count)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    from .conftest import assert_matches_oracle
+
+    rows = [
+        (1, "alpha beta", None, "web", 10),
+        (2, "gamma delta", None, "cc", None),
+        (3, "epsilon", "en", "web", 7),
+        (4, "zeta", "en", None, 4),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    table = pa.table(
+        {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(table, path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    q = REGISTRY["approx_stats"]
+    df = q.builder(spark, str(tmp_path))
+    assert_matches_oracle(df, con, q.oracle, "approx_stats")
+    got = {r["lang"]: r for r in df.collect()}
+    assert got[None]["doc_count"] == 2  # the group a null-keyed join drops
+    assert all(
+        r[c] for r in got.values() for c in ("sources_ok", "p50_ok", "p95_ok")
+    )
+    con.close()

@@ -178,6 +178,8 @@ REPRESENTATIVES = [
     "vocab_coverage_curve",             # range-partitioned coverage mass
     "shard_balance_stats",              # hash-shard token-skew planner
     "lang_entropy_by_source",           # round-before-DECIMAL entropy
+    # round-12 rework
+    "approx_stats",                     # sketch invariant-verdict table
 ]
 
 

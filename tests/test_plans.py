@@ -312,9 +312,11 @@ def test_driver_window_is_exactly_the_intended_fifty():
     """VERDICT r11 ask #1: the recorded window must be COMPUTED, not
     prose — the registry's first DRIVER_WINDOW names are exactly the
     intended round-12 list: the 3 _R12_FIRSTS (declared in r11, never
-    yet driver-recorded) lead, then the 5 oracle-bearing r05-stale
-    leftovers, then all 38 oracle-bearing r06-stale queries, then the
-    alphabetically-first 4 of the r07-stale rotation.
+    yet driver-recorded) lead, then the 6 oracle-bearing r05-stale
+    leftovers (approx_stats joined the oracle-bearing rotation when its
+    rows-only marker gained the invariant-verdict oracle — VERDICT r11
+    ask #6), then all 38 oracle-bearing r06-stale queries, then the
+    alphabetically-first 3 of the r07-stale rotation.
 
     PHASE-ROBUST (r11 ADVICE, medium): the staleness rebuild reads ONLY
     artifacts from rounds < the pinned round (12), i.e. the artifacts
@@ -356,7 +358,7 @@ def test_driver_window_is_exactly_the_intended_fifty():
     assert all(n not in newest for n in _R12_FIRSTS), [
         n for n in _R12_FIRSTS if n in newest
     ]
-    # next 5 slots: the oracle-bearing r05-stale leftovers (newest == r05)
+    # next 6 slots: the oracle-bearing r05-stale leftovers (newest == r05)
     stale_r05 = sorted(
         n
         for n in REGISTRY
@@ -398,14 +400,15 @@ def test_driver_window_is_exactly_the_intended_fifty():
     assert all(REGISTRY[n].oracle is not None for n in head), [
         n for n in head if REGISTRY[n].oracle is None
     ]
-    # the rest of the registry keeps its oracles too, except the 5
-    # legitimately oracle-less tiers (markers recorded in r05/r08)
+    # the rest of the registry keeps its oracles too, except the 4
+    # legitimately oracle-less tiers (markers recorded in r05/r08;
+    # approx_stats left this set in r12 — see the plans/__init__.py
+    # rows-only contract comment for why each remaining tier must stay)
     rows_only = {
         n for n in list(REGISTRY)[DRIVER_WINDOW:]
         if REGISTRY[n].oracle is None
     }
     assert rows_only == {
-        "approx_stats",
         "packed_sequences_ffd",
         "similarity_ivf_kmeans_topk",
         "similarity_pq_topk",

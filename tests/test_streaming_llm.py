@@ -2339,3 +2339,149 @@ def test_streaming_vocab_coverage_matches_batch(spark, tmp_path):
         for r in REGISTRY["vocab_coverage_curve"].builder(spark, SF).collect()
     ]
     assert got == want and len(got) == 5
+
+
+def test_streaming_shard_balance_matches_batch(spark, tmp_path):
+    """r12 shard_balance_stats streaming twin (VERDICT r11 ask #5):
+    (k, shard) token sums are an additive monoid, so the incremental-agg
+    sink maintains the shard ledger per micro-batch in O(|batch|), and
+    the balance rollup computed over the drained state must equal the
+    one-shot batch table EXACTLY (same shard_balance_over_counts core —
+    the batch/stream seam)."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.llm import (
+        _SHARD_KS,
+        shard_balance_over_counts,
+    )
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "sb_src")
+    for i in range(3):  # three micro-batches
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def shard_counts(df):
+        from spark_streaming_project_spark.functions.text import token_count
+
+        bucket = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        lv = (
+            df.filter(F.col("text").isNotNull())
+            .select(
+                token_count("text").alias("n_tok"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(k).alias("k"),
+                                (bucket % k).alias("shard"),
+                            )
+                            for k in _SHARD_KS
+                        ]
+                    )
+                ).alias("_ks"),
+            )
+            .select(
+                "n_tok",
+                F.col("_ks.k").alias("k"),
+                F.col("_ks.shard").alias("shard"),
+            )
+        )
+        return lv.groupBy("k", "shard").agg(F.sum("n_tok").alias("toks"))
+
+    state = str(tmp_path / "sb_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_sb"))
+    runner.add(
+        "shard_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, shard_counts, ["k", "shard"], ["toks"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = [
+        tuple(r)
+        for r in shard_balance_over_counts(
+            spark.read.parquet(state)
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in REGISTRY["shard_balance_stats"].builder(spark, SF).collect()
+    ]
+    assert got == want and len(got) == len(_SHARD_KS)
+
+
+def test_streaming_lang_entropy_matches_batch(spark, tmp_path):
+    """r12 lang_entropy_by_source streaming twin (VERDICT r11 ask #5):
+    (source, lang) doc counts are an additive monoid, so the
+    incremental-agg sink maintains the language-mix grid per micro-batch
+    in O(|batch|), and the entropy rollup over the drained state must
+    equal the one-shot batch table EXACTLY (same lang_entropy_over_counts
+    core — the round-before-DECIMAL-sum term discipline makes the sum
+    partition-order-free, so state-vs-batch is bit-identical, not just
+    close)."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.llm import lang_entropy_over_counts
+    from spark_streaming_project_spark.streaming import (
+        foreach_batch_incremental_agg,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "le_src")
+    for i in range(3):  # three micro-batches
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def lang_counts(df):
+        return (
+            df.filter(
+                F.col("source").isNotNull() & F.col("lang").isNotNull()
+            )
+            .groupBy("source", "lang")
+            .agg(F.count("*").alias("c"))
+        )
+
+    state = str(tmp_path / "le_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_le"))
+    runner.add(
+        "lang_state",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, lang_counts, ["source", "lang"], ["c"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = [
+        tuple(r)
+        for r in lang_entropy_over_counts(
+            spark.read.parquet(state)
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in REGISTRY["lang_entropy_by_source"].builder(spark, SF).collect()
+    ]
+    assert got == want and got
