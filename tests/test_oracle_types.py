@@ -50,11 +50,12 @@ def duck_views():
 
 
 def test_every_registered_oracle_has_an_oracle_or_is_declared():
-    # exactly the 5 declared rows-only tiers may omit an oracle (the
+    # exactly the 4 declared rows-only tiers may omit an oracle (the
     # set itself is pinned by name in test_plans.py; r09 promoted
-    # neardup_centrality and bpe_merge_table to full oracles) —
+    # neardup_centrality and bpe_merge_table to full oracles, r12
+    # promoted approx_stats to the invariant-verdict oracle) —
     # everything else must be gated here.
-    assert len(_ORACLES) == len(REGISTRY) - 5
+    assert len(_ORACLES) == len(REGISTRY) - 4
 
 
 def test_no_oracle_emits_128bit_integer_columns(duck_views):
