@@ -142,10 +142,18 @@ SHOWCASE = [
      "running sum; 5-row broadcast threshold join; everything after the "
      "first exchange is |V|-bounded."),
     ("similarity_lsh_multiprobe_topk",
-     "Multi-probe LSH (r11): all 2^bits perturbation masks scored by "
-     "squared flipped margins INSIDE the one-row broadcast query frame; "
-     "probes explode to a hash equi-join on bucket — recall 0.9 at 10/16 "
-     "buckets probed, no nested-loop, no driver math."),
+     "Multi-probe LSH (r11; r12 n_flip 11): all 2^bits perturbation "
+     "masks scored by squared flipped margins INSIDE the one-row "
+     "broadcast query frame; probes explode to a hash equi-join on "
+     "bucket — recall 1.0 at 12/16 buckets probed, no nested-loop, no "
+     "driver math."),
+    ("approx_stats",
+     "Sketch invariant-verdict table (r12): two combinable passes over "
+     "a 3-column pruned scan — the sketch pass, then the rank-count "
+     "pass joined back through a null-safe BROADCAST of the |langs|-row "
+     "sketch frame; the emitted booleans assert each sketch's declared "
+     "error contract, so the hash gate checks the sketch tier without "
+     "shipping engine-specific sketch values."),
     ("shard_balance_stats",
      "Shard-balance planner (r11): ONE scan computes tokens + all three "
      "md5 shard ids; inline-array explode stacks the k-levels (no "
