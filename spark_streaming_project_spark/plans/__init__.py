@@ -321,7 +321,9 @@ _R12_WINDOW = list(_R12_FIRSTS) + [
 # Queries built AFTER the r12 window froze; they lead the r13 window.
 # Pinned by tests/test_plans.py: the set of never-recorded registry
 # queries outside the r12 window must be EXACTLY this list.
-_R13_FIRSTS: list[str] = []
+_R13_FIRSTS: list[str] = [
+    "label_pair_affinity",  # exact pairwise cohesion via sum-of-vectors
+]
 
 
 def _reorder() -> None:

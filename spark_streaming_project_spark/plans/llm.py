@@ -7354,6 +7354,172 @@ def label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "label_pair_affinity",
+    oracle=f"""
+    WITH e AS (
+        SELECT label,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 3)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    elems AS (
+        SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM e
+    ),
+    grid AS (
+        SELECT label, pos,
+               sum(CAST(val AS DECIMAL(20,3))) AS sv,
+               sum(CAST(round(val * val, 9) AS DECIMAL(20,9))) AS qv,
+               count(*) AS cnt
+        FROM elems GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT label,
+               CAST(max(cnt) AS BIGINT) AS n,
+               CAST(sum(qv) AS DOUBLE) AS q,
+               CAST(sum(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE), 9)
+                             AS DECIMAL(24,9))) AS DOUBLE) AS ss2
+        FROM grid GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(CAST(round(CAST(a.sv AS DOUBLE) * CAST(b.sv AS DOUBLE), 9)
+                             AS DECIMAL(24,9))) AS DOUBLE) AS spd
+        FROM grid a JOIN grid b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, kind, n_pairs, mean_pair_dot FROM (
+        SELECT label AS label_a, label AS label_b, 'intra' AS kind,
+               CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+               CASE WHEN n > 1 THEN
+                   round((ss2 - q) / (n * (n - 1.0)), 6)
+               END AS mean_pair_dot
+        FROM lab
+        UNION ALL
+        SELECT i.label_a, i.label_b, 'inter' AS kind,
+               CAST(la.n * lb.n AS BIGINT) AS n_pairs,
+               round(i.spd / (la.n * CAST(lb.n AS DOUBLE)), 6) AS mean_pair_dot
+        FROM inter i
+        JOIN lab la ON la.label = i.label_a
+        JOIN lab lb ON lb.label = i.label_b
+    ) ORDER BY label_a, label_b
+    """,
+    tags=("llm", "embedding", "evaluation"),
+)
+def label_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mean pairwise dot product within and between labels via the
+    sum-of-vectors identity — the O(n^2 * d) cohesion/separation statistic
+    computed in O(n * d) with NO pair materialization, ever:
+
+        sum_{i != j in L} v_i . v_j  =  ||S_L||^2 - Q_L
+        sum_{i in A, j in B} v_i . v_j  =  S_A . S_B
+
+    where S_L is the per-label vector sum and Q_L the per-label sum of
+    squared norms. The readout an eval pipeline tracks next to
+    ``label_silhouette`` (centroid-form): intra rows near inter rows =
+    embedding collapse; a foreign pair whose mean dot approaches a
+    label's intra mean = label confusion. Unlike the silhouette this is
+    the TRUE average pairwise similarity, not a centroid approximation.
+
+    Scale shape: ONE explode pass folds to the (label, pos) grid carrying
+    (component sum, squared-norm mass, count) — |labels| x dim rows cross
+    the only data-sized exchange; intra/inter affinities are grid-only
+    arithmetic (a self-join on pos over KBs). At 100 TB the grid is the
+    same size, so the statistic that would naively need 10^18 pairs costs
+    one combinable aggregate. All cross-vector sums are DECIMAL over
+    fixed rounding grids (inputs 1e-3, term products 1e-9 — the
+    round-before-DECIMAL-sum discipline), so the result is
+    partition-order-free and the oracle replays it bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    vecs = emb.select(
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 3)
+        ).alias("v"),
+    )
+    elems = vecs.select("label", F.posexplode("v").alias("pos", "val"))
+    grid = elems.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("decimal(20,3)")).alias("sv"),
+        F.sum(
+            F.round(F.col("val") * F.col("val"), 9).cast("decimal(20,9)")
+        ).alias("qv"),
+        F.count("*").alias("cnt"),
+    )
+    return pair_affinity_over_grid(grid)
+
+
+def pair_affinity_over_grid(grid: DataFrame) -> DataFrame:
+    """The affinity core over ANY (label, pos, sv, qv, cnt) grid — the
+    (label, pos) component sums, squared-norm masses, and counts are all
+    additive monoids, so foreach_batch_incremental_agg maintains the grid
+    per micro-batch and the intra/inter table over the state equals batch
+    exactly (parity-tested in tests/test_streaming_llm.py). Same seam
+    discipline as coverage_curve_over_counts."""
+    lab = grid.groupBy("label").agg(
+        F.max("cnt").cast("bigint").alias("n"),
+        F.sum("qv").cast("double").alias("q"),
+        F.sum(
+            F.round(
+                F.col("sv").cast("double") * F.col("sv").cast("double"), 9
+            ).cast("decimal(24,9)")
+        ).cast("double").alias("ss2"),
+    )
+    intra = lab.select(
+        F.col("label").alias("label_a"),
+        F.col("label").alias("label_b"),
+        F.lit("intra").alias("kind"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("n_pairs"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("ss2") - F.col("q"))
+                / (F.col("n") * (F.col("n") - F.lit(1.0))),
+                6,
+            ),
+        ).alias("mean_pair_dot"),
+    )
+    ga = grid.select(
+        F.col("label").alias("label_a"), "pos", F.col("sv").alias("sv_a")
+    )
+    gb = grid.select(
+        F.col("label").alias("label_b"), "pos", F.col("sv").alias("sv_b")
+    )
+    pair = (
+        ga.join(gb, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("sv_a").cast("double")
+                    * F.col("sv_b").cast("double"),
+                    9,
+                ).cast("decimal(24,9)")
+            ).cast("double").alias("spd")
+        )
+    )
+    na = lab.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = lab.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    inter = (
+        pair.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.lit("inter").alias("kind"),
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.col("spd") / (F.col("n_a") * F.col("n_b").cast("double")), 6
+            ).alias("mean_pair_dot"),
+        )
+    )
+    return intra.unionByName(inter).orderBy("label_a", "label_b")
+
+
 # ---------------------------------------------------------------------------
 # JL-rerank ANN tier: score ALL vectors in the cheap 16-d projected space,
 # shortlist top-C, then exact-cosine re-rank the shortlist in 64-d. The

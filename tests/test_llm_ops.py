@@ -1361,3 +1361,117 @@ def test_approx_stats_counts_null_lang_group(spark, tmp_path):
         r[c] for r in got.values() for c in ("sources_ok", "p50_ok", "p95_ok")
     )
     con.close()
+
+
+def test_label_pair_affinity_equals_bruteforce_pairwise(spark):
+    """The sum-of-vectors identity must reproduce the BRUTE-FORCE mean
+    pairwise dot products exactly (up to the declared rounding grids):
+    intra = mean over unordered same-label pairs, inter = mean over
+    cross-label pairs — recomputed here with numpy over the SAME
+    1e-3-rounded inputs."""
+    import numpy as np
+
+    from spark_streaming_project_spark.plans import REGISTRY
+
+    sf = SF_CORRECT
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.round(np.array(r["embedding"], dtype=np.float64), 3)
+        )
+    mats = {l: np.vstack(vs) for l, vs in by_label.items()}
+
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in REGISTRY["label_pair_affinity"].builder(spark, sf).collect()
+    }
+    labels = sorted(mats)
+    assert len(got) == len(labels) + len(labels) * (len(labels) - 1) // 2
+    for la in labels:
+        A = mats[la]
+        n = len(A)
+        # intra: all unordered pairs, straight O(n^2) dot products
+        gram = A @ A.T
+        want_intra = (gram.sum() - np.trace(gram)) / (n * (n - 1))
+        r = got[(la, la)]
+        assert r["kind"] == "intra" and r["n_pairs"] == n * (n - 1) // 2
+        assert abs(r["mean_pair_dot"] - want_intra) < 1e-4, (la, want_intra)
+        for lb in labels:
+            if lb <= la:
+                continue
+            B = mats[lb]
+            want_inter = float((A @ B.T).mean())
+            r = got[(la, lb)]
+            assert r["kind"] == "inter" and r["n_pairs"] == len(A) * len(B)
+            assert abs(r["mean_pair_dot"] - want_inter) < 1e-4, (la, lb)
+
+
+def test_streaming_label_pair_affinity_matches_batch(spark, tmp_path):
+    """r12 label_pair_affinity streaming twin: the (label, pos) grid of
+    (component sum, squared-norm mass, count) is an additive monoid, so
+    the incremental-agg sink maintains it per micro-batch in O(|batch|)
+    and the affinity table over the drained state must equal the one-shot
+    batch table EXACTLY (same pair_affinity_over_grid core; DECIMAL sums
+    make the merge partition-order-free, so state-vs-batch is
+    bit-identical)."""
+    from spark_streaming_project_spark.plans import REGISTRY
+    from spark_streaming_project_spark.plans.llm import pair_affinity_over_grid
+    from spark_streaming_project_spark.streaming import (
+        StreamRunner,
+        foreach_batch_incremental_agg,
+        stream_parquet_dir,
+    )
+
+    sf = SF_CORRECT
+    emb = load_table(spark, sf, "embeddings")
+    src = str(tmp_path / "lpa_src")
+    for i in range(3):  # three micro-batches
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def grid_counts(df):
+        vecs = df.filter(
+            F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        ).select(
+            "label",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 3)
+            ).alias("v"),
+        )
+        elems = vecs.select("label", F.posexplode("v").alias("pos", "val"))
+        return elems.groupBy("label", "pos").agg(
+            F.sum(F.col("val").cast("decimal(20,3)")).alias("sv"),
+            F.sum(
+                F.round(F.col("val") * F.col("val"), 9).cast("decimal(20,9)")
+            ).alias("qv"),
+            F.count("*").alias("cnt"),
+        )
+
+    state = str(tmp_path / "lpa_state")
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt_lpa"))
+    runner.add(
+        "affinity_grid",
+        stream,
+        foreach_batch=foreach_batch_incremental_agg(
+            state, grid_counts, ["label", "pos"], ["sv", "qv", "cnt"]
+        ),
+    )
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    got = [
+        tuple(r)
+        for r in pair_affinity_over_grid(spark.read.parquet(state)).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in REGISTRY["label_pair_affinity"].builder(spark, sf).collect()
+    ]
+    assert got == want and got

@@ -180,6 +180,8 @@ REPRESENTATIVES = [
     "lang_entropy_by_source",           # round-before-DECIMAL entropy
     # round-12 rework
     "approx_stats",                     # sketch invariant-verdict table
+    # round-12 new query
+    "label_pair_affinity",              # decimal-grid pairwise affinity
 ]
 
 
