@@ -147,6 +147,11 @@ SHOWCASE = [
      "broadcast query frame; probes explode to a hash equi-join on "
      "bucket — recall 1.0 at 12/16 buckets probed, no nested-loop, no "
      "driver math."),
+    ("label_pair_affinity",
+     "Exact pairwise cohesion at O(n d) (r12): ONE posexplode exchange "
+     "folds to the |labels| x dim DECIMAL grid; intra/inter mean dots "
+     "are grid-only arithmetic (pos-equi self-join over KBs) — the "
+     "O(n^2) pair set never exists in any stage."),
     ("approx_stats",
      "Sketch invariant-verdict table (r12): two combinable passes over "
      "a 3-column pruned scan — the sketch pass, then the rank-count "

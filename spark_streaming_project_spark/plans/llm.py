@@ -2077,26 +2077,23 @@ def shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-k rollup. Integer token arithmetic; one terminal double division.
     """
     from ..functions.text import token_count
+    from ..sources.sharding import shard_expr
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    bucket = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    # shard_expr is SHARED with sources/sharding.py's writer, so this
+    # planner's skew numbers are exactly the layout write_sharded_corpus
+    # produces at the chosen k (planner-writer contract pinned in
+    # tests/test_sharding.py)
     lv = docs.select(
         token_count("text").alias("n_tok"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(k).alias("k"), (bucket % k).alias("shard")
+                        F.lit(k).alias("k"),
+                        shard_expr(F.col("doc_id"), k).alias("shard"),
                     )
                     for k in _SHARD_KS
                 ]
