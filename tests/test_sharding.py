@@ -84,3 +84,85 @@ def test_manifest_matches_shard_balance_planner(spark, tmp_path):
     assert planner["max_tokens"] == max(r["n_tokens"] for r in manifest)
     assert planner["total_tokens"] == sum(r["n_tokens"] for r in manifest)
     assert planner["used_shards"] == len(manifest)
+
+
+def test_streaming_sharded_appends_match_batch_layout(spark, tmp_path):
+    """Streaming write-side leg: the corpus arrives in micro-batches,
+    each appended HASH-SHARDED into the same partitioned layout, while
+    the manifest is maintained incrementally (per-shard (docs, tokens)
+    is an additive monoid). After the drain: (a) every row sits in the
+    shard the md5 expression dictates — append order cannot move a doc's
+    shard; (b) the incremental manifest state equals the manifest a
+    one-shot batch write of the full corpus produces."""
+    from spark_streaming_project_spark.functions.text import token_count
+    from spark_streaming_project_spark.streaming import (
+        StreamRunner,
+        foreach_batch_incremental_agg,
+        stream_parquet_dir,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "src")
+    for i in range(3):  # three micro-batches
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "manifest_state")
+
+    inner = foreach_batch_incremental_agg(
+        state,
+        lambda df: df.groupBy(
+            shard_expr(F.col("doc_id"), 8).alias("shard")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(token_count("text")), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ),
+        ["shard"],
+        ["n_docs", "n_tokens"],
+    )
+
+    def sink(df, batch_id):
+        (
+            df.withColumn("shard", shard_expr(F.col("doc_id"), 8))
+            .repartition(8, "shard")
+            .write.partitionBy("shard")
+            .mode("append")
+            .parquet(corpus)
+        )
+        inner(df, batch_id)
+
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    runner = StreamRunner(spark, str(tmp_path / "ckpt"))
+    runner.add("sharded_append", stream, foreach_batch=sink)
+    runner.start_all(available_now=True)
+    runner.await_all(timeout_sec=120)
+
+    # (a) every appended row is in its md5-dictated shard directory
+    back = spark.read.parquet(corpus)
+    misplaced = back.withColumn(
+        "_expect", shard_expr(F.col("doc_id"), 8)
+    ).filter(F.col("shard") != F.col("_expect"))
+    assert misplaced.count() == 0
+    assert {tuple(r) for r in back.drop("shard").collect()} == {
+        tuple(r) for r in docs.collect()
+    }
+
+    # (b) incremental manifest state == one-shot batch write's manifest
+    batch_manifest = {
+        (r["shard"], r["n_docs"], r["n_tokens"])
+        for r in write_sharded_corpus(
+            docs, str(tmp_path / "batch_corpus"), n_shards=8
+        ).collect()
+    }
+    got = {
+        (r["shard"], r["n_docs"], r["n_tokens"])
+        for r in spark.read.parquet(state)
+        .select("shard", "n_docs", "n_tokens")
+        .collect()
+    }
+    assert got == batch_manifest and got
