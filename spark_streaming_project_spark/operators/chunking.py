@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread
 from ..functions.text import tokens
 
 
@@ -31,8 +32,11 @@ def chunk_documents(
     """
     toks = tokens(text_col)
     n_chunks = F.ceil(F.size("_w") / F.lit(chunk_tokens)).cast("long")
+    # r13: spread before the tokenize + per-chunk slice transform
+    # (functions/partitioning.spread)
     return (
-        df.select(F.col(id_col), toks.alias("_w"))
+        spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), toks.alias("_w"))
         .filter(F.size("_w") > 0)
         .select(
             F.col(id_col),
@@ -131,9 +135,16 @@ def cdc_chunks(
     boundary test and chunk hashes replay in any engine.
     """
     L = int(gram)
-    base = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= L)
-    ).select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    # r13: spread before the per-CHARACTER boundary-hash filter (the most
+    # expensive narrow pass in the engine — one md5 per text position);
+    # serialized on a few scan partitions it dominates every CDC query
+    # (measured 2.2 s -> 0.30 s at sf0.1, functions/partitioning.spread).
+    base = spread(
+        df.filter(
+            F.col(text_col).isNotNull() & (F.length(text_col) >= L)
+        ).select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        "id",
+    )
     # cut positions: e = p + L - 1 for every boundary window start p, plus
     # the end of the document; the filtered sequence is ascending and
     # len(text) >= every e, so array_distinct alone keeps it sorted.

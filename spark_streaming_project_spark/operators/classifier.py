@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread
 from ..functions.text import tokens
 
 __all__ = [
@@ -69,7 +70,12 @@ def hashed_bucket_features(
     (md5-hashed unigrams, the same bucket function as the DSIR model).
     Zero-token documents keep an all-zero count vector (bias only)."""
     live = df.filter(F.col(text_col).isNotNull())
-    tok = live.select(
+    # r13: spread the heavy branch (tokenize + per-token md5 bucket)
+    # before the explode; the label branch below stays on the raw scan —
+    # it's one cheap projection (functions/partitioning.spread)
+    tok = spread(
+        live.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_t")
     ).select(
         F.col(id_col),
@@ -262,7 +268,13 @@ def nb_count_state(
     the model rebuilt from drained state equals the batch model exactly
     (pinned by pytest)."""
     kept = df.filter(F.col(text_col).isNotNull())
-    toks = kept.select(
+    # r13: spread the tokenize+explode branch. Keyed on a text hash, NOT
+    # the label — labels are few and would serialize whole classes onto
+    # single tasks (guide §2.5); docs_l below stays on the raw scan.
+    toks = spread(
+        kept.select(F.col(label_col), F.col(text_col)),
+        F.xxhash64(F.col(text_col)),
+    ).select(
         F.col(label_col).alias("label"),
         F.explode(tokens(text_col)).alias("token"),
     )
@@ -332,8 +344,14 @@ def nb_predict(
     the label count, never global."""
     from pyspark.sql import Window
 
+    # r13: spread before the tokenize+explode (functions/partitioning)
     doc_tokens = (
-        df.filter(F.col(text_col).isNotNull())
+        spread(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.col(text_col)
+            ),
+            id_col,
+        )
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("k"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread
 from ..functions.text import tokens, word_shingles
 
 NUM_PERM = 8  # minhash permutations
@@ -59,7 +60,11 @@ def minhash_signatures(
     signature pass is hash-bound at scale, and this cuts it 4x).
     """
     sh = word_shingles(text_col)
-    out = df.select(
+    # r13: spread the raw (id, text) rows BEFORE the shingle+digest pass —
+    # the signature pipeline below is ~10 interpreted array passes per doc
+    # and must not serialize onto a few scan partitions (functions/
+    # partitioning.spread; measured 1.6 s -> 0.65 s at sf0.1).
+    out = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col),
         sh.alias("shingles"),
     ).filter(F.size("shingles") > 0)
@@ -179,7 +184,7 @@ def ngram_jaccard_pairs(
     # recomputes it per consumer. MEMORY_AND_DISK, skinny (id, gram) rows.
     # Cache lifetime: backs the returned LAZY frame; caller releases after
     # its terminal action (bench.py/driver sim clearCache between queries).
-    grams = df.select(
+    grams = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     ).persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
@@ -232,7 +237,8 @@ def ngram_jaccard_pairs_prefix(
     variant wins instead.
     """
     sh = (
-        df.select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+        spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .persist()  # consumed by prefix generation + two verification
         # joins. Cache lifetime: backs the returned LAZY pair frame;
@@ -407,8 +413,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             "cap — conv() would overflow and corrupt fingerprints"
         )
     hex_chars = max(8, (bits + 3) // 4)
+    # r13: spread before the per-token hash + vote folds (interpreted
+    # HOFs) — see functions/partitioning.spread
     base = (
-        df.select(F.col(id_col), F.col(text_col).alias("_text"))
+        spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.col(text_col).alias("_text"))
         .withColumn(
             "_toks",
             F.expr(r"array_distinct(filter(split(_text, '\\s+'), t -> t <> ''))"),
@@ -614,12 +623,15 @@ def _exact_substring_runs(
     base = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= L))
         .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-        # spread docs across the cluster BEFORE the ~length(text)-row
-        # generator: a handful of source files must not serialize the
-        # window emission (the explode multiplies rows ~300x, so the
-        # pre-shuffle is 1/300th the generated volume)
-        .repartition(F.col("_id"))
     )
+    # spread docs across the cluster BEFORE the ~length(text)-row
+    # generator: a handful of source files must not serialize the window
+    # emission (the explode multiplies rows ~300x, so the pre-shuffle is
+    # 1/300th the generated volume). r13: the old bare repartition(col)
+    # was AQE-coalesced back to ONE partition on small inputs (no-count
+    # repartitions are coalescable); spread() pins the explicit
+    # conf-derived count so the generator actually parallelizes.
+    base = spread(base, "_id")
     wins = base.select(
         "_id",
         F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(L - 1))).alias(
@@ -822,12 +834,18 @@ def fuzzy_match_pairs(
     """
     d = int(max_dist)
     prefix_len = d * q + 1
-    base = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= q)
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_t"),
-        F.length(text_col).alias("_len"),
+    # r13: spread before the per-position q-gram transform+explode
+    # (functions/partitioning.spread — scan partitions must not serialize
+    # the gram generator)
+    base = spread(
+        df.filter(
+            F.col(text_col).isNotNull() & (F.length(text_col) >= q)
+        ).select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+            F.length(text_col).alias("_len"),
+        ),
+        "_id",
     )
     # (gram, occ) elements: groupBy-count then re-expand occurrence
     # indices — one shuffle on (_id, gram), no per-position window
@@ -906,7 +924,9 @@ def doc_spans(
     index sequence (no explode until the final span table), so the heavy
     string work stays inside one narrow projection.
     """
-    base = df.select(
+    # r13: spread before the tokenize + per-span slice/join transform
+    # (functions/partitioning.spread)
+    base = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") > 0)
     spans = base.select(

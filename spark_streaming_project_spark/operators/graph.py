@@ -242,23 +242,38 @@ def pagerank(
     )
     n_nodes = nodes.count()
     deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    # r13 (guide §3.4 loop-invariant hoist): (edge, source-degree) never
+    # changes across rounds — join it ONCE and persist, instead of the old
+    # per-round ranks⋈deg then ⋈edges chain. Per-edge arithmetic is
+    # unchanged (still rank/_deg on the same rows), so results are
+    # identical; the per-round plan drops one node-sized join.
+    ew = e.join(deg, "_s").select("_s", "_d", "_deg").persist()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = ranks.localCheckpoint()
     try:
         for _ in range(iters):
-            with_deg = ranks.join(
-                deg, ranks["node"] == deg["_s"], "left"
-            ).select("node", "rank", "_deg")
-            # dangling mass: ONE scalar per round
-            dangling = (
-                with_deg.filter(F.col("_deg").isNull())
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
-            )
+            if directed:
+                # dangling mass: ONE scalar per round (nodes with no
+                # out-edges redistribute uniformly)
+                dangling = (
+                    ranks.join(
+                        deg, ranks["node"] == deg["_s"], "left_anti"
+                    )
+                    .agg(F.sum("rank"))
+                    .collect()[0][0]
+                    or 0.0
+                )
+            else:
+                # symmetrized graphs have no dangling nodes BY
+                # CONSTRUCTION (every node in ``nodes`` appears as a
+                # source in ``e``), so the old per-round dangling job
+                # always returned exactly 0.0 — skip the 1 job/round
+                # (guide §1: don't pay for work whose answer is known).
+                dangling = 0.0
             contribs = (
-                with_deg.filter(F.col("_deg").isNotNull())
-                .join(e, F.col("node") == F.col("_s"))
+                ew.join(
+                    ranks.select(F.col("node").alias("_s"), "rank"), "_s"
+                )
                 .select(
                     F.col("_d").alias("node"),
                     (F.col("rank") / F.col("_deg")).alias("_c"),
@@ -283,6 +298,7 @@ def pagerank(
     finally:
         e.unpersist()
         nodes.unpersist()
+        ew.unpersist()
     return ranks
 
 
@@ -433,13 +449,17 @@ def pagerank_quantized(
         edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
     ).distinct().persist()
     deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    # r13: the (edge, source-degree) join is loop-invariant — build it
+    # once instead of re-joining e⋈deg every round (guide §3.4); the
+    # per-edge integer expression below is unchanged.
+    ew = e.join(deg, "_s").select("_s", "_d", "_deg").persist()
     ranks = deg.select(
         F.col("_s").alias("node"), F.lit(q).cast("long").alias("rank")
     ).localCheckpoint(eager=True)
     base = (15 * q) // 100
     for _ in range(iters):
         contrib = (
-            e.join(deg, "_s")
+            ew
             .join(ranks.withColumnRenamed("node", "_s"), "_s")
             .select(
                 F.col("_d").alias("node"),
@@ -462,6 +482,7 @@ def pagerank_quantized(
         _release_checkpoint(ranks)
         ranks = nxt
     e.unpersist()
+    ew.unpersist()
     return ranks
 
 

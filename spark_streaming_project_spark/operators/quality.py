@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread
 from ..functions.text import tokens
 
 
@@ -57,8 +58,11 @@ def repetition_stats(
     # frequency passes); persist so the split/zip passes run once.
     # Cache lifetime: backs the returned LAZY frame; caller releases
     # after its terminal action (bench.py/driver sim clearCache)
+    # r13: spread before the tokenize + n-gram zip folds
+    # (functions/partitioning.spread)
     base = (
-        df.filter(F.col(text_col).isNotNull())
+        spread(df.filter(F.col(text_col).isNotNull())
+               .select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), toks.alias("_toks"), grams.alias("_grams"))
         .filter(F.size("_grams") > 0)
         .persist()
@@ -158,7 +162,11 @@ def cross_doc_gram_stats(
     # persist so the (expensive) shingle pass runs once.
     # Cache lifetime: backs the returned LAZY frame; caller releases
     # after its terminal action (bench.py/driver sim clearCache)
-    g = df.filter(F.col(text_col).isNotNull()).select(
+    g = spread(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col)),
+        id_col,
+    ).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     ).persist()
     dfreq = g.groupBy("gram").agg(F.countDistinct(id_col).alias("gram_df"))
@@ -198,7 +206,14 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     from ..functions.text import word_ngrams
 
-    live = df.filter(F.col(text_col).isNotNull())
+    # r13: spread before the bigram zip pass — ``bg`` feeds two consumers
+    # (doc counts + model counts) so the pass runs twice, both serialized
+    # on the scan partitions without it (functions/partitioning.spread)
+    live = spread(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col)),
+        id_col,
+    )
     bg = live.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n=2)).alias("bg")
     )
@@ -255,7 +270,11 @@ def gram_novelty_by_doc(
     # Cache lifetime: the exploded gram frame feeds both aggregates and
     # backs the returned LAZY frame; caller releases after its terminal
     # action (bench.py/driver sim clearCache between queries)
-    g = df.filter(F.col(text_col).isNotNull()).select(
+    g = spread(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col)),
+        id_col,
+    ).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     ).persist()
     per_doc = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
@@ -332,6 +351,9 @@ def gopher_quality_flags(
     flag_avg = (avg_len >= min_avg_len) & (avg_len <= max_avg_len)
     flag_symbol = symbol_ratio < max_symbol_ratio
     flag_stop = n_stop >= min_stopwords
+    # r13: spread before the 4 tokenize/fold/intersect rule passes
+    # (functions/partitioning.spread)
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     return df.filter(n_words > 0).select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -418,7 +440,13 @@ def distinct_ngram_diversity(
     """
     from ..functions.text import word_ngrams
 
-    grams = df.select(
+    # r13: spread before the n-gram zip pass; keyed on a deterministic
+    # text hash because the grouping key is low-cardinality (sources)
+    # and would put whole sources on single tasks (guide §2.5)
+    grams = spread(
+        df.select(F.col(group_col), F.col(text_col)),
+        F.xxhash64(F.col(text_col)),
+    ).select(
         F.col(group_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -474,8 +502,16 @@ def repetition_signals(
     """
     all_ns = sorted(set(top_ns) | set(dup_ns))
     toks = tokens(F.col(text_col))
+    # r13: spread before the tokenize pass; the 5 per-n gram levels each
+    # re-read this subtree, and with an identical exchange below them the
+    # tokenize runs once map-side and the levels read a ReusedExchange
+    # instead of 5 serialized re-tokenizations (functions/partitioning)
     base = (
-        df.filter(F.col(text_col).isNotNull())
+        spread(
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.col(text_col)),
+            id_col,
+        )
         .select(
             F.col(id_col),
             F.length(text_col).alias("_chars"),

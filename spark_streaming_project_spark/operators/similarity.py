@@ -23,9 +23,21 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread
 from ..functions.vectors import as_double, dot, norm
 
 ROUND_DECIMALS = 6
+
+
+def _spread_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, _v float64) spread to the session's shuffle parallelism —
+    every downstream assignment/scoring pass is an interpreted zip/fold
+    per (vector, centroid) pair, or an Arrow-batched numpy UDF, and must
+    not serialize onto a few scan partitions (functions/partitioning.
+    spread; r13)."""
+    return spread(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    )
 
 
 def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id: int) -> DataFrame:
@@ -55,8 +67,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of ``query_id`` (excluded from results)."""
     q = _query_vector(df, id_col, vec_col, query_id)
+    # r13: spread before the per-row dot fold (functions/partitioning)
     scored = (
-        df.filter(F.col(id_col) != query_id)
+        spread(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .filter(F.col(id_col) != query_id)
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
@@ -100,8 +114,10 @@ def brute_force_topk_pandas(
         sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
         return pd.Series(sims)
 
+    # r13: spread before the Arrow-batched matmul (functions/partitioning)
     return (
-        df.filter(F.col(id_col) != query_id)
+        spread(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
             F.round(cos_batch(F.col(vec_col)), ROUND_DECIMALS).alias("cosine_sim"),
@@ -196,7 +212,29 @@ def ivf_topk(
     Ties are total-ordered everywhere: centroid rank by (cosine DESC,
     cid ASC), final top-k by (rounded cosine DESC, id ASC).
     """
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    vecs, scored, assigned = ivf_assignment(
+        df, id_col, vec_col, n_list=n_list, n_assign=n_assign
+    )
+    return ivf_probe_topk(
+        vecs, scored, assigned, id_col, query_id,
+        k=k, n_probe=n_probe, n_assign=n_assign,
+    )
+
+
+def ivf_assignment(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_list: int = 8,
+    n_assign: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The probe-independent half of :func:`ivf_topk`: (vecs, scored,
+    assigned) frames. Factored out (r13, guide §1.2 "don't compute things
+    you throw away") so a multi-probe consumer (``ann_probe_sweep``) can
+    build the O(|vecs| * n_list) centroid-scoring pass ONCE and persist
+    it, instead of once per probe setting — the expressions are the exact
+    ones :func:`ivf_topk` always used, so results are bit-identical."""
+    vecs = _spread_vecs(df, id_col, vec_col)
     hashed = vecs.withColumn("_h", F.md5(F.col(id_col).cast("string")))
     cents = (
         hashed.orderBy("_h", id_col)
@@ -222,6 +260,21 @@ def ivf_topk(
         Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
     )
     assigned = scored.withColumn("_rn", rn).filter(F.col("_rn") <= n_assign)
+    return vecs, scored, assigned
+
+
+def ivf_probe_topk(
+    vecs: DataFrame,
+    scored: DataFrame,
+    assigned: DataFrame,
+    id_col: str,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    n_assign: int = 1,
+) -> DataFrame:
+    """The probe-dependent half of :func:`ivf_topk` over frames from
+    :func:`ivf_assignment` (which the caller may have persisted)."""
     probes = (
         scored.filter(F.col(id_col) == query_id)
         .orderBy(F.desc("_sim"), F.asc("cid"))
@@ -281,7 +334,7 @@ def write_ivf_partitioned(
     sidecar carries ``n_assign`` so readers and appenders dedup and
     assign consistently without a separate metadata file.
     """
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    vecs = _spread_vecs(df, id_col, vec_col)
     hashed = vecs.withColumn("_h", F.md5(F.col(id_col).cast("string")))
     cents = (
         hashed.orderBy("_h", id_col)
@@ -357,7 +410,7 @@ def append_ivf_partitioned(
     cents = sidecar.select(
         "cid", as_double("centroid").alias("_cv")
     ).withColumn("_cn", norm(F.col("_cv")))
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    vecs = _spread_vecs(df, id_col, vec_col)
     assigned = _assign_to_centroids(vecs, cents, id_col, vec_col, n_assign)
     assigned.write.partitionBy("list_id").mode("append").parquet(path)
 
@@ -443,7 +496,9 @@ def lsh_bucket_topk(
     Recall < 1 by construction; the bench pairs it with brute_force_topk to
     report recall. At scale, ``bucket`` is the partition key.
     """
-    bucketed = df.select(
+    # r13: spread before the bits*dim bucket expression + candidate dot
+    # folds (functions/partitioning)
+    bucketed = spread(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(vec_col, dim, bits).alias("bucket"),
@@ -511,7 +566,8 @@ def lsh_multiprobe_topk(
             f"(bits={bits} -> {1 << bits}); for wide-bits indexes restrict "
             "the mask space to the lowest-|margin| <= 8 planes"
         )
-    bucketed = df.select(
+    # r13: spread before the bucket expression + candidate dot folds
+    bucketed = spread(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(vec_col, dim, bits, salt=salt).alias("bucket"),
@@ -635,7 +691,8 @@ def lsh_multitable_topk(
     from operator import or_ as _or
 
     buckets_arr = _multitable_buckets_udf(dim, bits, tables, salt)
-    bucketed = df.select(
+    # r13: spread before the Arrow-batched bucket UDF + dot folds
+    bucketed = spread(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col),
         F.col(vec_col),
         buckets_arr(F.col(vec_col)).alias("_bs"),
@@ -689,7 +746,7 @@ def quantized_topk(
     bit-for-bit (round() ties differ by engine).
     """
     qz = (
-        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        _spread_vecs(df, id_col, vec_col)
         .withColumn("_s", F.array_max(F.transform(F.col("_v"), F.abs)))
         .withColumn(
             "_q",
@@ -757,7 +814,8 @@ def banded_ndup_pairs(
     """
     buckets_arr = _multitable_buckets_udf(dim, bits, bands, salt)
     bucketed = (
-        df.select(
+        spread(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
             F.col(id_col),
             as_double(vec_col).alias("_v"),
             buckets_arr(F.col(vec_col)).alias("_bs"),
@@ -890,7 +948,7 @@ def ivf_kmeans_topk(
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n_assign]
         return pd.Series(list(top.astype(np.int32)))
 
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    vecs = _spread_vecs(df, id_col, vec_col)
     assigned = vecs.withColumn(
         "cid", F.explode(assign_cids(F.col("_v")))
     )
@@ -959,7 +1017,8 @@ def semdedup_prune(
     Returns one row per input vector: (id, cluster, cos_centroid, kept).
     """
     bucketed = (
-        df.select(
+        spread(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(
             F.col(id_col),
             as_double(vec_col).alias("_v"),
             hyperplane_bucket(vec_col, dim, bits=bits, salt=salt).alias("cluster"),
@@ -1130,7 +1189,7 @@ def pq_topk(
             codes[:, s] = np.argmin(d, axis=1)
         return pd.Series(list(codes))
 
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    vecs = _spread_vecs(df, id_col, vec_col)
     coded = vecs.withColumn("_codes", encode(F.col("_v")))
 
     qrow = vecs.filter(F.col(id_col) == query_id).select("_v").collect()
@@ -1232,7 +1291,7 @@ def ivfpq_topk(
     sub = dim // n_sub
     assign_encode = _ivfpq_assign_encode_udf(cents, cu, books, n_sub, n_codes)
 
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    vecs = _spread_vecs(df, id_col, vec_col)
     coded = vecs.withColumn("_lc", assign_encode(F.col("_v"))).select(
         id_col, "_v", F.col("_lc.list_id").alias("_list"), F.col("_lc.codes").alias("_codes")
     )
@@ -1412,7 +1471,7 @@ def write_ivfpq_partitioned(
     if cents is None:
         raise ValueError("cannot build an IVFPQ index from an empty table")
     enc = _ivfpq_assign_encode_udf(cents, cu, books, n_sub, n_codes)
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    vecs = _spread_vecs(df, id_col, vec_col)
     (
         vecs.withColumn("_lc", enc(F.col("_v")))
         .select(
@@ -1604,8 +1663,10 @@ def mmr_topk(
     q = _query_vector(df, id_col, vec_col, query_id)
     v = as_double(vec_col)
     nrm = norm(v)
+    # r13: spread before the relevance + unit-vector folds
     cand = (
-        df.filter(F.col(id_col) != query_id)
+        spread(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .filter(F.col(id_col) != query_id)
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
@@ -1684,8 +1745,11 @@ def filtered_topk(
     ``predicate`` with the probe-list partition filter.
     """
     q = _query_vector(df, id_col, vec_col, query_id)
+    # r13: spread AFTER the pushdown-eligible metadata predicate (so the
+    # scan still prunes), before the per-row dot fold
     scored = (
         df.filter(predicate)
+        .transform(lambda d: spread(d, id_col))
         .filter(F.col(id_col) != query_id)
         .join(F.broadcast(q))
         .select(
@@ -1808,7 +1872,8 @@ def hard_negatives(
     # persist lifetime: see containment_pairs — harness-scoped, not
     # builder-scoped (an in-builder unpersist would disable the reuse).
     bucketed = (
-        df.select(
+        spread(df.select(F.col(id_col), F.col(label_col), F.col(vec_col)), id_col)
+        .select(
             F.col(id_col),
             F.col(label_col),
             as_double(vec_col).alias("_v"),
@@ -1895,9 +1960,16 @@ def quantize_vectors(
     qv = F.transform(
         as_double(vec_col), lambda x: F.round(x * quant).cast("long")
     )
-    return df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), qv.alias("_qv")
-    )
+    # r13: spread before the quantize transform — the (persisted) frame
+    # this builds backs k serialized zip_with/fold rounds in the k-center
+    # loops, so its partitioning IS the loop parallelism
+    # (functions/partitioning.spread)
+    return spread(
+        df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col), F.col(vec_col)
+        ),
+        id_col,
+    ).select(F.col(id_col).alias("_id"), qv.alias("_qv"))
 
 
 def dist2_to_center(center: list[int]) -> Column:

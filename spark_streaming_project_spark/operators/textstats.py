@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread
 from ..functions.text import (
     bpe_token_count,
     predict_lang,
@@ -35,6 +36,8 @@ def doc_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     len_score = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
     avg_len = total_len.cast("double") / n_tokens
     brevity = 1.0 - F.least(avg_len / 10.0, F.lit(1.0))
+    # r13: spread before the 4 tokenize/fold passes (functions/partitioning)
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     return df.filter(F.size(toks) > 0).select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -54,7 +57,8 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     from ..functions.text import LANG_PROFILES
 
-    toksed = df.select(
+    # r13: spread before the tokenize + 4 profile-score passes
+    toksed = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.col(text_col).alias("_text")
     ).withColumn("_toks", F.expr(r"filter(split(_text, '\\s+'), t -> t <> '')"))
     score_cols = [
@@ -82,6 +86,8 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint + BPE-ish token count."""
+    # r13: spread before the rolling-hash fold (functions/partitioning)
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     return df.select(
         F.col(id_col),
         rolling_fingerprint(text_col).alias("fingerprint"),
@@ -163,7 +169,13 @@ def winnow_fingerprints(
     # (functions/vectors.let).
     from ..functions.vectors import let
 
-    sel = df.filter(F.col(text_col).isNotNull()).select(
+    # r13: spread before the gram/key/min HOF chain — the heaviest
+    # per-doc array pipeline in the text family (functions/partitioning)
+    sel = spread(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col)),
+        id_col,
+    ).select(
         F.col(id_col),
         let(
             word_ngrams(text_col, n=k),
@@ -244,7 +256,8 @@ def text_hash_embeddings(
     Returns (id, embedding array<double> — unit length; all-zero vectors
     of empty docs are dropped).
     """
-    toks = df.select(
+    # r13: spread before the explode + per-token md5 (functions/partitioning)
+    toks = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     )
     h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("_t")))
