@@ -1700,11 +1700,18 @@ def eval_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    sh = docs.select(
+    # r13: the shingle pass feeds two consumers — spread + persist so the
+    # interpreted 5-gram fold runs once, in parallel (same fix as
+    # curation_verdicts; functions/partitioning.spread)
+    from ..functions.partitioning import spread as _spread
+
+    sh = _spread(
+        docs.select("doc_id", "source", "text"), "doc_id"
+    ).select(
         "doc_id",
         "source",
         F.array_distinct(word_ngrams(F.col("text"), 5)).alias("sh"),
-    )
+    ).persist()
     ev = (
         sh.filter((F.col("source") == "src0") & (F.size("sh") > 0))
         .select("doc_id", F.size("sh").alias("n_grams"),
@@ -2073,10 +2080,18 @@ def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("span_dup_frac"),
         (F.col("dup_spans") * 2 <= F.col("n_spans")).alias("pass_span"),
     )
-    sh = docs.select(
+    # r13: the 5-gram shingle pass feeds TWO consumers (eval side +
+    # training side) — spread it off the single-partition scan and persist
+    # so the interpreted n-gram fold runs once, in parallel (guide §1.2;
+    # functions/partitioning.spread). Cache released by harness clearCache.
+    from ..functions.partitioning import spread as _spread
+
+    sh = _spread(
+        docs.select("doc_id", "source", "text"), "doc_id"
+    ).select(
         "doc_id", "source",
         F.array_distinct(word_ngrams(F.col("text"), 5)).alias("_sh"),
-    )
+    ).persist()
     ev = sh.filter((F.col("source") == "src0") & (F.size("_sh") > 0)).select(
         "doc_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("gram")
     )

@@ -295,9 +295,12 @@ def retrieval_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     double literal in both engines and each depth term is
     1e-9-quantized before summing — exact, order-free."""
     lex_r, dense_r = _two_towers(spark, sf_dir)
+    # r13: ``common`` (<= 20 rows) feeds the depth grid AND the count —
+    # persist it so the two full-corpus tower pipelines behind it run
+    # once, not twice (guide §1.2). Released by harness clearCache.
     common = lex_r.join(dense_r, "doc_id").select(
         F.greatest("lex_rank", "dense_rank").alias("m")
-    )
+    ).persist()
     depths = spark.createDataFrame(
         [(d, _RBO_P**d) for d in range(1, _RRF_DEPTH + 1)], ["d", "pd"]
     )

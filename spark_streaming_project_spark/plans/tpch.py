@@ -1973,10 +1973,15 @@ def brand_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — the classic a-priori first pass, oracle-exact."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # r13: ``basket`` feeds FOUR consumers (order count, item supports,
+    # both sides of the pair self-join) — persist so the lineitem⋈part
+    # join + distinct runs once instead of four times (guide §1.2).
+    # Cache released by the harness clearCache after the terminal action.
     basket = (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
+        .persist()
     )
     n_orders = basket.select("o").distinct().agg(F.count("*").alias("n"))
     item = basket.groupBy("b").agg(F.count("*").alias("s"))
