@@ -104,9 +104,13 @@ def connected_components(
     # skipping the union preserves the input's physical layout, which is
     # the whole point of feeding a bucketed scan: the per-round join on
     # "v" then needs no Exchange on the edge side.
+    base = None
     if not symmetrized:
-        sym = sym.union(
-            sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # r13: the symmetrizing union consumes the caller's pipeline
+        # twice — persist it so it runs once (see pagerank)
+        base = sym.persist()
+        sym = base.union(
+            base.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
     sym = sym.persist()
 
@@ -156,6 +160,8 @@ def connected_components(
             prev_sum = new_sum
     finally:
         sym.unpersist()
+        if base is not None:
+            base.unpersist()
 
     raise RuntimeError(
         f"connected_components: no convergence after {max_iter} rounds "
@@ -228,6 +234,13 @@ def pagerank(
     No SQL oracle can replay the iteration (like k-means/BPE) — pytest
     pins hand-checkable graphs and a pure-Python reference to 1e-9.
     """
+    # r13: symmetrizing consumes ``edges`` twice (both orientations) —
+    # persist the caller's pipeline so an expensive upstream pair
+    # generator (e.g. the banded MinHash pass in neardup_centrality)
+    # runs once, not twice (guide §1.2; block locks make the cached
+    # partitions compute-once even under the union's concurrent reads).
+    if not directed:
+        edges = edges.persist()
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if not directed:
         e = e.unionByName(
@@ -299,6 +312,8 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         ew.unpersist()
+        if not directed:
+            edges.unpersist()
     return ranks
 
 
@@ -393,10 +408,13 @@ def kcore_subgraph(
     edge set only SHRINKS, so later rounds cost less. Returns
     (node_id, core_degree) for surviving nodes.
     """
+    # r13: ``edges`` is consumed twice by the symmetrizing union —
+    # persist so the upstream pair pipeline runs once (see pagerank)
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -406,6 +424,7 @@ def kcore_subgraph(
     # 3^rounds — checkpoint per round (same discipline as
     # connected_components; previous blocks freed as we go)
     sym = sym.localCheckpoint(eager=True)
+    edges.unpersist()  # sym is materialized; the input cache can go
     for _ in range(rounds):
         deg = sym.groupBy("a").agg(F.count("*").alias("_dg"))
         keep = deg.filter(F.col("_dg") >= k).select("a")
@@ -444,6 +463,9 @@ def pagerank_quantized(
     nodes by construction). Per round: one join + one keyed integer sum,
     lineage checkpoint-truncated. Returns (node, rank) in 1/q units.
     """
+    # r13: the symmetrizing union consumes ``edges`` twice — persist the
+    # caller's pipeline so it runs once (see pagerank)
+    edges = edges.persist()
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     e = e.unionByName(
         edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
@@ -483,6 +505,7 @@ def pagerank_quantized(
         ranks = nxt
     e.unpersist()
     ew.unpersist()
+    edges.unpersist()
     return ranks
 
 

@@ -4155,12 +4155,16 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    # r13: each pair family feeds TWO consumers (its count + the
+    # intersection join) — persist the candidate-sized pair frames so
+    # each expensive pipeline runs once (guide §1.2). Released by the
+    # harness clearCache after the terminal action.
     ja = ngram_jaccard_pairs_adaptive(
         docs, "text", "doc_id", n=3, threshold=0.5
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     sp = simhash_near_dup_pairs(
         docs, "text", "doc_id", bits=_SIMHASH_BITS, max_hamming=1
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     nj = ja.agg(F.count("*").alias("jaccard_pairs"))
     ns = sp.agg(F.count("*").alias("simhash_pairs"))
     nb = ja.join(sp, ["id_a", "id_b"]).agg(
@@ -4229,9 +4233,12 @@ def nearest_duplicate_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs_adaptive
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13: ``pairs`` feeds both orientations of the symmetric union —
+    # persist so the banded Jaccard pipeline runs once (guide §1.2).
+    # Cache lifetime: backs the returned lazy frame; harness clearCache.
     pairs = ngram_jaccard_pairs_adaptive(
         docs, "text", "doc_id", n=3, threshold=0.3
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).persist()
     sym = pairs.select(
         F.col("id_a").alias("doc_id"),
         F.col("id_b").alias("nearest_id"),
@@ -5515,10 +5522,15 @@ def cdc_chunk_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ch = cdc_chunks(docs, "text", "doc_id", gram=_CDC_GRAM, divisor=_CDC_DIV)
+    # r13: ``dch`` feeds the hot-key scan AND (via ``cool``) both sides
+    # of the pair self-join — persist the skinny distinct frame so the
+    # per-character CDC chunking pass runs once, not four times
+    # (guide §1.2). Released by the harness clearCache.
     dch = (
         ch.filter(F.col("chunk_len") >= 16)
         .select("id", "chunk_hash")
         .distinct()
+        .persist()
     )
     hot = (
         dch.groupBy("chunk_hash")
@@ -5578,6 +5590,9 @@ def cdc_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ch = cdc_chunks(docs, "text", "doc_id", gram=_CDC_GRAM, divisor=_CDC_DIV)
+    # r13: ``sch`` feeds both sides of the source-pair self-join —
+    # persist the skinny distinct frame so the CDC chunking pass runs
+    # once, not twice (guide §1.2). Released by harness clearCache.
     sch = (
         ch.filter(F.col("chunk_len") >= 16)
         .join(
@@ -5585,6 +5600,7 @@ def cdc_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "chunk_hash")
         .distinct()
+        .persist()
     )
     a = sch.select(F.col("source").alias("source_a"), "chunk_hash")
     b = sch.select(F.col("source").alias("source_b"), "chunk_hash")
@@ -5664,9 +5680,12 @@ def cdc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = docs.select("doc_id", "source", is_eval.alias("is_eval"))
     ch = cdc_chunks(docs, "text", "doc_id", gram=_CDC_GRAM, divisor=_CDC_DIV)
+    # r13: ``big`` feeds the eval-chunk probe AND the contamination join
+    # — persist so the CDC chunking pass runs once (guide §1.2).
+    # Cache lifetime: backs the returned lazy frame; harness clearCache.
     big = ch.filter(F.col("chunk_len") >= 32).select(
         F.col("id").alias("doc_id"), "chunk_hash"
-    )
+    ).persist()
     eval_chunks = (
         big.join(
             tagged.filter(F.col("is_eval")).select("doc_id"), "doc_id"
@@ -6066,9 +6085,13 @@ def neardup_hub_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops, degree_counts
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13: ``pairs`` feeds the degree pass (twice — both endpoints) AND
+    # both orientations of the BFS edge union — persist the pair frame so
+    # the banded Jaccard pipeline runs once, not four times (guide §1.2).
+    # Released by the harness clearCache.
     pairs = ngram_jaccard_pairs_adaptive(
         docs, "text", "doc_id", n=3, threshold=0.5
-    )
+    ).persist()
     hubs = (
         degree_counts(pairs, "id_a", "id_b")
         .filter(F.col("degree") >= _BFS_HUB_DEGREE)

@@ -1702,7 +1702,8 @@ def eval_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r13: the shingle pass feeds two consumers — spread + persist so the
     # interpreted 5-gram fold runs once, in parallel (same fix as
-    # curation_verdicts; functions/partitioning.spread)
+    # curation_verdicts; functions/partitioning.spread).
+    # Cache lifetime: backs the returned lazy frame; harness clearCache.
     from ..functions.partitioning import spread as _spread
 
     sh = _spread(

@@ -1987,11 +1987,14 @@ def brand_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = basket.groupBy("b").agg(F.count("*").alias("s"))
     a = basket.select("o", F.col("b").alias("b1"))
     c = basket.select("o", F.col("b").alias("b2"))
+    # ``pair`` feeds both directions of the rules union — persist so the
+    # within-order self-join runs once
     pair = (
         a.join(c, "o")
         .filter(F.col("b1") < F.col("b2"))
         .groupBy("b1", "b2")
         .agg(F.count("*").alias("s_ab"))
+        .persist()
     )
     rules = pair.select(
         F.col("b1").alias("antecedent"),
@@ -2337,9 +2340,13 @@ def part_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     part x part); supports are integer counts shuffled on their own
     keys; similarity is one double expression over exact integers."""
     li = load_table(spark, sf_dir, "lineitem")
+    # r13: ``basket`` feeds three consumers (item supports + both sides
+    # of the self-join) and ``pair`` two (the symmetric union) — persist
+    # both so the scan+distinct and the within-order self-join each run
+    # once (guide §1.2). Released by the harness clearCache.
     basket = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().persist()
     item = basket.groupBy("p").agg(F.count("*").alias("n"))
     a = basket.select("o", F.col("p").alias("pa"))
     b = basket.select("o", F.col("p").alias("pb"))
@@ -2349,6 +2356,7 @@ def part_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("co"))
         .filter(F.col("co") >= 2)
+        .persist()
     )
     sym = pair.select(
         F.col("pa").alias("part_id"), F.col("pb").alias("neighbor_id"), "co"

@@ -116,3 +116,23 @@ def test_incremental_trainer_exact_parity(spark):
         for r in word_freq_dict(docs, "text").collect()
     }
     assert inc == bpe_reference(wc, n_merges=12)
+
+
+def test_driver_path_parity_with_distributed(spark):
+    """r13 adaptive driver path: a dictionary under the threshold trains
+    driver-side; merges AND the token curve must be identical to the
+    distributed loop (driver_threshold=0 forces it)."""
+    from spark_streaming_project_spark.operators.bpe import (
+        bpe_train_merges_from_dict,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wd = word_freq_dict(docs, "text")
+    curve_drv: list = []
+    curve_dist: list = []
+    drv = bpe_train_merges_from_dict(wd, n_merges=10, token_curve=curve_drv)
+    dist = bpe_train_merges_from_dict(
+        wd, n_merges=10, token_curve=curve_dist, driver_threshold=0
+    )
+    assert drv == dist
+    assert curve_drv == curve_dist

@@ -70,13 +70,19 @@ EXCHANGE_BUDGETS = {
     "top_sugary_products_by_category": 1,
     "pricing_summary": 1,
     "nutriscore_counts": 1,
-    "dedup_minhash_pairs": 1,
-    "similarity_bruteforce_topk": 0,
+    # r13: +1 Exchange each — the scale-adaptive spread() repartition
+    # ahead of the interpreted narrow pass (signature/dot/feature folds
+    # serialized on single-row-group scan partitions without it; measured
+    # 2-5x wall win at sf0.1, scripts/probe_narrow_parallelism.py). The
+    # new exchange carries only the projected (id, payload) input of the
+    # pass — one narrow shuffle bought deliberately, not a regression.
+    "dedup_minhash_pairs": 2,
+    "similarity_bruteforce_topk": 1,
     "events_rollup_lattice": 4,
     "orders_point_in_time_segment": 3,
     "lexical_diversity_profile": 3,
-    "hard_negative_mining": 3,
-    "quality_percentile_by_source": 2,
+    "hard_negative_mining": 4,   # r13 spread, see above
+    "quality_percentile_by_source": 3,  # r13 spread, see above
     "part_cf_neighbors": 12,
     "top_tokens_per_source_sharded": 4,
     # round-9 session-2 flagships (measured at introduction)
