@@ -254,9 +254,18 @@ def nb_train_quantized(
     with map-side combine; the dense grid is |V| x |labels| rows (labels
     are few — the grid is vocab-linear); everything else is scalar
     arithmetic on aggregates. No collect anywhere.
+
+    r13 (guide §1.2): ``tl`` is persisted here because the model build
+    consumes it twice — the vocab-size scalar (an eager action) and the
+    dense-grid left join inside the returned lazy model — and without
+    the pin the tokenize+explode+aggregate pass over the training corpus
+    runs once per consumer (measured 2x per fold in nb_crossval_accuracy).
+    Cache lifetime: the persisted frame backs the RETURNED lazy model and
+    cannot be released in-function; the bench harness / driver sim
+    clearCache between queries.
     """
     tl, docs_l = nb_count_state(df, text_col, label_col)
-    return nb_model_from_counts(tl, docs_l, log_scale=log_scale)
+    return nb_model_from_counts(tl.persist(), docs_l, log_scale=log_scale)
 
 
 def nb_count_state(

@@ -117,14 +117,18 @@ def connected_components(
     try:
         # localCheckpoint (not persist): each round's frame must TRUNCATE
         # lineage, or the logical plan nests one level per round and analysis
-        # stack-overflows after ~6 rounds. eager=True doubles as the
-        # materialization; the previous round's blocks are released once the
-        # new round is materialized, so checkpoint storage stays O(1) rounds.
+        # stack-overflows after ~6 rounds. r13 (guide §1.2 — one action per
+        # round, not two): the checkpoint is LAZY; the convergence-sum
+        # aggregate right below is the action that materializes it, so each
+        # round costs ONE job instead of an eager-checkpoint job plus a
+        # separate sum job. The previous round's blocks are released only
+        # after the new round's sum has materialized it, so checkpoint
+        # storage stays O(1) rounds and no round recomputes predecessors.
         lbl = (
             sym.select("u")
             .distinct()
             .withColumn("lbl", F.col("u"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if stats is not None:
             stats["path"] = "distributed"
@@ -148,10 +152,12 @@ def connected_components(
             new = (
                 stepped.join(hop, stepped["lbl"] == hop["_t"], "left")
                 .select("u", F.least("lbl", F.coalesce("_tl", "lbl")).alias("lbl"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             # labels only ever decrease, so an unchanged sum == convergence;
-            # this one scalar is all that reaches the driver per round.
+            # this one scalar is all that reaches the driver per round — and
+            # the sum is also the action that materializes the lazy
+            # checkpoint above (one job per round, r13).
             new_sum = new.agg(F.sum("lbl")).collect()[0][0]
             _release_checkpoint(lbl)  # new is materialized; round N-1 blocks free
             lbl = new

@@ -1815,18 +1815,31 @@ def kcenter_coreset(
         )
     picks = [(0, seed["_id"], 0)]
     cur = base.select("_id", "_qv", dist2_to(seed["_qv"]).alias("_dmin")).persist()
-    cur.count()  # materialize before the argmax so the persist is warm
+    # r13 (guide §1.2 — one action per round, not two): the TakeOrdered
+    # argmax evaluates EVERY partition, so it both materializes the
+    # persisted round frame and returns the pick in a single job; the old
+    # separate .count() warm-up doubled the per-round job count for no
+    # extra information. The previous round's cache is released only
+    # AFTER the argmax has materialized the new round on top of it, so no
+    # round ever recomputes its predecessors.
+    prev = None
     for r in range(1, k):
         top = cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()[0]
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         picks.append((r, top["_id"], top["_dmin"]))
-        nxt = cur.select(
-            "_id",
-            "_qv",
-            F.least(F.col("_dmin"), dist2_to(top["_qv"])).alias("_dmin"),
-        ).persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        if r < k - 1:
+            # the final round's pick needs no further dmin update — the
+            # old code built and materialized one more frame it threw away
+            nxt = cur.select(
+                "_id",
+                "_qv",
+                F.least(F.col("_dmin"), dist2_to(top["_qv"])).alias("_dmin"),
+            ).persist()
+            prev, cur = cur, nxt
+    if prev is not None:
+        prev.unpersist()
     cur.unpersist()
     base.unpersist()
     out = spark.createDataFrame(
@@ -2008,9 +2021,15 @@ def greedy_kcenter_centers(
     cur = pts.select(
         "_id", "_qv", dist2_to_center(centers[0][1]).alias("_dmin")
     ).persist()
-    cur.count()
+    # r13: one action per round (see kcenter_coreset) — the argmax both
+    # materializes the round frame and returns the pick; the previous
+    # round's cache is released only after its successor is materialized.
+    prev = None
     for _ in range(1, k):
         top = cur.orderBy(F.desc("_dmin"), F.asc("_id")).limit(1).collect()[0]
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if top["_dmin"] == 0:
             break  # fewer than k distinct points
         centers.append((top["_id"], list(top["_qv"])))
@@ -2021,9 +2040,10 @@ def greedy_kcenter_centers(
                 "_dmin"
             ),
         ).persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        prev, cur = cur, nxt
+    # materializes the final round's frame (coverage radius needs it)
     r2 = cur.agg(F.max("_dmin")).collect()[0][0] or 0
+    if prev is not None:
+        prev.unpersist()
     cur.unpersist()
     return centers, int(r2)

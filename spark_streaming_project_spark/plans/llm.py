@@ -4331,7 +4331,11 @@ def text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    emb = text_hash_embeddings(docs, "text", "doc_id", dim=_TEMB_DIM)
+    # r13: the hash-embedding pipeline feeds THREE consumers (the anchor
+    # scalar broadcast, the query-vector broadcast, and the scored scan) —
+    # persist so the tokenize+hash+densify pass runs once (guide §1.2).
+    # Cache lifetime: backs the returned lazy frame; harness clearCache.
+    emb = text_hash_embeddings(docs, "text", "doc_id", dim=_TEMB_DIM).persist()
     anchor_id = emb.agg(F.min("doc_id").alias("_aid"))
     q = (
         emb.join(
