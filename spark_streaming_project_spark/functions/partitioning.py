@@ -42,6 +42,9 @@ def spread(df: DataFrame, *key_cols: Column | str) -> DataFrame:
     stage into a parallel one. Keys must be deterministic columns (never
     rand()-derived — guide §2.5 retry hazard).
     """
+    import os as _os
+    if _os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":  # measurement toggle
+        return df
     sess = df.sparkSession
     try:
         n = int(sess.conf.get("spark.sql.shuffle.partitions"))

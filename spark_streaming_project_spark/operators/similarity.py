@@ -30,14 +30,19 @@ ROUND_DECIMALS = 6
 
 
 def _spread_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, _v float64) spread to the session's shuffle parallelism —
-    every downstream assignment/scoring pass is an interpreted zip/fold
-    per (vector, centroid) pair, or an Arrow-batched numpy UDF, and must
-    not serialize onto a few scan partitions (functions/partitioning.
-    spread; r13)."""
-    return spread(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
-        F.col(id_col), as_double(vec_col).alias("_v")
-    )
+    """(id, _v float64) projection feeding the IVF/PQ assignment passes.
+
+    Deliberately NOT spread (r13, measured): these tiers consume the
+    projection from several separate jobs (the query-vector broadcast,
+    the probe-list broadcast, the candidate scan, the driver-side fit
+    sample), so a repartition here is paid once per consuming job while
+    each individual pass is short — the in-suite sweep read
+    ivf 1.89→1.33 s, ivf_kmeans 1.51→1.15, ivfpq 1.92→1.08, pq
+    2.28→1.66 with the spread removed (scripts/probe_batch.py, sf0.1).
+    Scan parallelism at production scale comes from the vector table's
+    own file count; single-pipeline vector scans that DO benefit from a
+    spread (brute force, MMR shortlist) spread at their own call sites."""
+    return df.select(F.col(id_col), as_double(vec_col).alias("_v"))
 
 
 def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id: int) -> DataFrame:
@@ -566,8 +571,11 @@ def lsh_multiprobe_topk(
             f"(bits={bits} -> {1 << bits}); for wide-bits indexes restrict "
             "the mask space to the lowest-|margin| <= 8 planes"
         )
-    # r13: spread before the bucket expression + candidate dot folds
-    bucketed = spread(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+    # NOT spread (r13, measured): ``bucketed`` feeds both the query-row
+    # broadcast and the candidate scan as separate jobs; the repartition
+    # cost repeats per job while each bucket pass is short (fresh-JVM
+    # 1.34 s without vs 1.83 s with — scripts/probe_query.py, sf0.1)
+    bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(vec_col, dim, bits, salt=salt).alias("bucket"),
@@ -691,8 +699,10 @@ def lsh_multitable_topk(
     from operator import or_ as _or
 
     buckets_arr = _multitable_buckets_udf(dim, bits, tables, salt)
-    # r13: spread before the Arrow-batched bucket UDF + dot folds
-    bucketed = spread(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+    # NOT spread (r13, measured): the bucketed frame feeds the query-row
+    # broadcast plus the candidate scan as separate jobs (in-suite 0.94 s
+    # without vs 1.23 s with — scripts/probe_batch.py, sf0.1)
+    bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
         buckets_arr(F.col(vec_col)).alias("_bs"),
@@ -813,9 +823,12 @@ def banded_ndup_pairs(
     or unpersist via the frame's plan); bench.py clears between queries.
     """
     buckets_arr = _multitable_buckets_udf(dim, bits, bands, salt)
+    # NOT spread (r13, measured): the frame is persisted and every
+    # consumer reads the cache, so a pre-persist repartition only adds an
+    # exchange to the one materializing job (consumers regressed +0.3-0.5 s
+    # each with it — scripts/probe_batch.py, sf0.1)
     bucketed = (
-        spread(df.select(F.col(id_col), F.col(vec_col)), id_col)
-        .select(
+        df.select(
             F.col(id_col),
             as_double(vec_col).alias("_v"),
             buckets_arr(F.col(vec_col)).alias("_bs"),
@@ -1884,9 +1897,11 @@ def hard_negatives(
     buckets_arr = _multitable_buckets_udf(dim, bits, bands, salt)
     # persist lifetime: see containment_pairs — harness-scoped, not
     # builder-scoped (an in-builder unpersist would disable the reuse).
+    # NOT spread (r13, measured): persisted multi-consumer frame — same
+    # reasoning as banded_ndup_pairs (hard_negative_mining read 1.61 s
+    # without the spread vs 2.12 s with — scripts/probe_batch.py, sf0.1)
     bucketed = (
-        spread(df.select(F.col(id_col), F.col(label_col), F.col(vec_col)), id_col)
-        .select(
+        df.select(
             F.col(id_col),
             F.col(label_col),
             as_double(vec_col).alias("_v"),
