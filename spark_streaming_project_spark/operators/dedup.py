@@ -355,15 +355,24 @@ def choose_ngram_strategy(
     grams = sample.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
-    stats = (
+    collisions = (
         grams.groupBy("gram")
         .agg(F.countDistinct(id_col).alias("_df"))
         .agg(
             F.sum(F.col("_df") * (F.col("_df") - 1) / 2).alias("_collisions"),
         )
-        .collect()[0]
     )
-    n_docs = sample.select(id_col).distinct().count()
+    # r13 (guide §2.6): both probe scalars in ONE action — the old shape
+    # collected the collision sum and then ran a second job for the doc
+    # count, serializing two driver round-trips per adaptive query (the
+    # chooser runs in front of every adaptive n-gram plan). The one-row
+    # cross join evaluates both aggregates in a single job; the numbers
+    # (and therefore the chosen strategy) are unchanged.
+    docs_cnt = sample.select(id_col).distinct().agg(
+        F.count("*").alias("_n_docs")
+    )
+    stats = collisions.crossJoin(docs_cnt).collect()[0]
+    n_docs = stats["_n_docs"]
     if n_docs < 2 or stats["_collisions"] is None:
         return "prefix"
     lam = float(stats["_collisions"]) / (n_docs * (n_docs - 1) / 2)

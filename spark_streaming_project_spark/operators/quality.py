@@ -127,9 +127,15 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     )
-    # fold per-doc duplicate tokens before the join: (doc, token) counts
-    doc_tok = tok.groupBy(id_col, "token").agg(F.count("*").alias("k"))
-    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    # fold per-doc duplicate tokens before the join: (doc, token) counts.
+    # r13 (guide §1.2/§2.3): the corpus vocabulary is the SUM of the
+    # per-doc counts, so the tokenize+explode pass runs ONCE into doc_tok
+    # (persisted — feeds the vocab derivation and the scored join) and
+    # the vocab frame aggregates the already-folded counts; identical
+    # results. Cache lifetime: backs the returned lazy frame; harness
+    # clearCache between queries.
+    doc_tok = tok.groupBy(id_col, "token").agg(F.count("*").alias("k")).persist()
+    vocab = doc_tok.groupBy("token").agg(F.sum("k").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = doc_tok.join(F.broadcast(vocab), "token").crossJoin(F.broadcast(total))
     logp = F.log(F.col("cnt").cast("double") / F.col("total"))
@@ -206,9 +212,7 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     from ..functions.text import word_ngrams
 
-    # r13: spread before the bigram zip pass — ``bg`` feeds two consumers
-    # (doc counts + model counts) so the pass runs twice, both serialized
-    # on the scan partitions without it (functions/partitioning.spread)
+    # r13: spread before the bigram zip pass (functions/partitioning.spread)
     live = spread(
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.col(text_col)),
@@ -217,8 +221,16 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bg = live.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n=2)).alias("bg")
     )
-    doc_bg = bg.groupBy(id_col, "bg").agg(F.count("*").alias("k"))
-    model = bg.groupBy("bg").agg(F.count("*").alias("cnt"))
+    # r13 (guide §1.2/§2.3): the corpus model is the SUM of the per-doc
+    # counts, so fold the explode once into (doc, bigram) counts and
+    # derive the model frame from that aggregate instead of running the
+    # bigram zip+explode pass a second time for a parallel groupBy.
+    # ``doc_bg`` is persisted because it feeds both the model derivation
+    # (model -> ctx are both pre-broadcast, model-sized) and the final
+    # scored join; identical results (sum of per-doc k == corpus count).
+    # Cache lifetime: backs the returned lazy frame; harness clearCache.
+    doc_bg = bg.groupBy(id_col, "bg").agg(F.count("*").alias("k")).persist()
+    model = doc_bg.groupBy("bg").agg(F.sum("k").alias("cnt"))
     ctx = (
         model.select(F.split("bg", " ").getItem(0).alias("w1"), "cnt")
         .groupBy("w1")
