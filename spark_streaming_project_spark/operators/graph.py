@@ -269,8 +269,9 @@ def pagerank(
     ew = e.join(deg, "_s").select("_s", "_d", "_deg").persist()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = ranks.localCheckpoint()
+    last_ckpt = ranks
     try:
-        for _ in range(iters):
+        for _i in range(iters):
             if directed:
                 # dangling mass: ONE scalar per round (nodes with no
                 # out-edges redistribute uniformly)
@@ -301,19 +302,28 @@ def pagerank(
                 .agg(F.sum("_c").alias("_in"))
             )
             base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
-            prev = ranks
-            ranks = (
-                nodes.join(contribs, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint()
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
             )
-            _release_checkpoint(prev)
+            # r13 (guide §1.2/§2.6 — fewer sequential driver barriers):
+            # truncate lineage every SECOND round instead of every round.
+            # ``ranks`` is referenced exactly once per round (the contribs
+            # join; ``nodes`` is a separate persisted frame), so the
+            # un-checkpointed intermediate round nests linearly — plan
+            # depth 2, no recompute fan-out — and the eager checkpoint
+            # (one driver-coordinated job each) fires half as often. The
+            # per-edge arithmetic is untouched, so ranks are identical.
+            # Directed graphs keep the per-round truncation: the dangling
+            # collect is a per-round ACTION on ``ranks`` and would
+            # re-execute the open lineage.
+            if directed or (_i + 1) % 2 == 0 or _i == iters - 1:
+                ranks = ranks.localCheckpoint()
+                _release_checkpoint(last_ckpt)
+                last_ckpt = ranks
     finally:
         e.unpersist()
         nodes.unpersist()
@@ -396,7 +406,12 @@ def triangle_stats(pairs: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def kcore_subgraph(
-    pairs: DataFrame, src: str, dst: str, k: int = 3, rounds: int = 8
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    k: int = 3,
+    rounds: int = 8,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """``k``-core of the (undirected) pair graph by FIXED-ROUND peeling:
     repeatedly drop nodes with degree < k and the edges touching them.
@@ -414,7 +429,45 @@ def kcore_subgraph(
     edge set only SHRINKS, so later rounds cost less. Returns
     (node_id, core_degree) for surviving nodes.
     """
-    # r13: ``edges`` is consumed twice by the symmetrizing union —
+    # r13 — adaptive physical strategy (the connected_components
+    # small-side pattern): pair graphs at or under ``driver_threshold``
+    # rows (bounded limit probe) peel driver-side — every round is exact
+    # set/integer arithmetic, so the paths are bit-identical
+    # (distributed-parity pytest), and ``rounds`` fixed rounds of
+    # shuffle+checkpoint overhead collapse. driver_threshold=0 forces
+    # the distributed loop (the 100 TB path).
+    if driver_threshold > 0:
+        probe = (
+            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= driver_threshold:
+            sym = set()
+            for r in probe:
+                if r["a"] != r["b"]:
+                    sym.add((r["a"], r["b"]))
+                    sym.add((r["b"], r["a"]))
+            for _ in range(rounds):
+                deg: dict = {}
+                for a, _b in sym:
+                    deg[a] = deg.get(a, 0) + 1
+                keep = {n for n, d in deg.items() if d >= k}
+                sym = {(a, b) for a, b in sym if a in keep and b in keep}
+            core: dict = {}
+            for a, _b in sym:
+                core[a] = core.get(a, 0) + 1
+            from pyspark.sql import types as T
+
+            node_f = pairs.select(F.col(src).alias("node_id")).schema.fields[0]
+            schema = T.StructType(
+                [node_f, T.StructField("core_degree", T.LongType(), True)]
+            )
+            return pairs.sparkSession.createDataFrame(
+                sorted(core.items()) if core else [], schema
+            )
+
+    # ``edges`` is consumed twice by the symmetrizing union —
     # persist so the upstream pair pipeline runs once (see pagerank)
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -452,6 +505,7 @@ def pagerank_quantized(
     dst: str = "id_b",
     iters: int = 4,
     q: int = 1_000_000_000,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Integer-quantized PageRank: ranks live in fixed-point units of
     ``1/q`` node-mass and every operation — the 0.85 damping, the
@@ -468,7 +522,52 @@ def pagerank_quantized(
     is the edge endpoints (symmetrized undirected graph: no dangling
     nodes by construction). Per round: one join + one keyed integer sum,
     lineage checkpoint-truncated. Returns (node, rank) in 1/q units.
+
+    r13 — adaptive physical strategy (the :func:`connected_components`
+    small-side pattern, guide §1.2): edge sets at or under
+    ``driver_threshold`` rows (bounded ``limit(threshold+1)`` probe) run
+    the power loop driver-side — every operation is EXACT integer
+    arithmetic, so the two paths are bit-identical by construction
+    (distributed-parity pytest) and ``iters`` rounds of fixed
+    shuffle/checkpoint overhead collapse to microseconds on the pair
+    graphs dedup actually produces. Pass ``driver_threshold=0`` to force
+    the distributed loop (the 100 TB path: one shuffle per round).
     """
+    if driver_threshold > 0:
+        probe = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= driver_threshold:
+            sym = set()
+            for r in probe:
+                sym.add((r["u"], r["v"]))
+                sym.add((r["v"], r["u"]))
+            deg: dict = {}
+            for s, _dd in sym:
+                deg[s] = deg.get(s, 0) + 1
+            base = (15 * q) // 100
+            ranks = {n: q for n in deg}
+            for _ in range(iters):
+                contrib: dict = {}
+                for s, d in sym:
+                    # same integral div as the SQL expression: operands
+                    # are positive, so // == div exactly
+                    contrib[d] = contrib.get(d, 0) + (85 * ranks[s]) // (
+                        100 * deg[s]
+                    )
+                ranks = {n: base + contrib.get(n, 0) for n in deg}
+            from pyspark.sql import types as T
+
+            node_f = edges.select(F.col(src).alias("node")).schema.fields[0]
+            schema = T.StructType(
+                [node_f, T.StructField("rank", T.LongType(), True)]
+            )
+            return edges.sparkSession.createDataFrame(
+                sorted(ranks.items()) if ranks else [], schema
+            )
+
     # r13: the symmetrizing union consumes ``edges`` twice — persist the
     # caller's pipeline so it runs once (see pagerank)
     edges = edges.persist()
@@ -485,6 +584,11 @@ def pagerank_quantized(
         F.col("_s").alias("node"), F.lit(q).cast("long").alias("rank")
     ).localCheckpoint(eager=True)
     base = (15 * q) // 100
+    # NOTE r13: the float :func:`pagerank` truncates lineage every SECOND
+    # round (measured ~10% win); the same batching was micro-benchmarked
+    # here (/tmp-level A/B, OPTIMIZATION_r13.md) and read neutral-to-worse
+    # — the 4-round integer loop is shuffle-bound, not barrier-bound — so
+    # this loop deliberately keeps the per-round eager checkpoint.
     for _ in range(iters):
         contrib = (
             ew
@@ -623,6 +727,7 @@ def bfs_hops(
     dst: str,
     seeds: DataFrame,
     rounds: int = 4,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Multi-source BFS: for every node reachable from ``seeds`` within
     ``rounds`` hops over the undirected ``pairs`` edge set, the exact
@@ -638,6 +743,47 @@ def bfs_hops(
     convergence check on the frontier count, which is a bounded
     driver-side aggregate per round.
     """
+    # r13 — adaptive physical strategy (the connected_components
+    # small-side pattern): when BOTH the pair graph and the seed set fit
+    # under the bounded limit probe, relax driver-side — hops are exact
+    # integers and the per-round batch-min update is replicated verbatim,
+    # so the paths are bit-identical (distributed-parity pytest), and
+    # ``rounds`` fixed rounds of join+checkpoint overhead collapse.
+    # driver_threshold=0 forces the distributed loop (the 100 TB path).
+    if driver_threshold > 0:
+        probe = (
+            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= driver_threshold:
+            seed_rows = seeds.select("node_id").limit(
+                driver_threshold + 1
+            ).collect()
+            if len(seed_rows) <= driver_threshold:
+                sym = set()
+                for r in probe:
+                    sym.add((r["a"], r["b"]))
+                    sym.add((r["b"], r["a"]))
+                dist = {r["node_id"]: 0 for r in seed_rows}
+                for _ in range(rounds):
+                    nxt = dict(dist)
+                    for a, b in sym:
+                        if a in dist:
+                            cand = dist[a] + 1
+                            if b not in nxt or cand < nxt[b]:
+                                nxt[b] = cand
+                    dist = nxt
+                from pyspark.sql import types as T
+
+                node_f = seeds.select("node_id").schema.fields[0]
+                schema = T.StructType(
+                    [node_f, T.StructField("hops", T.IntegerType(), True)]
+                )
+                return pairs.sparkSession.createDataFrame(
+                    sorted(dist.items()) if dist else [], schema
+                )
+
     # checkpoint the edge set once and each round's distance frame:
     # dist_r references dist_{r-1} twice (carry + expansion) and edges
     # once, so an unchecked unroll recomputes the upstream pair

@@ -316,3 +316,81 @@ def test_local_clustering_and_assortativity_hand_graph(spark):
         6,
     )
     assert row["assortativity"] == want
+
+
+# --- r13: driver/distributed parity for the adaptive small-graph paths ----
+# pagerank_quantized / kcore_subgraph / bfs_hops gained the
+# connected_components small-side driver path; every operation in all
+# three is exact integer/set arithmetic, so the two paths must agree
+# BIT-FOR-BIT on any graph (not just to a tolerance).
+
+def _random_pairs(seed: int, n_nodes: int = 40, n_edges: int = 80):
+    import random
+
+    rng = random.Random(seed)
+    out = set()
+    while len(out) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            out.add((min(a, b), max(a, b)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_pagerank_quantized_driver_distributed_parity(spark, seed):
+    from spark_streaming_project_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    df = spark.createDataFrame(_random_pairs(seed), "id_a long, id_b long")
+    drv = {
+        r["node"]: r["rank"]
+        for r in pagerank_quantized(df, "id_a", "id_b", iters=4).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank_quantized(
+            df, "id_a", "id_b", iters=4, driver_threshold=0
+        ).collect()
+    }
+    assert drv == dist and drv
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_kcore_driver_distributed_parity(spark, seed):
+    from spark_streaming_project_spark.operators.graph import kcore_subgraph
+
+    df = spark.createDataFrame(_random_pairs(seed), "id_a long, id_b long")
+    drv = {
+        r["node_id"]: r["core_degree"]
+        for r in kcore_subgraph(df, "id_a", "id_b", k=3, rounds=8).collect()
+    }
+    dist = {
+        r["node_id"]: r["core_degree"]
+        for r in kcore_subgraph(
+            df, "id_a", "id_b", k=3, rounds=8, driver_threshold=0
+        ).collect()
+    }
+    assert drv == dist
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_bfs_hops_driver_distributed_parity(spark, seed):
+    from spark_streaming_project_spark.operators.graph import bfs_hops
+
+    pairs = _random_pairs(seed)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    seeds = spark.createDataFrame(
+        [(pairs[0][0],), (pairs[-1][1],)], "node_id long"
+    )
+    drv = {
+        r["node_id"]: r["hops"]
+        for r in bfs_hops(df, "id_a", "id_b", seeds, rounds=4).collect()
+    }
+    dist = {
+        r["node_id"]: r["hops"]
+        for r in bfs_hops(
+            df, "id_a", "id_b", seeds, rounds=4, driver_threshold=0
+        ).collect()
+    }
+    assert drv == dist and drv
