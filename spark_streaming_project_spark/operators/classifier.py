@@ -305,7 +305,17 @@ def nb_model_from_counts(
     training and streaming maintenance share this one code path."""
     class_tokens = tl.groupBy("label").agg(F.sum("n_tl").alias("n_l"))
     vocab = tl.select("token").distinct()
-    v = vocab.count()  # one scalar: vocab size (driver-side constant)
+    # r13 (guide §2.6): BOTH driver-side scalars — vocab size and the doc
+    # total — in ONE action via a one-row cross join, instead of a count()
+    # job followed by a collect() job (two serialized round-trips per
+    # model build; nb_crossval_accuracy builds three models). Numbers are
+    # unchanged: countDistinct(token) == count of the distinct frame.
+    _scalars = (
+        tl.agg(F.countDistinct("token").alias("_v"))
+        .crossJoin(docs_l.agg(F.sum("n_docs_l").alias("_total")))
+        .collect()[0]
+    )
+    v = _scalars["_v"]  # vocab size (driver-side constant)
     grid = vocab.crossJoin(F.broadcast(class_tokens))
     model = (
         grid.join(tl, ["token", "label"], "left")
@@ -323,7 +333,7 @@ def nb_model_from_counts(
             .alias("w_q"),
         )
     )
-    total = docs_l.agg(F.sum("n_docs_l")).collect()[0][0]
+    total = _scalars["_total"]
     priors = docs_l.select(
         "label",
         F.round(
