@@ -197,6 +197,13 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as fh:
         json.dump(out, fh, indent=1)
+    # r14 (VERDICT r13 ask #9, additions only): ALSO write a per-CPU-count
+    # copy so the driver's low-core scaling run stops clobbering the
+    # 32-CPU per-query detail (and its repeat2 jitter data).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "default")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"BENCH_FULL_c{cpus}.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
         # per-query repeat timings live in BENCH_FULL.json; the printed

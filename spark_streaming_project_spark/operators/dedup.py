@@ -1083,16 +1083,26 @@ def sorted_neighborhood_pairs(
 
     Output: (id_a, id_b) with id_a < id_b, distinct across passes.
     """
-    from .windows import range_partitioned_running_sum
+    from .windows import range_partitioned_running_sum_batch
 
+    # r14 (guide §2.6): every pass ran its own EAGER bounded sidecar
+    # collect (serialized driver round-trips — one per sort key); the
+    # batch operator fetches all passes' slice maps in ONE action.
+    # Per-pass ranks are identical to the single-pass operator.
+    ranked_passes = range_partitioned_running_sum_batch(
+        [
+            (
+                df.select(F.col(id_col).alias("_id"), key.alias("_k"))
+                .withColumn("_one", F.lit(1)),
+                [F.col("_k"), F.col("_id")],
+                "_one",
+            )
+            for key in sort_keys.values()
+        ]
+    )
     all_pairs: DataFrame | None = None
-    for pass_name, key in sort_keys.items():
-        ranked = range_partitioned_running_sum(
-            df.select(F.col(id_col).alias("_id"), key.alias("_k"))
-            .withColumn("_one", F.lit(1)),
-            order=[F.col("_k"), F.col("_id")],
-            value_cols=["_one"],
-        ).select(
+    for run in ranked_passes:
+        ranked = run.select(
             F.col("_id"),
             F.col("running__one").alias("_rnk"),
             F.expr(f"(running__one - 1) div {window}").alias("_blk"),

@@ -436,15 +436,24 @@ def kcore_subgraph(
     # (distributed-parity pytest), and ``rounds`` fixed rounds of
     # shuffle+checkpoint overhead collapse. driver_threshold=0 forces
     # the distributed loop (the 100 TB path).
+    # r14 (VERDICT r13 ask #7): the projected pair frame is PERSISTED
+    # before the bounded probe — ``limit`` cannot early-terminate below
+    # the upstream banded-join shuffles, so without the pin an
+    # over-threshold graph (the 100 TB case) paid the full upstream DAG
+    # once for the probe and again for the distributed loop. The probe's
+    # partitions land in the cache and the distributed path reads them.
+    proj = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if driver_threshold > 0:
-        probe = (
-            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .limit(driver_threshold + 1)
-            .collect()
-        )
+        proj = proj.persist()
+        probe = proj.limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
+            proj.unpersist()
             sym = set()
             for r in probe:
+                # skip null endpoints: SQL joins never match null keys and
+                # the a != b filter drops null rows (ADVICE r13)
+                if r["a"] is None or r["b"] is None:
+                    continue
                 if r["a"] != r["b"]:
                     sym.add((r["a"], r["b"]))
                     sym.add((r["b"], r["a"]))
@@ -459,7 +468,14 @@ def kcore_subgraph(
                 core[a] = core.get(a, 0) + 1
             from pyspark.sql import types as T
 
-            node_f = pairs.select(F.col(src).alias("node_id")).schema.fields[0]
+            # node type = the union of BOTH endpoint columns, exactly as
+            # the distributed path's symmetrizing union widens it
+            # (ADVICE r13)
+            node_f = (
+                proj.select(F.col("a").alias("node_id"))
+                .unionByName(proj.select(F.col("b").alias("node_id")))
+                .schema.fields[0]
+            )
             schema = T.StructType(
                 [node_f, T.StructField("core_degree", T.LongType(), True)]
             )
@@ -470,7 +486,7 @@ def kcore_subgraph(
     # ``edges`` is consumed twice by the symmetrizing union —
     # persist so the upstream pair pipeline runs once (see pagerank)
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        proj
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .persist()
@@ -484,6 +500,8 @@ def kcore_subgraph(
     # connected_components; previous blocks freed as we go)
     sym = sym.localCheckpoint(eager=True)
     edges.unpersist()  # sym is materialized; the input cache can go
+    if driver_threshold > 0:
+        proj.unpersist()  # probe cache no longer needed either
     for _ in range(rounds):
         deg = sym.groupBy("a").agg(F.count("*").alias("_dg"))
         keep = deg.filter(F.col("_dg") >= k).select("a")
@@ -533,15 +551,20 @@ def pagerank_quantized(
     graphs dedup actually produces. Pass ``driver_threshold=0`` to force
     the distributed loop (the 100 TB path: one shuffle per round).
     """
+    # r14 (VERDICT r13 ask #7): persist the projected edge frame BEFORE
+    # the bounded probe so an over-threshold graph pays the upstream pair
+    # pipeline once (probe partitions land in the cache; the distributed
+    # loop reads them) instead of once for the probe and again in full.
+    proj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     if driver_threshold > 0:
-        probe = (
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .limit(driver_threshold + 1)
-            .collect()
-        )
+        probe = proj.limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
+            proj.unpersist()
             sym = set()
             for r in probe:
+                # null endpoints never match SQL joins — skip (ADVICE r13)
+                if r["u"] is None or r["v"] is None:
+                    continue
                 sym.add((r["u"], r["v"]))
                 sym.add((r["v"], r["u"]))
             deg: dict = {}
@@ -560,7 +583,13 @@ def pagerank_quantized(
                 ranks = {n: base + contrib.get(n, 0) for n in deg}
             from pyspark.sql import types as T
 
-            node_f = edges.select(F.col(src).alias("node")).schema.fields[0]
+            # node type widened over BOTH endpoint columns, matching the
+            # distributed union's schema (ADVICE r13)
+            node_f = (
+                proj.select(F.col("u").alias("node"))
+                .unionByName(proj.select(F.col("v").alias("node")))
+                .schema.fields[0]
+            )
             schema = T.StructType(
                 [node_f, T.StructField("rank", T.LongType(), True)]
             )
@@ -568,12 +597,9 @@ def pagerank_quantized(
                 sorted(ranks.items()) if ranks else [], schema
             )
 
-    # r13: the symmetrizing union consumes ``edges`` twice — persist the
-    # caller's pipeline so it runs once (see pagerank)
-    edges = edges.persist()
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = proj.select(F.col("u").alias("_s"), F.col("v").alias("_d"))
     e = e.unionByName(
-        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        proj.select(F.col("v").alias("_s"), F.col("u").alias("_d"))
     ).distinct().persist()
     deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     # r13: the (edge, source-degree) join is loop-invariant — build it
@@ -615,7 +641,7 @@ def pagerank_quantized(
         ranks = nxt
     e.unpersist()
     ew.unpersist()
-    edges.unpersist()
+    proj.unpersist()
     return ranks
 
 
@@ -750,22 +776,31 @@ def bfs_hops(
     # so the paths are bit-identical (distributed-parity pytest), and
     # ``rounds`` fixed rounds of join+checkpoint overhead collapse.
     # driver_threshold=0 forces the distributed loop (the 100 TB path).
+    # r14 (VERDICT r13 ask #7): persist the projected pair frame BEFORE
+    # the bounded probe — over-threshold graphs otherwise paid the
+    # upstream pipeline for the probe AND (twice, via the symmetrizing
+    # union) for the distributed loop.
+    proj = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     if driver_threshold > 0:
-        probe = (
-            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .limit(driver_threshold + 1)
-            .collect()
-        )
+        probe = proj.limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
             seed_rows = seeds.select("node_id").limit(
                 driver_threshold + 1
             ).collect()
             if len(seed_rows) <= driver_threshold:
+                proj.unpersist()
                 sym = set()
                 for r in probe:
+                    # null endpoints never match SQL joins (ADVICE r13)
+                    if r["a"] is None or r["b"] is None:
+                        continue
                     sym.add((r["a"], r["b"]))
                     sym.add((r["b"], r["a"]))
-                dist = {r["node_id"]: 0 for r in seed_rows}
+                dist = {
+                    r["node_id"]: 0
+                    for r in seed_rows
+                    if r["node_id"] is not None
+                }
                 for _ in range(rounds):
                     nxt = dict(dist)
                     for a, b in sym:
@@ -776,7 +811,14 @@ def bfs_hops(
                     dist = nxt
                 from pyspark.sql import types as T
 
-                node_f = seeds.select("node_id").schema.fields[0]
+                # node type widened over seeds AND both endpoint columns,
+                # matching what the distributed union produces (ADVICE r13)
+                node_f = (
+                    seeds.select("node_id")
+                    .unionByName(proj.select(F.col("a").alias("node_id")))
+                    .unionByName(proj.select(F.col("b").alias("node_id")))
+                    .schema.fields[0]
+                )
                 schema = T.StructType(
                     [node_f, T.StructField("hops", T.IntegerType(), True)]
                 )
@@ -790,13 +832,14 @@ def bfs_hops(
     # generator 2^rounds times (measured 67 s at sf0.1 before this; the
     # same lineage discipline as kcore_subgraph / connected_components)
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        proj
         .unionByName(
-            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            proj.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    proj.unpersist()  # edges is materialized; the probe cache can go
     dist = seeds.select(
         F.col("node_id"), F.lit(0).cast("int").alias("hops")
     ).localCheckpoint(eager=True)

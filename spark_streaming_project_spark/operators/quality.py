@@ -193,7 +193,9 @@ def cross_doc_gram_stats(
     )
 
 
-def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def bigram_logprob(
+    df: DataFrame, text_col: str, id_col: str, assume_spread: bool = False
+) -> DataFrame:
     """Per-document mean bigram log-probability (and perplexity) under the
     corpus's own add-1-smoothed bigram LM — the next step up from
     :func:`unigram_logprob` toward the KenLM-style fluency filters used by
@@ -213,11 +215,15 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from ..functions.text import word_ngrams
 
     # r13: spread before the bigram zip pass (functions/partitioning.spread)
-    live = spread(
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.col(text_col)),
-        id_col,
+    # r14: ``assume_spread=True`` lets a composing caller (e.g.
+    # quality_filter_kappa) share ONE spread+persisted (id, text) frame
+    # across several scorers instead of paying one full-text exchange per
+    # scorer (VERDICT r13 ask #5); results are layout-independent.
+    live = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col)
     )
+    if not assume_spread:
+        live = spread(live, id_col)
     bg = live.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n=2)).alias("bg")
     )
@@ -330,6 +336,7 @@ def gopher_quality_flags(
     max_symbol_ratio: float = 0.1,
     min_stopwords: int = 2,
     stopwords: tuple = GOPHER_STOPWORDS,
+    assume_spread: bool = False,
 ) -> DataFrame:
     """Per-document Gopher quality-rule flags (Rae et al. 2021 §A1.1):
     word-count bounds, mean-word-length bounds, symbol-to-word ratio
@@ -364,8 +371,12 @@ def gopher_quality_flags(
     flag_symbol = symbol_ratio < max_symbol_ratio
     flag_stop = n_stop >= min_stopwords
     # r13: spread before the 4 tokenize/fold/intersect rule passes
-    # (functions/partitioning.spread)
-    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    # (functions/partitioning.spread). r14: ``assume_spread=True`` lets a
+    # composing caller share one spread+persisted (id, text) frame across
+    # scorers (VERDICT r13 ask #5); results are layout-independent.
+    df = df.select(F.col(id_col), F.col(text_col))
+    if not assume_spread:
+        df = spread(df, id_col)
     return df.filter(n_words > 0).select(
         F.col(id_col),
         n_words.alias("n_words"),

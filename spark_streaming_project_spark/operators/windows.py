@@ -142,6 +142,185 @@ def range_partitioned_ntile(
     )
 
 
+def range_partitioned_ntiles(
+    df: DataFrame,
+    specs: list[tuple[int, list[Column], str]],
+    key_cols: list[str],
+    max_sidecar_rows: int = 100_000,
+) -> DataFrame:
+    """SEVERAL exact global ``ntile`` columns over the same frame with ONE
+    bounded sidecar action (guide §2.6 — r14: chaining
+    ``range_partitioned_ntile`` once per axis runs one EAGER sidecar
+    collect per axis, serialized; rfm_segments paid 3). ``specs`` is
+    ``[(n, order, out_col), ...]``; each order must be TOTAL (same
+    contract as the single-spec operator) and ``key_cols`` must uniquely
+    identify rows (the tile frames re-join on them). Returns one row per
+    input row with ``key_cols`` + every ``out_col`` — bit-identical tile values to
+    the chained form, because each tile depends only on ``df`` and its
+    own order (the chained form merely carries earlier tile columns
+    along; it never feeds them into later orders).
+
+    Shape: one ``repartitionByRange`` per spec (persisted — same
+    structural slice-pinning guarantee as the single-spec operator), the
+    per-slice counts of ALL specs unioned into ONE collect, offsets fold
+    driver-side per spec, and the tile frames join back on ``key_cols``
+    (skinny: keys + one int each). No global single-task window
+    anywhere; the sidecar stays O(specs * partitions).
+
+    Cache lifetime: each persisted sliced frame backs the RETURNED lazy
+    plan and cannot be released in-function; the bench harness / driver
+    sim clearCache between queries (same contract as the single-spec
+    operators).
+    """
+    sliceds = [
+        df.repartitionByRange(*order)
+        .withColumn("_slice", F.spark_partition_id())
+        .persist()
+        for _n, order, _out in specs
+    ]
+    counts_union = None
+    for i, sliced in enumerate(sliceds):
+        branch = (
+            sliced.groupBy("_slice")
+            .count()
+            .limit(max_sidecar_rows + 1)
+            .select(
+                F.lit(i).alias("_spec"), "_slice", F.col("count").alias("_v")
+            )
+        )
+        counts_union = (
+            branch if counts_union is None else counts_union.unionByName(branch)
+        )
+    rows = counts_union.collect()  # ONE action for every spec's sidecar
+    by_spec: dict[int, list] = {}
+    for r in rows:
+        by_spec.setdefault(r["_spec"], []).append(r)
+    from pyspark.sql import types as T
+
+    out: DataFrame | None = None
+    for i, (n, order, out_col) in enumerate(specs):
+        spec_rows = sorted(by_spec.get(i, []), key=lambda r: r["_slice"])
+        if len(spec_rows) > max_sidecar_rows:
+            raise ValueError(
+                f"range_partitioned_ntiles sidecar for spec {i} exceeds "
+                f"{max_sidecar_rows} slice rows"
+            )
+        total = sum(r["_v"] for r in spec_rows)
+        lookup_rows = []
+        offset = 0
+        for r in spec_rows:
+            lookup_rows.append((r["_slice"], offset, total))
+            offset += r["_v"]
+        schema = T.StructType(
+            [
+                T.StructField("_slice", T.IntegerType(), False),
+                T.StructField("_offset", T.LongType(), False),
+                T.StructField("_n_rows", T.LongType(), False),
+            ]
+        )
+        lookup = df.sparkSession.createDataFrame(lookup_rows, schema)
+        w = Window.partitionBy("_slice").orderBy(*order)
+        rank = (F.row_number().over(w) + F.col("_offset")).cast("long")
+        q = (F.col("_n_rows") / n).cast("long")
+        rem = F.col("_n_rows") % n
+        threshold = rem * (q + 1)
+        tile = F.when(
+            rank <= threshold, ((rank - 1) / (q + 1)).cast("long") + 1
+        ).otherwise(rem + ((rank - threshold - 1) / q).cast("long") + 1)
+        tiles = (
+            sliceds[i]
+            .join(F.broadcast(lookup), "_slice")
+            .select(*key_cols, tile.cast("int").alias(out_col))
+        )
+        out = tiles if out is None else out.join(tiles, key_cols)
+    assert out is not None, "specs must be non-empty"
+    return out
+
+
+def range_partitioned_running_sum_batch(
+    inputs: list[tuple[DataFrame, list[Column], str]],
+    prefix: str = "running_",
+    max_sidecar_rows: int = 100_000,
+) -> list[DataFrame]:
+    """Batch form of :func:`range_partitioned_running_sum` for several
+    independent (frame, order, value_col) passes with NO partition_cols:
+    all bounded sidecar aggregates are fetched in ONE Spark action
+    (guide §2.6 — r14: sorted_neighborhood_pairs ran one serialized
+    sidecar collect per sort key). Per-pass output is identical to
+    ``range_partitioned_running_sum(df, order, [value_col])``: input
+    columns pass through plus ``{prefix}{value_col}``.
+
+    Same structural guarantees as the single-pass operator: each
+    post-``repartitionByRange`` frame is persisted before the sidecar
+    action so slice assignments are pinned across the sidecar job and
+    the caller's final job; the per-pass sidecar stays bounded by
+    ``max_sidecar_rows`` with the same loud failure.
+
+    Cache lifetime: each persisted sliced frame backs its RETURNED lazy
+    plan and cannot be released in-function; the bench harness / driver
+    sim clearCache between queries (same contract as the single-pass
+    operator).
+    """
+    sliceds = [
+        df.repartitionByRange(*order)
+        .withColumn("_slice", F.spark_partition_id())
+        .persist()
+        for df, order, _vc in inputs
+    ]
+    counts_union = None
+    for i, (sliced, (_df, _order, vc)) in enumerate(zip(sliceds, inputs)):
+        branch = (
+            sliced.groupBy("_slice")
+            .agg(F.sum(vc).alias("_v"))
+            .limit(max_sidecar_rows + 1)
+            .select(F.lit(i).alias("_spec"), "_slice", "_v")
+        )
+        counts_union = (
+            branch if counts_union is None else counts_union.unionByName(branch)
+        )
+    rows = counts_union.collect()  # ONE action for every pass's sidecar
+    by_spec: dict[int, list] = {}
+    for r in rows:
+        by_spec.setdefault(r["_spec"], []).append(r)
+    from pyspark.sql import types as T
+
+    outs: list[DataFrame] = []
+    for i, (df, order, vc) in enumerate(inputs):
+        spec_rows = sorted(by_spec.get(i, []), key=lambda r: r["_slice"])
+        if len(spec_rows) > max_sidecar_rows:
+            raise ValueError(
+                f"range_partitioned_running_sum_batch sidecar for pass {i} "
+                f"exceeds {max_sidecar_rows} slice rows"
+            )
+        lookup_rows = []
+        offset = 0
+        for r in spec_rows:
+            lookup_rows.append((r["_slice"], offset))
+            offset += r["_v"] or 0
+        schema = T.StructType(
+            [
+                T.StructField("_slice", T.IntegerType(), False),
+                T.StructField(f"_off_{vc}", T.LongType(), False),
+            ]
+        )
+        lookup = df.sparkSession.createDataFrame(lookup_rows, schema)
+        w = (
+            Window.partitionBy("_slice")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        outs.append(
+            sliceds[i]
+            .join(F.broadcast(lookup), "_slice")
+            .withColumn(
+                f"{prefix}{vc}",
+                (F.sum(vc).over(w) + F.col(f"_off_{vc}")).cast("long"),
+            )
+            .drop("_slice", f"_off_{vc}")
+        )
+    return outs
+
+
 def range_partitioned_running_sum(
     df: DataFrame,
     order: list[Column],

@@ -6908,53 +6908,106 @@ def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r13 (guide §1.2): the IVF assignment — the O(|vecs| * n_list)
     centroid-scoring pass — is probe-INDEPENDENT, so it is built once
-    via ``ivf_assignment`` and persisted; the four probe settings each
-    read the shared assignment instead of recomputing it (4 passes -> 1;
-    probe expressions identical to ``ivf_topk``, so rows are unchanged).
-    The persists are per-invocation intermediates, released by the
-    harness clearCache after the terminal action."""
+    via ``ivf_assignment``.
+
+    r14 (guide §2.6/§1.2 — VERDICT r13 ask #6): the four probe settings
+    were four separate probe-list broadcasts + four TakeOrdered branches
+    over the shared assignment (scaling ratio 0.65 at 8-vs-32 CPUs —
+    pure per-job overhead). Now ONE unioned pass: rank the top-
+    ``max(_SWEEP_PROBES)`` centroids once, join candidates once, score
+    each candidate's cosine once, and per probe setting p a candidate
+    participates iff its best-ranked matched centroid is within p
+    (exactly ``assigned ⋈ top-p``), with the per-p top-10 taken by a
+    rank window under the same (cosine DESC, vec_id ASC) total order the
+    TakeOrdered used — row-identical results, one job, no persists."""
     from ..operators.similarity import (
+        ROUND_DECIMALS,
+        _cosine_vs_query,
         brute_force_topk,
         ivf_assignment,
-        ivf_probe_topk,
+        norm,
     )
+    from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     truth = brute_force_topk(emb, "vec_id", "embedding", _QUERY_VEC_ID, k=10).select(
         "vec_id"
-    ).persist()
+    )
     vecs, scored, assigned = ivf_assignment(
         emb, "vec_id", "embedding", n_list=_IVF_NLIST, n_assign=_IVF_NASSIGN
     )
-    assigned = assigned.persist()
-    # the query's centroid ranking (n_list rows) and the query vector
-    # (1 row) feed every probe — keep them materialized too
-    scored = scored.filter(F.col("vec_id") == _QUERY_VEC_ID).persist()
-    parts = []
-    for p in _SWEEP_PROBES:
-        got = ivf_probe_topk(
-            vecs,
-            scored,
-            assigned,
-            "vec_id",
-            _QUERY_VEC_ID,
-            k=10,
-            n_probe=p,
-            n_assign=_IVF_NASSIGN,
-        ).select("vec_id")
-        parts.append(
-            got.join(truth, "vec_id")
-            .agg(F.count("*").cast("bigint").alias("hits"))
-            .select(F.lit(p).alias("n_probe"), "hits")
+    max_p = max(_SWEEP_PROBES)
+    probe_order = [F.desc("_sim"), F.asc("cid")]
+    probes = (
+        scored.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .orderBy(*probe_order)
+        .limit(max_p)
+        .select(
+            "cid",
+            F.row_number().over(Window.orderBy(*probe_order)).alias("_prank"),
         )
-    out = parts[0]
-    for frame in parts[1:]:
-        out = out.unionByName(frame)
-    return out.select(
-        "n_probe",
-        "hits",
-        F.round(F.col("hits").cast("double") / 10, 6).alias("recall_at_10"),
-    ).orderBy("n_probe")
+    )
+    q = (
+        vecs.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("_v").alias("_query_vec"))
+        .withColumn("_qn", norm(F.col("_query_vec")))
+    )
+    # one exact re-score per DISTINCT candidate (the n_assign>1 dedup of
+    # ivf_probe_topk becomes the groupBy; _v is identical per vec_id so
+    # min(_prank) + any _v reproduces the per-p candidate sets exactly)
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .groupBy("vec_id")
+        .agg(F.min("_prank").alias("_mrank"), F.first("_v").alias("_v"))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "_mrank",
+            F.round(_cosine_vs_query(F.col("_v")), ROUND_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    expanded = cand.select(
+        "vec_id",
+        "cosine_sim",
+        F.explode(
+            F.array(*[F.lit(p) for p in _SWEEP_PROBES])
+        ).alias("n_probe"),
+        "_mrank",
+    ).filter(F.col("_mrank") <= F.col("n_probe"))
+    w10 = Window.partitionBy("n_probe").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    top10 = (
+        expanded.withColumn("_rn", F.row_number().over(w10))
+        .filter(F.col("_rn") <= 10)
+        .select("n_probe", "vec_id")
+    )
+    hits = (
+        top10.join(F.broadcast(truth), "vec_id")
+        .groupBy("n_probe")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    # a probe setting with zero candidates must still report hits=0 (the
+    # old per-p scalar aggregate always emitted its row)
+    pvals = spark.createDataFrame(
+        [(p,) for p in _SWEEP_PROBES], "n_probe int"
+    )
+    return (
+        pvals.join(hits, "n_probe", "left")
+        .select(
+            "n_probe",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        )
+        .select(
+            "n_probe",
+            "hits",
+            F.round(F.col("hits").cast("double") / 10, 6).alias("recall_at_10"),
+        )
+        .orderBy("n_probe")
+    )
 
 
 # ---------------------------------------------------------------------------

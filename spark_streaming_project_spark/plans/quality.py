@@ -1424,11 +1424,25 @@ def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped at 100 TB. Contingency cells are exact integers from one
     combinable aggregate over the doc_id-keyed join of two map-only
     frames; every rate is a single division of exact counts."""
+    from ..functions.partitioning import spread as _spread
     from ..operators.quality import bigram_logprob, gopher_quality_flags
 
     docs = load_table(spark, sf_dir, "documents")
-    gop = gopher_quality_flags(docs, "text", "doc_id", stopwords=_GOPHER_SW)
-    ppl = bigram_logprob(docs, "text", "doc_id").select(
+    # r14 (VERDICT r13 ask #5): ONE spread + persist of the (id, text)
+    # projection feeds BOTH scorer families — previously each scorer ran
+    # its own full-text exchange off the scan (one per spread() site
+    # inside the operators). Null-text docs are dropped up front: gopher's
+    # n_words > 0 filter and bigram's isNotNull filter both discard them,
+    # so the shared filter changes no results. Cache released by the
+    # harness clearCache after the terminal action.
+    base = _spread(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text"),
+        "doc_id",
+    ).persist()
+    gop = gopher_quality_flags(
+        base, "text", "doc_id", stopwords=_GOPHER_SW, assume_spread=True
+    )
+    ppl = bigram_logprob(base, "text", "doc_id", assume_spread=True).select(
         "doc_id", "perplexity"
     )
     med = ppl.agg(F.median("perplexity").alias("m"))

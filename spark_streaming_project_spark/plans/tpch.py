@@ -2227,7 +2227,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard champion/at-risk/new labels. All three quintile cuts use
     range_partitioned_ntile with total orders (ties broken by custkey);
     monetary snaps to cents."""
-    from ..operators.windows import range_partitioned_ntile
+    from ..operators.windows import range_partitioned_ntiles
 
     orders = load_table(spark, sf_dir, "orders")
     hz = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
@@ -2252,14 +2252,20 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    r = range_partitioned_ntile(
-        rfm, n=5, order=[F.desc("recency"), F.asc("o_custkey")], out_col="r"
-    )
-    f_ = range_partitioned_ntile(
-        r, n=5, order=[F.asc("frequency"), F.asc("o_custkey")], out_col="f"
-    )
-    m = range_partitioned_ntile(
-        f_, n=5, order=[F.asc("monetary"), F.asc("o_custkey")], out_col="m"
+    # r14 (guide §2.6): the three quintile axes each ran an EAGER bounded
+    # sidecar collect (3 serialized driver round-trips + 3 chained range
+    # shuffles of the widening frame); the batched operator fetches every
+    # axis's slice map in ONE action and joins the three skinny
+    # (custkey, tile) frames back — tile values bit-identical (each axis
+    # depends only on ``rfm`` and its own total order).
+    m = range_partitioned_ntiles(
+        rfm,
+        specs=[
+            (5, [F.desc("recency"), F.asc("o_custkey")], "r"),
+            (5, [F.asc("frequency"), F.asc("o_custkey")], "f"),
+            (5, [F.asc("monetary"), F.asc("o_custkey")], "m"),
+        ],
+        key_cols=["o_custkey"],
     )
     seg = (
         F.when(

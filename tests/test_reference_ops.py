@@ -404,3 +404,63 @@ def test_range_partitioned_running_sum_matches_window(spark):
             partition_cols=["hg"],
             max_sidecar_rows=50,
         )
+
+
+def test_range_partitioned_ntiles_batch_matches_single(spark):
+    """r14: the batched multi-axis ntile (ONE sidecar action) must equal
+    the single-spec operator axis-for-axis — the rfm_segments rework's
+    exactness contract."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_ntile,
+        range_partitioned_ntiles,
+    )
+
+    rows = [((i * 37) % 101, (i * 17) % 53, i) for i in range(523)]
+    df = spark.createDataFrame(rows, "a int, b int, id int")
+    specs = [
+        (5, [F.desc("a"), F.asc("id")], "ta"),
+        (4, [F.asc("b"), F.asc("id")], "tb"),
+        (10, [F.asc("a"), F.asc("id")], "tc"),
+    ]
+    got = {
+        r["id"]: (r["ta"], r["tb"], r["tc"])
+        for r in range_partitioned_ntiles(df, specs, key_cols=["id"]).collect()
+    }
+    want = {}
+    for n, order, out in specs:
+        for r in range_partitioned_ntile(df, n, order, out_col="t").collect():
+            want.setdefault(r["id"], {})[out] = r["t"]
+    assert got == {
+        k: (v["ta"], v["tb"], v["tc"]) for k, v in want.items()
+    }
+
+
+def test_range_partitioned_running_sum_batch_matches_single(spark):
+    """r14: the batched multi-pass running sum (ONE sidecar action) must
+    equal the single-pass operator pass-for-pass — the
+    sorted_neighborhood_pairs rework's exactness contract."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_project_spark.operators.windows import (
+        range_partitioned_running_sum,
+        range_partitioned_running_sum_batch,
+    )
+
+    rows = [((i * 37) % 101, (i * 17) % 53, i) for i in range(523)]
+    df = spark.createDataFrame(rows, "a int, v int, id int")
+    inputs = [
+        (df, [F.asc("a"), F.asc("id")], "v"),
+        (df, [F.desc("v"), F.asc("id")], "v"),
+    ]
+    outs = range_partitioned_running_sum_batch(inputs)
+    for (src, order, vc), got_df in zip(inputs, outs):
+        got = {r["id"]: r[f"running_{vc}"] for r in got_df.collect()}
+        want = {
+            r["id"]: r[f"running_{vc}"]
+            for r in range_partitioned_running_sum(
+                src, order=order, value_cols=[vc]
+            ).collect()
+        }
+        assert got == want
