@@ -277,13 +277,14 @@ def nb_count_state(
     the model rebuilt from drained state equals the batch model exactly
     (pinned by pytest)."""
     kept = df.filter(F.col(text_col).isNotNull())
-    # r13: spread the tokenize+explode branch. Keyed on a text hash, NOT
-    # the label — labels are few and would serialize whole classes onto
-    # single tasks (guide §2.5); docs_l below stays on the raw scan.
-    toks = spread(
-        kept.select(F.col(label_col), F.col(text_col)),
-        F.xxhash64(F.col(text_col)),
-    ).select(
+    # r14: spread REMOVED (was r13, keyed on a text hash). Paired-JVM
+    # A/B (min-of-3, three independent pairs) read nb_crossval_accuracy
+    # consistently ~1 s FASTER without it: the whitespace tokenize is
+    # cheap relative to a full-text exchange, and the (token, label)
+    # groupBy right below does its own combine-then-exchange anyway —
+    # the spread bought no narrow-pass parallelism worth its shuffle
+    # (crossval pays the site 3x). nb_lang_confusion read neutral.
+    toks = kept.select(F.col(label_col), F.col(text_col)).select(
         F.col(label_col).alias("label"),
         F.explode(tokens(text_col)).alias("token"),
     )
@@ -363,14 +364,13 @@ def nb_predict(
     the label count, never global."""
     from pyspark.sql import Window
 
-    # r13: spread before the tokenize+explode (functions/partitioning)
+    # r14: spread REMOVED (was r13) — same paired-JVM evidence as
+    # nb_count_state: the cheap tokenize feeds a (doc, token) groupBy
+    # that exchanges anyway; the extra full-text exchange cost crossval
+    # ~1 s across its three predict passes.
     doc_tokens = (
-        spread(
-            df.filter(F.col(text_col).isNotNull()).select(
-                F.col(id_col), F.col(text_col)
-            ),
-            id_col,
-        )
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col))
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("k"))

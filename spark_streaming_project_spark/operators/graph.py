@@ -75,8 +75,14 @@ def connected_components(
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
 
     if driver_threshold > 0:
+        # r14 (VERDICT r13 ask #7): persist BEFORE the bounded probe so an
+        # over-threshold graph pays the upstream pair pipeline once (the
+        # probe's partitions land in the cache and the distributed loop
+        # reads them) instead of probe + full recompute.
+        sym = sym.persist()
         probe = sym.limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
+            sym.unpersist()
             if stats is not None:
                 stats["path"] = "driver"
                 stats["rounds"] = 0
@@ -90,13 +96,28 @@ def connected_components(
                 return x
 
             for r in probe:
+                # null endpoints never match SQL joins — skip (ADVICE r13)
+                if r["u"] is None or r["v"] is None:
+                    continue
                 ra, rb = find(r["u"]), find(r["v"])
                 if ra != rb:  # min root wins -> roots are component minima
                     parent[max(ra, rb)] = min(ra, rb)
             rows = [(x, find(x)) for x in parent]
-            schema = sym.select(
-                F.col("u"), F.col("u").alias("component")
-            ).schema
+            # node type widened over BOTH endpoint columns, matching the
+            # distributed union (ADVICE r13)
+            node_f = (
+                sym.select("u")
+                .unionByName(sym.select(F.col("v").alias("u")))
+                .schema.fields[0]
+            )
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    node_f,
+                    T.StructField("component", node_f.dataType, True),
+                ]
+            )
             return edges.sparkSession.createDataFrame(rows or [], schema)
 
     # symmetrized=True: the caller already provides BOTH edge directions

@@ -37,6 +37,7 @@ def envelope_src(spark, tmp_path):
     return src, products
 
 
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_pipeline_modes_agree(spark, tmp_path, envelope_src):
     src, products = envelope_src
     batch_df = spark.createDataFrame(products, products_df(spark, 1).schema)
@@ -75,6 +76,7 @@ def test_pipeline_modes_agree(spark, tmp_path, envelope_src):
     assert mx_topk.select("batch_id").distinct().count() > 1
 
 
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_full_topology_both_modes_rocksdb(spark, tmp_path, envelope_src):
     """VERDICT r9 ask #7 — the full reference topology minus the TCP hop,
     on the out-of-heap state store: paginated-feeder-format JSON envelopes
@@ -155,6 +157,7 @@ def test_full_topology_both_modes_rocksdb(spark, tmp_path, envelope_src):
     assert len(batch_ids) > 1
 
 
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_streaming_exact_dedup(spark, tmp_path):
     from spark_streaming_project_spark.streaming.runner import StreamRunner
     from spark_streaming_project_spark.streaming.stateful import (
@@ -195,6 +198,7 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert set(got.values()) <= {1, 2, 3, 4, 5, 6}
 
 
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_streaming_minhash_candidates_converge_to_batch(spark, tmp_path):
     """Incremental LSH near-dup: after draining the stream, the distinct
     (id_a, id_b) candidate set must equal the batch band self-join's —

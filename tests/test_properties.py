@@ -9,6 +9,8 @@ keys equal to the residual label, self-loops, disconnected nodes)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from hypothesis import HealthCheck, example, given, settings, strategies as st
@@ -37,6 +39,7 @@ rows = st.lists(st.tuples(keys, st.integers(0, 1000)), min_size=1, max_size=30)
 # key (operator now uses asc_nulls_last, matching DuckDB's ASC default).
 @example(data=[(None, 0), ("a", 0)], n=1)
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_top_n_with_other_conserves_totals(spark, data, n):
     df = spark.createDataFrame(data, "k string, cnt long")
     out = top_n_with_other(df, "k", "cnt", n).collect()
@@ -83,6 +86,7 @@ def _union_find(pairs):
 
 @given(pairs=edges)
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_connected_components_matches_union_find(spark, pairs):
     df = spark.createDataFrame(pairs or [(0, 0)], "id_a long, id_b long")
     if not pairs:
@@ -141,6 +145,7 @@ right_rows = st.lists(
 
 @given(left=left_rows, right=right_rows)
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_asof_join_matches_bruteforce(spark, left, right):
     from spark_streaming_project_spark.operators.joins import asof_join
 
@@ -175,6 +180,7 @@ intervals = st.lists(
 
 @given(points=left_rows, ivals=intervals, bucket=st.sampled_from([1, 3, 7, 100]))
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_range_join_binned_matches_bruteforce(spark, points, ivals, bucket):
     from pyspark.sql import functions as F
 
@@ -224,6 +230,7 @@ _event_rows = st.lists(
 
 @given(data=_event_rows)
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_funnel_counts_monotone_for_any_events(spark, data):
     """Funnel stage counts are non-increasing for ANY event set, and every
     count is bounded by the distinct-user count."""
@@ -253,6 +260,7 @@ _key_sets = st.lists(st.integers(0, 10_000), min_size=1, max_size=50)
 
 @given(dim_keys=_key_sets, fact_keys=_key_sets)
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_bloom_never_drops_a_match(spark, dim_keys, fact_keys):
     """For ANY key sets, bloom pruning keeps every fact row whose key
     exists in the dimension (zero false negatives) — the property that
@@ -325,6 +333,7 @@ sizes_rows = st.lists(
 
 @given(data=sizes_rows, k=st.integers(1, 500))
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_temperature_targets_always_hand_out_exactly_k(spark, data, k):
     """Largest-remainder apportionment: for ANY positive integer sizes
     and ANY k, the targets sum to exactly k, every target is
@@ -357,6 +366,7 @@ docs_text = st.lists(
 
 @given(texts=docs_text)
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_cms_estimate_never_undercounts(spark, texts):
     """Count-min one-sided error: for ANY corpus, the sketch estimate of
     every token is >= its true count."""
@@ -434,6 +444,7 @@ def test_winnowing_selected_positions_cover_every_window(spark, texts):
     k=st.integers(min_value=2, max_value=3),
 )
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_kcenter_greedy_is_two_approx_of_bruteforce_opt(spark, vecs, k):
     """The textbook guarantee on ANY input: greedy farthest-point
     k-center coverage radius <= 2 * OPT, where OPT is found by brute
@@ -472,6 +483,7 @@ _mp_vecs = st.lists(_mp_vec, min_size=4, max_size=12)
 
 @given(vecs=_mp_vecs, n_flip=st.integers(0, 7))
 @SETTINGS
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_multiprobe_probes_exactly_the_ranked_masks(spark, vecs, n_flip):
     """r11 ranked multi-bit perturbation (Lv et al.): on ANY vector set the
     candidate ids returned by lsh_multiprobe_topk must be exactly the

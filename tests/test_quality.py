@@ -5,6 +5,8 @@ crafted fixtures, then the invariants that must hold on real testdata
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 
@@ -848,6 +850,7 @@ def test_roc_is_monotone_and_trapezoid_matches_auc(spark):
     assert round(trap, 6) == want
 
 
+@pytest.mark.slow  # r14: driver-window gate (see conftest)
 def test_curate_cli_end_to_end(spark, tmp_path):
     """scripts/curate.py: kept corpus on disk == verdicts' keep set, and
     the report's attrition numbers are internally consistent."""
