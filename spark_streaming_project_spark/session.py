@@ -45,6 +45,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 (guide §3.1/§9, VERDICT r13 ask #10): let the planner pick
+        # shuffled-hash over sort-merge when its size conditions hold, and
+        # let AQE rewrite SMJ -> SHJ at runtime when every post-shuffle
+        # partition is under the advisory size (64m default). Scale-safe:
+        # the choice stays size-driven at runtime (OOM risk is bounded by
+        # the same advisory partition size AQE coalesces to); adjudicated
+        # with paired same-JVM A/B probes + full-bench runs before
+        # adoption (OPTIMIZATION_r14.md). SPARK_GRAFT_PREFER_SMJ=1
+        # restores the sort-merge default (measurement toggle, same
+        # pattern as SPARK_GRAFT_NO_SPREAD).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1"
+            else "false",
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "0" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1"
+            else "64m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
